@@ -1,0 +1,175 @@
+package graft.promql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+/** Native implementations of the PromQL constructs the reference ships
+  * (reference: scripts/migrate.sql:105, docs examples; SURVEY §2.4 P1-P9).
+  * The reference delegates these to a remote Prometheus server
+  * (internal/prometheus/client.go:58-161); here they are Spark-native
+  * DataFrame transforms over the `metrics_data` model.
+  *
+  * Scale design notes (the part that matters at 100 TB):
+  *
+  *  - **Series identity.** Spark can't group by a MapType column, so a
+  *    series is identified by the canonical JSON of its sorted label
+  *    entries ([[PromOps.seriesKey]]). The key is reversible
+  *    ([[PromOps.labelsOf]]) so label-set transforms (`by` / `without`)
+  *    stay cheap.
+  *
+  *  - **Instant-selector / staleness semantics (P1) without a blow-up.**
+  *    The naive plan — grid × series cross join, then a per-grid-point
+  *    as-of lookup — materializes |grid|·|series| rows (1440× the series
+  *    count for the flagship's [24h:1m] subquery) before filtering. We
+  *    invert it: each *sample* can only be "the latest visible sample"
+  *    for grid points in `[ceil(ts/step)*step, ts+lookback]` — at most
+  *    `lookback/step + 1` points (6 for the 5m/1m flagship). So we
+  *    explode each sample to just those grid points and take the
+  *    lexicographic max of (ts, value) per (series, grid point). That is
+  *    linear in sample count, shuffles once on (series, g), and the
+  *    groupBy aggregation is map-side combinable — no window, no cross
+  *    join, no skew amplification. This survives a 100× scale-up where
+  *    the cross-join formulation does not.
+  */
+object PromOps {
+
+  /** Prometheus default staleness lookback: 5 minutes. */
+  val DefaultLookbackSec: Long = 300L
+
+  /** Canonical, order-independent series identity for a label map:
+    * JSON of the entries sorted by key. Deterministic because map_entries
+    * order is normalized by array_sort (SURVEY §7.3 item 2).
+    */
+  def seriesKey(labels: Column): Column =
+    to_json(map_from_entries(array_sort(map_entries(labels))))
+
+  /** Inverse of [[seriesKey]]: recover the label map from a canonical key. */
+  def labelsOf(key: Column): Column =
+    from_json(key, MapType(StringType, StringType))
+
+  private def epochSec(ts: Column): Column = unix_timestamp(ts)
+
+  /** P1 at a single evaluation time: the most recent sample per series
+    * within `[t - lookback, t]` (reference semantics: client.go:58-93 —
+    * evaluation is done by Prometheus; we implement the staleness rule
+    * natively). Output: (metric_name, skey, e, value) with `e` = the
+    * sample's epoch second.
+    */
+  def instantVector(
+      metrics: DataFrame,
+      metricName: String,
+      atEpochSec: Long,
+      lookbackSec: Long = DefaultLookbackSec): DataFrame = {
+    val e = epochSec(col("timestamp"))
+    metrics
+      .filter(col("metric_name") === metricName)
+      .withColumn("e", e)
+      .filter(col("e") >= atEpochSec - lookbackSec && col("e") <= atEpochSec)
+      .withColumn("skey", seriesKey(col("labels")))
+      .groupBy(col("metric_name"), col("skey"))
+      // lexicographic max picks the latest sample; value breaks exact-ts
+      // ties deterministically (second-truncated timestamps can collide)
+      .agg(max(struct(col("e"), col("value"))).as("last"))
+      .select(col("metric_name"), col("skey"),
+        col("last.e").as("e"), col("last.value").as("value"))
+  }
+
+  /** P4/P8: evaluate the instant-selector rule at every aligned grid point
+    * `g ∈ [g0, g1], g ≡ 0 (mod step)` — the subquery / range-query step
+    * grid (reference: client.go:123-161; migrate.sql:105 `[24h:1m]`).
+    * Implemented by the sample→grid-points expansion described above.
+    * Output: (skey, g, value).
+    */
+  def rangeEval(
+      metrics: DataFrame,
+      metricName: String,
+      g0: Long,
+      g1: Long,
+      stepSec: Long,
+      lookbackSec: Long = DefaultLookbackSec): DataFrame = {
+    require(g0 % stepSec == 0 && g1 % stepSec == 0 && g1 >= g0,
+      s"grid must be step-aligned: [$g0, $g1] step $stepSec")
+    metrics
+      .filter(col("metric_name") === metricName)
+      .withColumn("e", epochSec(col("timestamp")))
+      .filter(col("e") >= g0 - lookbackSec && col("e") <= g1)
+      // first grid point this sample is visible at (ceil-align), clamped;
+      // integer `div` keeps the whole expression in codegen'd long math
+      .withColumn("gs", greatest(lit(g0),
+        expr(s"((e + ${stepSec - 1}) div $stepSec) * $stepSec")))
+      // last grid point still within the staleness window, clamped
+      .withColumn("ge", least(lit(g1),
+        expr(s"((e + $lookbackSec) div $stepSec) * $stepSec")))
+      .filter(col("gs") <= col("ge"))
+      .withColumn("g", explode(sequence(col("gs"), col("ge"), lit(stepSec))))
+      .withColumn("skey", seriesKey(col("labels")))
+      .groupBy(col("skey"), col("g"))
+      .agg(max(struct(col("e"), col("value"))).as("last"))
+      .select(col("skey"), col("g"), col("last.value").as("value"))
+  }
+
+  /** PromQL range selector `x[window]` evaluated at `t`: all raw samples
+    * with `t - window < ts <= t`, tagged with series identity. The
+    * `*_over_time` family (P5) is a groupBy over this frame.
+    */
+  def rangeSelector(
+      metrics: DataFrame,
+      metricName: String,
+      atEpochSec: Long,
+      windowSec: Long): DataFrame =
+    metrics
+      .filter(col("metric_name") === metricName)
+      .withColumn("e", epochSec(col("timestamp")))
+      .filter(col("e") > atEpochSec - windowSec && col("e") <= atEpochSec)
+      .withColumn("skey", seriesKey(col("labels")))
+
+  /** P2: comparison with the `bool` modifier — returns 1.0/0.0 instead of
+    * filtering (reference flagship: `!= bool 999999`, migrate.sql:105).
+    */
+  def boolCmp(value: Column, op: String, scalar: Double): Column = {
+    val cond = op match {
+      case "==" => value === scalar
+      case "!=" => value =!= scalar
+      case ">"  => value > scalar
+      case ">=" => value >= scalar
+      case "<"  => value < scalar
+      case "<=" => value <= scalar
+      case _    => throw new IllegalArgumentException(s"bad comparison op: $op")
+    }
+    cond.cast("double")
+  }
+
+  /** P3: `agg without(l1..ln)` — drop the listed labels and re-group on
+    * what remains. Works on any frame carrying a `skey` column; extra
+    * grouping columns (e.g. the grid point `g`) are preserved.
+    */
+  def aggWithout(
+      df: DataFrame,
+      drop: Seq[String],
+      valueAgg: Column,
+      extraKeys: Seq[String] = Seq.empty): DataFrame = {
+    val dropArr = array(drop.map(lit): _*)
+    val kept = map_filter(labelsOf(col("skey")), (k, _) => !array_contains(dropArr, k))
+    regroup(df, seriesKey(kept), valueAgg, extraKeys)
+  }
+
+  /** P6/P9: `agg by(l1..ln)` — keep only the listed labels. */
+  def aggBy(
+      df: DataFrame,
+      keep: Seq[String],
+      valueAgg: Column,
+      extraKeys: Seq[String] = Seq.empty): DataFrame = {
+    val keepArr = array(keep.map(lit): _*)
+    val kept = map_filter(labelsOf(col("skey")), (k, _) => array_contains(keepArr, k))
+    regroup(df, seriesKey(kept), valueAgg, extraKeys)
+  }
+
+  private def regroup(df: DataFrame, newKey: Column, valueAgg: Column,
+      extraKeys: Seq[String]): DataFrame = {
+    val keys = col("skey") +: extraKeys.map(col)
+    df.withColumn("skey", newKey)
+      .groupBy(keys: _*)
+      .agg(valueAgg.as("value"))
+  }
+}

@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ingest.EventsIngest
+import graft.promql.PromOps
+import graft.time.TimeResolver
+import java.time.Instant
+
+/** Deterministic evaluation pinning for the whole query pack.
+  *
+  * The reference's flagship config evaluates at `yesterday_end` relative to
+  * "now" (reference: scripts/migrate.sql:107-112); the driver fixtures span
+  * 2024-01-01 → 2024-01-30 at every scale factor (TESTDATA.md), so we pin
+  * now = 2024-01-31T00:00:00Z. Every query and every DuckDB oracle resolves
+  * times from this single constant — the injected-now discipline the
+  * reference's own production bug argues for (its REPAIR.md; SURVEY §7.1).
+  */
+object Pinned {
+  val Now: Instant = Instant.parse("2024-01-31T00:00:00Z")
+  val resolver = TimeResolver(Now)
+
+  /** yesterday_end = 2024-01-30 23:59:59 UTC */
+  val Te: Long = resolver.resolve("yesterday_end").getEpochSecond
+  /** flagship [24h:1m] subquery grid: aligned minutes in (Te-24h, Te] */
+  val G1: Long = (Te / 60) * 60
+  val G0: Long = G1 - 86400 + 60
+}
+
+/** The PromQL operator surface (SURVEY §2.4 P1-P9) as registered queries
+  * with DuckDB oracles. Each query composes [[graft.promql.PromOps]] over
+  * the ingested fixture metrics ([[graft.ingest.EventsIngest]]).
+  *
+  * Float determinism: sums/averages of raw double samples are computed
+  * through DECIMAL(20,6) (exact, order-independent) and cast back to
+  * double, so Spark's and DuckDB's different aggregation orders cannot
+  * produce last-ulp hash mismatches. Counts, 0/1 bools, and min/max are
+  * exact already.
+  */
+object PromQueries {
+  import Pinned._
+
+  private def metrics(spark: SparkSession, sfDir: String): DataFrame =
+    EventsIngest.eventsAsMetrics(spark, sfDir)
+
+  private val user = PromOps.labelsOf(col("skey")).getItem("user")
+  private val kLbl = PromOps.labelsOf(col("skey")).getItem("k")
+  private val clusterLbl = PromOps.labelsOf(col("skey")).getItem("cluster_name")
+  private def decSum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(20,6)")).cast("double")
+
+  /** Events-side sample CTE shared by the oracles: same label synthesis,
+    * same second-floor epoch as the ingest (T5/T6).
+    */
+  private def sampleCte(metric: String, eLo: Long, eHi: Long): String =
+    s"""WITH s AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS u,
+       |         json_extract_string(props, '$$.k') AS k,
+       |         'c' || (user_id % 5) || '-r' || (user_id % 3) || '-z0' AS cl,
+       |         CAST(floor(epoch(ts)) AS BIGINT) AS e,
+       |         value AS v
+       |  FROM events
+       |  WHERE event_type = '$metric'
+       |    AND CAST(floor(epoch(ts)) AS BIGINT) BETWEEN $eLo AND $eHi
+       |)""".stripMargin
+
+  private val latestPairSql =
+    "SELECT u, k, cl, (max(struct_pack(e := e, v := v))).e AS e, " +
+      "(max(struct_pack(e := e, v := v))).v AS v FROM s GROUP BY u, k, cl"
+
+  // ---------------------------------------------------------------- flagship
+
+  /** The reference's flagship query (scripts/migrate.sql:105) re-expressed
+    * over the fixture metric stream:
+    *   sum(sum_over_time(max without(k, cluster_name)
+    *       (view != bool 999999)[24h:1m])) by (user) * 60 / 3600
+    * P1 staleness + P2 bool + P3 without + P4 subquery grid + P5
+    * sum_over_time + P6 by + P7 scalar arithmetic.
+    */
+  def flagship(spark: SparkSession, sfDir: String): DataFrame = {
+    val grid = PromOps.rangeEval(metrics(spark, sfDir), "view", G0, G1,
+      stepSec = 60, lookbackSec = 300)
+    val b = grid.withColumn("value", PromOps.boolCmp(col("value"), "!=", 999999))
+    val collapsed = PromOps.aggWithout(b, Seq("k", "cluster_name"),
+      max(col("value")), extraKeys = Seq("g"))
+    val sumOverTime = collapsed.groupBy(col("skey")).agg(sum("value").as("value"))
+    PromOps.aggBy(sumOverTime, Seq("user"), sum(col("value")))
+      .select(user.as("user"),
+        (col("value") * 60 / 3600).cast("double").as("util_hours"))
+  }
+
+  val flagshipOracle: String =
+    sampleCte("view", G0 - 300, G1) +
+      s""", ex AS (
+         |  SELECT u, k, e, v,
+         |         unnest(generate_series(greatest($G0, ((e + 59) // 60) * 60),
+         |                                least($G1, ((e + 300) // 60) * 60), 60)) AS g
+         |  FROM s
+         |), latest AS (
+         |  SELECT u, k, g, (max(struct_pack(e := e, v := v))).v AS lv
+         |  FROM ex GROUP BY u, k, g
+         |), collapsed AS (
+         |  SELECT u, g, max(CASE WHEN lv <> 999999.0 THEN 1.0 ELSE 0.0 END) AS b
+         |  FROM latest GROUP BY u, g
+         |), sot AS (
+         |  SELECT u, CAST(sum(b) AS DOUBLE) AS sv FROM collapsed GROUP BY u
+         |)
+         |SELECT u AS user, CAST(sv * 60 / 3600 AS DOUBLE) AS util_hours FROM sot""".stripMargin
+
+  // ------------------------------------------------------------ P1 instant
+
+  /** P1: instant vector selector — latest sample per series within the
+    * staleness lookback (1h here so the sparse small-SF fixtures keep the
+    * result non-trivial).
+    */
+  def instantVector(spark: SparkSession, sfDir: String): DataFrame =
+    PromOps.instantVector(metrics(spark, sfDir), "click", Te, lookbackSec = 3600)
+      .select(user.as("user"), kLbl.as("k"), col("e"), col("value"))
+
+  val instantVectorOracle: String =
+    sampleCte("click", Te - 3600, Te) +
+      s"\nSELECT u AS user, k, (max(struct_pack(e := e, v := v))).e AS e, " +
+      s"(max(struct_pack(e := e, v := v))).v AS value FROM s GROUP BY u, k"
+
+  // --------------------------------------------------------- P8 range query
+
+  private val Gm1: Long = (Te / 300) * 300
+  private val Gm0: Long = Gm1 - 7200
+
+  /** P8: range-query step evaluation — matrix out over a 2h window at 5m
+    * steps, 10m lookback.
+    */
+  def rangeMatrix(spark: SparkSession, sfDir: String): DataFrame =
+    PromOps.rangeEval(metrics(spark, sfDir), "purchase", Gm0, Gm1,
+      stepSec = 300, lookbackSec = 600)
+      .select(user.as("user"), kLbl.as("k"), col("g"), col("value"))
+
+  val rangeMatrixOracle: String =
+    sampleCte("purchase", Gm0 - 600, Gm1) +
+      s""", ex AS (
+         |  SELECT u, k, e, v,
+         |         unnest(generate_series(greatest($Gm0, ((e + 299) // 300) * 300),
+         |                                least($Gm1, ((e + 600) // 300) * 300), 300)) AS g
+         |  FROM s
+         |)
+         |SELECT u AS user, k, g, (max(struct_pack(e := e, v := v))).v AS value
+         |FROM ex GROUP BY u, k, g""".stripMargin
+
+  // ------------------------------------------------------- P5 *_over_time
+
+  /** P5: the `*_over_time` family over a 24h range selector, aggregated by
+    * the `user` label (sum/count/avg/min/max in one pass).
+    */
+  def overTime(spark: SparkSession, sfDir: String): DataFrame = {
+    val rs = PromOps.rangeSelector(metrics(spark, sfDir), "error", Te, 86400)
+    rs.groupBy(user.as("user"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(20,6)")).as("sdec"),
+        min("value").as("vmin"), max("value").as("vmax"))
+      .select(col("user"), col("cnt"),
+        col("sdec").cast("double").as("vsum"),
+        (col("sdec").cast("double") / col("cnt")).as("vavg"),
+        col("vmin"), col("vmax"))
+  }
+
+  val overTimeOracle: String =
+    sampleCte("error", Te - 86400 + 1, Te) +
+      """
+        |SELECT u AS user, count(*) AS cnt,
+        |       CAST(sum(CAST(v AS DECIMAL(20,6))) AS DOUBLE) AS vsum,
+        |       CAST(sum(CAST(v AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS vavg,
+        |       min(v) AS vmin, max(v) AS vmax
+        |FROM s GROUP BY u""".stripMargin
+
+  // ------------------------------------------------------ P3 agg without
+
+  /** P3: `max without(k, cluster_name)` over an instant vector. */
+  def aggWithout(spark: SparkSession, sfDir: String): DataFrame = {
+    val iv = PromOps.instantVector(metrics(spark, sfDir), "signup", Te, 3600)
+    PromOps.aggWithout(iv, Seq("k", "cluster_name"), max(col("value")))
+      .select(user.as("user"), col("value"))
+  }
+
+  val aggWithoutOracle: String =
+    sampleCte("signup", Te - 3600, Te) +
+      s", latest AS ($latestPairSql)\n" +
+      "SELECT u AS user, max(v) AS value FROM latest GROUP BY u"
+
+  // ------------------------------------------------------ P6/P9 agg by
+
+  /** P6: `sum by (cluster_name)` over an instant vector (decimal-exact). */
+  def aggBy(spark: SparkSession, sfDir: String): DataFrame = {
+    val iv = PromOps.instantVector(metrics(spark, sfDir), "view", Te, 3600)
+    PromOps.aggBy(iv, Seq("cluster_name"),
+      sum(col("value").cast("decimal(20,6)")).cast("double"))
+      .select(clusterLbl.as("cluster_name"), col("value"))
+  }
+
+  val aggByOracle: String =
+    sampleCte("view", Te - 3600, Te) +
+      s", latest AS ($latestPairSql)\n" +
+      "SELECT cl AS cluster_name, CAST(sum(CAST(v AS DECIMAL(20,6))) AS DOUBLE) AS value " +
+      "FROM latest GROUP BY cl"
+
+  /** P9: `avg by (cluster_name)` (docs example, user-guide.md:88). */
+  def avgBy(spark: SparkSession, sfDir: String): DataFrame = {
+    val iv = PromOps.instantVector(metrics(spark, sfDir), "error", Te, 3600)
+    PromOps.aggBy(iv, Seq("cluster_name"),
+      sum(col("value").cast("decimal(20,6)")).cast("double") / count(lit(1)))
+      .select(clusterLbl.as("cluster_name"), col("value"))
+  }
+
+  val avgByOracle: String =
+    sampleCte("error", Te - 3600, Te) +
+      s", latest AS ($latestPairSql)\n" +
+      "SELECT cl AS cluster_name, CAST(sum(CAST(v AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS value " +
+      "FROM latest GROUP BY cl"
+
+  // ------------------------------------------------- P2/P7 bool + scalar
+
+  /** P2 + P7: comparison with `bool` modifier and vector-scalar
+    * arithmetic over an instant vector.
+    */
+  def boolScalar(spark: SparkSession, sfDir: String): DataFrame =
+    PromOps.instantVector(metrics(spark, sfDir), "view", Te, 3600)
+      .select(user.as("user"), kLbl.as("k"),
+        (PromOps.boolCmp(col("value"), ">", 50) * 60 / 3600)
+          .cast("double").as("flag_scaled"))
+
+  val boolScalarOracle: String =
+    sampleCte("view", Te - 3600, Te) +
+      s", latest AS ($latestPairSql)\n" +
+      "SELECT u AS user, k, CAST((CASE WHEN v > 50 THEN 1.0 ELSE 0.0 END) * 60 / 3600 AS DOUBLE) AS flag_scaled " +
+      "FROM latest"
+
+  /** name → (query fn, oracle SQL) */
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "flagship_gpu_daily" -> ((flagship _, flagshipOracle)),
+    "pq_instant_vector" -> ((instantVector _, instantVectorOracle)),
+    "pq_range_matrix" -> ((rangeMatrix _, rangeMatrixOracle)),
+    "pq_over_time" -> ((overTime _, overTimeOracle)),
+    "pq_agg_without" -> ((aggWithout _, aggWithoutOracle)),
+    "pq_agg_by" -> ((aggBy _, aggByOracle)),
+    "pq_avg_by" -> ((avgBy _, avgByOracle)),
+    "pq_bool_scalar" -> ((boolScalar _, boolScalarOracle)))
+}
