@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ingest.EventsIngest
+
+/** The read-side SQL analytics surface (reference:
+  * scripts/query_gpu_daily.sql, docs/user-guide.md:219-347; SURVEY §2.5
+  * A1-A14) plus the row-level transform surface (§2.3 T1-T8), as
+  * oracle-checked queries over the ingested fixture metrics.
+  *
+  * Determinism rules are the same as [[PromQueries]]: double sums through
+  * DECIMAL(20,6); ratios through integer basis-points (never `round` on a
+  * ratio — HALF_UP vs HALF_EVEN diverges on exact .xx5 doubles); top-k
+  * always carries a unique tiebreak column.
+  */
+object AnalyticsQueries {
+  import Pinned.Te
+
+  private def metrics(spark: SparkSession, sfDir: String): DataFrame =
+    EventsIngest.eventsAsMetrics(spark, sfDir)
+      .withColumn("e", unix_timestamp(col("timestamp")))
+
+  private val user: Column = col("labels").getItem("user")
+  private val kLbl: Column = col("labels").getItem("k")
+  private val cluster: Column = col("labels").getItem("cluster_name")
+  private def decSum(c: Column): Column = sum(c.cast("decimal(20,6)"))
+
+  /** Shared oracle prelude: the events table with the same synthesized
+    * labels / floored epoch as [[EventsIngest.eventsAsMetrics]].
+    */
+  private val baseCte: String =
+    """WITH m AS (
+      |  SELECT 'q_' || event_type AS query_id, event_type AS metric,
+      |         CAST(user_id AS VARCHAR) AS u,
+      |         json_extract_string(props, '$.k') AS k,
+      |         'c' || (user_id % 5) || '-r' || (user_id % 3) || '-z0' AS cl,
+      |         user_id % 10 AS bucket,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS e,
+      |         CAST(ts AS DATE) AS d,
+      |         value AS v,
+      |         event_id
+      |  FROM events
+      |)""".stripMargin
+
+  // ------------------------------------------------------- A1-A5, A9, A14
+
+  /** The reference's one real report (scripts/query_gpu_daily.sql):
+    * JSON label extraction (A1), `SUBSTRING_INDEX` cluster normalization
+    * (A2), two-level nested aggregation (A3), ROUND (A4), DATE bucketing
+    * (A5), a parameterized cluster filter (A9), multi-column sort (A14).
+    */
+  def gpuDailyReport(spark: SparkSession, sfDir: String,
+      clusterPrefix: String = "c1-r1"): DataFrame = {
+    val inner = metrics(spark, sfDir)
+      .filter(col("query_id") === "q_view")
+      .select(user.as("node"),
+        substring_index(cluster, "-", 2).as("cluster"),
+        col("value"), col("collected_at"))
+      .filter(col("cluster") === clusterPrefix)
+      .groupBy(col("node"), col("collected_at"))
+      .agg(count(lit(1)).as("cnt"), decSum(col("value")).as("total"))
+    inner
+      .groupBy(to_date(col("collected_at")).as("report_date"), col("node"))
+      .agg(round(sum(col("total")).cast("double"), 3).as("total_value"),
+        sum(col("cnt")).as("n_points"))
+      .orderBy(desc("report_date"), asc("node"))
+  }
+
+  val gpuDailyReportOracle: String =
+    baseCte +
+      """
+        |SELECT d AS report_date, u AS node,
+        |       round(CAST(sum(CAST(v AS DECIMAL(20,6))) AS DOUBLE), 3) AS total_value,
+        |       count(*) AS n_points
+        |FROM m
+        |WHERE metric = 'view'
+        |  AND array_to_string(string_split(cl, '-')[1:2], '-') = 'c1-r1'
+        |GROUP BY d, u""".stripMargin
+
+  // ------------------------------------------------------------ A6 + A7
+
+  /** Hourly buckets over a trailing 24h window (docs/user-guide.md:250-257,
+    * :241). Hour key kept as epoch seconds: pure integer math on both
+    * engines.
+    */
+  def hourlyAvg(spark: SparkSession, sfDir: String): DataFrame =
+    metrics(spark, sfDir)
+      .filter(col("e") > Te - 86400 && col("e") <= Te)
+      .groupBy(((col("e") / 3600).cast("long") * 3600).as("hour_e"),
+        col("metric_name").as("metric"))
+      .agg(count(lit(1)).as("n"),
+        (decSum(col("value")).cast("double") / count(lit(1))).as("avg_value"))
+
+  val hourlyAvgOracle: String =
+    baseCte +
+      s"""
+         |SELECT (e // 3600) * 3600 AS hour_e, metric, count(*) AS n,
+         |       CAST(sum(CAST(v AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS avg_value
+         |FROM m WHERE e > ${Te - 86400} AND e <= $Te
+         |GROUP BY 1, 2""".stripMargin
+
+  // ----------------------------------------------------------------- A8
+
+  /** Equality filter on a JSON label (user-guide.md:270). */
+  def labelFilter(spark: SparkSession, sfDir: String): DataFrame =
+    metrics(spark, sfDir)
+      .filter(cluster === "c2-r2-z0" && col("metric_name") === "click")
+      .select(user.as("user"), kLbl.as("k"), col("e"), col("value"))
+
+  val labelFilterOracle: String =
+    baseCte +
+      "\nSELECT u AS user, k, e, v AS value FROM m " +
+      "WHERE cl = 'c2-r2-z0' AND metric = 'click'"
+
+  // ---------------------------------------------------------------- A10
+
+  /** Basic aggregate pack per query_id (user-guide.md:277-286). */
+  def perQueryStats(spark: SparkSession, sfDir: String): DataFrame =
+    metrics(spark, sfDir)
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("cnt"), decSum(col("value")).as("sdec"),
+        min("value").as("vmin"), max("value").as("vmax"))
+      .select(col("query_id"), col("cnt"),
+        col("sdec").cast("double").as("vsum"),
+        (col("sdec").cast("double") / col("cnt")).as("vavg"),
+        col("vmin"), col("vmax"))
+
+  val perQueryStatsOracle: String =
+    baseCte +
+      """
+        |SELECT query_id, count(*) AS cnt,
+        |       CAST(sum(CAST(v AS DECIMAL(20,6))) AS DOUBLE) AS vsum,
+        |       CAST(sum(CAST(v AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS vavg,
+        |       min(v) AS vmin, max(v) AS vmax
+        |FROM m GROUP BY query_id""".stripMargin
+
+  // ---------------------------------------------------------------- A11
+
+  /** Conditional-count pivot + success rate (user-guide.md:333-346).
+    * `error` events play the failed runs. The rate is integer basis
+    * points, then a derived double — exact on both engines.
+    */
+  def successRate(spark: SparkSession, sfDir: String): DataFrame =
+    metrics(spark, sfDir)
+      .groupBy(pmod(user.cast("long"), lit(10)).as("bucket"))
+      .agg(count(lit(1)).as("total"),
+        count(when(col("metric_name") === "error", 1)).as("errors"))
+      .select(col("bucket"), col("total"), col("errors"),
+        expr("((total - errors) * 10000) div total").as("success_bp"))
+      .withColumn("success_pct", col("success_bp") / 100.0)
+
+  val successRateOracle: String =
+    baseCte +
+      """
+        |SELECT bucket, count(*) AS total,
+        |       count(CASE WHEN metric = 'error' THEN 1 END) AS errors,
+        |       ((count(*) - count(CASE WHEN metric = 'error' THEN 1 END)) * 10000)
+        |         // count(*) AS success_bp,
+        |       (((count(*) - count(CASE WHEN metric = 'error' THEN 1 END)) * 10000)
+        |         // count(*)) / 100.0 AS success_pct
+        |FROM m GROUP BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- A12
+
+  /** Multi-key grouping (user-guide.md:306-315). */
+  def multiKeyGroup(spark: SparkSession, sfDir: String): DataFrame =
+    metrics(spark, sfDir)
+      .groupBy(col("metric_name").as("metric"),
+        pmod(user.cast("long"), lit(10)).as("bucket"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).cast("double").as("vsum"))
+
+  val multiKeyGroupOracle: String =
+    baseCte +
+      """
+        |SELECT metric, bucket, count(*) AS n,
+        |       CAST(sum(CAST(v AS DECIMAL(20,6))) AS DOUBLE) AS vsum
+        |FROM m GROUP BY metric, bucket""".stripMargin
+
+  // ----------------------------------------------------- A13 / S9 top-k
+
+  /** Latest-N read (mysql.go:166-213): ORDER BY ts DESC LIMIT 100 with a
+    * unique tiebreak so the row set is well-defined. Spark plans this as
+    * TakeOrderedAndProject — a true top-k, no full sort.
+    */
+  def latestTopk(spark: SparkSession, sfDir: String): DataFrame =
+    EventsIngest.readEvents(spark, sfDir)
+      .select(col("event_id"), unix_timestamp(col("ts")).as("e"),
+        col("event_type").as("metric"), col("value"))
+      .orderBy(desc("e"), desc("event_id"))
+      .limit(100)
+
+  val latestTopkOracle: String =
+    baseCte +
+      "\nSELECT event_id, e, metric, v AS value FROM m " +
+      "ORDER BY e DESC, event_id DESC LIMIT 100"
+
+  // ------------------------------------------------------------ S6
+
+  /** Metric-name discovery (client.go:310-326): distinct names. */
+  def metricNames(spark: SparkSession, sfDir: String): DataFrame =
+    metrics(spark, sfDir).select(col("metric_name")).distinct()
+
+  val metricNamesOracle: String =
+    "SELECT DISTINCT event_type AS metric_name FROM events"
+
+  // ------------------------------------------------- T1-T9 ingest dump
+
+  /** The full ingest projection (T1 convert, T3 name fallback, T5/T6
+    * casts, T8 tagging, T9 collected_at) with the canonical sorted-entry
+    * label JSON the engine uses as series identity.
+    */
+  def ingestRecords(spark: SparkSession, sfDir: String): DataFrame =
+    metrics(spark, sfDir).select(
+      col("query_id"), col("metric_name"),
+      graft.promql.PromOps.seriesKey(col("labels")).as("labels_json"),
+      col("value"), col("e"), col("result_type"),
+      to_date(col("collected_at")).as("collect_date"))
+
+  val ingestRecordsOracle: String =
+    baseCte +
+      """
+        |SELECT query_id, metric AS metric_name,
+        |       '{"cluster_name":"' || cl || '","k":"' || k || '","user":"' || u || '"}'
+        |         AS labels_json,
+        |       v AS value, e, 'instant' AS result_type, d AS collect_date
+        |FROM m""".stripMargin
+
+  // --------------------------------------------------------- T2 flatten
+
+  /** Matrix flatten round-trip (executor.go:286-363): pack each series
+    * into a values array, then explode back — row multiset must equal
+    * the input (the conservation property, FIXTURES §3).
+    */
+  def matrixFlatten(spark: SparkSession, sfDir: String): DataFrame =
+    metrics(spark, sfDir)
+      .filter(col("metric_name") === "signup")
+      .groupBy(user.as("user"))
+      .agg(collect_list(struct(col("e"), col("value"))).as("vals"))
+      .select(col("user"), explode(col("vals")).as("s"))
+      .select(col("user"), col("s.e").as("e"), col("s.value").as("value"))
+
+  val matrixFlattenOracle: String =
+    baseCte + "\nSELECT u AS user, e, v AS value FROM m WHERE metric = 'signup'"
+
+  // ------------------------------------------------------ T7 malformed
+
+  /** Malformed-sample policy (executor.go:305-342): null-safe parse, skip
+    * the row, keep the batch. Every 97th sample is corrupted; the query
+    * must survive and count only the clean ones.
+    */
+  def malformedSkip(spark: SparkSession, sfDir: String): DataFrame =
+    EventsIngest.readEvents(spark, sfDir)
+      .withColumn("raw",
+        when(col("event_id") % 97 === 0, lit("not-a-number"))
+          .otherwise(col("event_id").cast("string")))
+      .withColumn("parsed", expr("try_cast(raw AS BIGINT)"))
+      .filter(col("parsed").isNotNull)
+      .groupBy(col("event_type").as("metric"))
+      .agg(count(lit(1)).as("n_ok"), sum(col("parsed")).as("sum_parsed"))
+
+  val malformedSkipOracle: String =
+    baseCte +
+      """
+        |SELECT metric, count(*) AS n_ok, CAST(sum(parsed) AS BIGINT) AS sum_parsed
+        |FROM (
+        |  SELECT metric,
+        |         TRY_CAST(CASE WHEN event_id % 97 = 0 THEN 'not-a-number'
+        |                       ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS parsed
+        |  FROM m
+        |) WHERE parsed IS NOT NULL GROUP BY metric""".stripMargin
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "gpu_daily_report" -> (((s: SparkSession, d: String) => gpuDailyReport(s, d), gpuDailyReportOracle)),
+    "hourly_avg" -> ((hourlyAvg _, hourlyAvgOracle)),
+    "label_filter" -> ((labelFilter _, labelFilterOracle)),
+    "per_query_stats" -> ((perQueryStats _, perQueryStatsOracle)),
+    "success_rate" -> ((successRate _, successRateOracle)),
+    "multi_key_group" -> ((multiKeyGroup _, multiKeyGroupOracle)),
+    "latest_topk" -> ((latestTopk _, latestTopkOracle)),
+    "metric_names" -> ((metricNames _, metricNamesOracle)),
+    "ingest_records" -> ((ingestRecords _, ingestRecordsOracle)),
+    "matrix_flatten" -> ((matrixFlatten _, matrixFlattenOracle)),
+    "malformed_skip" -> ((malformedSkip _, malformedSkipOracle)))
+}
