@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over an embedding column (`array<float>`).
+  *
+  * All similarity math runs on **fixed-point integers**: components are
+  * quantized to 1e-6 resolution (`floor(x*1e6 + 0.5)` — plain floor, not
+  * banker's rounding, so every engine agrees), and dot products / norms are
+  * exact BIGINT folds. Division and sqrt happen once, at the end, on
+  * identical integers — so cosine scores are bit-identical across engines
+  * and across partition orders. At cluster scale this is also the fast
+  * path: integer multiply-add vectorizes better than double reduction and
+  * needs no numerically-careful shuffle combining.
+  */
+object Similarity {
+
+  /** array<float> → array<bigint> quantized at 1e-6. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1000000d + 0.5d).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors (sequential fold,
+    * no shuffle, stays in codegen).
+    */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, p) => acc + p)
+
+  /** Exact integer squared norm. */
+  def normSqQ(a: Column): Column = dotQ(a, a)
+
+  /** Cosine similarity from quantized vectors: one double division over
+    * exact integers → deterministic.
+    */
+  def cosineQ(a: Column, b: Column): Column =
+    dotQ(a, b).cast("double") /
+      (sqrt(normSqQ(a).cast("double")) * sqrt(normSqQ(b).cast("double")))
+
+  /** Brute-force top-k: broadcast the (small) query set against all
+    * candidates; rank by (cosine desc, vec_id) inside each query
+    * partition. The candidate scan parallelizes perfectly; only k rows
+    * per query survive the final shuffle — at 100 TB the broadcast side
+    * is the whole trick, and Spark plans exactly that.
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries
+      .select(col("vec_id").as("qid"), quantize(col("embedding")).as("qv")))
+    val c = candidates
+      .select(col("vec_id"), quantize(col("embedding")).as("cv"))
+    val scored = q.join(c, col("qid") =!= col("vec_id"))
+      .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
+  }
+
+  /** IVF-style cell centroids: integer-mean (floor) of the quantized
+    * vectors per cell, computed by position with exact integer sums.
+    * Returns (cell, centroid: array<bigint>). On a real corpus the cells
+    * come from k-means over a sample; the fixture's `label` column plays
+    * the cell id, and refining it is iterating exactly this aggregation.
+    */
+  def centroids(vectors: DataFrame, cellCol: String): DataFrame =
+    vectors
+      .select(col(cellCol).as("cell"),
+        posexplode(quantize(col("embedding"))).as(Seq("pos", "q")))
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("q")) / count(lit(1))).cast("long").as("c"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+
+  /** Assign each vector to its nearest centroid by cosine (tie → lowest
+    * cell id). The centroid set is tiny → broadcast join, no shuffle of
+    * the big side.
+    */
+  def assignCells(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val v = vectors.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    v.join(broadcast(cents))
+      .withColumn("sim", cosineQ(col("qv"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), (-col("cell")).as("negcell"))).as("best"))
+      .select(col("vec_id"), (-col("best.negcell")).cast("int").as("cell"))
+  }
+}

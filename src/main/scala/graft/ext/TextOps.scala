@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale corpus curation: tokenization,
+  * shingling, MinHash signatures, SimHash fingerprints, quality metrics.
+  * All hashing is md5-based (available and bit-identical in every engine we
+  * oracle against) and every scalar stays inside whole-stage codegen — no
+  * UDFs anywhere on the hot path.
+  */
+object TextOps {
+
+  /** Whitespace tokens, lowercased. Fixture texts are single-space
+    * separated; a production corpus would swap in a regex tokenizer here.
+    */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Word n-gram shingles (space-joined) over a tokens column (by name),
+    * e.g. n=3 for near-dup Jaccard. Short docs yield an empty set (never a
+    * descending `sequence`, which Spark would happily generate).
+    */
+  def shingles(toksCol: String, n: Int): Column =
+    expr(s"""CASE WHEN size($toksCol) >= $n
+            | THEN transform(sequence(0, size($toksCol) - $n),
+            |                i -> array_join(slice($toksCol, i + 1, $n), ' '))
+            | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+
+  /** One MinHash signature: the minimum over shingles of a seeded,
+    * fixed-width md5 prefix. Lexicographic min over fixed-length lowercase
+    * hex == numeric min over the 64-bit hash — portable across engines.
+    */
+  def minhashSig(shingle: Column, seed: Int): Column =
+    min(substring(md5(concat(lit(seed.toString), lit("|"), shingle)), 1, 16))
+
+  /** 16-bit SimHash over a token stream: per-bit ±1 votes weighted by
+    * token multiplicity, bit set where the vote is positive. 16 bits keeps
+    * the oracle SQL tractable; widening to 64 is the same expression ×4.
+    */
+  def simhashBitVotes(tokenHash: Column, bit: Int): Column =
+    sum(when((shiftright(tokenHash, bit).bitwiseAND(1)) === 1, 1).otherwise(-1))
+
+  /** token → 16-bit integer hash (first 4 hex chars of md5). */
+  def tokenHash16(token: Column): Column =
+    conv(substring(md5(token), 1, 4), 16, 10).cast("int")
+
+  /** Document-quality metrics (SURVEY-style curation heuristics): all
+    * integer-derived, so the downstream ratios are bit-deterministic.
+    */
+  def qualityColumns(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nWords = size(toks)
+    val nChars = length(text)
+    val nLetters = length(regexp_replace(text, " ", ""))
+    val nStop = size(filter(toks, t => t === "the" || t === "a"))
+    val nUniq = size(array_distinct(toks))
+    Seq(
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      (nLetters.cast("double") / nWords).as("avg_word_len"),
+      (nStop.cast("double") / nWords).as("stopword_ratio"),
+      (nUniq.cast("double") / nWords).as("uniq_ratio"))
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized lowercase text.
+    * Equal fingerprints ⇒ byte-identical normalized content (exact dedup
+    * key).
+    */
+  def fingerprint(text: Column): Column =
+    substring(md5(regexp_replace(lower(text), " ", "")), 1, 16)
+}

@@ -1,0 +1,400 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data-pipeline extensions (the builder brief's M6 block):
+  * dedup (exact / n-gram Jaccard / MinHash+LSH / SimHash), similarity
+  * search over embeddings (brute-force + IVF), text analysis, and the
+  * multimodal binary-column plumbing. Same determinism discipline as the
+  * other packs: md5-based hashing, fixed-point integer vector math,
+  * single trailing double divisions.
+  */
+object ExtQueries {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  // --------------------------------------------------------- exact dedup
+
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exactGroups(docs(spark, sfDir))
+
+  val dedupExactOracle: String =
+    """SELECT substr(md5(replace(lower(text), ' ', '')), 1, 16) AS fp,
+      |       count(*) AS n_copies, min(doc_id) AS keep_doc
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------------- text quality
+
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id") +: TextOps.qualityColumns(col("text")): _*)
+
+  val textQualityOracle: String =
+    """SELECT doc_id, length(text) AS n_chars,
+      |       len(string_split(lower(text), ' ')) AS n_words,
+      |       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |         / len(string_split(lower(text), ' ')) AS avg_word_len,
+      |       CAST(len(list_filter(string_split(lower(text), ' '),
+      |                            t -> t = 'the' OR t = 'a')) AS DOUBLE)
+      |         / len(string_split(lower(text), ' ')) AS stopword_ratio,
+      |       CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+      |         / len(string_split(lower(text), ' ')) AS uniq_ratio
+      |FROM documents""".stripMargin
+
+  // --------------------------------------------------------- token stats
+
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("source"), size(TextOps.tokens(col("text"))).as("n_tokens"),
+        length(col("text")).as("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"))
+      .withColumn("chars_per_token",
+        col("total_chars").cast("double") / col("total_tokens"))
+
+  val tokenStatsOracle: String =
+    """SELECT source, count(*) AS n_docs,
+      |       CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS total_tokens,
+      |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+      |       CAST(sum(length(text)) AS DOUBLE)
+      |         / sum(len(string_split(lower(text), ' '))) AS chars_per_token
+      |FROM documents GROUP BY source""".stripMargin
+
+  // ---------------------------------------------------------- lang id
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und"), "en" -> Seq("the", "a"),
+    "es" -> Seq("el", "la"), "fr" -> Seq("le", "et"), "zh" -> Seq("的"))
+
+  /** Marker-word language ID: count per-language marker hits, argmax with
+    * alphabetical tie-break. (A real corpus would use char n-gram
+    * profiles; the scoring/argmax shape is identical.)
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docs(spark, sfDir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+    val scored = langMarkers.foldLeft(base) { case (df, (lang, ms)) =>
+      df.withColumn(s"s_$lang",
+        size(filter(col("toks"), t => ms.map(m => t === m).reduce(_ || _))))
+    }
+    val langs = langMarkers.map(_._1)
+    val pred = langs.zipWithIndex.foldRight(lit(langs.last)) { case ((l, _), acc) =>
+      val isMax = langs.filter(_ != l)
+        .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+      when(isMax, lit(l)).otherwise(acc)
+    }
+    scored.select(col("doc_id"), col("lang"), pred.as("predicted"),
+      (pred === col("lang")).as("correct"))
+  }
+
+  val langIdOracle: String = {
+    val score = langMarkers.map { case (l, ms) =>
+      val cond = ms.map(m => s"t = '$m'").mkString(" OR ")
+      s"len(list_filter(string_split(lower(text), ' '), t -> $cond)) AS s_$l"
+    }.mkString(",\n         ")
+    val langs = langMarkers.map(_._1)
+    val pred = langs.init.map { l =>
+      val isMax = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $isMax THEN '$l'"
+    }.mkString(" ", "\n  ", s"\n  ELSE '${langs.last}'")
+    s"""WITH s AS (
+       |  SELECT doc_id, lang,
+       |         $score
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang,
+       |       CASE$pred END AS predicted,
+       |       (CASE$pred END) = lang AS correct
+       |FROM s""".stripMargin
+  }
+
+  // ------------------------------------------------------- fingerprints
+
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fp"))
+
+  val docFingerprintOracle: String =
+    """SELECT doc_id, substr(md5(replace(lower(text), ' ', '')), 1, 16) AS fp
+      |FROM documents""".stripMargin
+
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhash16(docs(spark, sfDir))
+
+  val dedupSimhashOracle: String = {
+    val votes = (0 until 16).map(i =>
+      s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n         ")
+    val fp = (0 until 16).map(i =>
+      s"CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(t.tok), 1, 4)) AS INTEGER) AS h
+       |  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+       |), votes AS (
+       |  SELECT doc_id,
+       |         $votes
+       |  FROM toks GROUP BY doc_id
+       |)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes""".stripMargin
+  }
+
+  // --------------------------------------------------- n-gram Jaccard
+
+  private def shingleFrame(spark: SparkSession, sfDir: String,
+      bucket: org.apache.spark.sql.Column): DataFrame =
+    Dedup.shingleSets(
+      docs(spark, sfDir).withColumn("toks", TextOps.tokens(col("text"))),
+      n = 3, bucket)
+
+  /** Distinct-3-shingle set CTE with a bucket column. */
+  private def shingleCte(bucketSql: String): String =
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, $bucketSql AS bucket,
+       |         array_to_string(list_slice(string_split(lower(text), ' '),
+       |                                    i.i + 1, i.i + 3), ' ') AS sh
+       |  FROM documents,
+       |       unnest(generate_series(0, len(string_split(lower(text), ' ')) - 3)) AS i(i)
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+       |)""".stripMargin
+
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.jaccardPairs(
+      shingleFrame(spark, sfDir, concat(col("lang"), lit("|"), col("source"))),
+      minJaccard = 0.05)
+
+  val ngramJaccardOracle: String =
+    shingleCte("lang || '|' || source") +
+      """
+        |, common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b
+        |    ON a.bucket = b.bucket AND a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+        |       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05""".stripMargin
+
+  // --------------------------------------------------- MinHash + LSH
+
+  private val NumSigs = 8
+  private val RowsPerBand = 2
+
+  /** MinHash(8 sigs) + LSH(4 bands × 2 rows) candidates within a language,
+    * verified with exact Jaccard — the standard scale shape: probabilistic
+    * candidate generation, exact check only on candidates.
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleFrame(spark, sfDir, col("lang"))
+    val sigs = Dedup.minhashSignatures(sh, NumSigs)
+    val cands = Dedup.lshCandidates(sigs, NumSigs, RowsPerBand)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // candidates FIRST, then intersect shingle sets — never a global
+    // shingle self-join (a frequent shingle would make that quadratic)
+    val pairsCommon = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    cands
+      .join(pairsCommon, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+  }
+
+  val minhashLshOracle: String = {
+    val sigExprs = (0 until NumSigs).map(i =>
+      s"min(substr(md5('$i' || '|' || sh), 1, 16)) AS sig$i").mkString(",\n         ")
+    val bandExprs = (0 until NumSigs / RowsPerBand).map { b =>
+      val parts = (0 until RowsPerBand).map(r => s"sig${b * RowsPerBand + r}")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, bucket, $b AS band, md5($parts) AS bh FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    shingleCte("lang") +
+      s"""
+         |, sigs AS (
+         |  SELECT doc_id, bucket,
+         |         $sigExprs
+         |  FROM sh GROUP BY doc_id, bucket
+         |), bands AS (
+         |  $bandExprs
+         |), cands AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.bucket = y.bucket AND x.band = y.band AND x.bh = y.bh
+         |   AND x.doc_id < y.doc_id
+         |), common AS (
+         |  SELECT c.doc_a, c.doc_b, count(b.sh) AS n_common
+         |  FROM cands c
+         |  LEFT JOIN sh a ON a.doc_id = c.doc_a
+         |  LEFT JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, n_common,
+         |       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------ embedding similarity
+
+  /** Brute-force cosine top-10 for query vectors vec_id < 5. */
+  def annBrute(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
+  }
+
+  private val qvSql =
+    "list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"
+  private def dotSql(a: String, b: String) =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) AS DOUBLE)"
+  private def cosSql(a: String, b: String) =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  val annBruteOracle: String =
+    s"""WITH v AS (SELECT vec_id, label, $qvSql AS qv FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+       |         ${cosSql("q.qv", "c.qv")} AS cosine
+       |  FROM v q JOIN v c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+       |)
+       |SELECT qid, vec_id, cosine, rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |            ORDER BY cosine DESC, vec_id ASC) AS rk
+       |  FROM scored
+       |) WHERE rk <= 10""".stripMargin
+
+  /** IVF search: integer-mean centroid per cell (= label), route each
+    * query vector to its nearest centroid, search only that cell.
+    */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(spark, sfDir)
+    val cents = Similarity.centroids(emb, "label")
+    val queries = emb.filter(col("vec_id") < 5)
+    val assigned = Similarity.assignCells(queries, cents)
+      .withColumnRenamed("vec_id", "qid")
+    val q = queries.select(col("vec_id").as("qid"),
+      Similarity.quantize(col("embedding")).as("qv"))
+    val cand = emb.select(col("vec_id"), col("label"),
+      Similarity.quantize(col("embedding")).as("cv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    broadcast(q.join(assigned, "qid"))
+      .join(cand, col("label") === col("cell") && col("vec_id") =!= col("qid"))
+      .withColumn("cosine", Similarity.cosineQ(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("cell"), col("vec_id"), col("cosine"), col("rk"))
+  }
+
+  val annIvfOracle: String =
+    s"""WITH v AS (SELECT vec_id, label, $qvSql AS qv FROM embeddings),
+       |comp AS (
+       |  SELECT label, i.i AS pos, qv[i.i] AS q
+       |  FROM v, unnest(generate_series(1, 64)) AS i(i)
+       |), cent AS (
+       |  SELECT label AS cell, list(c ORDER BY pos) AS centroid
+       |  FROM (SELECT label, pos,
+       |               CAST(trunc(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS c
+       |        FROM comp GROUP BY label, pos)
+       |  GROUP BY label
+       |), q AS (
+       |  SELECT vec_id AS qid, qv FROM v WHERE vec_id < 5
+       |), routed AS (
+       |  SELECT qid, cell, qv FROM (
+       |    SELECT q.qid, c.cell, q.qv,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY ${cosSql("q.qv", "c.centroid")} DESC, c.cell ASC) AS rr
+       |    FROM q, cent c
+       |  ) WHERE rr = 1
+       |), scored AS (
+       |  SELECT r.qid, r.cell, c.vec_id, ${cosSql("r.qv", "c.qv")} AS cosine
+       |  FROM routed r JOIN v c ON c.label = r.cell AND c.vec_id <> r.qid
+       |)
+       |SELECT qid, cell, vec_id, cosine, rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |            ORDER BY cosine DESC, vec_id ASC) AS rk
+       |  FROM scored
+       |) WHERE rk <= 5""".stripMargin
+
+  // ------------------------------------------------ embedding near-dup
+
+  /** Embedding-cosine near-duplicate pairs within a cell. */
+  def embNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), Similarity.quantize(col("embedding")).as("qv"))
+    v.as("a").join(v.as("b"),
+      col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", Similarity.cosineQ(col("a.qv"), col("b.qv")))
+      .filter(col("cosine") >= 0.35)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"), col("cosine"))
+  }
+
+  val embNeardupOracle: String =
+    s"""WITH v AS (SELECT vec_id, label, $qvSql AS qv FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       |       ${cosSql("a.qv", "b.qv")} AS cosine
+       |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.qv", "b.qv")} >= 0.35""".stripMargin
+
+  // ------------------------------------------------------- multimodal
+
+  /** Binary-column metadata extraction (media model): byte length +
+    * content hash, pure SQL.
+    */
+  def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.asMedia(
+      docs(spark, sfDir).withColumn("text_bin", col("text").cast("binary")),
+      "doc_id", "text_bin", "text")
+      .drop("payload")
+
+  val multimodalMetaOracle: String =
+    """SELECT doc_id AS media_id, 'text' AS media_type,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |       sha256(text) AS sha
+      |FROM documents""".stripMargin
+
+  /** Per-partition feature extraction through the stub decoder —
+    * mapPartitions plumbing; not SQL-expressible, rows-only check.
+    */
+  def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.asMedia(
+        docs(spark, sfDir).withColumn("text_bin", col("text").cast("binary")),
+        "doc_id", "text_bin", "text"))
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "dedup_exact" -> ((dedupExact _, dedupExactOracle)),
+    "text_quality" -> ((textQuality _, textQualityOracle)),
+    "token_stats" -> ((tokenStats _, tokenStatsOracle)),
+    "lang_id" -> ((langId _, langIdOracle)),
+    "doc_fingerprint" -> ((docFingerprint _, docFingerprintOracle)),
+    "dedup_simhash" -> ((dedupSimhash _, dedupSimhashOracle)),
+    "ngram_jaccard" -> ((ngramJaccard _, ngramJaccardOracle)),
+    "dedup_minhash_lsh" -> ((minhashLsh _, minhashLshOracle)),
+    "ann_brute_topk" -> ((annBrute _, annBruteOracle)),
+    "ann_ivf_topk" -> ((annIvf _, annIvfOracle)),
+    "emb_neardup" -> ((embNeardup _, embNeardupOracle)),
+    "multimodal_meta" -> ((multimodalMeta _, multimodalMetaOracle)),
+    "multimodal_features" -> ((multimodalFeatures _, "")))
+}
