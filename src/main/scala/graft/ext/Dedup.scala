@@ -55,13 +55,24 @@ object Dedup {
         col("n_b"), col("jaccard"))
   }
 
-  /** MinHash signature matrix: `numSigs` md5-seeded min-hashes per doc. */
-  def minhashSignatures(shingles: DataFrame, numSigs: Int): DataFrame =
-    shingles
+  /** MinHash signature matrix: `numSigs` min-hashes per doc. Each seeded
+    * md5 yields TWO independent 64-bit signatures (its two halves), and
+    * the md5s are projected *before* the aggregation — numSigs/2 hash
+    * evaluations per shingle instead of numSigs, with no repeated md5
+    * inside the agg expressions.
+    */
+  def minhashSignatures(shingles: DataFrame, numSigs: Int): DataFrame = {
+    require(numSigs % 2 == 0, "numSigs must be even (two sigs per md5)")
+    val withHashes = (0 until numSigs / 2).foldLeft(shingles) { (df, s) =>
+      df.withColumn(s"m$s", md5(concat(lit(s.toString), lit("|"), col("sh"))))
+    }
+    val sigAggs = (0 until numSigs).map { i =>
+      min(substring(col(s"m${i / 2}"), 1 + 16 * (i % 2), 16)).as(s"sig$i")
+    }
+    withHashes
       .groupBy(col("doc_id"), col("bucket"))
-      .agg(TextOps.minhashSig(col("sh"), 0).as("sig0"),
-        (1 until numSigs).map(i =>
-          TextOps.minhashSig(col("sh"), i).as(s"sig$i")): _*)
+      .agg(sigAggs.head, sigAggs.tail: _*)
+  }
 
   /** LSH banding: concatenate `rowsPerBand` signatures per band and hash;
     * docs sharing any band hash (within a bucket) become candidate pairs.

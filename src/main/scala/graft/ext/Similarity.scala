@@ -36,6 +36,22 @@ object Similarity {
     dotQ(a, b).cast("double") /
       (sqrt(normSqQ(a).cast("double")) * sqrt(normSqQ(b).cast("double")))
 
+  /** Cosine with precomputed squared norms — the pair-join form. Norms are
+    * computed once per *vector* before the join, so each pair costs one
+    * 64-element fold instead of three (3× cheaper on an N×M score join).
+    */
+  def cosineQN(a: Column, b: Column, normSqA: Column, normSqB: Column): Column =
+    dotQ(a, b).cast("double") /
+      (sqrt(normSqA.cast("double")) * sqrt(normSqB.cast("double")))
+
+  /** Standard projection for similarity joins: id, cell, quantized vector,
+    * squared norm.
+    */
+  def prepared(vectors: DataFrame, idAs: String, vecAs: String, normAs: String): DataFrame =
+    vectors.select(col("vec_id").as(idAs),
+      quantize(col("embedding")).as(vecAs))
+      .withColumn(normAs, normSqQ(col(vecAs)))
+
   /** Brute-force top-k: broadcast the (small) query set against all
     * candidates; rank by (cosine desc, vec_id) inside each query
     * partition. The candidate scan parallelizes perfectly; only k rows
@@ -44,12 +60,10 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = broadcast(queries
-      .select(col("vec_id").as("qid"), quantize(col("embedding")).as("qv")))
-    val c = candidates
-      .select(col("vec_id"), quantize(col("embedding")).as("cv"))
+    val q = broadcast(prepared(queries, "qid", "qv", "qn"))
+    val c = prepared(candidates, "vec_id", "cv", "cn")
     val scored = q.join(c, col("qid") =!= col("vec_id"))
-      .withColumn("cosine", cosineQ(col("qv"), col("cv")))
+      .withColumn("cosine", cosineQN(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored
@@ -79,9 +93,9 @@ object Similarity {
     * the big side.
     */
   def assignCells(vectors: DataFrame, cents: DataFrame): DataFrame = {
-    val v = vectors.select(col("vec_id"), quantize(col("embedding")).as("qv"))
-    v.join(broadcast(cents))
-      .withColumn("sim", cosineQ(col("qv"), col("centroid")))
+    val v = prepared(vectors, "vec_id", "qv", "qn")
+    v.join(broadcast(cents.withColumn("cn", normSqQ(col("centroid")))))
+      .withColumn("sim", cosineQN(col("qv"), col("centroid"), col("qn"), col("cn")))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("sim"), (-col("cell")).as("negcell"))).as("best"))
       .select(col("vec_id"), (-col("best.negcell")).cast("int").as("cell"))

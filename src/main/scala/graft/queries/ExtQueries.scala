@@ -196,7 +196,12 @@ object ExtQueries {
     * candidate generation, exact check only on candidates.
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingleFrame(spark, sfDir, col("lang"))
+    // the distinct-shingle frame feeds three consumers (signatures, sizes,
+    // intersection) — materialize it once instead of recomputing the
+    // tokenize+shingle+distinct pipeline three times; the count() forces
+    // the cache to fill before the consumers' jobs scan it
+    val sh = shingleFrame(spark, sfDir, col("lang")).persist()
+    sh.count()
     val sigs = Dedup.minhashSignatures(sh, NumSigs)
     val cands = Dedup.lshCandidates(sigs, NumSigs, RowsPerBand)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -221,7 +226,8 @@ object ExtQueries {
 
   val minhashLshOracle: String = {
     val sigExprs = (0 until NumSigs).map(i =>
-      s"min(substr(md5('$i' || '|' || sh), 1, 16)) AS sig$i").mkString(",\n         ")
+      s"min(substr(md5('${i / 2}' || '|' || sh), ${1 + 16 * (i % 2)}, 16)) AS sig$i")
+      .mkString(",\n         ")
     val bandExprs = (0 until NumSigs / RowsPerBand).map { b =>
       val parts = (0 until RowsPerBand).map(r => s"sig${b * RowsPerBand + r}")
         .mkString(" || ',' || ")
@@ -292,15 +298,16 @@ object ExtQueries {
     val queries = emb.filter(col("vec_id") < 5)
     val assigned = Similarity.assignCells(queries, cents)
       .withColumnRenamed("vec_id", "qid")
-    val q = queries.select(col("vec_id").as("qid"),
-      Similarity.quantize(col("embedding")).as("qv"))
+    val q = Similarity.prepared(queries, "qid", "qv", "qn")
     val cand = emb.select(col("vec_id"), col("label"),
       Similarity.quantize(col("embedding")).as("cv"))
+      .withColumn("cn", Similarity.normSqQ(col("cv")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     broadcast(q.join(assigned, "qid"))
       .join(cand, col("label") === col("cell") && col("vec_id") =!= col("qid"))
-      .withColumn("cosine", Similarity.cosineQ(col("qv"), col("cv")))
+      .withColumn("cosine",
+        Similarity.cosineQN(col("qv"), col("cv"), col("qn"), col("cn")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("qid"), col("cell"), col("vec_id"), col("cosine"), col("rk"))
@@ -341,10 +348,13 @@ object ExtQueries {
   /** Embedding-cosine near-duplicate pairs within a cell. */
   def embNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     val v = embeddings(spark, sfDir)
-      .select(col("vec_id"), col("label"), Similarity.quantize(col("embedding")).as("qv"))
+      .select(col("vec_id"), col("label"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("nn", Similarity.normSqQ(col("qv")))
     v.as("a").join(v.as("b"),
       col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine", Similarity.cosineQ(col("a.qv"), col("b.qv")))
+      .withColumn("cosine",
+        Similarity.cosineQN(col("a.qv"), col("b.qv"), col("a.nn"), col("b.nn")))
       .filter(col("cosine") >= 0.35)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("label"), col("cosine"))
