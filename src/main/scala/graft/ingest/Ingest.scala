@@ -76,10 +76,12 @@ object SampleConversion {
       timeRangeType: String, timeExpr: Option[String],
       range: Option[(Instant, Instant)]): Seq[Column] = {
     val (name, labels) = nameAndLabels(queryId)
-    // T5/T6/T7: null-safe casts; arity guard on the [ts, "v"] pair.
+    // T5/T6/T7: null-safe casts (try_cast — ANSI mode would otherwise
+    // fail the whole batch on one bad sample); arity guard on [ts, "v"].
     val ok = size(col("sample")) === 2
-    val ts = when(ok, timestamp_seconds(get(col("sample"), lit(0)).cast("double").cast("long")))
-    val v = when(ok, get(col("sample"), lit(1)).cast("double"))
+    val ts = when(ok, timestamp_seconds(
+      expr("try_cast(sample[0] AS DOUBLE)").cast("long")))
+    val v = when(ok, expr("try_cast(sample[1] AS DOUBLE)"))
     Seq(
       lit(queryId).as("query_id"),
       name.as("metric_name"),

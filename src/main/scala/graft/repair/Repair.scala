@@ -1,0 +1,113 @@
+package graft.repair
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.time.LocalDate
+
+/** Backfill / repair (reference: cmd/repair/main.go; SURVEY §2.6) over the
+  * partitioned fact table.
+  *
+  * Where the reference loops day-by-day with a per-day existence check and
+  * a 100 ms throttle, the Spark shape is ONE batch job: build the
+  * candidate-day frame, LEFT ANTI join against the days that already have
+  * data (J1 — the single join in the reference system), recompute only the
+  * missing days, and land them with *dynamic partition overwrite* (W8) so
+  * a re-run, a crash-retry, or a force-recompute all converge to the same
+  * table state. Because the fact table is partitioned by
+  * (collect_date, query_id), every write and delete here touches only the
+  * affected partitions — no read-modify-write of the whole table at any
+  * scale.
+  */
+object Repair {
+
+  /** Configure a session for idempotent partition-level rewrites. */
+  def configure(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+  /** Inclusive day range as a one-column frame of DateType. */
+  def candidateDays(spark: SparkSession, start: LocalDate, end: LocalDate): DataFrame =
+    spark.range(1).select(explode(expr(
+      s"sequence(DATE '$start', DATE '$end', INTERVAL 1 DAY)")).as("day"))
+
+  /** J1: days in [start, end] with no data for `queryId`. Reads only
+    * partition metadata-level columns (collect_date, query_id) — with
+    * partition pruning this never scans fact rows.
+    */
+  def missingDays(spark: SparkSession, factPath: String, queryId: String,
+      start: LocalDate, end: LocalDate): DataFrame = {
+    val existing = spark.read.parquet(factPath)
+      .filter(col("query_id") === queryId)
+      .select(col("collect_date").cast("date").as("have_day"))
+      .distinct()
+    val cand = candidateDays(spark, start, end)
+    cand.join(broadcast(existing), cand("day") === existing("have_day"), "left_anti")
+  }
+
+  /** Repair plan entry: what would be done per day (J5 dry-run output). */
+  final case class DayPlan(day: LocalDate, action: String) // recompute|skip|overwrite
+
+  /** J5: the per-day plan without any writes (repair/main.go:35, 200-212). */
+  def plan(spark: SparkSession, factPath: String, queryId: String,
+      start: LocalDate, end: LocalDate, force: Boolean): Seq[DayPlan] = {
+    val missing = missingDays(spark, factPath, queryId, start, end)
+      .collect().map(_.getDate(0).toLocalDate).toSet
+    Iterator.iterate(start)(_.plusDays(1)).takeWhile(!_.isAfter(end)).map { d =>
+      val action =
+        if (missing(d)) "recompute"
+        else if (force) "overwrite" // J2 force-recompute
+        else "skip" // J1 idempotent skip
+      DayPlan(d, action)
+    }.toSeq
+  }
+
+  /** Execute a repair: recompute the given days with `compute` (a function
+    * day-range → records, normally the flagship aggregation) and land them
+    * as a dynamic partition overwrite. With `force`, all days in range are
+    * rewritten (J2); otherwise only missing days (J1). Empty recompute
+    * results leave existing data untouched (J4 skip-if-no-data) because
+    * dynamic overwrite only replaces partitions present in the new data.
+    */
+  def run(spark: SparkSession, factPath: String, queryId: String,
+      start: LocalDate, end: LocalDate, force: Boolean,
+      compute: Seq[LocalDate] => DataFrame): RepairSummary = {
+    configure(spark)
+    val thePlan = plan(spark, factPath, queryId, start, end, force)
+    val days = thePlan.filter(_.action != "skip").map(_.day)
+    if (days.isEmpty) return RepairSummary(0, 0, thePlan)
+    val records = compute(days)
+      .withColumn("collect_date", to_date(col("collected_at")))
+    val n = records.count()
+    if (n > 0) // J4: never replace existing data with nothing
+      records.write.mode("overwrite")
+        .partitionBy("collect_date", "query_id").parquet(factPath)
+    RepairSummary(days.size, n, thePlan)
+  }
+
+  final case class RepairSummary(daysRepaired: Int, recordsWritten: Long,
+      plan: Seq[DayPlan])
+
+  /** W7: retention cleanup — drop all partitions older than the cutoff.
+    * Partition-pruned read of the keep-set + atomic-ish rewrite per
+    * partition via dynamic overwrite is not needed here: deleting old
+    * partitions is a metadata operation on partition directories.
+    */
+  def retentionDelete(spark: SparkSession, factPath: String, cutoff: LocalDate): Long = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(factPath)
+    if (!fs.exists(base)) return 0L
+    val doomed = fs.listStatus(base).toSeq
+      .filter(_.isDirectory)
+      .filter { st =>
+        val name = st.getPath.getName // collect_date=YYYY-MM-DD
+        name.startsWith("collect_date=") &&
+          LocalDate.parse(name.stripPrefix("collect_date=")).isBefore(cutoff)
+      }
+    val n = doomed.map { st =>
+      val cnt = spark.read.parquet(st.getPath.toString).count()
+      fs.delete(st.getPath, true)
+      cnt
+    }.sum
+    n
+  }
+}

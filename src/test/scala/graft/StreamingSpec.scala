@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingIngest
+import java.nio.file.Files
+
+/** M5: micro-batch ingestion through foreachBatch with the idempotent
+  * partition-overwrite sink (SURVEY §2.8).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Ev(event_id: Long, es: Long, user_id: Long,
+      event_type: String, value: Double)
+
+  private def transform(batch: DataFrame): DataFrame =
+    batch.select(
+      concat(lit("q_"), col("event_type")).as("query_id"),
+      col("event_type").as("metric_name"),
+      map(lit("user"), col("user_id").cast("string")).as("labels"),
+      col("value"),
+      timestamp_seconds(col("es")).as("timestamp"),
+      lit("instant").as("result_type"),
+      date_trunc("DAY", timestamp_seconds(col("es"))).as("collected_at"))
+
+  test("foreachBatch lands micro-batches idempotently in the fact table") {
+    val base = Files.createTempDirectory("stream").toString
+    val path = s"$base/fact"
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val d30 = 1706572800L // 2024-01-30 00:00:00Z
+    mem.addData(
+      Ev(1, d30 + 10, 7, "view", 1.5), Ev(2, d30 + 20, 8, "click", 2.5),
+      Ev(3, d30 + 86410, 7, "view", 3.5)) // next day
+
+    val q1 = StreamingIngest.start(mem.toDF(), transform, path, s"$base/cp1")
+    q1.awaitTermination(60000)
+    val t1 = spark.read.parquet(path)
+    assert(t1.count() == 3)
+    assert(t1.select("collect_date").distinct().count() == 2) // partitioned by day
+
+    // replay the same data through a fresh checkpoint: the dynamic
+    // partition overwrite converges instead of duplicating
+    val mem2 = MemoryStream[Ev]
+    mem2.addData(
+      Ev(1, d30 + 10, 7, "view", 1.5), Ev(2, d30 + 20, 8, "click", 2.5),
+      Ev(3, d30 + 86410, 7, "view", 3.5))
+    val q2 = StreamingIngest.start(mem2.toDF(), transform, path, s"$base/cp2")
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(path).count() == 3) // unchanged, not 6
+  }
+}
