@@ -94,6 +94,10 @@ object PromOps {
       .filter(col("metric_name") === metricName)
       .withColumn("e", epochSec(col("timestamp")))
       .filter(col("e") >= g0 - lookbackSec && col("e") <= g1)
+      // canonical key BEFORE the explode: the JSON construction is the one
+      // non-codegen expression here, so pay it once per sample, not once
+      // per covered grid point
+      .withColumn("skey", seriesKey(col("labels")))
       // first grid point this sample is visible at (ceil-align), clamped;
       // integer `div` keeps the whole expression in codegen'd long math
       .withColumn("gs", greatest(lit(g0),
@@ -102,8 +106,8 @@ object PromOps {
       .withColumn("ge", least(lit(g1),
         expr(s"((e + $lookbackSec) div $stepSec) * $stepSec")))
       .filter(col("gs") <= col("ge"))
-      .withColumn("g", explode(sequence(col("gs"), col("ge"), lit(stepSec))))
-      .withColumn("skey", seriesKey(col("labels")))
+      .select(col("skey"), col("e"), col("value"),
+        explode(sequence(col("gs"), col("ge"), lit(stepSec))).as("g"))
       .groupBy(col("skey"), col("g"))
       .agg(max(struct(col("e"), col("value"))).as("last"))
       .select(col("skey"), col("g"), col("last.value").as("value"))
