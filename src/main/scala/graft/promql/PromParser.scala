@@ -1,0 +1,257 @@
+package graft.promql
+
+import graft.time.TimeResolver
+
+/** Parser for the PromQL surface the reference actually ships (SURVEY
+  * §2.4): selectors with label matchers, comparison with the `bool`
+  * modifier, `agg by/without` for sum/avg/min/max/count, range selectors
+  * `x[w]` with the `*_over_time` family, subqueries `expr[w:s]`, and
+  * vector-scalar arithmetic. This is deliberately NOT a full PromQL
+  * implementation (SURVEY §7.4) — it covers the reference's flagship query
+  * (its scripts/migrate.sql:105) and doc examples, erroring loudly on
+  * anything else.
+  *
+  * Hand-rolled recursive descent; zero dependencies.
+  */
+object PromParser {
+
+  // ------------------------------------------------------------------ AST
+  sealed trait Expr
+  final case class Selector(name: String,
+      eq: Seq[(String, String)] = Nil, ne: Seq[(String, String)] = Nil) extends Expr
+  final case class BoolCmp(inner: Expr, op: String, scalar: Double) extends Expr
+  final case class Agg(fn: String, inner: Expr,
+      by: Seq[String] = Nil, without: Seq[String] = Nil) extends Expr
+  /** fn_over_time over a plain range selector `sel[window]` */
+  final case class OverTime(fn: String, sel: Selector, windowSec: Long) extends Expr
+  /** fn_over_time over a subquery `expr[window:step]` */
+  final case class OverTimeSubquery(fn: String, inner: Expr,
+      windowSec: Long, stepSec: Long) extends Expr
+  final case class Arith(inner: Expr, op: String, scalar: Double) extends Expr
+
+  private val aggFns = Set("sum", "avg", "min", "max", "count")
+  private val overTimeFns =
+    Set("sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
+      "count_over_time", "last_over_time")
+
+  // ------------------------------------------------------------- tokenizer
+  sealed private[promql] trait Tok
+  private case class TId(s: String) extends Tok
+  private case class TNum(v: Double) extends Tok
+  private case class TStr(s: String) extends Tok
+  private case class TSym(s: String) extends Tok
+
+  private def tokenize(q: String): List[Tok] = {
+    val out = List.newBuilder[Tok]
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      val c = q(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isLetter || c == '_') {
+        val j = q.indexWhere(ch => !(ch.isLetterOrDigit || ch == '_'), i)
+        val end = if (j < 0) n else j
+        out += TId(q.substring(i, end)); i = end
+      } else if (c.isDigit || (c == '.' && i + 1 < n && q(i + 1).isDigit)) {
+        val j = q.indexWhere(ch => !(ch.isDigit || ch == '.' || ch.isLetter), i)
+        val end = if (j < 0) n else j
+        val s = q.substring(i, end)
+        // digits followed by a duration unit stay one identifier-ish token
+        if (s.exists(_.isLetter)) out += TId(s) else out += TNum(s.toDouble)
+        i = end
+      } else if (c == '"') {
+        val j = q.indexOf('"', i + 1)
+        require(j > 0, s"unterminated string at $i in: $q")
+        out += TStr(q.substring(i + 1, j)); i = j + 1
+      } else if (c == '!' && i + 1 < n && q(i + 1) == '=') { out += TSym("!="); i += 2 }
+      else if (c == '=' && i + 1 < n && q(i + 1) == '=') { out += TSym("=="); i += 2 }
+      else if (c == '>' && i + 1 < n && q(i + 1) == '=') { out += TSym(">="); i += 2 }
+      else if (c == '<' && i + 1 < n && q(i + 1) == '=') { out += TSym("<="); i += 2 }
+      else { out += TSym(c.toString); i += 1 }
+    }
+    out.result()
+  }
+
+  // --------------------------------------------------------------- parser
+  final private[promql] class Parser(var toks: List[Tok], val src: String) {
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$msg near ${toks.take(3)} in: $src")
+    private def peek: Option[Tok] = toks.headOption
+    private def pop(): Tok = {
+      if (toks.isEmpty) fail("unexpected end of query")
+      val t = toks.head; toks = toks.tail; t
+    }
+    private def expectSym(s: String): Unit = pop() match {
+      case TSym(`s`) => ()
+      case other => fail(s"expected '$s', got $other")
+    }
+
+    def parse(): Expr = {
+      val e = parseArith()
+      if (toks.nonEmpty) fail("trailing tokens")
+      e
+    }
+
+    /** vector-scalar arithmetic chain: expr (*|/|+|-) number ... */
+    private def parseArith(): Expr = {
+      var e = parseComparison()
+      while (peek.exists { case TSym(s) => "*/+-".contains(s); case _ => false }) {
+        val TSym(op) = pop(): @unchecked
+        pop() match {
+          case TNum(v) => e = Arith(e, op, v)
+          case other => fail(s"expected scalar after '$op', got $other")
+        }
+      }
+      e
+    }
+
+    /** comparison with bool modifier: expr (==|!=|>|>=|<|<=) bool N */
+    private def parseComparison(): Expr = {
+      val e = parsePrimary()
+      peek match {
+        case Some(TSym(op)) if Set("==", "!=", ">", ">=", "<", "<=")(op) =>
+          pop()
+          val isBool = peek.contains(TId("bool"))
+          if (isBool) pop()
+          pop() match {
+            case TNum(v) =>
+              if (isBool) BoolCmp(e, op, v)
+              else fail("only `bool` comparisons are supported (filtering " +
+                "comparisons are not in the reference's shipped surface)")
+            case other => fail(s"expected scalar, got $other")
+          }
+        case _ => e
+      }
+    }
+
+    private def parsePrimary(): Expr = pop() match {
+      case TId(fn) if aggFns(fn) => parseAgg(fn)
+      case TId(fn) if overTimeFns(fn) => parseOverTime(fn)
+      case TId(name) => withRangeSuffix(parseSelectorTail(name))
+      case TSym("(") =>
+        val e = parseArith(); expectSym(")"); e
+      case other => fail(s"unexpected token $other")
+    }
+
+    /** agg [by|without (l,..)] (expr) [by|without (l,..)] */
+    private def parseAgg(fn: String): Expr = {
+      var by = Seq.empty[String]; var without = Seq.empty[String]
+      def clause(): Boolean = peek match {
+        case Some(TId("by")) => pop(); by = labelList(); true
+        case Some(TId("without")) => pop(); without = labelList(); true
+        case _ => false
+      }
+      clause()
+      expectSym("(")
+      val inner = parseArith()
+      expectSym(")")
+      clause()
+      Agg(fn, inner, by, without)
+    }
+
+    private def labelList(): Seq[String] = {
+      expectSym("(")
+      val out = Seq.newBuilder[String]
+      var done = false
+      while (!done) pop() match {
+        case TId(l) => out += l
+        case TSym(")") => done = true
+        case TSym(",") => ()
+        case other => fail(s"bad label list token $other")
+      }
+      out.result()
+    }
+
+    /** fn_over_time( selector[w] | expr[w:s] ) */
+    private def parseOverTime(fn: String): Expr = {
+      expectSym("(")
+      val inner = parseArith()
+      // the range suffix binds inside: selector[w] was already consumed by
+      // withRangeSuffix; a subquery suffix applies to any expr
+      val e = peek match {
+        case Some(TSym("[")) =>
+          val (w, sOpt) = rangeSuffix()
+          sOpt match {
+            case Some(s) => OverTimeSubquery(fn.stripSuffix("_over_time"), inner, w, s)
+            case None => inner match {
+              case sel: Selector => OverTime(fn.stripSuffix("_over_time"), sel, w)
+              case _ => fail("plain range selector only valid on a metric selector")
+            }
+          }
+        case _ => inner match {
+          case RangePlaceholder(sel, w) => OverTime(fn.stripSuffix("_over_time"), sel, w)
+          case _ => fail(s"$fn requires a range: x[w] or (expr)[w:s]")
+        }
+      }
+      expectSym(")")
+      e
+    }
+
+    /** metric{l="v", l2!="v2"} */
+    private def parseSelectorTail(name: String): Selector = {
+      if (!peek.contains(TSym("{"))) return Selector(name)
+      pop()
+      var eq = Seq.empty[(String, String)]; var ne = Seq.empty[(String, String)]
+      var done = false
+      while (!done) pop() match {
+        case TSym("}") => done = true
+        case TSym(",") => ()
+        case TId(l) =>
+          val TSym(op) = pop(): @unchecked
+          val TStr(v) = pop(): @unchecked
+          op match {
+            case "=" | "==" => eq :+= (l -> v)
+            case "!=" => ne :+= (l -> v)
+            case _ => fail(s"unsupported matcher op $op")
+          }
+        case other => fail(s"bad matcher token $other")
+      }
+      Selector(name, eq, ne)
+    }
+
+    /** selector[24h] wrapped so an enclosing *_over_time can claim it */
+    private def withRangeSuffix(sel: Selector): Expr = peek match {
+      case Some(TSym("[")) =>
+        val (w, sOpt) = rangeSuffix()
+        sOpt match {
+          case None => RangePlaceholder(sel, w)
+          case Some(_) => fail("bare subquery on a selector needs an enclosing *_over_time")
+        }
+      case _ => sel
+    }
+
+    /** [w] or [w:s] */
+    private def rangeSuffix(): (Long, Option[Long]) = {
+      expectSym("[")
+      val TId(w) = pop(): @unchecked
+      val wSec = TimeResolver.parseDuration(w).getSeconds
+      val step = peek match {
+        case Some(TSym(":")) =>
+          pop()
+          val TId(s) = pop(): @unchecked
+          Some(TimeResolver.parseDuration(s).getSeconds)
+        case _ => None
+      }
+      expectSym("]")
+      (wSec, step)
+    }
+  }
+
+  /** internal marker: a selector with a pending [w] suffix */
+  private final case class RangePlaceholder(sel: Selector, windowSec: Long) extends Expr
+
+  def parse(query: String): Expr = {
+    val e = new Parser(tokenize(query), query).parse()
+    require(!containsPlaceholder(e), s"dangling range selector in: $query")
+    e
+  }
+
+  private def containsPlaceholder(e: Expr): Boolean = e match {
+    case RangePlaceholder(_, _) => true
+    case BoolCmp(i, _, _) => containsPlaceholder(i)
+    case Agg(_, i, _, _) => containsPlaceholder(i)
+    case Arith(i, _, _) => containsPlaceholder(i)
+    case OverTimeSubquery(_, i, _, _) => containsPlaceholder(i)
+    case _ => false
+  }
+}

@@ -233,8 +233,40 @@ object PromQueries {
       "SELECT u AS user, k, CAST((CASE WHEN v > 50 THEN 1.0 ELSE 0.0 END) * 60 / 3600 AS DOUBLE) AS flag_scaled " +
       "FROM latest"
 
+  // ------------------------------------------- parsed-PromQL front-end
+
+  /** The flagship evaluated from its PromQL *text* through the parser +
+    * evaluator — must produce the identical result (and plan) as the
+    * hand-built [[flagship]]. This is the reference's query_configs.query
+    * path: the string the operator writes is the thing that runs.
+    */
+  def parsedFlagship(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "sum(sum_over_time(max without(k, cluster_name) " +
+        "(view != bool 999999)[24h:1m])) by (user) * 60 / 3600")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), col("value").cast("double").as("util_hours"))
+  }
+
+  /** Label matchers + count_over_time from query text (exact integer
+    * counts → portable).
+    */
+  def parsedMatcher(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "sum by (user) (count_over_time(click{cluster_name=\"c2-r2-z0\"}[24h]))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), col("value"))
+  }
+
+  val parsedMatcherOracle: String =
+    sampleCte("click", Te - 86400 + 1, Te) +
+      "\nSELECT u AS user, CAST(count(*) AS DOUBLE) AS value FROM s " +
+      "WHERE cl = 'c2-r2-z0' GROUP BY u"
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "promql_parsed_flagship" -> ((parsedFlagship _, flagshipOracle)),
+    "promql_parsed_matcher" -> ((parsedMatcher _, parsedMatcherOracle)),
     "flagship_gpu_daily" -> ((flagship _, flagshipOracle)),
     "pq_instant_vector" -> ((instantVector _, instantVectorOracle)),
     "pq_range_matrix" -> ((rangeMatrix _, rangeMatrixOracle)),

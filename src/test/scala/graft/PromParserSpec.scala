@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.promql.PromParser
+import graft.promql.PromParser._
+
+class PromParserSpec extends AnyFunSuite {
+
+  test("parses the reference flagship query verbatim") {
+    // the exact text from the reference's seed config (migrate.sql:105)
+    val q = "sum(sum_over_time(max without(exported_namespace, exported_pod, " +
+      "modelName, prometheus, cluster, insight, mode) " +
+      "(kpanda_gpu_pod_utilization != bool 999999)[24h:1m])) " +
+      "by (cluster_name, node, UUID) * 60 / 3600"
+    val ast = PromParser.parse(q)
+    val Arith(Arith(Agg("sum", sub, by, Nil), "*", 60.0), "/", 3600.0) = ast: @unchecked
+    assert(by == Seq("cluster_name", "node", "UUID"))
+    val OverTimeSubquery("sum", inner, 86400L, 60L) = sub: @unchecked
+    val Agg("max", BoolCmp(sel: Selector, "!=", 999999.0), Nil, without) = inner: @unchecked
+    assert(sel.name == "kpanda_gpu_pod_utilization")
+    assert(without.size == 7 && without.contains("exported_namespace"))
+  }
+
+  test("simple selectors and doc examples") {
+    assert(PromParser.parse("up") == Selector("up"))
+    val Agg("avg", Selector("node_cpu_usage", Nil, Nil), Seq("instance"), Nil) =
+      PromParser.parse("avg(node_cpu_usage) by (instance)"): @unchecked
+  }
+
+  test("label matchers") {
+    val Selector("m", eq, ne) =
+      PromParser.parse("""m{a="1", b!="2"}"""): @unchecked
+    assert(eq == Seq("a" -> "1") && ne == Seq("b" -> "2"))
+  }
+
+  test("range selector with *_over_time") {
+    val OverTime("count", Selector("x", _, _), 3600L) =
+      PromParser.parse("count_over_time(x[1h])"): @unchecked
+  }
+
+  test("rejects what the reference never shipped") {
+    intercept[IllegalArgumentException](PromParser.parse("x[5m]")) // bare range
+    intercept[IllegalArgumentException](PromParser.parse("rate(x[5m])")) // rate
+    intercept[IllegalArgumentException](PromParser.parse("x > 5")) // filtering cmp
+    intercept[IllegalArgumentException](PromParser.parse("x /")) // trailing op
+  }
+}
+
+/** Parsed-text evaluation must equal the hand-built pipeline. */
+class PromEvalSpec extends SparkSpec {
+  test("parsed flagship == hand-built flagship on fixtures") {
+    val sf = "/root/testdata/sf0.001"
+    val a = graft.queries.PromQueries.flagship(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = graft.queries.PromQueries.parsedFlagship(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a.nonEmpty && a == b)
+  }
+}
