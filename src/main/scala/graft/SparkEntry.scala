@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, ExtQueries, LifecycleQueries, PromQueries}
+import graft.queries.{AnalyticsQueries, ExtQueries, LifecycleQueries, PromQueries, WarehouseQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each registered query pairs a Spark implementation with a DuckDB oracle
@@ -10,7 +10,8 @@ import graft.queries.{AnalyticsQueries, ExtQueries, LifecycleQueries, PromQuerie
 object SparkEntry {
 
   private def packs: Map[String, ((SparkSession, String) => DataFrame, String)] =
-    PromQueries.all ++ AnalyticsQueries.all ++ LifecycleQueries.all ++ ExtQueries.all
+    PromQueries.all ++ AnalyticsQueries.all ++ LifecycleQueries.all ++
+      ExtQueries.all ++ WarehouseQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

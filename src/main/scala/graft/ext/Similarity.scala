@@ -72,6 +72,31 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
   }
 
+  /** Deterministic random hyperplanes for sign-LSH: component (p, i) is
+    * the first md5 nibble of "p_i" minus 8 (∈ [-8, 7]). Reproducible in
+    * any engine with md5 — the planes are data-independent constants.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { i =>
+        val h = md.digest(s"${p}_$i".getBytes("UTF-8"))
+        ((h(0) >> 4) & 0xf) - 8
+      }
+    }
+  }
+
+  /** Sign-LSH bucket id: bit j set iff the (integer) projection onto
+    * plane j is non-negative. Vectors in the same bucket are likely
+    * neighbors; at scale the bucket id is the shuffle key that replaces
+    * the all-pairs join.
+    */
+  def lshBucket(qv: Column, planes: Seq[Seq[Int]]): Column =
+    planes.zipWithIndex.map { case (plane, j) =>
+      val planeCol = array(plane.map(c => lit(c.toLong)): _*)
+      when(dotQ(qv, planeCol) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
   /** IVF-style cell centroids: integer-mean (floor) of the quantized
     * vectors per cell, computed by position with exact integer sums.
     * Returns (cell, centroid: array<bigint>). On a real corpus the cells

@@ -343,6 +343,67 @@ object ExtQueries {
        |  FROM scored
        |) WHERE rk <= 5""".stripMargin
 
+  /** Sign-LSH bucketed ANN: hash every vector to an 8-bit hyperplane
+    * bucket, search only the query's bucket. The bucket id is the shuffle
+    * key that replaces the all-pairs join at scale.
+    */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val planes = Similarity.hyperplanes(numPlanes = 8, dim = 64)
+    val v = embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("nn", Similarity.normSqQ(col("qv")))
+      .withColumn("bucket", Similarity.lshBucket(col("qv"), planes))
+    val q = broadcast(v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("qv").as("qq"),
+        col("nn").as("qn"), col("bucket")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    q.join(v, Seq("bucket")).filter(col("vec_id") =!= col("qid"))
+      .withColumn("cosine",
+        Similarity.cosineQN(col("qq"), col("qv"), col("qn"), col("nn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("bucket"), col("vec_id"), col("cosine"), col("rk"))
+  }
+
+  val annLshOracle: String = {
+    val planes = Similarity.hyperplanes(numPlanes = 8, dim = 64)
+    val bucketExpr = planes.zipWithIndex.map { case (plane, j) =>
+      val arr = plane.mkString("[", ",", "]::BIGINT[]")
+      s"CASE WHEN list_sum(list_transform(list_zip(qv, $arr), p -> p[1] * p[2])) >= 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString("\n       + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, $qvSql AS qv FROM embeddings
+       |), b AS (
+       |  SELECT vec_id, qv,
+       |       $bucketExpr AS bucket
+       |  FROM v
+       |), scored AS (
+       |  SELECT q.vec_id AS qid, q.bucket, c.vec_id,
+       |         ${cosSql("q.qv", "c.qv")} AS cosine
+       |  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 5
+       |)
+       |SELECT qid, bucket, vec_id, cosine, rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |            ORDER BY cosine DESC, vec_id ASC) AS rk
+       |  FROM scored
+       |) WHERE rk <= 5""".stripMargin
+  }
+
+  /** HLL sketch: approximate distinct users per metric alongside the
+    * exact count. Approx values are engine-specific, so this registers
+    * without an oracle (rows-only check) — the operator matters at 100 TB
+    * where exact distinct is a full shuffle and the sketch is mergeable
+    * map-side.
+    */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ingest.EventsIngest.readEvents(spark, sfDir)
+      .groupBy(col("event_type").as("metric"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+
   // ------------------------------------------------ embedding near-dup
 
   /** Embedding-cosine near-duplicate pairs within a cell. */
@@ -404,6 +465,8 @@ object ExtQueries {
     "dedup_minhash_lsh" -> ((minhashLsh _, minhashLshOracle)),
     "ann_brute_topk" -> ((annBrute _, annBruteOracle)),
     "ann_ivf_topk" -> ((annIvf _, annIvfOracle)),
+    "ann_lsh_topk" -> ((annLsh _, annLshOracle)),
+    "approx_distinct_users" -> ((approxDistinct _, "")),
     "emb_neardup" -> ((embNeardup _, embNeardupOracle)),
     "multimodal_meta" -> ((multimodalMeta _, multimodalMetaOracle)),
     "multimodal_features" -> ((multimodalFeatures _, "")))
