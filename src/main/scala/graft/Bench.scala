@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT + codegen + shuffle machinery, so the first
+    // measured query doesn't carry several seconds of JVM cold start
+    spark.range(1000000)
+      .selectExpr("md5(cast(id as string)) h", "id % 97 k")
+      .groupBy("k").count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
