@@ -20,10 +20,21 @@ object Similarity {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * 1000000d + 0.5d).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors (sequential fold,
-    * no shuffle, stays in codegen).
+  /** Exact integer dot product of two quantized vectors — a native
+    * Catalyst expression ([[graft.functions.DotProductQ]]) generating one
+    * fused loop in whole-stage codegen, no intermediate array.
     */
-  def dotQ(a: Column, b: Column): Column =
+  def dotQ(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.DotProductQ(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** The composable built-in formulation (zip_with + aggregate) — kept as
+    * the reference implementation the native expression is checked
+    * against.
+    */
+  def dotQFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, p) => acc + p)
 
   /** Exact integer squared norm. */
