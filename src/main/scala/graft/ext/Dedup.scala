@@ -68,7 +68,7 @@ object Dedup {
     }
     val sigAggs = (0 until numSigs).map { i =>
       min(substring(col(s"m${i / 2}"), 1 + 16 * (i % 2), 16)).as(s"sig$i")
-    }
+    } :+ count(lit(1)).as("n_sh") // set size rides along: no separate pass
     withHashes
       .groupBy(col("doc_id"), col("bucket"))
       .agg(sigAggs.head, sigAggs.tail: _*)

@@ -107,6 +107,36 @@ final class QueryRunner(
     throw last
   }
 
+  /** O4: hard per-execution timeout (the reference hardcodes 60 s via a
+    * context deadline regardless of the config's own timeout field —
+    * cmd/server/main.go:126; we replicate that shape with the configured
+    * default). On expiry the job group is cancelled (tasks interrupted)
+    * and a `timeout` audit row is produced.
+    */
+  def executeWithTimeout(cfg: QueryConfig,
+      timeoutMs: Long = 60000L): Either[QueryExecution, RunResult] = {
+    import scala.concurrent.{Await, Future, TimeoutException}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val spark = metrics.sparkSession
+    val group = s"graft-${cfg.query_id}-${System.nanoTime()}"
+    val started = Instant.now()
+    val fut = Future {
+      spark.sparkContext.setJobGroup(group, cfg.query_id, interruptOnCancel = true)
+      try execute(cfg) finally spark.sparkContext.clearJobGroup()
+    }
+    try Right(Await.result(fut, timeoutMs.millis))
+    catch {
+      case _: TimeoutException =>
+        spark.sparkContext.cancelJobGroup(group)
+        val ended = Instant.now()
+        Left(QueryExecution(cfg.query_id, cfg.name, "timeout",
+          Timestamp.from(started), Some(Timestamp.from(ended)),
+          Some(ended.toEpochMilli - started.toEpochMilli), 0,
+          Some(s"execution exceeded ${timeoutMs}ms"), Timestamp.from(ended)))
+    }
+  }
+
   /** Failed-run audit row (the reference writes one at every error stage:
     * executor.go:73-92, 102-119, ...).
     */

@@ -202,9 +202,11 @@ object ExtQueries {
     // the cache to fill before the consumers' jobs scan it
     val sh = shingleFrame(spark, sfDir, col("lang")).persist()
     sh.count()
-    val sigs = Dedup.minhashSignatures(sh, NumSigs)
+    // one row per doc: cheap to persist, feeds both banding and sizes
+    // (without this the 4-md5-per-shingle pass would run twice)
+    val sigs = Dedup.minhashSignatures(sh, NumSigs).persist()
     val cands = Dedup.lshCandidates(sigs, NumSigs, RowsPerBand)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val sizes = sigs.select(col("doc_id"), col("n_sh"))
     // candidates FIRST, then intersect shingle sets — never a global
     // shingle self-join (a frequent shingle would make that quadratic)
     val pairsCommon = cands

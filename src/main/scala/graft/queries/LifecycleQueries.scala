@@ -166,7 +166,29 @@ object LifecycleQueries {
         |SELECT d AS del_day, count(*) AS cnt FROM m
         |WHERE d < DATE '2024-01-08' GROUP BY d""".stripMargin
 
+  // ----------------------------------------------------- W9 stats probe
+
+  /** Table stats probe (mysql.go:317-349): row counts per table —
+    * connection-pool stats have no parquet analogue.
+    */
+  def tableStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val tables = Seq("events", "documents", "embeddings", "lineitem", "orders")
+    tables.map { t =>
+      val df =
+        if (t == "events") EventsIngest.readEvents(spark, sfDir)
+        else spark.read.parquet(s"$sfDir/$t.parquet")
+      df.select(lit(t).as("tbl"), lit(1).as("one"))
+        .groupBy(col("tbl")).agg(count(lit(1)).as("n_rows"))
+    }.reduce(_ union _)
+  }
+
+  val tableStatsOracle: String =
+    Seq("events", "documents", "embeddings", "lineitem", "orders")
+      .map(t => s"SELECT '$t' AS tbl, count(*) AS n_rows FROM $t")
+      .mkString("\nUNION ALL\n")
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "table_stats" -> ((tableStats _, tableStatsOracle)),
     "window_yesterday" -> ((windowYesterday _, windowYesterdayOracle)),
     "window_last_week" -> ((windowLastWeek _, windowLastWeekOracle)),
     "window_offsets" -> ((windowOffsets _, windowOffsetsOracle)),

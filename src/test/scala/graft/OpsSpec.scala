@@ -78,6 +78,18 @@ class QueryRunnerSpec extends SparkSpec {
     assert(audit.status == "failed" && audit.error_message.nonEmpty)
   }
 
+  test("O4: timeout path produces a timeout audit row; fast path succeeds") {
+    val runner = new QueryRunner(metrics, now)
+    // generous budget -> success
+    val ok = runner.executeWithTimeout(cfg("instant"), timeoutMs = 120000L)
+    assert(ok.isRight && ok.toOption.get.execution.status == "success")
+    // zero budget -> timeout row with the reference's status enum value
+    val to = runner.executeWithTimeout(cfg("instant"), timeoutMs = 0L)
+    assert(to.isLeft)
+    val audit = to.left.toOption.get
+    assert(audit.status == "timeout" && audit.records_count == 0)
+  }
+
   test("O1/O2: due-at scheduling and catch-up are pure functions") {
     val runner = new QueryRunner(metrics, now)
     val configs = Seq(cfg("instant"),
