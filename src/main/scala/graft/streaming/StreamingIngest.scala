@@ -52,4 +52,22 @@ object StreamingIngest {
       keys: Seq[String]): DataFrame =
     events.withWatermark(watermarkCol, delay)
       .dropDuplicates(keys :+ watermarkCol)
+
+  /** Watermarked tumbling-window aggregation — the event-time analogue of
+    * the reference's cron-driven daily buckets (its densest documented
+    * recipe is a 1-minute cron over a 5-minute range; this is the same
+    * cadence without the cron). Late data beyond the watermark is dropped
+    * by the engine and picked up by repair, matching the reference's
+    * manual late-data story.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      window: String, watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), window).as("win"),
+        col(keyCol))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(col("value")).as("vsum"))
+      .select(col("win.start").as("window_start"), col(keyCol), col("n"), col("vsum"))
 }

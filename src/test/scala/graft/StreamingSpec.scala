@@ -25,6 +25,29 @@ class StreamingSpec extends SparkSpec {
       lit("instant").as("result_type"),
       date_trunc("DAY", timestamp_seconds(col("es"))).as("collected_at"))
 
+  test("watermarked windowed aggregation over an event stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val d30 = 1706572800L
+    val stream = mem.toDF().toDF("es", "metric", "value")
+      .withColumn("ts", timestamp_seconds(col("es")))
+    val agg = graft.streaming.StreamingIngest.windowedCounts(
+      stream, "ts", "metric", "1 hour", "10 minutes")
+    val dir = Files.createTempDirectory("winagg").toString
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").option("checkpointLocation", s"$dir/cp").start()
+    mem.addData((d30 + 60, "view", 1.0), (d30 + 120, "view", 2.0),
+      (d30 + 3660, "view", 4.0), (d30 + 90, "click", 8.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_counts")
+      .select(unix_timestamp(col("window_start")).as("w"), col("metric"), col("n"), col("vsum"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(rows((d30, "view")) == ((2L, 3.0)))
+    assert(rows((d30 + 3600, "view")) == ((1L, 4.0)))
+    assert(rows((d30, "click")) == ((1L, 8.0)))
+  }
+
   test("foreachBatch lands micro-batches idempotently in the fact table") {
     val base = Files.createTempDirectory("stream").toString
     val path = s"$base/fact"
