@@ -61,13 +61,10 @@ object StreamingIngest {
     * manual late-data story.
     */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
-      window: String, watermarkDelay: String): DataFrame =
+      windowDuration: String, watermarkDelay: String,
+      valueCol: String = "value"): DataFrame =
     events.withWatermark(tsCol, watermarkDelay)
-      .groupBy(
-        org.apache.spark.sql.functions.window(col(tsCol), window).as("win"),
-        col(keyCol))
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("n"),
-        org.apache.spark.sql.functions.sum(col("value")).as("vsum"))
+      .groupBy(window(col(tsCol), windowDuration).as("win"), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("vsum"))
       .select(col("win.start").as("window_start"), col(keyCol), col("n"), col("vsum"))
 }
