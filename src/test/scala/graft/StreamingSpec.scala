@@ -9,11 +9,14 @@ import java.nio.file.Files
 /** M5: micro-batch ingestion through foreachBatch with the idempotent
   * partition-overwrite sink (SURVEY §2.8).
   */
+/** Top-level so the Dataset encoder codegens (an inner case class forces
+  * interpreter-mode projections).
+  */
+case class Ev(event_id: Long, es: Long, user_id: Long,
+    event_type: String, value: Double)
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
-
-  private case class Ev(event_id: Long, es: Long, user_id: Long,
-      event_type: String, value: Double)
 
   private def transform(batch: DataFrame): DataFrame =
     batch.select(
