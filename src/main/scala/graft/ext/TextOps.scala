@@ -68,4 +68,15 @@ object TextOps {
     */
   def fingerprint(text: Column): Column =
     substring(md5(regexp_replace(lower(text), " ", "")), 1, 16)
+
+  /** Polynomial rolling hash over the character stream (base 31, modulus
+    * 1e9+7) — the classic streaming fingerprint: incremental, order-
+    * sensitive, pure integer math, so it reproduces bit-for-bit in any
+    * engine.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(lower(text), ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31L + c) % 1000000007L)
 }

@@ -125,6 +125,19 @@ object ExtQueries {
     """SELECT doc_id, substr(md5(replace(lower(text), ' ', '')), 1, 16) AS fp
       |FROM documents""".stripMargin
 
+  def docRollingHash(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id"),
+      TextOps.rollingHash(col("text")).as("rhash"))
+
+  val docRollingHashOracle: String =
+    """SELECT doc_id,
+      |       list_reduce(
+      |         list_prepend(0::BIGINT,
+      |           list_transform(string_split(lower(text), ''),
+      |                          c -> ascii(c)::BIGINT)),
+      |         (a, b) -> (a * 31 + b) % 1000000007) AS rhash
+      |FROM documents""".stripMargin
+
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhash16(docs(spark, sfDir))
 
@@ -462,6 +475,7 @@ object ExtQueries {
     "token_stats" -> ((tokenStats _, tokenStatsOracle)),
     "lang_id" -> ((langId _, langIdOracle)),
     "doc_fingerprint" -> ((docFingerprint _, docFingerprintOracle)),
+    "doc_rolling_hash" -> ((docRollingHash _, docRollingHashOracle)),
     "dedup_simhash" -> ((dedupSimhash _, dedupSimhashOracle)),
     "ngram_jaccard" -> ((ngramJaccard _, ngramJaccardOracle)),
     "dedup_minhash_lsh" -> ((minhashLsh _, minhashLshOracle)),

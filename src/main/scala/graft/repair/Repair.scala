@@ -86,6 +86,15 @@ object Repair {
   final case class RepairSummary(daysRepaired: Int, recordsWritten: Long,
       plan: Seq[DayPlan])
 
+  /** J3: classify source errors that mean "the data has aged out" — the
+    * reference string-matches the Prometheus error text and treats those
+    * days as unrepairable rather than failed (cmd/repair/main.go:583-588).
+    */
+  def isRetentionError(message: String): Boolean = {
+    val m = Option(message).getOrElse("").toLowerCase
+    Seq("out of bounds", "too old", "retention").exists(m.contains)
+  }
+
   /** W7: retention cleanup — drop all partitions older than the cutoff.
     * Partition-pruned read of the keep-set + atomic-ish rewrite per
     * partition via dynamic overwrite is not needed here: deleting old

@@ -67,6 +67,14 @@ class RepairSpec extends SparkSpec {
     assert(after.select("value").distinct().head().getDouble(0) == 4.0)
   }
 
+  test("J3: retention-error classification matches the reference strings") {
+    assert(Repair.isRetentionError("query data is Out of Bounds"))
+    assert(Repair.isRetentionError("sample too old for ingestion"))
+    assert(Repair.isRetentionError("beyond RETENTION window"))
+    assert(!Repair.isRetentionError("connection refused"))
+    assert(!Repair.isRetentionError(null))
+  }
+
   test("W7: retention delete drops whole partitions below the cutoff") {
     val path = Files.createTempDirectory("fact2").toString + "/fact"
     records((8 to 12).map(i => d(f"2024-01-$i%02d")), tag = 1.0)
