@@ -71,12 +71,18 @@ object TextOps {
 
   /** Polynomial rolling hash over the character stream (base 31, modulus
     * 1e9+7) — the classic streaming fingerprint: incremental, order-
-    * sensitive, pure integer math, so it reproduces bit-for-bit in any
-    * engine.
+    * sensitive, pure integer math. Each character contributes its UTF-8
+    * bytes as one big-endian integer: `ascii()` would be engine-specific
+    * for non-ASCII (Spark collapses to '?', DuckDB yields the code
+    * point), while the UTF-8 byte encoding is identical everywhere.
     */
   def rollingHash(text: Column): Column =
     aggregate(
-      transform(split(lower(text), ""), c => ascii(c).cast("long")),
+      transform(
+        // Spark's split('') emits a trailing "" (DuckDB's doesn't) —
+        // drop it or its NULL byte-value poisons the fold
+        filter(split(lower(text), ""), c => c =!= ""),
+        c => conv(hex(encode(c, "UTF-8")), 16, 10).cast("long")),
       lit(0L),
       (acc, c) => (acc * 31L + c) % 1000000007L)
 }

@@ -134,7 +134,7 @@ object ExtQueries {
       |       list_reduce(
       |         list_prepend(0::BIGINT,
       |           list_transform(string_split(lower(text), ''),
-      |                          c -> ascii(c)::BIGINT)),
+      |                          c -> CAST(('0x' || hex(encode(c))) AS BIGINT))),
       |         (a, b) -> (a * 31 + b) % 1000000007) AS rhash
       |FROM documents""".stripMargin
 

@@ -74,24 +74,35 @@ object Repair {
     val thePlan = plan(spark, factPath, queryId, start, end, force)
     val days = thePlan.filter(_.action != "skip").map(_.day)
     if (days.isEmpty) return RepairSummary(0, 0, thePlan)
-    val records = compute(days)
-      .withColumn("collect_date", to_date(col("collected_at")))
-    val n = records.count()
-    if (n > 0) // J4: never replace existing data with nothing
-      records.write.mode("overwrite")
-        .partitionBy("collect_date", "query_id").parquet(factPath)
-    RepairSummary(days.size, n, thePlan)
+    try {
+      val records = compute(days)
+        .withColumn("collect_date", to_date(col("collected_at")))
+      val n = records.count()
+      if (n > 0) // J4: never replace existing data with nothing
+        records.write.mode("overwrite")
+          .partitionBy("collect_date", "query_id").parquet(factPath)
+      RepairSummary(days.size, n, thePlan)
+    } catch {
+      // J3: the source has aged past these days — mark them unrepairable
+      // and keep whatever data exists instead of failing the whole batch
+      // (the reference does this per-day in its loop; in the one-batch
+      // formulation the whole requested range shares the source window)
+      case e: Exception if isRetentionError(e.getMessage) =>
+        RepairSummary(0, 0, thePlan.map(p =>
+          if (p.action == "skip") p else p.copy(action = "unrepairable")))
+    }
   }
 
   final case class RepairSummary(daysRepaired: Int, recordsWritten: Long,
       plan: Seq[DayPlan])
 
   /** J3: classify source errors that mean "the data has aged out" — the
-    * reference string-matches the Prometheus error text and treats those
-    * days as unrepairable rather than failed (cmd/repair/main.go:583-588).
+    * reference string-matches the Prometheus error text (case-sensitive,
+    * matching its exact behavior) and treats those days as unrepairable
+    * rather than failed (cmd/repair/main.go:583-588).
     */
   def isRetentionError(message: String): Boolean = {
-    val m = Option(message).getOrElse("").toLowerCase
+    val m = Option(message).getOrElse("")
     Seq("out of bounds", "too old", "retention").exists(m.contains)
   }
 

@@ -68,11 +68,30 @@ class RepairSpec extends SparkSpec {
   }
 
   test("J3: retention-error classification matches the reference strings") {
-    assert(Repair.isRetentionError("query data is Out of Bounds"))
+    // case-sensitive, exactly like cmd/repair/main.go:583-588
+    assert(Repair.isRetentionError("query data is out of bounds"))
     assert(Repair.isRetentionError("sample too old for ingestion"))
-    assert(Repair.isRetentionError("beyond RETENTION window"))
+    assert(Repair.isRetentionError("beyond retention window"))
+    assert(!Repair.isRetentionError("beyond RETENTION window")) // parity: no folding
     assert(!Repair.isRetentionError("connection refused"))
     assert(!Repair.isRetentionError(null))
+  }
+
+  test("J3: a retention error marks days unrepairable instead of failing the batch") {
+    val path = Files.createTempDirectory("fact3").toString + "/fact"
+    records(Seq(d("2024-01-10")), tag = 1.0)
+      .withColumn("collect_date", to_date(col("collected_at")))
+      .write.partitionBy("collect_date", "query_id").mode("overwrite").parquet(path)
+    val s = Repair.run(spark, path, "q1", d("2024-01-10"), d("2024-01-12"),
+      force = false,
+      compute = _ => throw new RuntimeException("requested data is out of bounds"))
+    assert(s.daysRepaired == 0 && s.recordsWritten == 0)
+    assert(s.plan.map(_.action) == Seq("skip", "unrepairable", "unrepairable"))
+    assert(spark.read.parquet(path).count() == 1) // existing data untouched
+    // non-retention errors still propagate
+    intercept[RuntimeException](
+      Repair.run(spark, path, "q1", d("2024-01-10"), d("2024-01-12"),
+        force = false, compute = _ => throw new RuntimeException("connection refused")))
   }
 
   test("W7: retention delete drops whole partitions below the cutoff") {

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent JVM reference: fold UTF-8 bytes of each char (big-endian
+    * integer per char) through (acc*31 + c) mod 1e9+7.
+    */
+  private def expectedHash(text: String): Long =
+    text.toLowerCase.map { ch =>
+      ch.toString.getBytes("UTF-8").foldLeft(0L)((acc, b) => acc * 256 + (b & 0xff))
+    }.foldLeft(0L)((acc, c) => (acc * 31 + c) % 1000000007L)
+
+  test("rolling hash handles non-ASCII text (UTF-8 bytes, not ascii())") {
+    val texts = Seq("the quick fox", "café der 的 text", "的的", "人人", "")
+    val got = texts.toDF("text")
+      .select(TextOps.rollingHash(col("text"))).collect().map(_.getLong(0))
+    assert(got.toSeq == texts.map(expectedHash))
+    // distinct CJK strings must hash differently (ascii() collapsed them)
+    assert(expectedHash("的的") != expectedHash("人人"))
+  }
+
+  test("shingles guard short documents") {
+    val df = Seq("a b", "a b c d").toDF("text")
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(TextOps.shingles("toks", 3).as("sh"))
+    val sizes = df.select(size(col("sh"))).collect().map(_.getInt(0)).toSeq
+    assert(sizes == Seq(0, 2))
+  }
+}
