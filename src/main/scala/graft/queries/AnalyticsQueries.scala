@@ -270,7 +270,52 @@ object AnalyticsQueries {
         |  FROM m
         |) WHERE parsed IS NOT NULL GROUP BY metric""".stripMargin
 
+  // ------------------------------------------------- order statistics
+
+  /** Exact lower-median per metric via rank selection (element pick, no
+    * interpolation arithmetic — the only formulation two engines agree on
+    * bit-for-bit). Plans as one window + filter; at scale this is the
+    * standard distributed exact-quantile-by-rank shape.
+    */
+  def metricMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("metric_name"))
+      .orderBy(col("value").asc, col("e").asc)
+    metrics(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("metric_name"))))
+      .filter(col("rk") === expr("(n + 1) div 2"))
+      .select(col("metric_name").as("metric"), col("n").as("n_samples"),
+        col("value").as("median_lo"))
+  }
+
+  val metricMedianOracle: String =
+    baseCte +
+      """
+        |SELECT metric, n AS n_samples, v AS median_lo FROM (
+        |  SELECT metric, v,
+        |         row_number() OVER (PARTITION BY metric ORDER BY v ASC, e ASC) AS rk,
+        |         count(*) OVER (PARTITION BY metric) AS n
+        |  FROM m
+        |) WHERE rk = (n + 1) // 2""".stripMargin
+
+  /** Fixed-width value histogram per metric — integer binning, portable. */
+  def valueHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    metrics(spark, sfDir)
+      .groupBy(col("metric_name").as("metric"),
+        expr("(CAST(value AS BIGINT) div 50) * 50").as("bin_lo"))
+      .agg(count(lit(1)).as("n"))
+
+  val valueHistogramOracle: String =
+    baseCte +
+      """
+        |SELECT metric, (CAST(trunc(v) AS BIGINT) // 50) * 50 AS bin_lo,
+        |       count(*) AS n
+        |FROM m GROUP BY 1, 2""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "metric_median" -> ((metricMedian _, metricMedianOracle)),
+    "value_histogram" -> ((valueHistogram _, valueHistogramOracle)),
     "gpu_daily_report" -> (((s: SparkSession, d: String) => gpuDailyReport(s, d), gpuDailyReportOracle)),
     "hourly_avg" -> ((hourlyAvg _, hourlyAvgOracle)),
     "label_filter" -> ((labelFilter _, labelFilterOracle)),

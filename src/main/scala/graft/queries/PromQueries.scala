@@ -263,10 +263,40 @@ object PromQueries {
       "\nSELECT u AS user, CAST(count(*) AS DOUBLE) AS value FROM s " +
       "WHERE cl = 'c2-r2-z0' GROUP BY u"
 
+  /** Parsed `max without (...)(max_over_time(error[6h]))` — agg-over-range
+    * from query text; max is exact so the oracle is direct.
+    */
+  def parsedOverTime(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "max without (k, cluster_name) (max_over_time(error[6h]))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), col("value"))
+  }
+
+  val parsedOverTimeOracle: String =
+    sampleCte("error", Te - 21600 + 1, Te) +
+      "\nSELECT u AS user, max(v) AS value FROM s GROUP BY u"
+
+  /** Parsed `last_over_time(purchase[2h])` — latest sample per raw series
+    * in the window (the staleness primitive as an explicit function).
+    */
+  def parsedLastOverTime(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse("last_over_time(purchase[2h])")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedLastOverTimeOracle: String =
+    sampleCte("purchase", Te - 7200 + 1, Te) +
+      "\nSELECT u AS user, k, (max(struct_pack(e := e, v := v))).v AS value " +
+      "FROM s GROUP BY u, k"
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "promql_parsed_flagship" -> ((parsedFlagship _, flagshipOracle)),
     "promql_parsed_matcher" -> ((parsedMatcher _, parsedMatcherOracle)),
+    "promql_parsed_overtime" -> ((parsedOverTime _, parsedOverTimeOracle)),
+    "promql_parsed_last" -> ((parsedLastOverTime _, parsedLastOverTimeOracle)),
     "flagship_gpu_daily" -> ((flagship _, flagshipOracle)),
     "pq_instant_vector" -> ((instantVector _, instantVectorOracle)),
     "pq_range_matrix" -> ((rangeMatrix _, rangeMatrixOracle)),
