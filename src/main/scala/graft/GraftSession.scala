@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's session configuration — the settings that
+  * matter at 100 TB, applied identically by the harness mains and any
+  * deployment:
+  *
+  *  - `shuffle.partitions` sized to the core count (the harness runs
+  *    local[32]; a cluster sets 2-3× total cores) — never the 200 default;
+  *  - AQE on with partition coalescing and skew-join handling: runtime
+  *    re-planning fixes what static sizing can't know;
+  *  - dynamic partition overwrite: repair/idempotent writes replace only
+  *    the partitions they produce (SURVEY §1.4);
+  *  - 256 MiB file splits: at 100 TB the default 128 MiB doubles the task
+  *    count for no scan benefit on wide parquet;
+  *  - UTC session time — every day-truncation in the engine assumes it;
+  *  - nanosAsLong for the fixture parquet's TIMESTAMP(NANOS);
+  *  - the graft extension functions (native DotProductQ) registered at
+  *    build time.
+  */
+object GraftSession {
+
+  def configure(b: SparkSession.Builder, cores: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.sql.files.maxPartitionBytes", "268435456")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+
+  /** Harness entry: local master with `cores` threads. */
+  def local(cores: Int): SparkSession = {
+    val spark = configure(
+      SparkSession.builder().master(s"local[$cores]"), cores).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -48,6 +48,22 @@ class PromParserSpec extends AnyFunSuite {
 
 /** Parsed-text evaluation must equal the hand-built pipeline. */
 class PromEvalSpec extends SparkSpec {
+
+  test("not-equal label matchers filter series out") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = Seq(
+      ("m", Map("env" -> "prod"), 1.0, 990L),
+      ("m", Map("env" -> "dev"), 2.0, 991L),
+      ("m", Map("other" -> "x"), 3.0, 992L)) // env absent: != keeps it
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    val expr = graft.promql.PromParser.parse("""m{env!="prod"}""")
+    val vals = graft.promql.PromEval.evalInstant(m, expr, 1000L)
+      .collect().map(_.getAs[Double]("value")).toSet
+    assert(vals == Set(2.0, 3.0))
+  }
+
   test("parsed flagship == hand-built flagship on fixtures") {
     val sf = "/root/testdata/sf0.001"
     val a = graft.queries.PromQueries.flagship(spark, sf)
