@@ -107,6 +107,45 @@ object PromQueries {
          |)
          |SELECT u AS user, CAST(sv * 60 / 3600 AS DOUBLE) AS util_hours FROM sot""".stripMargin
 
+  /** The repair shape (SURVEY §3.2): the flagship recomputed for the last
+    * THREE days as ONE job — a single sample→grid expansion spanning the
+    * whole range, bucketed by day — where the reference loops
+    * day-by-day with one source round-trip per day. This is the query the
+    * backfill path runs; per-day results land as separate partitions.
+    */
+  def flagshipMultiday(spark: SparkSession, sfDir: String): DataFrame = {
+    val g0 = G1 - 3 * 86400 + 60
+    val grid = PromOps.rangeEval(metrics(spark, sfDir), "view", g0, G1,
+      stepSec = 60, lookbackSec = 300)
+    val b = grid.withColumn("value", PromOps.boolCmp(col("value"), "!=", 999999))
+    val collapsed = PromOps.aggWithout(b, Seq("k", "cluster_name"),
+      max(col("value")), extraKeys = Seq("g"))
+    collapsed
+      .withColumn("day_e", expr("((g - 60) div 86400) * 86400"))
+      .groupBy(col("skey"), col("day_e"))
+      .agg(sum("value").as("sot"))
+      .select(user.as("user"), col("day_e"),
+        (col("sot") * 60 / 3600).cast("double").as("util_hours"))
+  }
+
+  val flagshipMultidayOracle: String =
+    sampleCte("view", G1 - 3 * 86400 + 60 - 300, G1) +
+      s""", ex AS (
+         |  SELECT u, k, e, v,
+         |         unnest(generate_series(greatest(${G1 - 3 * 86400 + 60}, ((e + 59) // 60) * 60),
+         |                                least($G1, ((e + 300) // 60) * 60), 60)) AS g
+         |  FROM s
+         |), latest AS (
+         |  SELECT u, k, g, (max(struct_pack(e := e, v := v))).v AS lv
+         |  FROM ex GROUP BY u, k, g
+         |), collapsed AS (
+         |  SELECT u, g, max(CASE WHEN lv <> 999999.0 THEN 1.0 ELSE 0.0 END) AS b
+         |  FROM latest GROUP BY u, g
+         |)
+         |SELECT u AS user, ((g - 60) // 86400) * 86400 AS day_e,
+         |       CAST(sum(b) * 60 / 3600 AS DOUBLE) AS util_hours
+         |FROM collapsed GROUP BY u, 2""".stripMargin
+
   // ------------------------------------------------------------ P1 instant
 
   /** P1: instant vector selector — latest sample per series within the
@@ -295,6 +334,7 @@ object PromQueries {
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "promql_parsed_flagship" -> ((parsedFlagship _, flagshipOracle)),
     "promql_parsed_matcher" -> ((parsedMatcher _, parsedMatcherOracle)),
+    "flagship_multiday" -> ((flagshipMultiday _, flagshipMultidayOracle)),
     "promql_parsed_overtime" -> ((parsedOverTime _, parsedOverTimeOracle)),
     "promql_parsed_last" -> ((parsedLastOverTime _, parsedLastOverTimeOracle)),
     "flagship_gpu_daily" -> ((flagship _, flagshipOracle)),
