@@ -19,14 +19,15 @@ import java.time.Instant
   * testable without wall-clock or threads (the reference couples these;
   * its production incident came from exactly that coupling).
   */
+/** One completed run: the produced records and its audit row. */
+final case class RunResult(records: DataFrame, execution: QueryExecution)
+
 final class QueryRunner(
     metrics: DataFrame,
     now: Instant,
     sleeper: Long => Unit = Thread.sleep) {
 
   private val resolver = TimeResolver(now)
-
-  final case class RunResult(records: DataFrame, execution: QueryExecution)
 
   /** S3 dispatch: route instant vs range; unknown types default to
     * instant (reference: client.go:206-230, default branch :219-229).
