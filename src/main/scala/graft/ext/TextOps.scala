@@ -26,13 +26,6 @@ object TextOps {
             |                i -> array_join(slice($toksCol, i + 1, $n), ' '))
             | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
 
-  /** One MinHash signature: the minimum over shingles of a seeded,
-    * fixed-width md5 prefix. Lexicographic min over fixed-length lowercase
-    * hex == numeric min over the 64-bit hash — portable across engines.
-    */
-  def minhashSig(shingle: Column, seed: Int): Column =
-    min(substring(md5(concat(lit(seed.toString), lit("|"), shingle)), 1, 16))
-
   /** 16-bit SimHash over a token stream: per-bit ±1 votes weighted by
     * token multiplicity, bit set where the vote is positive. 16 bits keeps
     * the oracle SQL tractable; widening to 64 is the same expression ×4.
