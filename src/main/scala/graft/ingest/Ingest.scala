@@ -155,6 +155,25 @@ object EventsIngest {
       date_trunc("DAY", secTs).as("collected_at"))
   }
 
+  private val metricsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  /** The ingested metrics frame, cached per (session, dataset) — the
+    * buffer-pool analogue: every registered query reads this hot fact
+    * frame, so materialize the scan+ingest projection once per session
+    * instead of once per query. Storage is MEMORY_AND_DISK, so an
+    * executor under pressure spills instead of failing.
+    */
+  def cachedMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    metricsCache.computeIfAbsent(
+      (System.identityHashCode(spark).toString, sfDir), _ => {
+      val df = eventsAsMetrics(spark, sfDir)
+        .withColumn("e", unix_timestamp(col("timestamp")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // fill before concurrent consumers race the cache
+      df
+    })
+
   /** Partitioned-parquet writer for the fact table: partition by
     * `collect_date` (+ query_id) so repair/retention are partition ops
     * (SURVEY §1.4, §2.2 W7/W8). At 100 TB this layout gives partition

@@ -18,8 +18,7 @@ object AnalyticsQueries {
   import Pinned.Te
 
   private def metrics(spark: SparkSession, sfDir: String): DataFrame =
-    EventsIngest.eventsAsMetrics(spark, sfDir)
-      .withColumn("e", unix_timestamp(col("timestamp")))
+    EventsIngest.cachedMetrics(spark, sfDir)
 
   private val user: Column = col("labels").getItem("user")
   private val kLbl: Column = col("labels").getItem("k")

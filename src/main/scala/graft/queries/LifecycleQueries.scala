@@ -14,8 +14,7 @@ object LifecycleQueries {
   import Pinned.{resolver, Te}
 
   private def metrics(spark: SparkSession, sfDir: String): DataFrame =
-    EventsIngest.eventsAsMetrics(spark, sfDir)
-      .withColumn("e", unix_timestamp(col("timestamp")))
+    EventsIngest.cachedMetrics(spark, sfDir)
 
   private def epoch(expr: String): Long = resolver.resolve(expr).getEpochSecond
 

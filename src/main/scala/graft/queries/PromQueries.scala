@@ -41,7 +41,7 @@ object PromQueries {
   import Pinned._
 
   private def metrics(spark: SparkSession, sfDir: String): DataFrame =
-    EventsIngest.eventsAsMetrics(spark, sfDir)
+    EventsIngest.cachedMetrics(spark, sfDir)
 
   private val user = PromOps.labelsOf(col("skey")).getItem("user")
   private val kLbl = PromOps.labelsOf(col("skey")).getItem("k")
