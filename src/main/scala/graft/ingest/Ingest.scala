@@ -155,6 +155,15 @@ object EventsIngest {
       date_trunc("DAY", secTs).as("collected_at"))
   }
 
+  /** Typed ingest boundary (SURVEY §7.1): the fact rows as
+    * Dataset[MetricRecord] — type safety where rows enter the engine;
+    * the query surface stays DataFrame.
+    */
+  def typedRecords(spark: SparkSession, sfDir: String): org.apache.spark.sql.Dataset[graft.model.MetricRecord] = {
+    import spark.implicits._
+    eventsAsMetrics(spark, sfDir).as[graft.model.MetricRecord]
+  }
+
   private val metricsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 

@@ -280,9 +280,12 @@ object AnalyticsQueries {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("metric_name"))
       .orderBy(col("value").asc, col("e").asc)
-    metrics(spark, sfDir)
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("metric_name"))))
+    val m = metrics(spark, sfDir)
+    // per-metric counts are tiny: broadcast them instead of paying a
+    // second full-partition window pass
+    val counts = m.groupBy(col("metric_name")).agg(count(lit(1)).as("n"))
+    m.withColumn("rk", row_number().over(w))
+      .join(broadcast(counts), "metric_name")
       .filter(col("rk") === expr("(n + 1) div 2"))
       .select(col("metric_name").as("metric"), col("n").as("n_samples"),
         col("value").as("median_lo"))

@@ -56,6 +56,14 @@ class IngestSpec extends SparkSpec {
     assert(SampleConversion.fromMatrix(df, "q", now).count() == 5)
   }
 
+  test("typed ingest boundary: Dataset[MetricRecord] round-trips") {
+    val ds = graft.ingest.EventsIngest.typedRecords(spark, "/root/testdata/sf0.001")
+    val r = ds.head()
+    assert(r.labels.contains("user") && r.result_type == "instant")
+    assert(r.collected_at.toInstant.getEpochSecond % 86400 == 0) // day bucket
+    assert(ds.filter(_.metric_name == "view").count() > 0)
+  }
+
   test("T9: collected_at branches (SURVEY 1.4)") {
     val ts = to_timestamp(lit("2024-01-15 13:45:00"))
     def eval(c: org.apache.spark.sql.Column): java.sql.Timestamp =
