@@ -26,4 +26,19 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     packs.collect { case (name, (_, sql)) if sql.nonEmpty => name -> sql }
+
+  /** SQL surface: register the engine's tables as temp views so
+    * `spark.sql(...)` works directly — the fixture tables plus the
+    * ingested `metrics` fact frame (cached). A reference user's read-side
+    * SQL runs against these.
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    graft.ingest.EventsIngest.cachedMetrics(spark, sfDir)
+      .createOrReplaceTempView("metrics")
+    graft.ingest.EventsIngest.readEvents(spark, sfDir)
+      .createOrReplaceTempView("events")
+    for (t <- Seq("documents", "embeddings", "lineitem", "orders",
+        "customer", "supplier", "part", "nation", "region"))
+      spark.read.parquet(s"$sfDir/$t.parquet").createOrReplaceTempView(t)
+  }
 }
