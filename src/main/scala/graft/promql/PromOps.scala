@@ -34,7 +34,13 @@ import org.apache.spark.sql.types.{MapType, StringType}
   */
 object PromOps {
 
-  /** Prometheus default staleness lookback: 5 minutes. */
+  /** Prometheus default staleness lookback: 5 minutes. Deliberate
+    * deviation, stated: Prometheus treats the lookback window as
+    * half-open `(t-5m, t]`; this engine uses the closed `[t-5m, t]` so
+    * every window bound in the engine and its oracles is inclusive
+    * integer-second arithmetic. At second precision the difference is a
+    * sample landing exactly on the boundary instant.
+    */
   val DefaultLookbackSec: Long = 300L
 
   /** Canonical, order-independent series identity for a label map:
