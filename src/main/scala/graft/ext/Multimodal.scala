@@ -41,14 +41,14 @@ object Multimodal {
 
   object FakeDecoder extends Decoder {
     def decode(payload: Array[Byte], mediaType: String): Array[Double] = {
-      // deterministic 4-dim "feature": byte count, first/last byte, mod-sum
+      // deterministic 4-dim "feature": byte count, first/last byte, and the
+      // first byte of the md5 digest — every component is reproducible from
+      // the raw bytes in any engine, which keeps the stub oracle-checkable
       val n = payload.length.toDouble
       val first = if (payload.nonEmpty) (payload(0) & 0xff).toDouble else 0d
       val last = if (payload.nonEmpty) (payload(payload.length - 1) & 0xff).toDouble else 0d
-      var s = 0L
-      var i = 0
-      while (i < payload.length) { s = (s + (payload(i) & 0xff)) % 997; i += 1 }
-      Array(n, first, last, s.toDouble)
+      val digest = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      Array(n, first, last, (digest(0) & 0xff).toDouble)
     }
   }
 

@@ -165,23 +165,41 @@ object EventsIngest {
   }
 
   private val metricsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
 
   /** The ingested metrics frame, cached per (session, dataset) — the
     * buffer-pool analogue: every registered query reads this hot fact
     * frame, so materialize the scan+ingest projection once per session
     * instead of once per query. Storage is MEMORY_AND_DISK, so an
     * executor under pressure spills instead of failing.
+    *
+    * The outer map holds the session itself WEAKLY: identity is exact
+    * (an identity *hash* can be reused after GC and hand a new session a
+    * frame bound to a stopped context) and entries vanish with the
+    * session instead of accumulating. A frame that was unpersisted
+    * externally (e.g. `spark.catalog.clearCache()`) is re-persisted and
+    * re-filled on next access.
     */
-  def cachedMetrics(spark: SparkSession, sfDir: String): DataFrame =
-    metricsCache.computeIfAbsent(
-      (System.identityHashCode(spark).toString, sfDir), _ => {
-      val df = eventsAsMetrics(spark, sfDir)
-        .withColumn("e", unix_timestamp(col("timestamp")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def cachedMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSession = metricsCache.synchronized {
+      var m = metricsCache.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, DataFrame]
+        metricsCache.put(spark, m)
+      }
+      m
+    }
+    val df = perSession.synchronized {
+      perSession.getOrElseUpdate(sfDir,
+        eventsAsMetrics(spark, sfDir)
+          .withColumn("e", unix_timestamp(col("timestamp"))))
+    }
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // fill before concurrent consumers race the cache
-      df
-    })
+    }
+    df
+  }
 
   /** Partitioned-parquet writer for the fact table: partition by
     * `collect_date` (+ query_id) so repair/retention are partition ops

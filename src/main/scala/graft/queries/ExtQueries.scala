@@ -461,13 +461,33 @@ object ExtQueries {
       |FROM documents""".stripMargin
 
   /** Per-partition feature extraction through the stub decoder —
-    * mapPartitions plumbing; not SQL-expressible, rows-only check.
+    * mapPartitions plumbing. The stub's feature components are each
+    * recomputable from the raw bytes in plain SQL, so the fake decode is
+    * fully oracle-checkable; the array is flattened to scalar columns
+    * because the driver's compare can't sort array cells.
     */
   def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.asMedia(
         docs(spark, sfDir).withColumn("text_bin", col("text").cast("binary")),
         "doc_id", "text_bin", "text"))
+      .select(col("media_id"), col("media_type"), col("byte_len"),
+        element_at(col("feature"), 1).as("f0"),
+        element_at(col("feature"), 2).as("f1"),
+        element_at(col("feature"), 3).as("f2"),
+        element_at(col("feature"), 4).as("f3"))
+
+  val multimodalFeaturesOracle: String =
+    """SELECT doc_id AS media_id, 'text' AS media_type,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |       CAST(octet_length(encode(text)) AS DOUBLE) AS f0,
+      |       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+      |            ELSE ('0x' || substr(hex(encode(text)), 1, 2))::INT END AS DOUBLE) AS f1,
+      |       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+      |            ELSE ('0x' || substr(hex(encode(text)),
+      |                                 2 * octet_length(encode(text)) - 1, 2))::INT END AS DOUBLE) AS f2,
+      |       CAST(('0x' || substr(md5(text), 1, 2))::INT AS DOUBLE) AS f3
+      |FROM documents""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "dedup_exact" -> ((dedupExact _, dedupExactOracle)),
@@ -485,5 +505,5 @@ object ExtQueries {
     "approx_distinct_users" -> ((approxDistinct _, "")),
     "emb_neardup" -> ((embNeardup _, embNeardupOracle)),
     "multimodal_meta" -> ((multimodalMeta _, multimodalMetaOracle)),
-    "multimodal_features" -> ((multimodalFeatures _, "")))
+    "multimodal_features" -> ((multimodalFeatures _, multimodalFeaturesOracle)))
 }
