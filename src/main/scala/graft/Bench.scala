@@ -29,8 +29,15 @@ object Bench {
         .map(_.toString)
     }
     warmDir.foreach { wd =>
-      SparkEntry.queries.valuesIterator.foreach { fn =>
-        try fn(spark, wd).count() catch { case _: Throwable => () }
+      SparkEntry.queries.foreach { case (name, fn) =>
+        try fn(spark, wd).count()
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            // a query that fails to warm pays its codegen cost inside the
+            // measured run — log so a skewed number is attributable
+            System.err.println(
+              s"BENCH WARMUP FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+        }
       }
       spark.catalog.clearCache() // drop tiny-sf data; compiled code stays hot
     }
@@ -41,14 +48,25 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
-      catch { case _: Throwable => false }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"BENCH QUERY FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+          false
+      }
       val sec = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) sec else -sec)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // total sums elapsed wall-clock regardless of outcome (math.abs undoes
+    // the failure sign) so a failing run can never look *faster*; failures
+    // are surfaced explicitly and fail the process exit code.
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val total = results.values.map(math.abs).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

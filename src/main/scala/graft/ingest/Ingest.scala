@@ -173,12 +173,14 @@ object EventsIngest {
     * instead of once per query. Storage is MEMORY_AND_DISK, so an
     * executor under pressure spills instead of failing.
     *
-    * The outer map holds the session itself WEAKLY: identity is exact
-    * (an identity *hash* can be reused after GC and hand a new session a
-    * frame bound to a stopped context) and entries vanish with the
-    * session instead of accumulating. A frame that was unpersisted
-    * externally (e.g. `spark.catalog.clearCache()`) is re-persisted and
-    * re-filled on next access.
+    * The outer map keys on the session by exact identity (an identity
+    * *hash* can be reused after GC and hand a new session a frame bound
+    * to a stopped context). Weak keying alone cannot collect an entry
+    * here — the cached DataFrames strongly reference their session, the
+    * classic value→key cycle — so entries are ALSO removed explicitly by
+    * an application-end listener registered at first insert. A frame that
+    * was unpersisted externally (e.g. `spark.catalog.clearCache()`) is
+    * re-persisted and re-filled on next access.
     */
   def cachedMetrics(spark: SparkSession, sfDir: String): DataFrame = {
     val perSession = metricsCache.synchronized {
@@ -186,6 +188,12 @@ object EventsIngest {
       if (m == null) {
         m = scala.collection.mutable.Map.empty[String, DataFrame]
         metricsCache.put(spark, m)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              metricsCache.synchronized { metricsCache.remove(spark) }
+          })
       }
       m
     }

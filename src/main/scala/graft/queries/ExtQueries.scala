@@ -227,7 +227,7 @@ object ExtQueries {
       .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    cands
+    val result = cands
       .join(pairsCommon, Seq("doc_a", "doc_b"), "left")
       .na.fill(0L, Seq("n_common"))
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
@@ -237,6 +237,15 @@ object ExtQueries {
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("n_a") + col("n_b") - col("n_common")))
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+    // the pipeline ends here: materialize the (candidate-sized, tiny)
+    // result and RELEASE the shingle/signature caches — a long-lived
+    // session running many queries must not accumulate per-query blocks
+    // (at 100 TB a leaked shingle cache is executor-memory death)
+    val out = result.persist()
+    out.count()
+    sh.unpersist(false)
+    sigs.unpersist(false)
+    out
   }
 
   val minhashLshOracle: String = {

@@ -19,9 +19,14 @@ object WarehouseQueries {
   private def decSum(c: org.apache.spark.sql.Column) =
     sum(c.cast("decimal(24,6)")).cast("double")
 
-  /** Revenue by nation: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region
-    * with every dimension broadcast — the fact table never shuffles until
-    * the final group-by.
+  /** Revenue by nation: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+    * Join strategy by table role: nation/region are TRUE dimensions
+    * (bounded, tiny) and get a broadcast hint; orders and customer scale
+    * WITH the fact table, so they are left to the planner — at bench SF
+    * AQE converts them to broadcast joins at runtime (they fit under the
+    * threshold), while at 100 TB the same plan degrades gracefully to a
+    * shuffle join on the join key instead of OOMing the driver trying to
+    * broadcast a fact-sized table.
     */
   def revenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
     val li = t(spark, sfDir, "lineitem")
@@ -32,8 +37,8 @@ object WarehouseQueries {
     val nat = t(spark, sfDir, "nation")
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     val reg = t(spark, sfDir, "region").select(col("r_regionkey"), col("r_name"))
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
