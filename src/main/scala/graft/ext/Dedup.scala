@@ -96,18 +96,118 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash fingerprints (16-bit) per document: explode tokens, hash to
-    * 16 bits, per-bit ±1 votes, reassemble the positive-vote bits.
+  /** SimHash near-duplicate pairs within a hamming-distance budget, found
+    * WITHOUT an all-pairs comparison: split the 16-bit fingerprint into
+    * `numBands` disjoint bands — any pair within hamming distance
+    * `numBands - 1` must agree exactly on at least one band (pigeonhole),
+    * so an equi-join on (band, band_value) generates a candidate superset
+    * and the exact `bit_count(xor)` check filters it. The band join is the
+    * shuffle key that replaces the quadratic scan at scale; with 32-bit
+    * fingerprints the 8-bit bands give 256 buckets per band, so candidate
+    * volume stays near-linear in corpus size.
     */
-  def simhash16(docs: DataFrame): DataFrame = {
+  def simhashNeardupPairs(fingerprints: DataFrame, numBands: Int = 4,
+      bits: Int = 16): DataFrame = {
+    val bandBits = bits / numBands
+    val mask = (1 << bandBits) - 1
+    val bandStructs = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask)).as("bv"))
+    }
+    val banded = fingerprints
+      .select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.band").as("band"), col("b.bv").as("bv"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("sim_a"), col("y.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= numBands - 1)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Connected components by iterative min-label propagation — the step
+    * that turns near-dup PAIRS into dedup GROUPS (one canonical doc per
+    * transitive cluster). Each iteration is one distributed join+agg
+    * (every label becomes the min over itself and its neighbors); labels
+    * are monotonically non-increasing, so an unchanged label sum is a
+    * fixpoint and the loop ends after O(max component diameter)
+    * iterations — dedup clusters are shallow, so this is a handful of
+    * passes even at corpus scale. Per-iteration frames are persisted and
+    * the previous one released, so memory stays O(|nodes|).
+    *
+    * `edges` needs columns (doc_a, doc_b); direction is ignored.
+    * Returns (doc_id, component) where component = min doc_id reachable.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    // Eager localCheckpoint per iteration is load-bearing, not a cache:
+    // `comp` appears twice in each step's plan (the label join and the
+    // neighbor aggregation), so without lineage truncation the logical
+    // plan DOUBLES every iteration — exponential planning cost that OOMs
+    // the driver long before the data does. Checkpointing pins the rows
+    // and restarts the plan from them, exactly how GraphX/GraphFrames run
+    // iterative graph algorithms. (On a multi-node cluster prefer
+    // `spark.sparkContext.setCheckpointDir` + `checkpoint()` if executor
+    // loss must be survivable mid-algorithm.)
+    def sumLabels(df: DataFrame): Long =
+      Option(df.agg(sum(col("component"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().localCheckpoint(true)
+    var comp = nodes.select(col("doc_id"),
+      col("doc_id").cast("long").as("component")).localCheckpoint(true)
+    var sumBefore = sumLabels(comp)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val viaNeighbors = sym
+        .join(comp, col("dst") === col("doc_id"))
+        .groupBy(col("src"))
+        .agg(min(col("component")).as("ncomp"))
+      val next = comp.join(viaNeighbors, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("ncomp"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      val sumAfter = sumLabels(next)
+      comp.unpersist(false)
+      comp = next
+      converged = sumAfter == sumBefore
+      sumBefore = sumAfter
+      it += 1
+    }
+    sym.unpersist(false)
+    comp
+  }
+
+  /** SimHash fingerprints per document at an arbitrary bit width:
+    * explode tokens, hash each token to `bits` bits, per-bit ±1 votes,
+    * reassemble the positive-vote bits. One shuffle (the groupBy), all
+    * expressions codegen'd; the vote columns are map-side-combined so the
+    * shuffle carries one row of `bits` ints per (partition, doc).
+    */
+  def simhashBits(docs: DataFrame, bits: Int): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("tok"))
-      .withColumn("h", TextOps.tokenHash16(col("tok")))
+      .withColumn("h", TextOps.tokenHashBits(col("tok"), bits))
     val votes = toks.groupBy(col("doc_id"))
       .agg(TextOps.simhashBitVotes(col("h"), 0).as("v0"),
-        (1 until 16).map(i => TextOps.simhashBitVotes(col("h"), i).as(s"v$i")): _*)
-    val fp = (0 until 16).map(i =>
+        (1 until bits).map(i => TextOps.simhashBitVotes(col("h"), i).as(s"v$i")): _*)
+    val fp = (0 until bits).map(i =>
       when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
     votes.select(col("doc_id"), fp.as("simhash"))
   }
+
+  /** SimHash fingerprints (16-bit) per document: explode tokens, hash to
+    * 16 bits, per-bit ±1 votes, reassemble the positive-vote bits.
+    */
+  def simhash16(docs: DataFrame): DataFrame = simhashBits(docs, 16)
 }

@@ -37,6 +37,15 @@ object TextOps {
   def tokenHash16(token: Column): Column =
     conv(substring(md5(token), 1, 4), 16, 10).cast("int")
 
+  /** token → `bits`-bit integer hash (first bits/4 hex chars of md5,
+    * the only hash both engines spell identically). bits must be a
+    * multiple of 4 and ≤ 60 so the value stays a non-negative long.
+    */
+  def tokenHashBits(token: Column, bits: Int): Column = {
+    require(bits % 4 == 0 && bits <= 60, s"bad simhash width $bits")
+    conv(substring(md5(token), 1, bits / 4), 16, 10).cast("long")
+  }
+
   /** Document-quality metrics (SURVEY-style curation heuristics): all
     * integer-derived, so the downstream ratios are bit-deterministic.
     */

@@ -67,6 +67,38 @@ object ExtQueries {
       |         / sum(len(string_split(lower(text), ' '))) AS chars_per_token
       |FROM documents GROUP BY source""".stripMargin
 
+  /** BPE-ish pre-tokenizer counts: the GPT-style split (letter runs /
+    * digit runs / punctuation runs) that real BPE tokenizers apply before
+    * merges — the standard "how many tokens is this corpus" estimator
+    * when the merge table isn't in-engine. Pure regex, whole-stage
+    * codegen, no UDF.
+    */
+  def tokenBpeStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val bpe = regexp_extract_all(lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]+"), lit(0))
+    docs(spark, sfDir)
+      .select(col("source"), size(bpe).as("n_bpe"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).as("total_bpe_tokens"),
+        max(col("n_bpe")).as("max_bpe_tokens"))
+      .withColumn("avg_bpe_tokens",
+        col("total_bpe_tokens").cast("double") / col("n_docs"))
+  }
+
+  val tokenBpeStatsOracle: String =
+    """SELECT source, count(*) AS n_docs,
+      |       CAST(sum(len(regexp_extract_all(lower(text),
+      |                    '[a-z]+|[0-9]+|[^a-z0-9 ]+'))) AS BIGINT)
+      |         AS total_bpe_tokens,
+      |       CAST(max(len(regexp_extract_all(lower(text),
+      |                    '[a-z]+|[0-9]+|[^a-z0-9 ]+'))) AS INTEGER)
+      |         AS max_bpe_tokens,
+      |       CAST(sum(len(regexp_extract_all(lower(text),
+      |                    '[a-z]+|[0-9]+|[^a-z0-9 ]+'))) AS DOUBLE) / count(*)
+      |         AS avg_bpe_tokens
+      |FROM documents GROUP BY source""".stripMargin
+
   // ---------------------------------------------------------- lang id
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -157,6 +189,127 @@ object ExtQueries {
        |)
        |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes""".stripMargin
   }
+
+  /** The `bits`-wide simhash + banded-candidate CTE shared by the
+    * near-dup and groups oracles. `cand` mirrors the engine's pigeonhole
+    * banding (4 bands, any hamming-≤3 pair agrees on ≥1 band) as an
+    * equi-join, so the oracle is ALSO near-linear instead of the brute
+    * quadratic scan — at sf0.1 that is the difference between ~20M
+    * banded candidates and 1.25B raw pairs.
+    */
+  private def simhashCte(bits: Int): String = {
+    val votes = (0 until bits).map(i =>
+      s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n         ")
+    val fp = (0 until bits).map(i =>
+      s"CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+    val bandBits = bits / 4
+    val mask = (1 << bandBits) - 1
+    s"""WITH toks AS (
+       |  SELECT doc_id, CAST(('0x' || substr(md5(t.tok), 1, ${bits / 4})) AS BIGINT) AS h
+       |  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+       |), votes AS (
+       |  SELECT doc_id,
+       |         $votes
+       |  FROM toks GROUP BY doc_id
+       |), fps AS (
+       |  SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM votes
+       |), banded AS (
+       |  SELECT doc_id, simhash, b.band AS band,
+       |         (simhash >> (b.band * $bandBits)) & $mask AS bv
+       |  FROM fps CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+       |), cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |                  x.simhash AS sa, y.simhash AS sb
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+       |)""".stripMargin
+  }
+
+  /** SimHash near-dup census (hamming ≤ 3 on a 32-bit fingerprint) via
+    * pigeonhole banding, aggregated to pair counts per distance — banding
+    * with b bands is EXACT for hamming ≤ b-1, so this must equal a
+    * brute-force census row for row. 32 bits matter at corpus scale: a
+    * 16-bit fingerprint has ~1% random hamming-≤3 collisions, which
+    * percolates the whole corpus into one blob; 32-bit keeps accidental
+    * pairs ~1e-6. Aggregating keeps the result O(1) at any corpus size.
+    */
+  def simhashNeardup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simhashNeardupPairs(
+        Dedup.simhashBits(docs(spark, sfDir), 32), numBands = 4, bits = 32)
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_a")).as("n_left_docs"))
+
+  val simhashNeardupOracle: String =
+    simhashCte(32) +
+      """
+        |SELECT CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming,
+        |       count(*) AS n_pairs,
+        |       count(DISTINCT doc_a) AS n_left_docs
+        |FROM cand
+        |WHERE bit_count(xor(sa, sb)) <= 3
+        |GROUP BY 1""".stripMargin
+
+  /** Dedup groups: connected components over the union of two edge
+    * families — a STAR edge per exact-fingerprint group (a k-duplicate
+    * cluster yields k-1 edges, not k(k-1)/2 — the difference between
+    * linear and quadratic shuffle at corpus scale), plus the banded
+    * hamming-≤3 near-dup pairs on the 32-bit simhash. CC then merges
+    * clusters that overlap across the two families into one canonical
+    * doc per transitive group. The oracle replays the same edge set
+    * through a recursive CTE (component = min reachable doc_id, the
+    * same fixpoint).
+    */
+  def dedupGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    import org.apache.spark.sql.expressions.Window
+    def starEdges(keyed: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("k"))
+      keyed
+        .withColumn("root", min(col("doc_id")).over(w))
+        .filter(col("doc_id") =!= col("root"))
+        .select(col("root").as("doc_a"), col("doc_id").as("doc_b"))
+    }
+    val exactEdges = starEdges(d.select(col("doc_id"),
+      TextOps.fingerprint(col("text")).as("k")))
+    val simEdges = Dedup.simhashNeardupPairs(
+        Dedup.simhashBits(d, 32), numBands = 4, bits = 32)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = Dedup.connectedComponents(
+      d.select(col("doc_id")), exactEdges.union(simEdges))
+    val out = comp
+      .withColumn("is_dup", (col("doc_id") =!= col("component")).cast("boolean"))
+      .persist()
+    out.count()
+    comp.unpersist(false)
+    out
+  }
+
+  val dedupGroupsOracle: String =
+    simhashCte(32).replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      """
+        |, exact_edges AS (
+        |  SELECT min(doc_id) OVER (PARTITION BY fp) AS doc_a, doc_id AS doc_b
+        |  FROM (SELECT doc_id,
+        |               substr(md5(replace(lower(text), ' ', '')), 1, 16) AS fp
+        |        FROM documents)
+        |  QUALIFY doc_a <> doc_b
+        |), sim_edges AS (
+        |  SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        |), edges AS (
+        |  SELECT doc_a, doc_b FROM exact_edges
+        |  UNION SELECT doc_a, doc_b FROM sim_edges
+        |  UNION SELECT doc_b, doc_a FROM exact_edges
+        |  UNION SELECT doc_b, doc_a FROM sim_edges
+        |), reach AS (
+        |  SELECT doc_id AS doc, doc_id AS root FROM documents
+        |  UNION
+        |  SELECT e.doc_b, r.root FROM reach r JOIN edges e ON e.doc_a = r.doc
+        |)
+        |SELECT doc AS doc_id, CAST(min(root) AS BIGINT) AS component,
+        |       doc <> min(root) AS is_dup
+        |FROM reach GROUP BY doc""".stripMargin
 
   // --------------------------------------------------- n-gram Jaccard
 
@@ -506,6 +659,9 @@ object ExtQueries {
     "doc_fingerprint" -> ((docFingerprint _, docFingerprintOracle)),
     "doc_rolling_hash" -> ((docRollingHash _, docRollingHashOracle)),
     "dedup_simhash" -> ((dedupSimhash _, dedupSimhashOracle)),
+    "simhash_neardup" -> ((simhashNeardup _, simhashNeardupOracle)),
+    "dedup_groups" -> ((dedupGroups _, dedupGroupsOracle)),
+    "token_bpe_stats" -> ((tokenBpeStats _, tokenBpeStatsOracle)),
     "ngram_jaccard" -> ((ngramJaccard _, ngramJaccardOracle)),
     "dedup_minhash_lsh" -> ((minhashLsh _, minhashLshOracle)),
     "ann_brute_topk" -> ((annBrute _, annBruteOracle)),
