@@ -156,6 +156,13 @@ object Dedup {
     // iterative graph algorithms. (On a multi-node cluster prefer
     // `spark.sparkContext.setCheckpointDir` + `checkpoint()` if executor
     // loss must be survivable mid-algorithm.)
+    // Each iteration folds a neighbor-min step AND a pointer-jump step
+    // (label := label(label), path halving) into ONE lazily-checkpointed
+    // frame, so the convergence-sum action both materializes the
+    // checkpoint and measures it — one Spark job per iteration, and the
+    // jump makes the round count logarithmic in component diameter
+    // instead of linear. At corpus scale the per-round data is tiny;
+    // scheduler round-trips, not bytes, are the cost being minimized.
     def sumLabels(df: DataFrame): Long =
       Option(df.agg(sum(col("component"))).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -172,11 +179,18 @@ object Dedup {
         .join(comp, col("dst") === col("doc_id"))
         .groupBy(col("src"))
         .agg(min(col("component")).as("ncomp"))
-      val next = comp.join(viaNeighbors, col("doc_id") === col("src"), "left")
+      val propagated = comp
+        .join(viaNeighbors, col("doc_id") === col("src"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("ncomp"), col("component")))
             .as("component"))
-        .localCheckpoint(true)
+      // labels are always doc_ids, so label(label) resolves via self-join
+      val next = propagated.as("p")
+        .join(propagated.select(col("doc_id").as("jid"),
+          col("component").as("jcomp")).as("q"),
+          col("p.component") === col("q.jid"))
+        .select(col("p.doc_id").as("doc_id"), col("q.jcomp").as("component"))
+        .localCheckpoint(false)
       val sumAfter = sumLabels(next)
       comp.unpersist(false)
       comp = next
