@@ -315,8 +315,123 @@ object AnalyticsQueries {
         |       count(*) AS n
         |FROM m GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------- sessionization & as-of join
+
+  /** Raw-event oracle prelude: epoch seconds exactly as
+    * [[EventsIngest.readEvents]] floors them (nanos div 1e9).
+    */
+  private val rawCte: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS e
+      |  FROM events
+      |)""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity closes a session) — the
+    * canonical event-pipeline operator Spark expresses as ONE shuffle:
+    * partition by user, order by (time, id), flag gaps with `lag`, turn
+    * flags into session ids with a running sum, then aggregate. No
+    * self-join, no range scan; within a partition the work is linear, so
+    * the plan survives any corpus size whose per-user history fits a
+    * partition (salt by (user, day) first if a single user exceeds that).
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = EventsIngest.readEvents(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts").cast("long").as("e"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("e"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("is_new",
+        when(col("e") - lag(col("e"), 1).over(ord) <= 1800, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("session_id", sum(col("is_new")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("e")).as("session_start_e"),
+        count(lit(1)).as("n_events"),
+        (max(col("e")) - min(col("e"))).as("duration_sec"),
+        countDistinct(col("event_type")).as("n_types"))
+  }
+
+  val sessionizeOracle: String =
+    rawCte +
+      """
+        |, g AS (
+        |  SELECT user_id, e, event_id, event_type,
+        |         CASE WHEN e - lag(e) OVER (PARTITION BY user_id
+        |                                    ORDER BY e, event_id) <= 1800
+        |              THEN 0 ELSE 1 END AS is_new
+        |  FROM ev
+        |), s AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY e, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+        |       min(e) AS session_start_e, count(*) AS n_events,
+        |       CAST(max(e) - min(e) AS BIGINT) AS duration_sec,
+        |       count(DISTINCT event_type) AS n_types
+        |FROM s GROUP BY user_id, sid""".stripMargin
+
+  /** As-of join, scalable shape: for every purchase, the most recent
+    * error (closed interval, same second counts) by the same user. Rather
+    * than a per-row backward range scan, union both sides into one
+    * stream, order by (time, right-side-first, id) within the user
+    * partition, and carry the right side forward with `last(_, ignore
+    * nulls)` — the PromQL staleness lookup (P1) and every
+    * market-data-style as-of reduce to this same one-shuffle pattern.
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = EventsIngest.readEvents(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts").cast("long").as("e"))
+      .filter(col("event_type").isin("purchase", "error"))
+    val tagged = ev
+      .withColumn("is_err", (col("event_type") === "error").cast("int"))
+      .withColumn("err_value", when(col("is_err") === 1, col("value")))
+      .withColumn("err_e", when(col("is_err") === 1, col("e")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("e"), col("is_err").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_err_value",
+        last(col("err_value"), ignoreNulls = true).over(w))
+      .withColumn("last_err_e",
+        last(col("err_e"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("e"), col("value"),
+        col("last_err_value"),
+        (col("e") - col("last_err_e")).as("err_age_sec"))
+  }
+
+  val asofJoinOracle: String =
+    rawCte +
+      """
+        |, t AS (
+        |  SELECT event_id, user_id, e, value, event_type,
+        |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+        |         CASE WHEN event_type = 'error' THEN value END AS err_value,
+        |         CASE WHEN event_type = 'error' THEN e END AS err_e
+        |  FROM ev WHERE event_type IN ('purchase', 'error')
+        |), f AS (
+        |  SELECT *,
+        |         last_value(err_value IGNORE NULLS) OVER w AS last_err_value,
+        |         last_value(err_e IGNORE NULLS) OVER w AS last_err_e
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY e, is_err DESC, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id, user_id, e, value, last_err_value,
+        |       CAST(e - last_err_e AS BIGINT) AS err_age_sec
+        |FROM f WHERE event_type = 'purchase'""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "metric_median" -> ((metricMedian _, metricMedianOracle)),
+    "sessionize" -> ((sessionize _, sessionizeOracle)),
+    "asof_join" -> ((asofJoin _, asofJoinOracle)),
     "value_histogram" -> ((valueHistogram _, valueHistogramOracle)),
     "gpu_daily_report" -> (((s: SparkSession, d: String) => gpuDailyReport(s, d), gpuDailyReportOracle)),
     "hourly_avg" -> ((hourlyAvg _, hourlyAvgOracle)),
