@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.queries.{AnalyticsQueries, WarehouseQueries}
+
+/** Physical-plan audits: the scale properties the query implementations
+  * claim (broadcast dims, single-shuffle window pipelines, top-k without
+  * a full sort, parquet filter pushdown) asserted against the plans Spark
+  * actually runs, so a refactor that silently regresses a plan shape
+  * fails here rather than at 100 TB.
+  */
+class PlanShapeSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) physical plan string — the "Initial Plan" section
+    * is cut off so assertions see only what actually ran.
+    */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // AQE finalizes the plan only on execution
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  private def shuffles(plan: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(plan).length
+
+  test("revenue_by_nation broadcasts its dimension tables, no cartesian") {
+    val plan = finalPlan(WarehouseQueries.revenueByNation(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("latest_topk plans TakeOrderedAndProject, not a global sort") {
+    val plan = finalPlan(SparkEntry.queries("latest_topk")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("pricing_summary pushes its date filter into the parquet scan") {
+    val plan = finalPlan(WarehouseQueries.pricingSummary(spark, sf))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan.take(800))
+    assert(plan.contains("*(1)"), "whole-stage codegen missing: " + plan.take(800))
+  }
+
+  test("sessionize is a single-shuffle pipeline") {
+    // window partitionBy(user_id) then groupBy(user_id, session_id): the
+    // aggregation's ClusteredDistribution is satisfied by the window's
+    // hash partitioning (subset of the grouping keys), so Catalyst must
+    // not insert a second exchange
+    val plan = finalPlan(AnalyticsQueries.sessionize(spark, sf))
+    assert(shuffles(plan) == 1, plan.take(1200))
+  }
+
+  test("asof_join is a single-shuffle pipeline") {
+    val plan = finalPlan(AnalyticsQueries.asofJoin(spark, sf))
+    assert(shuffles(plan) == 1, plan.take(1200))
+  }
+}
