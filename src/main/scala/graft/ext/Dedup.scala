@@ -21,24 +21,34 @@ object Dedup {
       .groupBy(TextOps.fingerprint(col("text")).as("fp"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc"))
 
-  /** Distinct n-gram shingles per document, with a bucket column to bound
-    * downstream pair joins.
+  /** Distinct n-gram shingles per document, hashed to a 60-bit integer
+    * (first 15 md5 hex chars) BEFORE the distinct — every downstream
+    * shuffle, distinct, and join then carries an 8-byte long instead of a
+    * ~40-byte shingle string. At corpus scale the shingle frame is the
+    * biggest intermediate in the whole dedup pipeline, so narrowing it is
+    * worth the (codegen'd, per-occurrence) md5. Set semantics are over
+    * hashes: a 60-bit collision inside one document merges two shingles,
+    * with probability ~n_sh²/2⁶¹ per doc — negligible, and the oracle
+    * hashes identically so the comparison stays exact.
     */
   def shingleSets(docs: DataFrame, n: Int, bucket: Column): DataFrame =
     docs
       .select(col("doc_id"), bucket.as("bucket"),
         explode(TextOps.shingles("toks", n)).as("sh"))
+      .select(col("doc_id"), col("bucket"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
       .distinct()
 
   /** Exact pairwise Jaccard within buckets: |A∩B| via a self-join on the
-    * shingle, sizes via per-doc counts, one double division at the end.
-    * The bucket key keeps the join quadratic only within small groups.
+    * shingle hash, sizes via per-doc counts, one double division at the
+    * end. The bucket key keeps the join quadratic only within small
+    * groups.
     */
   def jaccardPairs(shingles: DataFrame, minJaccard: Double): DataFrame = {
     val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = shingles.select(col("bucket"), col("doc_id").as("doc_a"), col("sh"))
-    val b = shingles.select(col("bucket"), col("doc_id").as("doc_b"), col("sh"))
-    val common = a.join(b, Seq("bucket", "sh"))
+    val a = shingles.select(col("bucket"), col("doc_id").as("doc_a"), col("h"))
+    val b = shingles.select(col("bucket"), col("doc_id").as("doc_b"), col("h"))
+    val common = a.join(b, Seq("bucket", "h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
@@ -55,21 +65,31 @@ object Dedup {
         col("n_b"), col("jaccard"))
   }
 
-  /** MinHash signature matrix: `numSigs` min-hashes per doc. Each seeded
-    * md5 yields TWO independent 64-bit signatures (its two halves), and
-    * the md5s are projected *before* the aggregation — numSigs/2 hash
-    * evaluations per shingle instead of numSigs, with no repeated md5
-    * inside the agg expressions.
+  /** Mersenne-prime modulus and the fixed affine-permutation constants
+    * for MinHash: sig_i = min over shingle hashes h of (a_i·(h mod p) +
+    * b_i) mod p. Integer-only, so the DuckDB oracle reproduces every
+    * signature bit-for-bit; constants are generated (not magic) and
+    * bounded below p so a·x + b stays < 2⁶² — no 64-bit overflow in
+    * either engine (Spark ANSI mode would throw, DuckDB would error).
+    */
+  val MinhashP: Long = 2147483647L // 2^31 - 1
+  def minhashCoeffs(numSigs: Int): Seq[(Long, Long)] =
+    (1 to numSigs).map { i =>
+      ((1103515245L * i + 12345L) % (MinhashP - 1) + 1L,
+        (69069L * i + 1013904223L) % MinhashP)
+    }
+
+  /** MinHash signature matrix: `numSigs` min-hashes per doc, as affine
+    * permutations of the (already md5-derived) shingle hash — zero
+    * additional hashing per shingle row; the mins are map-side-combined
+    * inside one aggregation.
     */
   def minhashSignatures(shingles: DataFrame, numSigs: Int): DataFrame = {
-    require(numSigs % 2 == 0, "numSigs must be even (two sigs per md5)")
-    val withHashes = (0 until numSigs / 2).foldLeft(shingles) { (df, s) =>
-      df.withColumn(s"m$s", md5(concat(lit(s.toString), lit("|"), col("sh"))))
-    }
-    val sigAggs = (0 until numSigs).map { i =>
-      min(substring(col(s"m${i / 2}"), 1 + 16 * (i % 2), 16)).as(s"sig$i")
+    val hmod = col("h") % MinhashP
+    val sigAggs = minhashCoeffs(numSigs).zipWithIndex.map { case ((a, b), i) =>
+      min((hmod * a + b) % MinhashP).as(s"sig$i")
     } :+ count(lit(1)).as("n_sh") // set size rides along: no separate pass
-    withHashes
+    shingles
       .groupBy(col("doc_id"), col("bucket"))
       .agg(sigAggs.head, sigAggs.tail: _*)
   }

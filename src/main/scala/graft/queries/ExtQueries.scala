@@ -319,14 +319,21 @@ object ExtQueries {
       docs(spark, sfDir).withColumn("toks", TextOps.tokens(col("text"))),
       n = 3, bucket)
 
-  /** Distinct-3-shingle set CTE with a bucket column. */
+  /** Distinct-3-shingle set CTE with a bucket column; shingles are
+    * hashed to the same 60-bit integer as [[Dedup.shingleSets]] (first
+    * 15 md5 hex chars) before the DISTINCT.
+    */
   private def shingleCte(bucketSql: String): String =
     s"""WITH sh AS (
-       |  SELECT DISTINCT doc_id, $bucketSql AS bucket,
-       |         array_to_string(list_slice(string_split(lower(text), ' '),
-       |                                    i.i + 1, i.i + 3), ' ') AS sh
-       |  FROM documents,
-       |       unnest(generate_series(0, len(string_split(lower(text), ' ')) - 3)) AS i(i)
+       |  SELECT DISTINCT doc_id, bucket,
+       |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+       |  FROM (
+       |    SELECT doc_id, $bucketSql AS bucket,
+       |           array_to_string(list_slice(string_split(lower(text), ' '),
+       |                                      i.i + 1, i.i + 3), ' ') AS shingle
+       |    FROM documents,
+       |         unnest(generate_series(0, len(string_split(lower(text), ' ')) - 3)) AS i(i)
+       |  )
        |), sizes AS (
        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
        |)""".stripMargin
@@ -342,7 +349,7 @@ object ExtQueries {
         |, common AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
         |  FROM sh a JOIN sh b
-        |    ON a.bucket = b.bucket AND a.sh = b.sh AND a.doc_id < b.doc_id
+        |    ON a.bucket = b.bucket AND a.h = b.h AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |)
         |SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
@@ -376,8 +383,8 @@ object ExtQueries {
     // candidates FIRST, then intersect shingle sets — never a global
     // shingle self-join (a frequent shingle would make that quadratic)
     val pairsCommon = cands
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     val result = cands
@@ -402,11 +409,15 @@ object ExtQueries {
   }
 
   val minhashLshOracle: String = {
-    val sigExprs = (0 until NumSigs).map(i =>
-      s"min(substr(md5('${i / 2}' || '|' || sh), ${1 + 16 * (i % 2)}, 16)) AS sig$i")
-      .mkString(",\n         ")
+    // the affine coefficients come from the SAME generator the engine
+    // uses (Dedup.minhashCoeffs) — one source of truth for both sides
+    val p = Dedup.MinhashP
+    val sigExprs = Dedup.minhashCoeffs(NumSigs).zipWithIndex.map {
+      case ((a, b), i) => s"min(((h % $p) * $a + $b) % $p) AS sig$i"
+    }.mkString(",\n         ")
     val bandExprs = (0 until NumSigs / RowsPerBand).map { b =>
-      val parts = (0 until RowsPerBand).map(r => s"sig${b * RowsPerBand + r}")
+      val parts = (0 until RowsPerBand)
+        .map(r => s"CAST(sig${b * RowsPerBand + r} AS VARCHAR)")
         .mkString(" || ',' || ")
       s"SELECT doc_id, bucket, $b AS band, md5($parts) AS bh FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
@@ -424,10 +435,10 @@ object ExtQueries {
          |    ON x.bucket = y.bucket AND x.band = y.band AND x.bh = y.bh
          |   AND x.doc_id < y.doc_id
          |), common AS (
-         |  SELECT c.doc_a, c.doc_b, count(b.sh) AS n_common
+         |  SELECT c.doc_a, c.doc_b, count(b.h) AS n_common
          |  FROM cands c
          |  LEFT JOIN sh a ON a.doc_id = c.doc_a
-         |  LEFT JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+         |  LEFT JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
          |  GROUP BY 1, 2
          |)
          |SELECT doc_a, doc_b, n_common,
