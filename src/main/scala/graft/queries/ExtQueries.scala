@@ -592,6 +592,51 @@ object ExtQueries {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
 
+  private val KmvK = 8
+
+  /** KMV (k-minimum-values) distinct sketch — the approximate-distinct
+    * whose estimate IS cross-engine reproducible, unlike HLL register
+    * layouts: hash each user to 60 bits, keep the k-th smallest distinct
+    * hash per group, estimate (k-1) · 2⁶⁰ / h_k. Everything up to the
+    * single final IEEE division is integer, so the DuckDB oracle matches
+    * bit-for-bit; at scale the sort is per-group top-k over already
+    * map-side-distinct hashes, never a global sort. Groups with fewer
+    * than k distinct users drop out (both sides).
+    */
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val d = graft.ingest.EventsIngest.readEvents(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type").as("metric"), h.as("h"))
+      .distinct()
+    d.withColumn("rn",
+        row_number().over(Window.partitionBy(col("metric")).orderBy(col("h"))))
+      .withColumn("n_seen", count(lit(1)).over(Window.partitionBy(col("metric"))))
+      .filter(col("rn") === KmvK)
+      .select(col("metric"), col("h").as("kth_hash"),
+        col("n_seen").as("exact_users"),
+        (lit((KmvK - 1).toDouble * math.pow(2, 60)) / col("h").cast("double"))
+          .as("est_users"))
+  }
+
+  val kmvDistinctOracle: String =
+    s"""WITH d AS (
+       |  SELECT DISTINCT event_type AS metric,
+       |         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM events WHERE user_id IS NOT NULL
+       |), r AS (
+       |  SELECT metric, h,
+       |         row_number() OVER (PARTITION BY metric ORDER BY h) AS rn,
+       |         count(*) OVER (PARTITION BY metric) AS n_seen
+       |  FROM d
+       |)
+       |SELECT metric, h AS kth_hash, CAST(n_seen AS BIGINT) AS exact_users,
+       |       CAST(${KmvK - 1} * 1152921504606846976 AS DOUBLE) / CAST(h AS DOUBLE)
+       |         AS est_users
+       |FROM r WHERE rn = $KmvK""".stripMargin
+
   // ------------------------------------------------ embedding near-dup
 
   /** Embedding-cosine near-duplicate pairs within a cell. */
@@ -679,6 +724,7 @@ object ExtQueries {
     "ann_ivf_topk" -> ((annIvf _, annIvfOracle)),
     "ann_lsh_topk" -> ((annLsh _, annLshOracle)),
     "approx_distinct_users" -> ((approxDistinct _, "")),
+    "kmv_distinct_users" -> ((kmvDistinct _, kmvDistinctOracle)),
     "emb_neardup" -> ((embNeardup _, embNeardupOracle)),
     "multimodal_meta" -> ((multimodalMeta _, multimodalMetaOracle)),
     "multimodal_features" -> ((multimodalFeatures _, multimodalFeaturesOracle)))
