@@ -99,6 +99,53 @@ object ExtQueries {
       |         AS avg_bpe_tokens
       |FROM documents GROUP BY source""".stripMargin
 
+  /** Distinctive terms per source — TF-ICF shape: term frequency within
+    * the source scaled by inverse corpus document frequency, ranked as
+    * integer parts-per-million so the ranking is bit-deterministic
+    * (a float idf log would tie-break differently across engines). Two
+    * aggregations and one join on the term key; the per-source top-k is
+    * a window over small groups, never a global sort.
+    */
+  def distinctiveTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_ppm").desc, col("term"))
+    tf.join(df, "term")
+      .withColumn("score_ppm", expr("tf * 1000000 div df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("source"), col("term"), col("tf"), col("df"),
+        col("score_ppm"), col("rn").cast("long").as("rank"))
+  }
+
+  val distinctiveTermsOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, t.term AS term
+      |  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+      |), tf AS (
+      |  SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2
+      |), df AS (
+      |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+      |), scored AS (
+      |  SELECT source, term, tf, df,
+      |         CAST(tf * 1000000 // df AS BIGINT) AS score_ppm
+      |  FROM tf JOIN df USING (term)
+      |), ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source
+      |              ORDER BY score_ppm DESC, term) AS rn
+      |  FROM scored
+      |)
+      |SELECT source, term, tf, CAST(df AS BIGINT) AS df, score_ppm,
+      |       CAST(rn AS BIGINT) AS rank
+      |FROM ranked WHERE rn <= 5""".stripMargin
+
   // ---------------------------------------------------------- lang id
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -718,6 +765,7 @@ object ExtQueries {
     "simhash_neardup" -> ((simhashNeardup _, simhashNeardupOracle)),
     "dedup_groups" -> ((dedupGroups _, dedupGroupsOracle)),
     "token_bpe_stats" -> ((tokenBpeStats _, tokenBpeStatsOracle)),
+    "distinctive_terms" -> ((distinctiveTerms _, distinctiveTermsOracle)),
     "ngram_jaccard" -> ((ngramJaccard _, ngramJaccardOracle)),
     "dedup_minhash_lsh" -> ((minhashLsh _, minhashLshOracle)),
     "ann_brute_topk" -> ((annBrute _, annBruteOracle)),
