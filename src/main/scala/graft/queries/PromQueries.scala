@@ -211,6 +211,57 @@ object PromQueries {
         |       min(v) AS vmin, max(v) AS vmax
         |FROM s GROUP BY u""".stripMargin
 
+  /** `rate()`/`increase()` over a 24h range selector, counter-reset
+    * aware: per series, each consecutive delta contributes `v - prev` if
+    * the counter rose and `v` if it reset (restarted near zero), summed
+    * and divided by the observed span. Extends the P5 family with the
+    * most-used PromQL function beyond the reference's shipped surface
+    * (a stated addition, not reference behavior; Prometheus's window
+    * extrapolation is intentionally omitted — observed-span semantics
+    * are exactly reproducible cross-engine). Deltas are computed and
+    * summed in DECIMAL(20,6), so aggregation order cannot shift the
+    * result; the only float op is the final division.
+    */
+  def pqRate(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rs = PromOps.rangeSelector(metrics(spark, sfDir), "purchase", Te, 86400)
+      .select(user.as("user"), col("e"),
+        col("value").cast("decimal(20,6)").as("vd"))
+    val w = Window.partitionBy(col("user")).orderBy(col("e"), col("vd"))
+    rs.withColumn("prev", lag(col("vd"), 1).over(w))
+      .withColumn("delta",
+        when(col("prev").isNull, lit(null))
+          .when(col("vd") >= col("prev"), col("vd") - col("prev"))
+          .otherwise(col("vd")))
+      .groupBy(col("user"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("delta")).as("incd"),
+        (max(col("e")) - min(col("e"))).as("span_sec"))
+      .filter(col("span_sec") > 0)
+      .select(col("user"), col("n_samples"),
+        col("incd").cast("double").as("increase"),
+        (col("incd").cast("double") / col("span_sec")).as("rate_per_sec"))
+  }
+
+  val pqRateOracle: String =
+    sampleCte("purchase", Te - 86400 + 1, Te) +
+      """
+        |, o AS (
+        |  SELECT u, e, CAST(v AS DECIMAL(20,6)) AS vd,
+        |         lag(CAST(v AS DECIMAL(20,6))) OVER (PARTITION BY u
+        |             ORDER BY e, CAST(v AS DECIMAL(20,6))) AS prev
+        |  FROM s
+        |), d AS (
+        |  SELECT u, e, CASE WHEN prev IS NULL THEN NULL
+        |                    WHEN vd >= prev THEN vd - prev
+        |                    ELSE vd END AS delta
+        |  FROM o
+        |)
+        |SELECT u AS user, count(*) AS n_samples,
+        |       CAST(sum(delta) AS DOUBLE) AS increase,
+        |       CAST(sum(delta) AS DOUBLE) / (max(e) - min(e)) AS rate_per_sec
+        |FROM d GROUP BY u HAVING max(e) - min(e) > 0""".stripMargin
+
   // ------------------------------------------------------ P3 agg without
 
   /** P3: `max without(k, cluster_name)` over an instant vector. */
@@ -341,6 +392,7 @@ object PromQueries {
     "pq_instant_vector" -> ((instantVector _, instantVectorOracle)),
     "pq_range_matrix" -> ((rangeMatrix _, rangeMatrixOracle)),
     "pq_over_time" -> ((overTime _, overTimeOracle)),
+    "pq_rate" -> ((pqRate _, pqRateOracle)),
     "pq_agg_without" -> ((aggWithout _, aggWithoutOracle)),
     "pq_agg_by" -> ((aggBy _, aggByOracle)),
     "pq_avg_by" -> ((avgBy _, avgByOracle)),
