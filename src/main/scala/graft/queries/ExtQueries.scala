@@ -708,6 +708,38 @@ object ExtQueries {
        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE ${cosSql("a.qv", "b.qv")} >= 0.35""".stripMargin
 
+  // ------------------------------------------------- DSv2 range source
+
+  /** One day of the DataSource-V2 Prometheus range source (24 hourly
+    * slices × 5 series at 60s step), aggregated per series. The source's
+    * sample payload is a pure function of (metric, series, time), so the
+    * oracle REGENERATES the identical grid with `generate_series` and
+    * the whole pipeline — partition planning, executor-side reads,
+    * aggregation — is hash-checked end to end like any table-backed
+    * query.
+    */
+  def promRangeScan(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.format(classOf[graft.sources.PromRangeSource].getName)
+      .option("metric", "up").option("start", 0).option("end", 86399)
+      .option("step", 60).option("series", 5).option("slice", 3600)
+      .load()
+      .groupBy(col("series_id"))
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(col("value").cast("decimal(20,6)")).cast("double").as("vsum"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+
+  val promRangeScanOracle: String =
+    """WITH g AS (
+      |  SELECT s.s AS series_id, e.e AS e,
+      |         CAST((s.s * 2654435761 + e.e * 40503 + 2) % 100000 AS BIGINT)
+      |           / 100.0 AS value
+      |  FROM generate_series(0, 4) s(s), generate_series(0, 86340, 60) e(e)
+      |)
+      |SELECT series_id, count(*) AS n_ticks,
+      |       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS vsum,
+      |       min(value) AS vmin, max(value) AS vmax
+      |FROM g GROUP BY series_id""".stripMargin
+
   // ------------------------------------------------------- multimodal
 
   /** Binary-column metadata extraction (media model): byte length +
@@ -773,6 +805,7 @@ object ExtQueries {
     "ann_lsh_topk" -> ((annLsh _, annLshOracle)),
     "approx_distinct_users" -> ((approxDistinct _, "")),
     "kmv_distinct_users" -> ((kmvDistinct _, kmvDistinctOracle)),
+    "prom_range_scan" -> ((promRangeScan _, promRangeScanOracle)),
     "emb_neardup" -> ((embNeardup _, embNeardupOracle)),
     "multimodal_meta" -> ((multimodalMeta _, multimodalMetaOracle)),
     "multimodal_features" -> ((multimodalFeatures _, multimodalFeaturesOracle)))
