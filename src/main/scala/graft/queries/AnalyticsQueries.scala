@@ -301,6 +301,69 @@ object AnalyticsQueries {
         |  FROM m
         |) WHERE rk = (n + 1) // 2""".stripMargin
 
+  /** Hierarchical totals in one pass: ROLLUP over (metric, cluster) gives
+    * per-cluster rows, per-metric subtotals, and the grand total without
+    * three scans; `gid` encodes the grouping level the way both engines
+    * spell it (GROUPING bits, high bit = metric).
+    */
+  def rollupReport(spark: SparkSession, sfDir: String): DataFrame =
+    metrics(spark, sfDir)
+      .select(col("metric_name").as("metric"), cluster.as("cl"), col("value"))
+      .rollup(col("metric"), col("cl"))
+      .agg(count(lit(1)).as("n"),
+        decSum(col("value")).cast("double").as("vsum"),
+        (grouping(col("metric")).cast("long") * 2 +
+          grouping(col("cl")).cast("long")).as("gid"))
+
+  val rollupReportOracle: String =
+    baseCte +
+      """
+        |SELECT metric, cl, count(*) AS n,
+        |       CAST(sum(CAST(v AS DECIMAL(20,6))) AS DOUBLE) AS vsum,
+        |       CAST(GROUPING(metric) * 2 + GROUPING(cl) AS BIGINT) AS gid
+        |FROM m GROUP BY ROLLUP (metric, cl)""".stripMargin
+
+  /** Exact p50/p95/p99 per metric by rank — the tail-latency staple,
+    * computed like [[metricMedian]]: one window pass for ranks, broadcast
+    * counts, conditional max per target rank (rank_q = ceil(n·q/100),
+    * integer math). Coinciding ranks at small n fill multiple columns
+    * with the same value on both engines.
+    */
+  def metricQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("metric_name"))
+      .orderBy(col("value").asc, col("e").asc)
+    val m = metrics(spark, sfDir)
+    val counts = m.groupBy(col("metric_name")).agg(count(lit(1)).as("n"))
+    m.withColumn("rk", row_number().over(w))
+      .join(broadcast(counts), "metric_name")
+      .groupBy(col("metric_name").as("metric"))
+      .agg(max(col("n")).as("n_samples"),
+        max(when(col("rk") === expr("(n * 50 + 99) div 100"), col("value")))
+          .as("p50"),
+        max(when(col("rk") === expr("(n * 95 + 99) div 100"), col("value")))
+          .as("p95"),
+        max(when(col("rk") === expr("(n * 99 + 99) div 100"), col("value")))
+          .as("p99"))
+  }
+
+  val metricQuantilesOracle: String =
+    baseCte +
+      """
+        |SELECT metric, max(n) AS n_samples,
+        |       max(CASE WHEN rk = (n * 50 + 99) // 100 THEN v END) AS p50,
+        |       max(CASE WHEN rk = (n * 95 + 99) // 100 THEN v END) AS p95,
+        |       max(CASE WHEN rk = (n * 99 + 99) // 100 THEN v END) AS p99
+        |FROM (
+        |  SELECT metric, v, rk, count(*) OVER (PARTITION BY metric) AS n
+        |  FROM (
+        |    SELECT metric, v, e,
+        |           row_number() OVER (PARTITION BY metric
+        |                              ORDER BY v ASC, e ASC) AS rk
+        |    FROM m
+        |  )
+        |) GROUP BY metric""".stripMargin
+
   /** Fixed-width value histogram per metric — integer binning, portable. */
   def valueHistogram(spark: SparkSession, sfDir: String): DataFrame =
     metrics(spark, sfDir)
@@ -431,6 +494,8 @@ object AnalyticsQueries {
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "metric_median" -> ((metricMedian _, metricMedianOracle)),
     "sessionize" -> ((sessionize _, sessionizeOracle)),
+    "rollup_report" -> ((rollupReport _, rollupReportOracle)),
+    "metric_quantiles" -> ((metricQuantiles _, metricQuantilesOracle)),
     "asof_join" -> ((asofJoin _, asofJoinOracle)),
     "value_histogram" -> ((valueHistogram _, valueHistogramOracle)),
     "gpu_daily_report" -> (((s: SparkSession, d: String) => gpuDailyReport(s, d), gpuDailyReportOracle)),
