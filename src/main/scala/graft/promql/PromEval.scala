@@ -32,6 +32,9 @@ object PromEval {
     case OverTime(fn, sel, w) =>
       val rs = PromOps.rangeSelector(matcherFilter(metrics, sel), sel.name, atEpochSec, w)
       rs.groupBy(col("skey")).agg(overTimeAgg(fn, col("e")).as("value"))
+    case Rate(kind, sel, w) =>
+      PromOps.rateOverRange(matcherFilter(metrics, sel), sel.name,
+        atEpochSec, w, kind)
     case OverTimeSubquery(fn, inner, w, step) =>
       val g0 = ((atEpochSec - w) / step + 1) * step // first aligned point > t-w
       val g1 = (atEpochSec / step) * step

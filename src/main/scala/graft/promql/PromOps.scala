@@ -134,6 +134,35 @@ object PromOps {
       .filter(col("e") > atEpochSec - windowSec && col("e") <= atEpochSec)
       .withColumn("skey", seriesKey(col("labels")))
 
+  /** `rate()` / `increase()` over a range selector, counter-reset aware:
+    * per series, each consecutive delta contributes `v - prev` while the
+    * counter rises and `v` on a reset, summed in DECIMAL(20,6) (order-
+    * independent) and — for rate — divided by the observed span. Series
+    * with fewer than two distinct timestamps drop out, as in Prometheus.
+    * One window pass plus one aggregation, both on the series key the
+    * data is already shuffled by.
+    */
+  def rateOverRange(metrics: DataFrame, metricName: String, atEpochSec: Long,
+      windowSec: Long, kind: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rs = rangeSelector(metrics, metricName, atEpochSec, windowSec)
+      .select(col("skey"), col("e"), col("value").cast("decimal(20,6)").as("vd"))
+    val w = Window.partitionBy(col("skey")).orderBy(col("e"), col("vd"))
+    val agg = rs.withColumn("prev", lag(col("vd"), 1).over(w))
+      .withColumn("delta",
+        when(col("prev").isNull, lit(null))
+          .when(col("vd") >= col("prev"), col("vd") - col("prev"))
+          .otherwise(col("vd")))
+      .groupBy(col("skey"))
+      .agg(sum(col("delta")).as("incd"),
+        (max(col("e")) - min(col("e"))).as("span"))
+      .filter(col("span") > 0)
+    val value =
+      if (kind == "increase") col("incd").cast("double")
+      else col("incd").cast("double") / col("span")
+    agg.select(col("skey"), value.as("value"))
+  }
+
   /** P2: comparison with the `bool` modifier — returns 1.0/0.0 instead of
     * filtering (reference flagship: `!= bool 999999`, migrate.sql:105).
     */

@@ -24,6 +24,10 @@ object PromParser {
       by: Seq[String] = Nil, without: Seq[String] = Nil) extends Expr
   /** fn_over_time over a plain range selector `sel[window]` */
   final case class OverTime(fn: String, sel: Selector, windowSec: Long) extends Expr
+  /** `rate(sel[w])` / `increase(sel[w])` — counter-reset-aware, observed-span
+    * semantics (a stated addition beyond the reference's shipped surface).
+    */
+  final case class Rate(kind: String, sel: Selector, windowSec: Long) extends Expr
   /** fn_over_time over a subquery `expr[window:step]` */
   final case class OverTimeSubquery(fn: String, inner: Expr,
       windowSec: Long, stepSec: Long) extends Expr
@@ -33,6 +37,7 @@ object PromParser {
   private val overTimeFns =
     Set("sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
       "count_over_time", "last_over_time")
+  private val rateFns = Set("rate", "increase")
 
   // ------------------------------------------------------------- tokenizer
   sealed private[promql] trait Tok
@@ -127,10 +132,25 @@ object PromParser {
     private def parsePrimary(): Expr = pop() match {
       case TId(fn) if aggFns(fn) => parseAgg(fn)
       case TId(fn) if overTimeFns(fn) => parseOverTime(fn)
+      case TId(fn) if rateFns(fn) => parseRate(fn)
       case TId(name) => withRangeSuffix(parseSelectorTail(name))
       case TSym("(") =>
         val e = parseArith(); expectSym(")"); e
       case other => fail(s"unexpected token $other")
+    }
+
+    /** rate( selector[w] ) / increase( selector[w] ) — range selector
+      * only; subquery rates are outside the supported surface.
+      */
+    private def parseRate(fn: String): Expr = {
+      expectSym("(")
+      val inner = parseArith()
+      val e = inner match {
+        case RangePlaceholder(sel, w) => Rate(fn, sel, w)
+        case _ => fail(s"$fn requires a plain range selector: $fn(x[w])")
+      }
+      expectSym(")")
+      e
     }
 
     /** agg [by|without (l,..)] (expr) [by|without (l,..)] */

@@ -381,8 +381,40 @@ object PromQueries {
       "\nSELECT u AS user, k, (max(struct_pack(e := e, v := v))).v AS value " +
       "FROM s GROUP BY u, k"
 
+  /** Parsed `rate(purchase{cluster_name="c2-r2-z0"}[24h])` — the text
+    * front-end driving [[PromOps.rateOverRange]], with a label matcher
+    * pushed into the scan. The cluster label is a pure function of the
+    * user label in the fixture, so grouping by (user, k) matches the
+    * per-series result.
+    */
+  def parsedRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "rate(purchase{cluster_name=\"c2-r2-z0\"}[24h])")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedRateOracle: String =
+    sampleCte("purchase", Te - 86400 + 1, Te) +
+      """
+        |, o AS (
+        |  SELECT u, k, e, CAST(v AS DECIMAL(20,6)) AS vd,
+        |         lag(CAST(v AS DECIMAL(20,6))) OVER (PARTITION BY u, k
+        |             ORDER BY e, CAST(v AS DECIMAL(20,6))) AS prev
+        |  FROM s WHERE cl = 'c2-r2-z0'
+        |), d AS (
+        |  SELECT u, k, e, CASE WHEN prev IS NULL THEN NULL
+        |                       WHEN vd >= prev THEN vd - prev
+        |                       ELSE vd END AS delta
+        |  FROM o
+        |)
+        |SELECT u AS user, k,
+        |       CAST(sum(delta) AS DOUBLE) / (max(e) - min(e)) AS value
+        |FROM d GROUP BY u, k HAVING max(e) - min(e) > 0""".stripMargin
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "promql_parsed_rate" -> ((parsedRate _, parsedRateOracle)),
     "promql_parsed_flagship" -> ((parsedFlagship _, flagshipOracle)),
     "promql_parsed_matcher" -> ((parsedMatcher _, parsedMatcherOracle)),
     "flagship_multiday" -> ((flagshipMultiday _, flagshipMultidayOracle)),

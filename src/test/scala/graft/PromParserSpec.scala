@@ -38,9 +38,18 @@ class PromParserSpec extends AnyFunSuite {
       PromParser.parse("count_over_time(x[1h])"): @unchecked
   }
 
+  test("rate/increase parse over a plain range selector only") {
+    val Rate("rate", Selector("x", _, _), 300L) =
+      PromParser.parse("rate(x[5m])"): @unchecked
+    val Rate("increase", Selector("y", eq, _), 86400L) =
+      PromParser.parse("increase(y{cl=\"a\"}[24h])"): @unchecked
+    assert(eq == Seq("cl" -> "a"))
+    intercept[IllegalArgumentException](PromParser.parse("rate((x)[5m:1m])"))
+  }
+
   test("rejects what the reference never shipped") {
     intercept[IllegalArgumentException](PromParser.parse("x[5m]")) // bare range
-    intercept[IllegalArgumentException](PromParser.parse("rate(x[5m])")) // rate
+    intercept[IllegalArgumentException](PromParser.parse("irate(x[5m])"))
     intercept[IllegalArgumentException](PromParser.parse("x > 5")) // filtering cmp
     intercept[IllegalArgumentException](PromParser.parse("x /")) // trailing op
   }
