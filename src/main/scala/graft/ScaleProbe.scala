@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale probe: amplifies the fixture tables N× into /tmp and times the
+  * heavy operators warm at 1× and N×, so scaling claims in the README are
+  * measured, not asserted. Documents amplify as EXACT COPIES with offset
+  * ids — the adversarial case for dedup (duplicate-cluster size grows
+  * N×); events amplify with offset user ids (N× more sessions/series,
+  * per-user history unchanged).
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [copies]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val probeDir = "/tmp/graft_probe"
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+
+    val d0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until copies).map(i =>
+        d0.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
+    val e0 = spark.read.parquet(s"$sfDir/events.parquet")
+    (0 until copies).map(i =>
+        e0.withColumn("user_id", col("user_id") + lit(i.toLong * 100000L))
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$probeDir/events.parquet")
+
+    def time(name: String, dir: String, tag: String)(
+        fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      fn(spark, dir).count() // warm: codegen + scans
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = fn(spark, dir).count()
+      println(f"PROBE $name%-14s $tag%4s rows=$n%-9d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+      spark.catalog.clearCache()
+    }
+
+    for ((dir, tag) <- Seq((sfDir, "1x"), (probeDir, s"${copies}x"))) {
+      time("dedup_groups", dir, tag)(graft.queries.ExtQueries.dedupGroups)
+      time("simhash_neardup", dir, tag)(graft.queries.ExtQueries.simhashNeardup)
+      time("sessionize", dir, tag)(graft.queries.AnalyticsQueries.sessionize)
+      time("asof_join", dir, tag)(graft.queries.AnalyticsQueries.asofJoin)
+    }
+    spark.stop()
+  }
+}
