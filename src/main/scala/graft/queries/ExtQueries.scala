@@ -739,6 +739,49 @@ object ExtQueries {
        |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE ${cosSql("a.qv", "b.qv")} >= 0.35""".stripMargin
 
+  /** Per-label cluster cohesion over the embedding column:
+    * ‖Σx‖² / (n·Σ‖x‖²) ∈ [0,1] (1 = all vectors identical) from
+    * per-dimension integer sums — the diagnostic that tells whether the
+    * IVF cells are worth routing to. Components quantize at 1e-3 so
+    * every intermediate (dimension sums, their squares, norms) stays an
+    * exact long; the cohesion ratio is the single float op. One
+    * posexplode + two aggregations, all map-side combinable.
+    */
+  def embCentroidStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val q3 = transform(col("embedding"),
+      x => floor(x.cast("double") * 1000d + 0.5d).cast("long"))
+    val ex = embeddings(spark, sfDir)
+      .select(col("label"), posexplode(q3).as(Seq("pos", "v")))
+    ex.groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"),
+        sum(col("v") * col("v")).as("sq"))
+      .groupBy(col("label"))
+      .agg(max(col("cnt")).as("n_vectors"), count(lit(1)).as("dims"),
+        sum(col("s") * col("s")).as("centroid_sq"),
+        sum(col("sq")).as("total_sq"))
+      .withColumn("cohesion", col("centroid_sq").cast("double") /
+        (col("n_vectors") * col("total_sq")))
+  }
+
+  val embCentroidStatsOracle: String =
+    """WITH ex AS (
+      |  SELECT label, CAST(t.p[1] AS BIGINT) AS pos,
+      |         CAST(floor(t.p[2] * 1000 + 0.5) AS BIGINT) AS v
+      |  FROM (SELECT label,
+      |               unnest(list_transform(embedding::DOUBLE[],
+      |                      (x, i) -> [CAST(i AS DOUBLE), x])) AS p
+      |        FROM embeddings) t
+      |), perdim AS (
+      |  SELECT label, pos, CAST(sum(v) AS BIGINT) AS s,
+      |         count(*) AS cnt, CAST(sum(v * v) AS BIGINT) AS sq
+      |  FROM ex GROUP BY 1, 2
+      |)
+      |SELECT label, max(cnt) AS n_vectors, count(*) AS dims,
+      |       CAST(sum(s * s) AS BIGINT) AS centroid_sq,
+      |       CAST(sum(sq) AS BIGINT) AS total_sq,
+      |       CAST(sum(s * s) AS BIGINT) / CAST((max(cnt) * CAST(sum(sq) AS BIGINT)) AS DOUBLE) AS cohesion
+      |FROM perdim GROUP BY label""".stripMargin
+
   // ------------------------------------------------- DSv2 range source
 
   /** One day of the DataSource-V2 Prometheus range source (24 hourly
@@ -837,6 +880,7 @@ object ExtQueries {
     "approx_distinct_users" -> ((approxDistinct _, "")),
     "kmv_distinct_users" -> ((kmvDistinct _, kmvDistinctOracle)),
     "prom_range_scan" -> ((promRangeScan _, promRangeScanOracle)),
+    "emb_centroid_stats" -> ((embCentroidStats _, embCentroidStatsOracle)),
     "emb_neardup" -> ((embNeardup _, embNeardupOracle)),
     "multimodal_meta" -> ((multimodalMeta _, multimodalMetaOracle)),
     "multimodal_features" -> ((multimodalFeatures _, multimodalFeaturesOracle)))
