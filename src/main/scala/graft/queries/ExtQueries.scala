@@ -146,6 +146,28 @@ object ExtQueries {
       |       CAST(rn AS BIGINT) AS rank
       |FROM ranked WHERE rn <= 5""".stripMargin
 
+  /** Source × language contingency pivot — the general form of the
+    * reference's conditional-count pivot (A11), with the pivot domain
+    * given explicitly so the plan is a single groupBy (Spark never runs
+    * the extra distinct-values job) and the output schema is stable for
+    * the oracle.
+    */
+  def langSourcePivot(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .groupBy(col("source"))
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  val langSourcePivotOracle: String =
+    """SELECT source,
+      |       count(CASE WHEN lang = 'de' THEN 1 END) AS de,
+      |       count(CASE WHEN lang = 'en' THEN 1 END) AS en,
+      |       count(CASE WHEN lang = 'es' THEN 1 END) AS es,
+      |       count(CASE WHEN lang = 'fr' THEN 1 END) AS fr,
+      |       count(CASE WHEN lang = 'zh' THEN 1 END) AS zh
+      |FROM documents GROUP BY source""".stripMargin
+
   // ---------------------------------------------------------- lang id
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -872,6 +894,7 @@ object ExtQueries {
     "dedup_groups" -> ((dedupGroups _, dedupGroupsOracle)),
     "token_bpe_stats" -> ((tokenBpeStats _, tokenBpeStatsOracle)),
     "distinctive_terms" -> ((distinctiveTerms _, distinctiveTermsOracle)),
+    "lang_source_pivot" -> ((langSourcePivot _, langSourcePivotOracle)),
     "ngram_jaccard" -> ((ngramJaccard _, ngramJaccardOracle)),
     "dedup_minhash_lsh" -> ((minhashLsh _, minhashLshOracle)),
     "ann_brute_topk" -> ((annBrute _, annBruteOracle)),
