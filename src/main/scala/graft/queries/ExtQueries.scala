@@ -357,32 +357,31 @@ object ExtQueries {
   def dedupGroups(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
     import org.apache.spark.sql.expressions.Window
-    def starEdges(keyed: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("k"))
-      keyed
-        .withColumn("root", min(col("doc_id")).over(w))
-        .filter(col("doc_id") =!= col("root"))
-        .select(col("root").as("doc_a"), col("doc_id").as("doc_b"))
-    }
-    val exactEdges = starEdges(d.select(col("doc_id"),
-      TextOps.fingerprint(col("text")).as("k")))
-    // banding runs over one REPRESENTATIVE per exact-duplicate group, not
-    // every copy: k exact copies share a simhash, so banding them all
-    // makes candidate volume quadratic in duplicate-cluster size — the
-    // adversarial case at corpus scale. The star edges already connect
-    // copies to their representative, so restricting banding to
-    // representatives provably leaves the transitive components unchanged
-    // (and the oracle, which bands every doc, agrees on the result).
+    // Exact-duplicate groups collapse to their min-doc representative
+    // BEFORE anything iterative runs: k exact copies share a simhash, so
+    // banding them all is quadratic in cluster size (the adversarial case
+    // at corpus scale), and star subtrees are depth-1, so component(doc)
+    // = component(root(doc)) — label propagation only needs the
+    // representative graph. The loop then works |reps| nodes and the
+    // rep-level near-dup pairs, and the final join maps every doc through
+    // its root's component. Output provably equals CC over the full
+    // star ∪ near-dup edge set (which is what the oracle computes).
+    val roots = d.select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("k"))
+      .withColumn("root", min(col("doc_id")).over(Window.partitionBy(col("k"))))
+      .select(col("doc_id"), col("root"))
+    val repIds = roots.select(col("root").as("doc_id")).distinct()
     val simEdges = Dedup.simhashNeardupPairs(
-        Dedup.simhashBits(exactReps(d), 32), numBands = 4, bits = 32)
+        Dedup.simhashBits(d.join(repIds, "doc_id"), 32), numBands = 4, bits = 32)
       .select(col("doc_a"), col("doc_b"))
-    val comp = Dedup.connectedComponents(
-      d.select(col("doc_id")), exactEdges.union(simEdges))
-    val out = comp
-      .withColumn("is_dup", (col("doc_id") =!= col("component")).cast("boolean"))
+    val repComp = Dedup.connectedComponents(repIds, simEdges)
+    val out = roots
+      .join(repComp.select(col("doc_id").as("root"), col("component")), "root")
+      .select(col("doc_id"), col("component"),
+        (col("doc_id") =!= col("component")).cast("boolean").as("is_dup"))
       .persist()
     out.count()
-    comp.unpersist(false)
+    repComp.unpersist(false)
     out
   }
 
