@@ -51,6 +51,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows((d30, "click")) == ((1L, 8.0)))
   }
 
+  test("watermarked dropDuplicates removes replayed events exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val d30 = 1706572800L
+    val stream = mem.toDF().toDF("event_id", "es", "value")
+      .withColumn("ts", timestamp_seconds(col("es")))
+    val dd = StreamingIngest.withDedup(stream, "ts", "10 minutes", Seq("event_id"))
+    val dir = Files.createTempDirectory("sdedup").toString
+    val q = dd.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").option("checkpointLocation", s"$dir/cp").start()
+    // batch 1: an in-batch duplicate plus a distinct event
+    mem.addData((1L, d30, 1.0), (1L, d30, 1.0), (2L, d30 + 1, 2.0))
+    q.processAllAvailable()
+    // batch 2: a cross-batch replay (inside the watermark) plus new data
+    mem.addData((1L, d30, 1.0), (3L, d30 + 5, 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(1L, 2L, 3L)) // each event exactly once
+  }
+
   test("foreachBatch lands micro-batches idempotently in the fact table") {
     val base = Files.createTempDirectory("stream").toString
     val path = s"$base/fact"
