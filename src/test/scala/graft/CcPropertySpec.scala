@@ -41,4 +41,32 @@ class CcPropertySpec extends SparkSpec {
       .withMinSuccessfulTests(8).withWorkers(1), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("banded near-dup pairs equal brute force on random fingerprints") {
+    // clustered generator: base values plus small bit flips, so hamming
+    // 1-4 pairs actually occur instead of almost never at 32 bits
+    val fpSets: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(2, 12)
+      bases <- Gen.listOfN(n, Gen.choose(0L, (1L << 32) - 1))
+      perturbed <- Gen.sequence[List[Long], Long](bases.map { b =>
+        Gen.choose(0, 4).flatMap(k =>
+          Gen.listOfN(k, Gen.choose(0, 31)).map(_.foldLeft(b)((v, i) => v ^ (1L << i))))
+      })
+    } yield perturbed.zipWithIndex.map { case (fp, i) => (i.toLong, fp) }
+
+    val prop = Prop.forAll(fpSets) { fps =>
+      val got = Dedup.simhashNeardupPairs(
+          fps.toDF("doc_id", "simhash"), numBands = 4, bits = 32)
+        .orderBy("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      val brute = (for {
+        (a, fa) <- fps; (b, fb) <- fps if a < b
+        h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+      } yield (a, b, h)).sortBy(p => (p._1, p._2))
+      got == brute
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(8).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
