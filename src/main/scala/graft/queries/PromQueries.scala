@@ -412,9 +412,36 @@ object PromQueries {
         |       CAST(sum(delta) AS DOUBLE) / (max(e) - min(e)) AS value
         |FROM d GROUP BY u, k HAVING max(e) - min(e) > 0""".stripMargin
 
+  /** Parsed `increase(error[6h])` — the other Rate kind end-to-end:
+    * counter-reset-aware total growth over the window, no span division.
+    */
+  def parsedIncrease(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse("increase(error[6h])")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedIncreaseOracle: String =
+    sampleCte("error", Te - 21600 + 1, Te) +
+      """
+        |, o AS (
+        |  SELECT u, k, e, CAST(v AS DECIMAL(20,6)) AS vd,
+        |         lag(CAST(v AS DECIMAL(20,6))) OVER (PARTITION BY u, k
+        |             ORDER BY e, CAST(v AS DECIMAL(20,6))) AS prev
+        |  FROM s
+        |), d AS (
+        |  SELECT u, k, e, CASE WHEN prev IS NULL THEN NULL
+        |                       WHEN vd >= prev THEN vd - prev
+        |                       ELSE vd END AS delta
+        |  FROM o
+        |)
+        |SELECT u AS user, k, CAST(sum(delta) AS DOUBLE) AS value
+        |FROM d GROUP BY u, k HAVING max(e) - min(e) > 0""".stripMargin
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "promql_parsed_rate" -> ((parsedRate _, parsedRateOracle)),
+    "promql_parsed_increase" -> ((parsedIncrease _, parsedIncreaseOracle)),
     "promql_parsed_flagship" -> ((parsedFlagship _, flagshipOracle)),
     "promql_parsed_matcher" -> ((parsedMatcher _, parsedMatcherOracle)),
     "flagship_multiday" -> ((flagshipMultiday _, flagshipMultidayOracle)),
