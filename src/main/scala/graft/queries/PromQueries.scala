@@ -381,27 +381,27 @@ object PromQueries {
       "\nSELECT u AS user, k, (max(struct_pack(e := e, v := v))).v AS value " +
       "FROM s GROUP BY u, k"
 
-  /** Parsed `rate(purchase{cluster_name="c2-r2-z0"}[24h])` — the text
-    * front-end driving [[PromOps.rateOverRange]], with a label matcher
-    * pushed into the scan. The cluster label is a pure function of the
-    * user label in the fixture, so grouping by (user, k) matches the
-    * per-series result.
+  /** Parsed `rate(purchase[720h])` — the text front-end driving
+    * [[PromOps.rateOverRange]]. The window spans the whole fixture range
+    * (2024-01-01 → Te) so per-(user, k) raw series have ≥2 samples at
+    * every scale factor and the entry is non-vacuous — round-3 review
+    * caught the earlier 24h+matcher variant passing on the empty set.
+    * (Matcher pushdown is exercised by promql_parsed_matcher/flagship.)
     */
   def parsedRate(spark: SparkSession, sfDir: String): DataFrame = {
-    val expr = graft.promql.PromParser.parse(
-      "rate(purchase{cluster_name=\"c2-r2-z0\"}[24h])")
+    val expr = graft.promql.PromParser.parse("rate(purchase[720h])")
     graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
       .select(user.as("user"), kLbl.as("k"), col("value"))
   }
 
   val parsedRateOracle: String =
-    sampleCte("purchase", Te - 86400 + 1, Te) +
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
       """
         |, o AS (
         |  SELECT u, k, e, CAST(v AS DECIMAL(20,6)) AS vd,
         |         lag(CAST(v AS DECIMAL(20,6))) OVER (PARTITION BY u, k
         |             ORDER BY e, CAST(v AS DECIMAL(20,6))) AS prev
-        |  FROM s WHERE cl = 'c2-r2-z0'
+        |  FROM s
         |), d AS (
         |  SELECT u, k, e, CASE WHEN prev IS NULL THEN NULL
         |                       WHEN vd >= prev THEN vd - prev
@@ -412,17 +412,18 @@ object PromQueries {
         |       CAST(sum(delta) AS DOUBLE) / (max(e) - min(e)) AS value
         |FROM d GROUP BY u, k HAVING max(e) - min(e) > 0""".stripMargin
 
-  /** Parsed `increase(error[6h])` — the other Rate kind end-to-end:
+  /** Parsed `increase(error[720h])` — the other Rate kind end-to-end:
     * counter-reset-aware total growth over the window, no span division.
+    * Full-fixture window for the same non-vacuity reason as [[parsedRate]].
     */
   def parsedIncrease(spark: SparkSession, sfDir: String): DataFrame = {
-    val expr = graft.promql.PromParser.parse("increase(error[6h])")
+    val expr = graft.promql.PromParser.parse("increase(error[720h])")
     graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
       .select(user.as("user"), kLbl.as("k"), col("value"))
   }
 
   val parsedIncreaseOracle: String =
-    sampleCte("error", Te - 21600 + 1, Te) +
+    sampleCte("error", Te - 2592000 + 1, Te) +
       """
         |, o AS (
         |  SELECT u, k, e, CAST(v AS DECIMAL(20,6)) AS vd,
