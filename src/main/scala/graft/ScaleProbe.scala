@@ -24,6 +24,17 @@ object ScaleProbe {
         d0.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L)))
       .reduce(_ union _)
       .write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
+    // adversarial hot-shingle corpus: every amplified document gains the
+    // same trailing sentence, so one shingle's document frequency equals
+    // its whole (lang,source) bucket — the exact stop-shingle skew key
+    // Dedup.jaccardPairs' DfCap guards against. Uncapped pair generation
+    // would emit Σ_bucket df² ≈ (docs/bucket)² join rows per bucket
+    // (billions at 10×); with the cap the probe must stay near the
+    // clean-corpus time because the hot key is dropped before any join.
+    spark.read.parquet(s"$probeDir/documents.parquet")
+      .withColumn("text",
+        concat(col("text"), lit(" zq zq zq zq zq zq")))
+      .write.mode("overwrite").parquet(s"$probeDir/hot/documents.parquet")
     val e0 = spark.read.parquet(s"$sfDir/events.parquet")
     (0 until copies).map(i =>
         e0.withColumn("user_id", col("user_id") + lit(i.toLong * 100000L))
@@ -44,9 +55,12 @@ object ScaleProbe {
     for ((dir, tag) <- Seq((sfDir, "1x"), (probeDir, s"${copies}x"))) {
       time("dedup_groups", dir, tag)(graft.queries.ExtQueries.dedupGroups)
       time("simhash_neardup", dir, tag)(graft.queries.ExtQueries.simhashNeardup)
+      time("ngram_jaccard", dir, tag)(graft.queries.ExtQueries.ngramJaccard)
       time("sessionize", dir, tag)(graft.queries.AnalyticsQueries.sessionize)
       time("asof_join", dir, tag)(graft.queries.AnalyticsQueries.asofJoin)
     }
+    time("ngram_jaccard", s"$probeDir/hot", s"hot${copies}x")(
+      graft.queries.ExtQueries.ngramJaccard)
     spark.stop()
   }
 }

@@ -43,11 +43,33 @@ object Dedup {
     * shingle hash, sizes via per-doc counts, one double division at the
     * end. The bucket key keeps the join quadratic only within small
     * groups.
+    *
+    * `dfCap` is the scale guard: a shingle appearing in d documents of one
+    * bucket emits d² rows from the self-join, and at corpus scale a
+    * stop-shingle ("of the and"-class) is a full-blown skew key that
+    * stalls one reducer. Shingles with document frequency > dfCap are
+    * dropped from the sets BEFORE the join — per-shingle fan-out is then
+    * ≤ dfCap², and Jaccard becomes Jaccard over the rare-shingle sets
+    * (standard practice for near-dup mining; a shingle shared by more
+    * than dfCap docs carries no dedup signal anyway). Sizes are computed
+    * from the same capped sets so the ratio stays a true Jaccard. The
+    * df pre-aggregation is a plain groupBy (map-side combined, no skew),
+    * and the filter removes hot keys before any join sees them.
     */
-  def jaccardPairs(shingles: DataFrame, minJaccard: Double): DataFrame = {
-    val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = shingles.select(col("bucket"), col("doc_id").as("doc_a"), col("h"))
-    val b = shingles.select(col("bucket"), col("doc_id").as("doc_b"), col("h"))
+  def jaccardPairs(shingles: DataFrame, minJaccard: Double,
+      dfCap: Int = Int.MaxValue): DataFrame = {
+    val capped =
+      if (dfCap == Int.MaxValue) shingles
+      else {
+        val keep = shingles.groupBy(col("bucket"), col("h"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap)
+          .select(col("bucket"), col("h"))
+        shingles.join(keep, Seq("bucket", "h"))
+      }
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = capped.select(col("bucket"), col("doc_id").as("doc_a"), col("h"))
+    val b = capped.select(col("bucket"), col("doc_id").as("doc_b"), col("h"))
     val common = a.join(b, Seq("bucket", "h"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))

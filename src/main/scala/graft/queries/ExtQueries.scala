@@ -437,25 +437,39 @@ object ExtQueries {
        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
        |)""".stripMargin
 
+  /** Document-frequency cap for the exact-Jaccard self-join: bounds the
+    * per-shingle join fan-out to DfCap² so a corpus-scale stop-shingle
+    * cannot become a reducer-stalling skew key. At fixture scale the max
+    * observed df is 5 (sf0.1), so the cap never binds on the oracle data —
+    * values are unchanged — while the plan is safe at 100 TB.
+    */
+  private val DfCap = 64
+
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.jaccardPairs(
       shingleFrame(spark, sfDir, concat(col("lang"), lit("|"), col("source"))),
-      minJaccard = 0.05)
+      minJaccard = 0.05, dfCap = DfCap)
 
   val ngramJaccardOracle: String =
     shingleCte("lang || '|' || source") +
-      """
-        |, common AS (
+      s"""
+        |, keep AS (
+        |  SELECT bucket, h FROM sh GROUP BY bucket, h HAVING count(*) <= $DfCap
+        |), shc AS (
+        |  SELECT sh.* FROM sh JOIN keep USING (bucket, h)
+        |), csizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id
+        |), common AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |  FROM sh a JOIN sh b
+        |  FROM shc a JOIN shc b
         |    ON a.bucket = b.bucket AND a.h = b.h AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |)
         |SELECT doc_a, doc_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
         |       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
         |FROM common
-        |JOIN sizes sa ON sa.doc_id = doc_a
-        |JOIN sizes sb ON sb.doc_id = doc_b
+        |JOIN csizes sa ON sa.doc_id = doc_a
+        |JOIN csizes sb ON sb.doc_id = doc_b
         |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05""".stripMargin
 
   // --------------------------------------------------- MinHash + LSH
