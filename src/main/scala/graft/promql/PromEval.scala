@@ -20,7 +20,8 @@ object PromEval {
       lookbackSec: Long = PromOps.DefaultLookbackSec): DataFrame = expr match {
     case s: Selector =>
       applyMatchers(
-        PromOps.instantVector(matcherFilter(metrics, s), s.name, atEpochSec, lookbackSec))
+        PromOps.instantVector(matcherFilter(metrics, s), s.name,
+          atEpochSec - s.offsetSec, lookbackSec))
     case BoolCmp(inner, op, v) =>
       evalInstant(metrics, inner, atEpochSec, lookbackSec)
         .withColumn("value", PromOps.boolCmp(col("value"), op, v))
@@ -30,18 +31,92 @@ object PromEval {
     case Agg(fn, inner, by, without) =>
       regroup(evalInstant(metrics, inner, atEpochSec, lookbackSec), fn, by, without, Nil)
     case OverTime(fn, sel, w) =>
-      val rs = PromOps.rangeSelector(matcherFilter(metrics, sel), sel.name, atEpochSec, w)
+      val rs = PromOps.rangeSelector(matcherFilter(metrics, sel), sel.name,
+        atEpochSec - sel.offsetSec, w)
       rs.groupBy(col("skey")).agg(overTimeAgg(fn, col("e")).as("value"))
     case Rate(kind, sel, w) =>
       PromOps.rateOverRange(matcherFilter(metrics, sel), sel.name,
-        atEpochSec, w, kind)
+        atEpochSec - sel.offsetSec, w, kind)
     case OverTimeSubquery(fn, inner, w, step) =>
       val g0 = ((atEpochSec - w) / step + 1) * step // first aligned point > t-w
       val g1 = (atEpochSec / step) * step
       evalGrid(metrics, inner, g0, g1, step, lookbackSec)
         .groupBy(col("skey")).agg(overTimeAgg(fn, col("g")).as("value"))
+    case VecBin(op, l, r, on, ignoring) =>
+      vecBin(evalInstant(metrics, l, atEpochSec, lookbackSec),
+        evalInstant(metrics, r, atEpochSec, lookbackSec), op, on, ignoring)
+    case TopK(fn, k, inner, by, without) =>
+      topk(evalInstant(metrics, inner, atEpochSec, lookbackSec), fn, k, by, without)
     case other =>
       throw new IllegalArgumentException(s"unsupported instant expr: $other")
+  }
+
+  /** Vector-vector arithmetic, one-to-one. The match key is the full
+    * series key (bare op), the kept-label key (`on`), or the
+    * complement-label key (`ignoring`); with a modifier the output series
+    * carries the match key as its label set, as Prometheus does for
+    * one-to-one matches. The join is a plain equi-join on the key —
+    * broadcastable when one side is small, shuffle-hash otherwise; no
+    * label explosion, no cross join.
+    */
+  private def vecBin(left: DataFrame, right: DataFrame, op: String,
+      on: Option[Seq[String]], ignoring: Option[Seq[String]]): DataFrame = {
+    val mkey: Column = (on, ignoring) match {
+      case (Some(ls), _) =>
+        val keep = array(ls.map(lit): _*)
+        PromOps.seriesKey(map_filter(PromOps.labelsOf(col("skey")),
+          (k, _) => array_contains(keep, k)))
+      case (_, Some(ls)) =>
+        val drop = array(ls.map(lit): _*)
+        PromOps.seriesKey(map_filter(PromOps.labelsOf(col("skey")),
+          (k, _) => !array_contains(drop, k)))
+      case _ => col("skey")
+    }
+    val lf = left.select(mkey.as("skey"), col("value").as("lv"))
+    val rf = right.select(mkey.as("skey"), col("value").as("rv"))
+    lf.join(rf, "skey").select(col("skey"), arith2(col("lv"), op, col("rv")).as("value"))
+  }
+
+  /** topk/bottomk: whole-series selection, deterministic skey tie-break.
+    * Global top-k (no by/without) compiles to orderBy+limit — Spark plans
+    * TakeOrderedAndProject, a distributed per-partition heap + single
+    * merge of k rows, never a full sort. Grouped top-k is a row_number
+    * window over the group key: one shuffle on the group key, heap-sorted
+    * partitions.
+    */
+  private def topk(df: DataFrame, fn: String, k: Int,
+      by: Seq[String], without: Seq[String]): DataFrame = {
+    val ord =
+      if (fn == "topk") Seq(col("value").desc, col("skey").asc)
+      else Seq(col("value").asc, col("skey").asc)
+    (by, without) match {
+      case (Nil, Nil) => df.orderBy(ord: _*).limit(k).select(col("skey"), col("value"))
+      case _ =>
+        import org.apache.spark.sql.expressions.Window
+        val gkeyCol: Column = (by, without) match {
+          case (b, Nil) =>
+            val keep = array(b.map(lit): _*)
+            PromOps.seriesKey(map_filter(PromOps.labelsOf(col("skey")),
+              (key, _) => array_contains(keep, key)))
+          case (Nil, w) =>
+            val drop = array(w.map(lit): _*)
+            PromOps.seriesKey(map_filter(PromOps.labelsOf(col("skey")),
+              (key, _) => !array_contains(drop, key)))
+          case _ => throw new IllegalArgumentException("both by and without given")
+        }
+        df.withColumn("gkey", gkeyCol)
+          .withColumn("rn",
+            row_number().over(Window.partitionBy(col("gkey")).orderBy(ord: _*)))
+          .filter(col("rn") <= k)
+          .select(col("skey"), col("value"))
+    }
+  }
+
+  private def arith2(l: Column, op: String, r: Column): Column = op match {
+    case "*" => l * r
+    case "/" => l / r
+    case "+" => l + r
+    case "-" => l - r
   }
 
   /** Evaluate `expr` at every aligned grid point in [g0, g1] (step-aligned):
@@ -50,7 +125,15 @@ object PromEval {
   def evalGrid(metrics: DataFrame, expr: Expr, g0: Long, g1: Long,
       stepSec: Long, lookbackSec: Long): DataFrame = expr match {
     case s: Selector =>
-      PromOps.rangeEval(matcherFilter(metrics, s), s.name, g0, g1, stepSec, lookbackSec)
+      // offset shifts every evaluation point: value at g is the selector
+      // at g - offset, so evaluate the shifted grid and relabel. The
+      // offset must keep the grid step-aligned.
+      require(s.offsetSec % stepSec == 0,
+        s"offset ${s.offsetSec}s must be a multiple of the ${stepSec}s step")
+      val off = s.offsetSec
+      val base = PromOps.rangeEval(matcherFilter(metrics, s), s.name,
+        g0 - off, g1 - off, stepSec, lookbackSec)
+      if (off == 0) base else base.withColumn("g", col("g") + off)
     case BoolCmp(inner, op, v) =>
       evalGrid(metrics, inner, g0, g1, stepSec, lookbackSec)
         .withColumn("value", PromOps.boolCmp(col("value"), op, v))

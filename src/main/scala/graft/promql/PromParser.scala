@@ -17,8 +17,12 @@ object PromParser {
 
   // ------------------------------------------------------------------ AST
   sealed trait Expr
+  /** `offsetSec` is the PromQL `offset` modifier: the selector evaluates
+    * as if "now" were `t - offsetSec` (parsed from `m{..}[w] offset 1d`).
+    */
   final case class Selector(name: String,
-      eq: Seq[(String, String)] = Nil, ne: Seq[(String, String)] = Nil) extends Expr
+      eq: Seq[(String, String)] = Nil, ne: Seq[(String, String)] = Nil,
+      offsetSec: Long = 0L) extends Expr
   final case class BoolCmp(inner: Expr, op: String, scalar: Double) extends Expr
   final case class Agg(fn: String, inner: Expr,
       by: Seq[String] = Nil, without: Seq[String] = Nil) extends Expr
@@ -32,8 +36,27 @@ object PromParser {
   final case class OverTimeSubquery(fn: String, inner: Expr,
       windowSec: Long, stepSec: Long) extends Expr
   final case class Arith(inner: Expr, op: String, scalar: Double) extends Expr
+  /** Vector-vector arithmetic with one-to-one matching: bare (full label
+    * set must match), `on(l..)` (match and keep only l..), or
+    * `ignoring(l..)` (match on the complement). Stated deviation from
+    * Prometheus: many-to-one matches are not detected-and-errored; the
+    * join simply pairs every match (`group_left`-less semantics are the
+    * caller's responsibility, as they are in the reference which ships
+    * the query text to a real server unparsed).
+    */
+  final case class VecBin(op: String, left: Expr, right: Expr,
+      on: Option[Seq[String]] = None,
+      ignoring: Option[Seq[String]] = None) extends Expr
+  /** `topk(k, expr)` / `bottomk(k, expr)`, optionally grouped `by`/
+    * `without` — selects whole series, preserving their label sets.
+    * Ties break on the canonical series key (Prometheus leaves tie order
+    * unspecified; a deterministic rule is required for the oracle gate).
+    */
+  final case class TopK(fn: String, k: Int, inner: Expr,
+      by: Seq[String] = Nil, without: Seq[String] = Nil) extends Expr
 
   private val aggFns = Set("sum", "avg", "min", "max", "count")
+  private val topkFns = Set("topk", "bottomk")
   private val overTimeFns =
     Set("sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
       "count_over_time", "last_over_time")
@@ -97,14 +120,28 @@ object PromParser {
       e
     }
 
-    /** vector-scalar arithmetic chain: expr (*|/|+|-) number ... */
+    /** arithmetic chain: expr (*|/|+|-) (number | [on|ignoring (l..)] expr)
+      * Left-associative with uniform precedence across the four ops — a
+      * stated simplification of Prometheus's `*`/`/` > `+`/`-` (the
+      * reference never parses PromQL at all; queries in its configs are
+      * parenthesized).
+      */
     private def parseArith(): Expr = {
       var e = parseComparison()
       while (peek.exists { case TSym(s) => "*/+-".contains(s); case _ => false }) {
         val TSym(op) = pop(): @unchecked
-        pop() match {
-          case TNum(v) => e = Arith(e, op, v)
-          case other => fail(s"expected scalar after '$op', got $other")
+        peek match {
+          case Some(TNum(_)) =>
+            val TNum(v) = pop(): @unchecked
+            e = Arith(e, op, v)
+          case Some(TId("on")) =>
+            pop(); val ls = labelList()
+            e = VecBin(op, e, parseComparison(), on = Some(ls))
+          case Some(TId("ignoring")) =>
+            pop(); val ls = labelList()
+            e = VecBin(op, e, parseComparison(), ignoring = Some(ls))
+          case _ =>
+            e = VecBin(op, e, parseComparison())
         }
       }
       e
@@ -131,6 +168,7 @@ object PromParser {
 
     private def parsePrimary(): Expr = pop() match {
       case TId(fn) if aggFns(fn) => parseAgg(fn)
+      case TId(fn) if topkFns(fn) => parseTopK(fn)
       case TId(fn) if overTimeFns(fn) => parseOverTime(fn)
       case TId(fn) if rateFns(fn) => parseRate(fn)
       case TId(name) => withRangeSuffix(parseSelectorTail(name))
@@ -167,6 +205,27 @@ object PromParser {
       expectSym(")")
       clause()
       Agg(fn, inner, by, without)
+    }
+
+    /** topk/bottomk [by|without (l,..)] (k, expr) [by|without (l,..)] */
+    private def parseTopK(fn: String): Expr = {
+      var by = Seq.empty[String]; var without = Seq.empty[String]
+      def clause(): Boolean = peek match {
+        case Some(TId("by")) => pop(); by = labelList(); true
+        case Some(TId("without")) => pop(); without = labelList(); true
+        case _ => false
+      }
+      clause()
+      expectSym("(")
+      val k = pop() match {
+        case TNum(v) if v == v.toInt && v.toInt > 0 => v.toInt
+        case other => fail(s"$fn needs a positive integer k, got $other")
+      }
+      expectSym(",")
+      val inner = parseArith()
+      expectSym(")")
+      clause()
+      TopK(fn, k, inner, by, without)
     }
 
     private def labelList(): Seq[String] = {
@@ -229,15 +288,29 @@ object PromParser {
       Selector(name, eq, ne)
     }
 
-    /** selector[24h] wrapped so an enclosing *_over_time can claim it */
+    /** selector[24h] wrapped so an enclosing *_over_time can claim it;
+      * the `offset <dur>` modifier parses after the range suffix
+      * (`m[w] offset 1d`) or directly after a plain selector.
+      */
     private def withRangeSuffix(sel: Selector): Expr = peek match {
       case Some(TSym("[")) =>
         val (w, sOpt) = rangeSuffix()
         sOpt match {
-          case None => RangePlaceholder(sel, w)
+          case None => RangePlaceholder(sel.copy(offsetSec = parseOffset()), w)
           case Some(_) => fail("bare subquery on a selector needs an enclosing *_over_time")
         }
-      case _ => sel
+      case _ => sel.copy(offsetSec = parseOffset())
+    }
+
+    /** `offset <duration>` if present, else 0 */
+    private def parseOffset(): Long = peek match {
+      case Some(TId("offset")) =>
+        pop()
+        pop() match {
+          case TId(d) => TimeResolver.parseDuration(d).getSeconds
+          case other => fail(s"expected duration after offset, got $other")
+        }
+      case _ => 0L
     }
 
     /** [w] or [w:s] */
@@ -272,6 +345,8 @@ object PromParser {
     case Agg(_, i, _, _) => containsPlaceholder(i)
     case Arith(i, _, _) => containsPlaceholder(i)
     case OverTimeSubquery(_, i, _, _) => containsPlaceholder(i)
+    case VecBin(_, l, r, _, _) => containsPlaceholder(l) || containsPlaceholder(r)
+    case TopK(_, _, i, _, _) => containsPlaceholder(i)
     case _ => false
   }
 }

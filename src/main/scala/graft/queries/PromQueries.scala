@@ -439,8 +439,120 @@ object PromQueries {
         |SELECT u AS user, k, CAST(sum(delta) AS DOUBLE) AS value
         |FROM d GROUP BY u, k HAVING max(e) - min(e) > 0""".stripMargin
 
+  /** Parsed `last_over_time(purchase[168h] offset 24h)` — the `offset`
+    * modifier end-to-end: the week-long window ends 24h before the
+    * evaluation time, so the result must contain no sample from the final
+    * day. Reference behavior: offset is part of the opaque query string
+    * shipped to Prometheus (internal/prometheus/client.go:70).
+    */
+  def parsedOffset(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "last_over_time(purchase[168h] offset 24h)")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedOffsetOracle: String =
+    sampleCte("purchase", Te - 86400 - 604800 + 1, Te - 86400) +
+      "\nSELECT u AS user, k, (max(struct_pack(e := e, v := v))).v AS value " +
+      "FROM s GROUP BY u, k"
+
+  /** Parsed vector-vector division with `on(user)` one-to-one matching:
+    * per-user view-to-purchase sample-count ratio over the fixture span.
+    * Counts are integer-exact in both engines, and the single trailing
+    * IEEE division is deterministic, so no decimal routing is needed.
+    */
+  def parsedBinop(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "sum by (user) (count_over_time(view[720h])) / on(user) " +
+        "sum by (user) (count_over_time(purchase[720h]))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), col("value"))
+  }
+
+  val parsedBinopOracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(user_id AS VARCHAR) AS u
+       |  FROM events
+       |  WHERE CAST(floor(epoch(ts)) AS BIGINT)
+       |        BETWEEN ${Te - 2592000 + 1} AND $Te
+       |), sv AS (SELECT u, count(*) AS c FROM ev
+       |          WHERE event_type = 'view' GROUP BY u),
+       |   sp AS (SELECT u, count(*) AS c FROM ev
+       |          WHERE event_type = 'purchase' GROUP BY u)
+       |SELECT sv.u AS user, CAST(sv.c AS DOUBLE) / CAST(sp.c AS DOUBLE) AS value
+       |FROM sv JOIN sp ON sv.u = sp.u""".stripMargin
+
+  /** Parsed global `topk(5, ...)` — compiles to orderBy+limit, which
+    * Spark plans as TakeOrderedAndProject (per-partition heap, k-row
+    * merge — never a full sort). Tie-break on the canonical series key;
+    * for a {user}-only key that ordering coincides with ordering by the
+    * user label (the JSON prefix is constant and `"` sorts below every
+    * alphanumeric), which is what the oracle uses.
+    */
+  def parsedTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "topk(5, sum by (user) (count_over_time(error[720h])))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), col("value"))
+  }
+
+  val parsedTopkOracle: String =
+    sampleCte("error", Te - 2592000 + 1, Te) +
+      """
+        |, c AS (SELECT u, CAST(count(*) AS DOUBLE) AS value FROM s GROUP BY u)
+        |SELECT u AS user, value FROM c ORDER BY value DESC, u LIMIT 5""".stripMargin
+
+  /** Parsed `bottomk(3, ...)` — the ascending twin. */
+  def parsedBottomk(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "bottomk(3, sum by (user) (count_over_time(click[720h])))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), col("value"))
+  }
+
+  val parsedBottomkOracle: String =
+    sampleCte("click", Te - 2592000 + 1, Te) +
+      """
+        |, c AS (SELECT u, CAST(count(*) AS DOUBLE) AS value FROM s GROUP BY u)
+        |SELECT u AS user, value FROM c ORDER BY value ASC, u LIMIT 3""".stripMargin
+
+  /** Parsed grouped `topk by (cluster_name) (2, ...)` — per-group series
+    * selection via a row_number window on the group key (one shuffle).
+    * The oracle reconstructs the engine's canonical JSON series key
+    * byte-for-byte for the tie-break (keys sort cluster_name < k < user;
+    * to_json emits no whitespace).
+    */
+  def parsedTopkBy(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "topk by (cluster_name) (2, count_over_time(view[720h]))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"),
+        clusterLbl.as("cluster_name"), col("value"))
+  }
+
+  val parsedTopkByOracle: String =
+    sampleCte("view", Te - 2592000 + 1, Te) +
+      """
+        |, c AS (
+        |  SELECT u, k, cl, CAST(count(*) AS DOUBLE) AS value
+        |  FROM s GROUP BY u, k, cl
+        |), r AS (
+        |  SELECT u, k, cl, value,
+        |         row_number() OVER (PARTITION BY cl ORDER BY value DESC,
+        |           '{"cluster_name":"' || cl || '","k":"' || k || '","user":"' || u || '"}'
+        |         ) AS rn
+        |  FROM c
+        |)
+        |SELECT u AS user, k, cl AS cluster_name, value FROM r WHERE rn <= 2""".stripMargin
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "promql_parsed_offset" -> ((parsedOffset _, parsedOffsetOracle)),
+    "promql_parsed_binop" -> ((parsedBinop _, parsedBinopOracle)),
+    "promql_parsed_topk" -> ((parsedTopk _, parsedTopkOracle)),
+    "promql_parsed_bottomk" -> ((parsedBottomk _, parsedBottomkOracle)),
+    "promql_parsed_topk_by" -> ((parsedTopkBy _, parsedTopkByOracle)),
     "promql_parsed_rate" -> ((parsedRate _, parsedRateOracle)),
     "promql_parsed_increase" -> ((parsedIncrease _, parsedIncreaseOracle)),
     "promql_parsed_flagship" -> ((parsedFlagship _, flagshipOracle)),

@@ -23,28 +23,66 @@ class PromParserSpec extends AnyFunSuite {
 
   test("simple selectors and doc examples") {
     assert(PromParser.parse("up") == Selector("up"))
-    val Agg("avg", Selector("node_cpu_usage", Nil, Nil), Seq("instance"), Nil) =
+    val Agg("avg", Selector("node_cpu_usage", Nil, Nil, 0L), Seq("instance"), Nil) =
       PromParser.parse("avg(node_cpu_usage) by (instance)"): @unchecked
   }
 
   test("label matchers") {
-    val Selector("m", eq, ne) =
+    val Selector("m", eq, ne, _) =
       PromParser.parse("""m{a="1", b!="2"}"""): @unchecked
     assert(eq == Seq("a" -> "1") && ne == Seq("b" -> "2"))
   }
 
   test("range selector with *_over_time") {
-    val OverTime("count", Selector("x", _, _), 3600L) =
+    val OverTime("count", Selector("x", _, _, _), 3600L) =
       PromParser.parse("count_over_time(x[1h])"): @unchecked
   }
 
   test("rate/increase parse over a plain range selector only") {
-    val Rate("rate", Selector("x", _, _), 300L) =
+    val Rate("rate", Selector("x", _, _, _), 300L) =
       PromParser.parse("rate(x[5m])"): @unchecked
-    val Rate("increase", Selector("y", eq, _), 86400L) =
+    val Rate("increase", Selector("y", eq, _, _), 86400L) =
       PromParser.parse("increase(y{cl=\"a\"}[24h])"): @unchecked
     assert(eq == Seq("cl" -> "a"))
     intercept[IllegalArgumentException](PromParser.parse("rate((x)[5m:1m])"))
+  }
+
+  test("offset modifier on plain and range selectors") {
+    val Selector("up", Nil, Nil, 300L) =
+      PromParser.parse("up offset 5m"): @unchecked
+    val OverTime("last", Selector("p", _, _, 86400L), 604800L) =
+      PromParser.parse("last_over_time(p[1w] offset 1d)"): @unchecked
+    val Rate("rate", Selector("c", _, _, 3600L), 300L) =
+      PromParser.parse("rate(c[5m] offset 1h)"): @unchecked
+    intercept[IllegalArgumentException](PromParser.parse("up offset"))
+  }
+
+  test("vector-vector binops with on/ignoring and bare matching") {
+    val VecBin("/", Selector("a", _, _, _), Selector("b", _, _, _), Some(on), None) =
+      PromParser.parse("a / on(user) b"): @unchecked
+    assert(on == Seq("user"))
+    val VecBin("+", _, _, None, Some(ig)) =
+      PromParser.parse("a + ignoring(k, cl) b"): @unchecked
+    assert(ig == Seq("k", "cl"))
+    val VecBin("-", Selector("a", _, _, _), Selector("b", _, _, _), None, None) =
+      PromParser.parse("a - b"): @unchecked
+    // scalar arithmetic still parses as Arith, not VecBin
+    val Arith(Selector("a", _, _, _), "*", 2.0) =
+      PromParser.parse("a * 2"): @unchecked
+    // left-assoc chain: (a / b) * 100
+    val Arith(VecBin("/", _, _, _, _), "*", 100.0) =
+      PromParser.parse("a / on(u) b * 100"): @unchecked
+  }
+
+  test("topk/bottomk with optional grouping") {
+    val TopK("topk", 5, Selector("m", _, _, _), Nil, Nil) =
+      PromParser.parse("topk(5, m)"): @unchecked
+    val TopK("bottomk", 3, _, Seq("cl"), Nil) =
+      PromParser.parse("bottomk by (cl) (3, m)"): @unchecked
+    val TopK("topk", 2, _, Nil, Seq("k")) =
+      PromParser.parse("topk without (k) (2, m)"): @unchecked
+    intercept[IllegalArgumentException](PromParser.parse("topk(0, m)"))
+    intercept[IllegalArgumentException](PromParser.parse("topk(2.5, m)"))
   }
 
   test("rejects what the reference never shipped") {
