@@ -438,6 +438,60 @@ object AnalyticsQueries {
         |       count(DISTINCT event_type) AS n_types
         |FROM s GROUP BY user_id, sid""".stripMargin
 
+  /** The streaming sessionizer run END-TO-END over the fixture events,
+    * registered under the SAME DuckDB oracle as the batch [[sessionize]]
+    * — the stream == batch equivalence gate (the reference is itself a
+    * scheduled micro-batch system, cmd/server/main.go:114-155, so the
+    * streaming path is its operational shape, not an extra).
+    *
+    * Harness shape: events + one far-future flush sentinel per user are
+    * written to a temp dir as ONE parquet file, streamed back with
+    * Trigger.AvailableNow through [[SessionizeStream.sessions]]
+    * (flatMapGroupsWithState), and sunk to parquet — fully distributed,
+    * no driver-side collect. The sentinel (> gap past every real event)
+    * closes each user's last real session inline; the sentinel's own
+    * session stays open and is never emitted, exactly the control-message
+    * drain pattern a production pipeline uses. The per-user `session_id`
+    * ordinal is ranked post-hoc from the (tiny) session frame because an
+    * ordinal carried in state would not survive state GC.
+    */
+  def sessionizeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.streaming.{SessionEvent, SessionizeStream}
+    val work = java.nio.file.Files.createTempDirectory("sess_e2e").toString
+    val ev = EventsIngest.readEvents(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("e"))
+    val maxE = ev.agg(max(col("e"))).head().getLong(0)
+    val sentinels = ev.select(col("user_id")).distinct()
+      .withColumn("event_type", lit("__flush__"))
+      .withColumn("e", lit(maxE + 1801L))
+    ev.unionByName(sentinels)
+      .select(col("user_id"), col("event_type"),
+        timestamp_seconds(col("e")).as("ts"))
+      .coalesce(1) // one file -> one deterministic micro-batch
+      .write.parquet(s"$work/in")
+    import SessionizeStream._
+    val stream = spark.readStream
+      .schema("user_id LONG, event_type STRING, ts TIMESTAMP")
+      .parquet(s"$work/in")
+      .as[SessionEvent](evEnc)
+    SessionizeStream.sessions(stream, gapSec = 1800)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    spark.read.parquet(s"$work/out")
+      .withColumn("session_id",
+        row_number().over(Window.partitionBy(col("user_id"))
+          .orderBy(col("session_start_e"))).cast("long"))
+      .select(col("user_id"), col("session_id"), col("session_start_e"),
+        col("n_events"), col("duration_sec"), col("n_types"))
+  }
+
   /** As-of join, scalable shape: for every purchase, the most recent
     * error (closed interval, same second counts) by the same user. Rather
     * than a per-row backward range scan, union both sides into one
@@ -494,6 +548,7 @@ object AnalyticsQueries {
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "metric_median" -> ((metricMedian _, metricMedianOracle)),
     "sessionize" -> ((sessionize _, sessionizeOracle)),
+    "sessionize_stream" -> ((sessionizeStream _, sessionizeOracle)),
     "rollup_report" -> ((rollupReport _, rollupReportOracle)),
     "metric_quantiles" -> ((metricQuantiles _, metricQuantilesOracle)),
     "asof_join" -> ((asofJoin _, asofJoinOracle)),

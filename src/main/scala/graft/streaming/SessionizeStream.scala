@@ -7,14 +7,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * whole-stage-codegens (nested case classes fall back to interpreted
   * projections).
   */
-final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+final case class SessionEvent(user_id: Long, event_type: String,
+    ts: java.sql.Timestamp)
 
-/** Open-session state carried between micro-batches. */
-final case class OpenSession(startE: Long, lastE: Long, n: Long)
+/** Open-session state carried between micro-batches. `types` is the
+  * distinct event types seen — bounded by the event-type vocabulary, so
+  * state stays O(1) per live user.
+  */
+final case class OpenSession(startE: Long, lastE: Long, n: Long,
+    types: Seq[String])
 
-/** A session emitted once it can no longer grow. */
+/** A session emitted once it can no longer grow. Matches the batch
+  * `sessionize` aggregate row minus the per-user ordinal (an ordinal is
+  * meaningless under state GC; the equivalence harness ranks starts
+  * post-hoc instead).
+  */
 final case class ClosedSession(user_id: Long, session_start_e: Long,
-    n_events: Long, duration_sec: Long)
+    n_events: Long, duration_sec: Long, n_types: Long)
 
 /** Streaming gap-sessionization — the event-time-timeout shape that the
   * batch `sessionize` query cannot give a live pipeline: sessions close
@@ -35,24 +44,29 @@ object SessionizeStream {
   def update(gapSec: Long)(user: Long, evs: Iterator[SessionEvent],
       state: GroupState[OpenSession]): Iterator[ClosedSession] = {
     def close(s: OpenSession) =
-      ClosedSession(user, s.startE, s.n, s.lastE - s.startE)
+      ClosedSession(user, s.startE, s.n, s.lastE - s.startE, s.types.size.toLong)
     if (state.hasTimedOut) {
       val s = state.get
       state.remove()
       Iterator(close(s))
     } else {
-      val es = evs.map(_.ts.getTime / 1000).toSeq.sorted
+      // sort by event time only: gap decisions and the aggregates are
+      // insensitive to tie order, so this matches the batch (e, event_id)
+      // ordering without needing the id
+      val es = evs.map(ev => (ev.ts.getTime / 1000, ev.event_type))
+        .toSeq.sortBy(_._1)
       var closed = List.empty[ClosedSession]
       var cur = state.getOption
-      es.foreach { e =>
+      es.foreach { case (e, et) =>
         cur match {
           case Some(s) if e - s.lastE <= gapSec =>
-            cur = Some(OpenSession(s.startE, math.max(s.lastE, e), s.n + 1))
+            cur = Some(OpenSession(s.startE, math.max(s.lastE, e), s.n + 1,
+              if (s.types.contains(et)) s.types else s.types :+ et))
           case Some(s) =>
             closed ::= close(s)
-            cur = Some(OpenSession(e, e, 1))
+            cur = Some(OpenSession(e, e, 1, Seq(et)))
           case None =>
-            cur = Some(OpenSession(e, e, 1))
+            cur = Some(OpenSession(e, e, 1, Seq(et)))
         }
       }
       cur.foreach { s =>

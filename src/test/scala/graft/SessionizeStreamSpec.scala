@@ -7,8 +7,8 @@ import java.nio.file.Files
 class SessionizeStreamSpec extends SparkSpec {
   import spark.implicits._
 
-  private def ev(user: Long, e: Long) =
-    SessionEvent(user, new java.sql.Timestamp(e * 1000))
+  private def ev(user: Long, e: Long, et: String = "view") =
+    SessionEvent(user, et, new java.sql.Timestamp(e * 1000))
 
   test("sessions close on in-batch gaps and on watermark timeout") {
     implicit val sqlCtx = spark.sqlContext
@@ -21,10 +21,10 @@ class SessionizeStreamSpec extends SparkSpec {
     val t0 = 1706572800L // 2024-01-30 00:00:00Z
     // user 7: two events 60s apart, then one past the gap in the SAME
     // batch — the first session must close without any watermark help
-    mem.addData(ev(7, t0), ev(7, t0 + 60), ev(7, t0 + 5000))
+    mem.addData(ev(7, t0), ev(7, t0 + 60, "purchase"), ev(7, t0 + 5000))
     q.processAllAvailable()
     val afterBatch1 = spark.table("sessions").as[ClosedSession].collect()
-    assert(afterBatch1.toSeq == Seq(ClosedSession(7, t0, 2, 60)))
+    assert(afterBatch1.toSeq == Seq(ClosedSession(7, t0, 2, 60, 2)))
 
     // a different user far in the future advances the watermark past
     // user 7's open-session timeout (t0+5000+1800)
@@ -36,8 +36,8 @@ class SessionizeStreamSpec extends SparkSpec {
     q.stop()
 
     val all = spark.table("sessions").as[ClosedSession].collect().toSet
-    assert(all.contains(ClosedSession(7, t0, 2, 60)))
-    assert(all.contains(ClosedSession(7, t0 + 5000, 1, 0)),
+    assert(all.contains(ClosedSession(7, t0, 2, 60, 2)))
+    assert(all.contains(ClosedSession(7, t0 + 5000, 1, 0, 1)),
       s"watermark-closed session missing: $all")
     // user 8's session is still open (no timeout passed) — not emitted
     assert(!all.exists(_.user_id == 8))
