@@ -110,10 +110,16 @@ object Repair {
     * Partition-pruned read of the keep-set + atomic-ish rewrite per
     * partition via dynamic overwrite is not needed here: deleting old
     * partitions is a metadata operation on partition directories.
+    *
+    * The returned deleted-row count comes from the parquet FOOTERS
+    * (`ParquetFileReader.getRecordCount`, a few KB of metadata per file)
+    * — deleting 90 days of a 100 TB table must not first scan what it
+    * deletes, which is what the previous `spark.read.parquet(...).count()`
+    * per doomed partition did.
     */
   def retentionDelete(spark: SparkSession, factPath: String, cutoff: LocalDate): Long = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(conf)
     val base = new org.apache.hadoop.fs.Path(factPath)
     if (!fs.exists(base)) return 0L
     val doomed = fs.listStatus(base).toSeq
@@ -124,10 +130,113 @@ object Repair {
           LocalDate.parse(name.stripPrefix("collect_date=")).isBefore(cutoff)
       }
     val n = doomed.map { st =>
-      val cnt = spark.read.parquet(st.getPath.toString).count()
+      var cnt = 0L
+      val it = fs.listFiles(st.getPath, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(f, conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try cnt += r.getRecordCount finally r.close()
+        }
+      }
       fs.delete(st.getPath, true)
       cnt
     }.sum
     n
+  }
+
+  // ------------------------------------------------------- J8: CLI parse
+
+  /** Parsed repair invocation (reference: cmd/repair/main.go:29-99). */
+  final case class RepairCli(queryId: String, start: LocalDate, end: LocalDate,
+      force: Boolean, dryRun: Boolean, skipIfNoData: Boolean)
+
+  /** J8: the reference CLI's argument contract, faithfully —
+    * `repair --query-id <id> <days>` or
+    * `repair --query-id <id> <start_date> <end_date>`:
+    *
+    *  - flags: `--query-id` (required), `--force-recompute`, `--dry-run`,
+    *    `--skip-if-no-data` (DEFAULT TRUE, as the reference declares it);
+    *    Go's flag package accepts one or two leading dashes and
+    *    `--flag=value`, and stops flag parsing at the first positional —
+    *    all mirrored.
+    *  - one positional: day count N > 0 → [yesterday-(N-1), yesterday]
+    *    relative to the injected `today` (main.go:49-50,85-88 —
+    *    `yesterday := now.AddDate(0,0,-1)`).
+    *  - two positionals: explicit YYYY-MM-DD range, start must not be
+    *    after end (main.go:57-73).
+    *
+    * `today` is injected, never read from the wall clock (the repo-wide
+    * pinned-now discipline).
+    */
+  def parseArgs(args: Seq[String], today: LocalDate): Either[String, RepairCli] = {
+    var queryId = ""
+    var force = false; var dryRun = false; var skip = true
+    var rest = args.toList
+    val usage = "Usage: repair --query-id <query_id> <days> | " +
+      "repair --query-id <query_id> <start_date> <end_date>"
+    def boolVal(s: String): Either[String, Boolean] = s match {
+      case "true" | "1" => Right(true)
+      case "false" | "0" => Right(false)
+      case other => Left(s"invalid boolean value \"$other\"")
+    }
+    while (rest.headOption.exists(a => a.startsWith("-") && a != "-" && a != "--")) {
+      val arg = rest.head; rest = rest.tail
+      val trimmed = arg.dropWhile(_ == '-')
+      val (name, inlineVal) = trimmed.indexOf('=') match {
+        case -1 => (trimmed, None)
+        case i => (trimmed.take(i), Some(trimmed.drop(i + 1)))
+      }
+      name match {
+        case "query-id" =>
+          inlineVal.orElse { rest.headOption.map { v => rest = rest.tail; v } } match {
+            case Some(v) => queryId = v
+            case None => return Left("flag needs an argument: --query-id")
+          }
+        case "force-recompute" =>
+          inlineVal.map(boolVal) match {
+            case Some(Left(e)) => return Left(e)
+            case Some(Right(b)) => force = b
+            case None => force = true
+          }
+        case "dry-run" =>
+          inlineVal.map(boolVal) match {
+            case Some(Left(e)) => return Left(e)
+            case Some(Right(b)) => dryRun = b
+            case None => dryRun = true
+          }
+        case "skip-if-no-data" =>
+          inlineVal.map(boolVal) match {
+            case Some(Left(e)) => return Left(e)
+            case Some(Right(b)) => skip = b
+            case None => skip = true
+          }
+        case other => return Left(s"flag provided but not defined: -$other")
+      }
+    }
+    if (queryId.isEmpty) return Left(s"Error: --query-id is required\n$usage")
+    val yesterday = today.minusDays(1)
+    rest match {
+      case Nil => Left(s"Error: Please specify days or date range\n$usage")
+      case d :: Nil =>
+        d.toIntOption match {
+          case None => Left(s"Failed to parse days: $d. $usage")
+          case Some(n) if n <= 0 => Left("Days must be greater than 0")
+          case Some(n) =>
+            Right(RepairCli(queryId, yesterday.minusDays(n - 1L), yesterday,
+              force, dryRun, skip))
+        }
+      case s :: e :: _ =>
+        val parsed = try Right((LocalDate.parse(s), LocalDate.parse(e)))
+        catch { case ex: java.time.format.DateTimeParseException =>
+          Left(s"Failed to parse date: ${ex.getParsedString}")
+        }
+        parsed.flatMap { case (sd, ed) =>
+          if (sd.isAfter(ed)) Left("Start date must be before end date")
+          else Right(RepairCli(queryId, sd, ed, force, dryRun, skip))
+        }
+    }
   }
 }

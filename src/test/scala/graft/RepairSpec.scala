@@ -105,4 +105,45 @@ class RepairSpec extends SparkSpec {
       .select("collect_date").distinct().collect().map(_.get(0).toString).sorted
     assert(left.toSeq == Seq("2024-01-10", "2024-01-11", "2024-01-12"))
   }
+
+  test("J8: CLI args — N days back from injected yesterday") {
+    val today = d("2024-01-31")
+    val Right(c) = Repair.parseArgs(Seq("--query-id", "gpu", "30"), today): @unchecked
+    assert(c.queryId == "gpu")
+    assert(c.end == d("2024-01-30")) // yesterday
+    assert(c.start == d("2024-01-01")) // yesterday - (30-1)
+    assert(!c.force && !c.dryRun && c.skipIfNoData) // reference defaults
+    // 1 day = just yesterday (main.go: start = yesterday.AddDate(0,0,-days+1))
+    val Right(c1) = Repair.parseArgs(Seq("--query-id", "gpu", "1"), today): @unchecked
+    assert(c1.start == d("2024-01-30") && c1.end == d("2024-01-30"))
+  }
+
+  test("J8: CLI args — explicit date range and flag forms") {
+    val today = d("2024-06-15")
+    val Right(c) = Repair.parseArgs(
+      Seq("--query-id=gpu", "-dry-run", "--force-recompute",
+        "--skip-if-no-data=false", "2024-01-01", "2024-01-31"), today): @unchecked
+    assert(c == Repair.RepairCli("gpu", d("2024-01-01"), d("2024-01-31"),
+      force = true, dryRun = true, skipIfNoData = false))
+    // same-day range is allowed (reference only rejects start AFTER end)
+    assert(Repair.parseArgs(
+      Seq("--query-id", "g", "2024-01-05", "2024-01-05"), today).isRight)
+  }
+
+  test("J8: CLI args — every reference error path") {
+    val today = d("2024-06-15")
+    def err(args: String*): String =
+      Repair.parseArgs(args, today).swap.getOrElse(fail("expected error"))
+    assert(err("30").contains("--query-id is required"))
+    assert(err("--query-id", "g").contains("specify days or date range"))
+    assert(err("--query-id", "g", "abc").contains("Failed to parse days"))
+    assert(err("--query-id", "g", "0") == "Days must be greater than 0")
+    assert(err("--query-id", "g", "-5").contains("not defined")) // Go: flag-like token
+    assert(err("--query-id", "g", "2024-02-30", "2024-03-01")
+      .contains("Failed to parse date"))
+    assert(err("--query-id", "g", "2024-03-01", "2024-01-01")
+      == "Start date must be before end date")
+    assert(err("--unknown", "x").contains("not defined"))
+    assert(err("--query-id").contains("needs an argument"))
+  }
 }
