@@ -8,15 +8,32 @@ import graft.model.QueryConfig
   * SURVEY §2.1 S7/S8, §2.2 W4-W6) over a parquet-backed config table.
   *
   * Parquet has no transactional upsert, so mutations are read-modify-
-  * overwrite — acceptable at config-table scale (tens of rows) and
-  * documented as non-atomic (SURVEY §7.3 item 4); a lakehouse table
-  * format would swap `write` for a MERGE without touching callers.
+  * overwrite — acceptable at config-table scale (tens of rows). Unlike a
+  * naive `mode("overwrite")` of the directory being read (which loses the
+  * table if the process dies mid-write), mutations go through a
+  * two-phase commit: write the new table to `<path>.tmp`, swing the live
+  * directory aside to `<path>.old`, rename tmp into place, drop old.
+  * Every data byte lands before any metadata op touches the live path,
+  * so the only crash window is between the two renames — and
+  * [[loadAll]] self-heals that one by restoring `<path>.old` when the
+  * live path is missing. Honest residual deviation vs the reference's
+  * MySQL transactions (database_config.go:94-158): concurrent WRITERS
+  * are not serialized — last rename wins; single-writer ops tooling is
+  * the assumed deployment, as SURVEY §7.3 documents.
   */
 final class ConfigStore(spark: SparkSession, path: String) {
   import spark.implicits._
 
-  def loadAll(): Dataset[QueryConfig] =
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+  private def p(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  def loadAll(): Dataset[QueryConfig] = {
+    // self-heal the rename crash window: data is always intact in .old
+    if (!fs.exists(p(path)) && fs.exists(p(path + ".old")))
+      fs.rename(p(path + ".old"), p(path))
     spark.read.parquet(path).as[QueryConfig]
+  }
 
   /** S7: enabled configs, oldest first (database_config.go:11-91). */
   def loadEnabled(): Dataset[QueryConfig] =
@@ -28,13 +45,22 @@ final class ConfigStore(spark: SparkSession, path: String) {
       .collect().headOption
 
   private def overwrite(ds: Dataset[QueryConfig]): Unit = {
-    // materialize before overwriting the file we read from
-    val rows = ds.collect().toSeq
-    spark.createDataset(rows).coalesce(1).write.mode("overwrite").parquet(path)
+    // materialize before touching the directory we read from
+    commit(ds.collect().toSeq)
   }
 
-  def init(configs: Seq[QueryConfig]): Unit =
-    spark.createDataset(configs).coalesce(1).write.mode("overwrite").parquet(path)
+  /** Two-phase commit: tmp write → live→old → tmp→live → drop old. */
+  private def commit(rows: Seq[QueryConfig]): Unit = {
+    val (live, tmp, old) = (p(path), p(path + ".tmp"), p(path + ".old"))
+    fs.delete(tmp, true); fs.delete(old, true) // debris from a prior crash
+    spark.createDataset(rows).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(live)) require(fs.rename(live, old), s"cannot set aside $live")
+    require(fs.rename(tmp, live), s"cannot commit $tmp -> $live")
+    fs.delete(old, true)
+  }
+
+  def init(configs: Seq[QueryConfig]): Unit = commit(configs)
 
   /** W4: upsert on query_id (INSERT .. ON DUPLICATE KEY UPDATE,
     * database_config.go:94-158).

@@ -125,4 +125,23 @@ class ConfigStoreSpec extends SparkSpec {
     assert(store.loadAll().count() == 2)
     intercept[IllegalArgumentException](store.delete("nope"))
   }
+
+  test("W4: two-phase commit self-heals the rename crash window") {
+    val dir = Files.createTempDirectory("cfgstore2").toString + "/configs"
+    val store = new ConfigStore(spark, dir)
+    store.init(Seq(mkCfg("a"), mkCfg("b")))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // simulate dying between live→old and tmp→live: live path gone,
+    // previous table intact in .old
+    assert(fs.rename(p(dir), p(dir + ".old")))
+    assert(store.loadAll().count() == 2) // read restores the table
+    assert(fs.exists(p(dir)) && !fs.exists(p(dir + ".old")))
+    // stale tmp/old debris from a crashed writer must not break commits
+    fs.mkdirs(p(dir + ".tmp")); fs.mkdirs(p(dir + ".old"))
+    store.upsert(mkCfg("c"))
+    assert(store.loadAll().count() == 3)
+    assert(!fs.exists(p(dir + ".tmp")) && !fs.exists(p(dir + ".old")))
+  }
 }
