@@ -181,8 +181,13 @@ object Dedup {
     * are monotonically non-increasing, so an unchanged label sum is a
     * fixpoint and the loop ends after O(max component diameter)
     * iterations — dedup clusters are shallow, so this is a handful of
-    * passes even at corpus scale. Per-iteration frames are persisted and
-    * the previous one released, so memory stays O(|nodes|).
+    * passes even at corpus scale. Per-iteration frames are checkpointed;
+    * the explicit unpersist of the previous frame is best-effort only
+    * (it routes through the CacheManager, which does not own a local
+    * checkpoint's RDD blocks) — actual reclamation of a superseded
+    * round's blocks is the ContextCleaner GC'ing the dereferenced RDD,
+    * so transient memory can briefly hold two rounds of labels, still
+    * O(|nodes|) with a small constant.
     *
     * `edges` needs columns (doc_a, doc_b); direction is ignored.
     * Returns (doc_id, component) where component = min doc_id reachable.

@@ -79,6 +79,7 @@ final class PromRangeScanBuilder(metric: String, start0: Long, end0: Long,
   private var lo = start0
   private var hi = end0
   private var seriesEq: Option[Long] = None
+  private var unsat = false // conflicting pushed equalities -> empty scan
   private var pushed = Array.empty[Filter]
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -91,7 +92,11 @@ final class PromRangeScanBuilder(metric: String, start0: Long, end0: Long,
       case GreaterThanOrEqual("e", L(v)) => lo = math.max(lo, v); true
       case LessThan("e", L(v))           => hi = math.min(hi, v - 1); true
       case LessThanOrEqual("e", L(v))    => hi = math.min(hi, v); true
-      case EqualTo("series_id", L(v))    => seriesEq = Some(v); true
+      case EqualTo("series_id", L(v))    =>
+        // a second, different equality makes the conjunction
+        // unsatisfiable — it must yield the empty scan, not overwrite
+        if (seriesEq.exists(_ != v)) unsat = true
+        seriesEq = Some(v); true
       case _ => false
     }
     pushed = accepted
@@ -107,7 +112,11 @@ final class PromRangeScanBuilder(metric: String, start0: Long, end0: Long,
     override def toBatch: Batch = this
 
     override def planInputPartitions(): Array[InputPartition] = {
-      if (hi < lo) return Array.empty
+      // a fully-pushed filter is never re-checked by Spark, so a pushed
+      // series_id outside the source's domain [0, numSeries) must plan
+      // the empty scan — generating rows for it would fabricate samples
+      if (hi < lo || unsat ||
+        seriesEq.exists(v => v < 0 || v >= numSeries)) return Array.empty
       // align slices to the ORIGINAL grid so pushdown narrows the plan
       // without moving slice boundaries (repair J6: one slice ≈ one day)
       val firstSlice = (lo - start0) / slice

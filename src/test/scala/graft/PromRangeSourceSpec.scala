@@ -44,4 +44,26 @@ class PromRangeSourceSpec extends SparkSpec {
     val df = load(0, 3600).filter(col("e") > 7200L)
     assert(df.count() == 0)
   }
+
+  test("pushed series_id outside [0, numSeries) yields the empty scan") {
+    import org.apache.spark.sql.functions.col
+    // Spark trusts a fully-pushed filter and never re-checks it, so the
+    // source must not fabricate rows for a series it doesn't have
+    assert(load(0, 3600 - 1, series = 5)
+      .filter(col("series_id") === 99L).count() == 0)
+    assert(load(0, 3600 - 1, series = 5)
+      .filter(col("series_id") === -1L).count() == 0)
+    // boundary: numSeries itself is out of domain (ids are 0-based)
+    assert(load(0, 3600 - 1, series = 5)
+      .filter(col("series_id") === 5L).count() == 0)
+    assert(load(0, 3600 - 1, series = 5)
+      .filter(col("series_id") === 4L).count() == 60)
+  }
+
+  test("conflicting pushed series equalities yield the empty scan") {
+    import org.apache.spark.sql.functions.col
+    val df = load(0, 3600 - 1, series = 5)
+      .filter(col("series_id") === 1L && col("series_id") === 2L)
+    assert(df.count() == 0)
+  }
 }
