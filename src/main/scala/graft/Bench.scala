@@ -66,7 +66,12 @@ object Bench {
       name -> (if (runs.exists(_ < 0)) -runs.map(math.abs).max
                else runs.min)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the JSON line short: the r3 line's full
+    // double repr was long enough that the driver's capture truncated the
+    // tail and the audit lost the headline total
+    def ms(v: Double): String = // Locale.ROOT: a comma decimal point is not JSON
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     // total sums elapsed wall-clock regardless of outcome (math.abs undoes
     // the failure sign) so a failing run can never look *faster*; failures
@@ -74,7 +79,7 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val total = results.values.map(math.abs).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
