@@ -47,6 +47,13 @@ object PromEval {
         evalInstant(metrics, r, atEpochSec, lookbackSec), op, on, ignoring)
     case TopK(fn, k, inner, by, without) =>
       topk(evalInstant(metrics, inner, atEpochSec, lookbackSec), fn, k, by, without)
+    case QuantileOverTime(q, sel, w) =>
+      PromOps.quantileOverTime(
+        PromOps.rangeSelector(matcherFilter(metrics, sel), sel.name,
+          atEpochSec - sel.offsetSec, w), q)
+    case HistQuantile(q, inner) =>
+      PromOps.histogramQuantile(
+        evalInstant(metrics, inner, atEpochSec, lookbackSec), q)
     case other =>
       throw new IllegalArgumentException(s"unsupported instant expr: $other")
   }

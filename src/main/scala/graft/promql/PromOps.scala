@@ -163,6 +163,80 @@ object PromOps {
     agg.select(col("skey"), value.as("value"))
   }
 
+  /** `quantile_over_time(q, x[w])`: the φ-quantile of each series'
+    * samples, with Prometheus's linear interpolation — sorted values
+    * v_0..v_{n-1}, rank = q·(n-1), result = v_lo + (v_hi − v_lo)·frac.
+    * Implemented with explicit rank arithmetic (row_number + floor/ceil)
+    * rather than a built-in percentile so the oracle can reproduce the
+    * exact same expression tree: both engines then compute bit-identical
+    * doubles, since every operand and operation order matches. Two
+    * window passes over data already partitioned by series, then one
+    * aggregation — no collect, no UDF.
+    */
+  def quantileOverTime(rangeSel: DataFrame, q: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(q >= 0 && q <= 1, s"quantile must be in [0,1], got $q")
+    val bySeries = Window.partitionBy(col("skey"))
+    val ranked = rangeSel
+      .select(col("skey"), col("value"))
+      .withColumn("rn", row_number().over(bySeries.orderBy(col("value"))) - 1)
+      .withColumn("rank", lit(q) * (count(lit(1)).over(bySeries) - 1))
+    ranked
+      .filter(col("rn") === floor(col("rank")) || col("rn") === ceil(col("rank")))
+      .groupBy(col("skey"))
+      .agg(
+        max(when(col("rn") === floor(col("rank")), col("value"))).as("lo"),
+        max(when(col("rn") === ceil(col("rank")), col("value"))).as("hi"),
+        first(col("rank") - floor(col("rank"))).as("frac"))
+      .select(col("skey"),
+        (col("lo") + (col("hi") - col("lo")) * col("frac")).as("value"))
+  }
+
+  /** `histogram_quantile(q, buckets)` over an instant vector of
+    * cumulative `le`-labeled bucket series (the classic-histogram
+    * contract): group by labels-minus-le, rank = q·total (the +Inf
+    * bucket's count), pick the lowest finite bucket whose cumulative
+    * count reaches the rank, and interpolate linearly inside it —
+    * `lo_le + (le − lo_le)·(rank − lo_cum)/(cum − lo_cum)`, with the
+    * first bucket's lower bound at 0 (Prometheus semantics for positive
+    * bucket bounds, the stated supported domain). A rank beyond every
+    * finite bucket returns the highest finite le, as Prometheus does.
+    * One sort-window per group plus one aggregation; bucket counts per
+    * group are tiny by construction, so no skew.
+    */
+  def histogramQuantile(buckets: DataFrame, q: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = labelsOf(col("skey"))
+    val led = when(labels.getItem("le").isin("+Inf", "Inf", "inf"),
+      lit(Double.PositiveInfinity))
+      .otherwise(labels.getItem("le").cast("double"))
+    val gkey = seriesKey(map_filter(labels, (k, _) => k =!= "le"))
+    val base = buckets.select(gkey.as("gkey"), led.as("le"), col("value"))
+    val ordered = Window.partitionBy(col("gkey")).orderBy(col("le"))
+    val whole = Window.partitionBy(col("gkey"))
+    val enriched = base
+      .withColumn("prev_cum", coalesce(lag(col("value"), 1).over(ordered), lit(0.0)))
+      .withColumn("prev_le", coalesce(lag(col("le"), 1).over(ordered), lit(0.0)))
+      .withColumn("total",
+        max(when(col("le") === Double.PositiveInfinity, col("value"))).over(whole))
+      .withColumn("max_finite_le",
+        max(when(col("le") =!= Double.PositiveInfinity, col("le"))).over(whole))
+      .withColumn("rank", lit(q) * col("total"))
+    val winners = enriched
+      .filter(col("le") =!= Double.PositiveInfinity && col("value") >= col("rank"))
+      .withColumn("rn", row_number().over(ordered))
+      .filter(col("rn") === 1)
+      .select(col("gkey"),
+        (col("prev_le") + (col("le") - col("prev_le")) *
+          (col("rank") - col("prev_cum")) / (col("value") - col("prev_cum")))
+          .as("qval"))
+    enriched.groupBy(col("gkey"))
+      .agg(first(col("max_finite_le")).as("fallback"))
+      .join(winners, Seq("gkey"), "left")
+      .select(col("gkey").as("skey"),
+        coalesce(col("qval"), col("fallback")).as("value"))
+  }
+
   /** P2: comparison with the `bool` modifier — returns 1.0/0.0 instead of
     * filtering (reference flagship: `!= bool 999999`, migrate.sql:105).
     */

@@ -54,6 +54,13 @@ object PromParser {
     */
   final case class TopK(fn: String, k: Int, inner: Expr,
       by: Seq[String] = Nil, without: Seq[String] = Nil) extends Expr
+  /** `quantile_over_time(q, sel[w])` — φ-quantile per series with linear
+    * interpolation (Prometheus's rank = q·(n−1) rule).
+    */
+  final case class QuantileOverTime(q: Double, sel: Selector,
+      windowSec: Long) extends Expr
+  /** `histogram_quantile(q, expr)` over cumulative le-labeled buckets. */
+  final case class HistQuantile(q: Double, inner: Expr) extends Expr
 
   private val aggFns = Set("sum", "avg", "min", "max", "count")
   private val topkFns = Set("topk", "bottomk")
@@ -171,6 +178,8 @@ object PromParser {
       case TId(fn) if topkFns(fn) => parseTopK(fn)
       case TId(fn) if overTimeFns(fn) => parseOverTime(fn)
       case TId(fn) if rateFns(fn) => parseRate(fn)
+      case TId("quantile_over_time") => parseQuantileOverTime()
+      case TId("histogram_quantile") => parseHistQuantile()
       case TId(name) => withRangeSuffix(parseSelectorTail(name))
       case TSym("(") =>
         val e = parseArith(); expectSym(")"); e
@@ -205,6 +214,35 @@ object PromParser {
       expectSym(")")
       clause()
       Agg(fn, inner, by, without)
+    }
+
+    /** quantile_over_time( q, selector[w] ) */
+    private def parseQuantileOverTime(): Expr = {
+      expectSym("(")
+      val q = pop() match {
+        case TNum(v) if v >= 0 && v <= 1 => v
+        case other => fail(s"quantile_over_time needs q in [0,1], got $other")
+      }
+      expectSym(",")
+      val e = parseArith() match {
+        case RangePlaceholder(sel, w) => QuantileOverTime(q, sel, w)
+        case _ => fail("quantile_over_time requires a plain range selector")
+      }
+      expectSym(")")
+      e
+    }
+
+    /** histogram_quantile( q, expr ) */
+    private def parseHistQuantile(): Expr = {
+      expectSym("(")
+      val q = pop() match {
+        case TNum(v) => v
+        case other => fail(s"histogram_quantile needs a scalar q, got $other")
+      }
+      expectSym(",")
+      val inner = parseArith()
+      expectSym(")")
+      HistQuantile(q, inner)
     }
 
     /** topk/bottomk [by|without (l,..)] (k, expr) [by|without (l,..)] */
@@ -347,6 +385,7 @@ object PromParser {
     case OverTimeSubquery(_, i, _, _) => containsPlaceholder(i)
     case VecBin(_, l, r, _, _) => containsPlaceholder(l) || containsPlaceholder(r)
     case TopK(_, _, i, _, _) => containsPlaceholder(i)
+    case HistQuantile(_, i) => containsPlaceholder(i)
     case _ => false
   }
 }

@@ -546,8 +546,96 @@ object PromQueries {
         |)
         |SELECT u AS user, k, cl AS cluster_name, value FROM r WHERE rn <= 2""".stripMargin
 
+  /** Parsed `quantile_over_time(0.9, purchase[720h])` — per-series
+    * φ-quantile with Prometheus's linear interpolation. The engine and
+    * the oracle both compute rank = q·(n−1) with explicit floor/ceil
+    * row-number arithmetic and interpolate as lo + (hi−lo)·frac with
+    * identical operation order, so the doubles are bit-identical — the
+    * reason PromOps.quantileOverTime avoids built-in percentile
+    * functions, whose interpolation op order differs per engine.
+    */
+  def parsedQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "quantile_over_time(0.9, purchase[720h])")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedQuantileOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      """
+        |, o AS (
+        |  SELECT u, k, v,
+        |         row_number() OVER (PARTITION BY u, k ORDER BY v) - 1 AS rn,
+        |         0.9 * (count(*) OVER (PARTITION BY u, k) - 1) AS rank
+        |  FROM s
+        |), p AS (
+        |  SELECT u, k,
+        |         max(CASE WHEN rn = floor(rank) THEN v END) AS lo,
+        |         max(CASE WHEN rn = ceil(rank) THEN v END) AS hi,
+        |         any_value(rank - floor(rank)) AS frac
+        |  FROM o WHERE rn = floor(rank) OR rn = ceil(rank)
+        |  GROUP BY u, k
+        |)
+        |SELECT u AS user, k, lo + (hi - lo) * frac AS value FROM p""".stripMargin
+
+  /** Parsed `histogram_quantile(0.9, purchase_bucket)` END-TO-END: the
+    * query builds a classic cumulative le-labeled bucket vector from the
+    * purchase samples (explode each sample into every bucket it falls
+    * under — one pass, no per-bound scan), stamps it as an instant
+    * vector at Te, and hands it to the parsed expression. The oracle
+    * replicates the bucket counts with count FILTER and the exact
+    * interpolation arithmetic `lo_le + (le−lo_le)·(rank−lo_cum)/
+    * (cum−lo_cum)` in the same operation order.
+    */
+  def parsedHistQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    val bounds = Seq(5.0, 10.0, 20.0, 50.0)
+    val bArr = array(bounds.map(b =>
+      struct(lit(b.toString).as("les"), lit(b).as("led"))) :+
+      struct(lit("+Inf").as("les"), lit(Double.PositiveInfinity).as("led")): _*)
+    val s = graft.promql.PromOps.rangeSelector(
+      metrics(spark, sfDir), "purchase", Te, 2592000L)
+    val buckets = s
+      .select(user.as("u"), col("value"))
+      .select(col("u"),
+        explode(filter(bArr, b => col("value") <= b.getField("led"))).as("b"))
+      .groupBy(col("u"), col("b.les").as("le"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(lit("purchase_bucket").as("metric_name"),
+        map(lit("user"), col("u"), lit("le"), col("le")).as("labels"),
+        col("value"), timestamp_seconds(lit(Te)).as("timestamp"))
+    val expr = graft.promql.PromParser.parse(
+      "histogram_quantile(0.9, purchase_bucket)")
+    graft.promql.PromEval.evalInstant(buckets, expr, Te)
+      .select(user.as("user"), col("value"))
+  }
+
+  val parsedHistQuantileOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      """
+        |, c AS (
+        |  SELECT u,
+        |         CAST(count(*) FILTER (v <= 5.0) AS DOUBLE) AS c5,
+        |         CAST(count(*) FILTER (v <= 10.0) AS DOUBLE) AS c10,
+        |         CAST(count(*) FILTER (v <= 20.0) AS DOUBLE) AS c20,
+        |         CAST(count(*) FILTER (v <= 50.0) AS DOUBLE) AS c50,
+        |         CAST(count(*) AS DOUBLE) AS cinf
+        |  FROM s GROUP BY u
+        |), r AS (SELECT *, 0.9 * cinf AS rank FROM c)
+        |SELECT u AS user,
+        |       CASE
+        |         WHEN c5 >= rank THEN 0.0 + (5.0 - 0.0) * (rank - 0.0) / (c5 - 0.0)
+        |         WHEN c10 >= rank THEN 5.0 + (10.0 - 5.0) * (rank - c5) / (c10 - c5)
+        |         WHEN c20 >= rank THEN 10.0 + (20.0 - 10.0) * (rank - c10) / (c20 - c10)
+        |         WHEN c50 >= rank THEN 20.0 + (50.0 - 20.0) * (rank - c20) / (c50 - c20)
+        |         ELSE 50.0
+        |       END AS value
+        |FROM r""".stripMargin
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "promql_parsed_quantile" -> ((parsedQuantile _, parsedQuantileOracle)),
+    "promql_parsed_histq" -> ((parsedHistQuantile _, parsedHistQuantileOracle)),
     "promql_parsed_offset" -> ((parsedOffset _, parsedOffsetOracle)),
     "promql_parsed_binop" -> ((parsedBinop _, parsedBinopOracle)),
     "promql_parsed_topk" -> ((parsedTopk _, parsedTopkOracle)),

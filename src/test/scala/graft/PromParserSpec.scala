@@ -85,6 +85,17 @@ class PromParserSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](PromParser.parse("topk(2.5, m)"))
   }
 
+  test("quantile_over_time and histogram_quantile parse") {
+    val QuantileOverTime(0.9, Selector("m", _, _, _), 3600L) =
+      PromParser.parse("quantile_over_time(0.9, m[1h])"): @unchecked
+    val HistQuantile(0.5, Selector("b", _, _, _)) =
+      PromParser.parse("histogram_quantile(0.5, b)"): @unchecked
+    intercept[IllegalArgumentException](
+      PromParser.parse("quantile_over_time(1.5, m[1h])")) // q out of range
+    intercept[IllegalArgumentException](
+      PromParser.parse("quantile_over_time(0.5, m)")) // no range
+  }
+
   test("rejects what the reference never shipped") {
     intercept[IllegalArgumentException](PromParser.parse("x[5m]")) // bare range
     intercept[IllegalArgumentException](PromParser.parse("irate(x[5m])"))
@@ -109,6 +120,25 @@ class PromEvalSpec extends SparkSpec {
     val vals = graft.promql.PromEval.evalInstant(m, expr, 1000L)
       .collect().map(_.getAs[Double]("value")).toSet
     assert(vals == Set(2.0, 3.0))
+  }
+
+  test("histogram_quantile interpolation, first-bucket, and overflow fallback") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one group, cumulative buckets: le=1 -> 10, le=2 -> 30, +Inf -> 40
+    val m = Seq(("b", Map("job" -> "x", "le" -> "1.0"), 10.0, 999L),
+      ("b", Map("job" -> "x", "le" -> "2.0"), 30.0, 999L),
+      ("b", Map("job" -> "x", "le" -> "+Inf"), 40.0, 999L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def at(q: Double): Double = {
+      val e = graft.promql.PromParser.parse(s"histogram_quantile($q, b)")
+      graft.promql.PromEval.evalInstant(m, e, 1000L)
+        .collect().map(_.getAs[Double]("value")).head
+    }
+    assert(at(0.5) == 1.0 + (2.0 - 1.0) * (20.0 - 10.0) / (30.0 - 10.0)) // 1.5
+    assert(at(0.1) == 0.0 + (1.0 - 0.0) * (4.0 - 0.0) / (10.0 - 0.0)) // 0.4
+    assert(at(1.0) == 2.0) // rank beyond finite buckets -> max finite le
   }
 
   test("parsed flagship == hand-built flagship on fixtures") {
