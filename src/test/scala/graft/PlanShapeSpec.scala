@@ -54,4 +54,18 @@ class PlanShapeSpec extends SparkSpec {
     val plan = finalPlan(AnalyticsQueries.asofJoin(spark, sf))
     assert(shuffles(plan) == 1, plan.take(1200))
   }
+
+  test("global PromQL topk plans TakeOrderedAndProject, not a full sort") {
+    val plan = finalPlan(
+      SparkEntry.queries("promql_parsed_topk")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("GlobalLimit"), plan.take(800))
+  }
+
+  test("parsed vector binop joins without a cartesian or nested loop") {
+    val plan = finalPlan(
+      SparkEntry.queries("promql_parsed_binop")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
 }
