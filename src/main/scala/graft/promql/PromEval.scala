@@ -54,8 +54,31 @@ object PromEval {
     case HistQuantile(q, inner) =>
       PromOps.histogramQuantile(
         evalInstant(metrics, inner, atEpochSec, lookbackSec), q)
+    case UnaryFn(fn, inner) =>
+      evalInstant(metrics, inner, atEpochSec, lookbackSec)
+        .withColumn("value", unary(fn, col("value")))
+    case Clamp(inner, lo, hi) =>
+      val withLo = lo.fold(col("value"))(v => greatest(col("value"), lit(v)))
+      val withBoth = hi.fold(withLo)(v => least(withLo, lit(v)))
+      evalInstant(metrics, inner, atEpochSec, lookbackSec)
+        .withColumn("value", withBoth)
+    case Absent(sel) =>
+      // alerting primitive: exactly one (label-less) 1.0 iff no series
+      // matched — a count aggregate, usable as a subquery leaf
+      evalInstant(metrics, sel, atEpochSec, lookbackSec)
+        .agg(count(lit(1)).as("n")).filter(col("n") === 0)
+        .select(lit("{}").as("skey"), lit(1.0).as("value"))
     case other =>
       throw new IllegalArgumentException(s"unsupported instant expr: $other")
+  }
+
+  private def unary(fn: String, v: Column): Column = fn match {
+    case "abs" => abs(v)
+    case "ceil" => ceil(v).cast("double") // PromQL math fns return floats
+    case "floor" => floor(v).cast("double")
+    case "sqrt" => sqrt(v)
+    case "exp" => exp(v)
+    case "ln" => log(v)
   }
 
   /** Vector-vector arithmetic, one-to-one. The match key is the full

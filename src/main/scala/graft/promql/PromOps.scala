@@ -147,6 +147,18 @@ object PromOps {
     import org.apache.spark.sql.expressions.Window
     val rs = rangeSelector(metrics, metricName, atEpochSec, windowSec)
       .select(col("skey"), col("e"), col("value").cast("decimal(20,6)").as("vd"))
+    if (kind == "delta") {
+      // gauge semantics: last observed − first observed, no counter-reset
+      // logic, no span division (observed-boundary deviation stated on
+      // rate/increase applies here identically); one map-side-combinable
+      // aggregation, no window pass at all
+      return rs.groupBy(col("skey"))
+        .agg(min(struct(col("e"), col("vd"))).as("first"),
+          max(struct(col("e"), col("vd"))).as("last"))
+        .filter(col("last.e") > col("first.e"))
+        .select(col("skey"),
+          (col("last.vd") - col("first.vd")).cast("double").as("value"))
+    }
     val w = Window.partitionBy(col("skey")).orderBy(col("e"), col("vd"))
     val agg = rs.withColumn("prev", lag(col("vd"), 1).over(w))
       .withColumn("delta",

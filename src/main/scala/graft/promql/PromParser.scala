@@ -61,13 +61,23 @@ object PromParser {
       windowSec: Long) extends Expr
   /** `histogram_quantile(q, expr)` over cumulative le-labeled buckets. */
   final case class HistQuantile(q: Double, inner: Expr) extends Expr
+  /** Pointwise math: abs/ceil/floor/sqrt/exp/ln (PromQL returns floats;
+    * ceil/floor are re-cast to double accordingly).
+    */
+  final case class UnaryFn(fn: String, inner: Expr) extends Expr
+  /** clamp(v, lo, hi) / clamp_min(v, lo) / clamp_max(v, hi). */
+  final case class Clamp(inner: Expr, lo: Option[Double],
+      hi: Option[Double]) extends Expr
+  /** absent(sel): 1 for the empty label set iff the vector is empty. */
+  final case class Absent(sel: Selector) extends Expr
 
   private val aggFns = Set("sum", "avg", "min", "max", "count")
   private val topkFns = Set("topk", "bottomk")
   private val overTimeFns =
     Set("sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
       "count_over_time", "last_over_time")
-  private val rateFns = Set("rate", "increase")
+  private val rateFns = Set("rate", "increase", "delta")
+  private val unaryFns = Set("abs", "ceil", "floor", "sqrt", "exp", "ln")
 
   // ------------------------------------------------------------- tokenizer
   sealed private[promql] trait Tok
@@ -180,6 +190,17 @@ object PromParser {
       case TId(fn) if rateFns(fn) => parseRate(fn)
       case TId("quantile_over_time") => parseQuantileOverTime()
       case TId("histogram_quantile") => parseHistQuantile()
+      case TId(fn) if unaryFns(fn) =>
+        expectSym("("); val e = parseArith(); expectSym(")"); UnaryFn(fn, e)
+      case TId("absent") =>
+        expectSym("(")
+        val e = parseArith() match {
+          case s: Selector => Absent(s)
+          case other => fail(s"absent() takes an instant selector, got $other")
+        }
+        expectSym(")")
+        e
+      case TId(fn @ ("clamp" | "clamp_min" | "clamp_max")) => parseClamp(fn)
       case TId(name) => withRangeSuffix(parseSelectorTail(name))
       case TSym("(") =>
         val e = parseArith(); expectSym(")"); e
@@ -243,6 +264,23 @@ object PromParser {
       val inner = parseArith()
       expectSym(")")
       HistQuantile(q, inner)
+    }
+
+    /** clamp(v, lo, hi) | clamp_min(v, lo) | clamp_max(v, hi) */
+    private def parseClamp(fn: String): Expr = {
+      expectSym("(")
+      val inner = parseArith()
+      def num(): Double = { expectSym(","); pop() match {
+        case TNum(v) => v
+        case other => fail(s"$fn needs scalar bounds, got $other")
+      } }
+      val e = fn match {
+        case "clamp" => Clamp(inner, Some(num()), Some(num()))
+        case "clamp_min" => Clamp(inner, Some(num()), None)
+        case "clamp_max" => Clamp(inner, None, Some(num()))
+      }
+      expectSym(")")
+      e
     }
 
     /** topk/bottomk [by|without (l,..)] (k, expr) [by|without (l,..)] */
@@ -386,6 +424,8 @@ object PromParser {
     case VecBin(_, l, r, _, _) => containsPlaceholder(l) || containsPlaceholder(r)
     case TopK(_, _, i, _, _) => containsPlaceholder(i)
     case HistQuantile(_, i) => containsPlaceholder(i)
+    case UnaryFn(_, i) => containsPlaceholder(i)
+    case Clamp(i, _, _) => containsPlaceholder(i)
     case _ => false
   }
 }

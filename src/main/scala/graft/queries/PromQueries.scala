@@ -632,8 +632,50 @@ object PromQueries {
         |       END AS value
         |FROM r""".stripMargin
 
+  /** Parsed `clamp(ceil(max_over_time(purchase[720h])), 5, 40)` — the
+    * pointwise-math family end-to-end. Only EXACT functions appear in
+    * oracle-checked entries (ceil/abs/clamp are integer-exact on these
+    * values); sqrt/exp/ln are spec-tested instead because libm results
+    * may differ across engines in the last ulp.
+    */
+  def parsedMathFn(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "clamp(ceil(max_over_time(purchase[720h])), 5, 40)")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedMathFnOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      """
+        |SELECT u AS user, k,
+        |       least(greatest(CAST(ceil(max(v)) AS DOUBLE), 5.0), 40.0) AS value
+        |FROM s GROUP BY u, k""".stripMargin
+
+  /** Parsed `delta(view[720h])` — the gauge twin of increase: last
+    * observed − first observed per series, no counter-reset logic
+    * (observed-boundary deviation stated on rate/increase applies
+    * identically). Exact via the shared DECIMAL(20,6) routing.
+    */
+  def parsedDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse("delta(view[720h])")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedDeltaOracle: String =
+    sampleCte("view", Te - 2592000 + 1, Te) +
+      """
+        |SELECT u AS user, k,
+        |       CAST((max(struct_pack(e := e, vd := CAST(v AS DECIMAL(20,6)))).vd
+        |           - (min(struct_pack(e := e, vd := CAST(v AS DECIMAL(20,6)))).vd)
+        |            ) AS DOUBLE) AS value
+        |FROM s GROUP BY u, k HAVING max(e) - min(e) > 0""".stripMargin
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "promql_parsed_mathfn" -> ((parsedMathFn _, parsedMathFnOracle)),
+    "promql_parsed_delta" -> ((parsedDelta _, parsedDeltaOracle)),
     "promql_parsed_quantile" -> ((parsedQuantile _, parsedQuantileOracle)),
     "promql_parsed_histq" -> ((parsedHistQuantile _, parsedHistQuantileOracle)),
     "promql_parsed_offset" -> ((parsedOffset _, parsedOffsetOracle)),

@@ -96,6 +96,22 @@ class PromParserSpec extends AnyFunSuite {
       PromParser.parse("quantile_over_time(0.5, m)")) // no range
   }
 
+  test("math fns, clamp family, delta, absent parse") {
+    val UnaryFn("abs", Selector("m", _, _, _)) =
+      PromParser.parse("abs(m)"): @unchecked
+    val Clamp(UnaryFn("ceil", _), Some(1.0), Some(9.0)) =
+      PromParser.parse("clamp(ceil(m), 1, 9)"): @unchecked
+    val Clamp(_, Some(2.0), None) =
+      PromParser.parse("clamp_min(m, 2)"): @unchecked
+    val Clamp(_, None, Some(3.0)) =
+      PromParser.parse("clamp_max(m, 3)"): @unchecked
+    val Rate("delta", Selector("g", _, _, _), 3600L) =
+      PromParser.parse("delta(g[1h])"): @unchecked
+    val Absent(Selector("up", _, _, _)) =
+      PromParser.parse("absent(up)"): @unchecked
+    intercept[IllegalArgumentException](PromParser.parse("absent(rate(x[5m]))"))
+  }
+
   test("rejects what the reference never shipped") {
     intercept[IllegalArgumentException](PromParser.parse("x[5m]")) // bare range
     intercept[IllegalArgumentException](PromParser.parse("irate(x[5m])"))
@@ -139,6 +155,29 @@ class PromEvalSpec extends SparkSpec {
     assert(at(0.5) == 1.0 + (2.0 - 1.0) * (20.0 - 10.0) / (30.0 - 10.0)) // 1.5
     assert(at(0.1) == 0.0 + (1.0 - 0.0) * (4.0 - 0.0) / (10.0 - 0.0)) // 0.4
     assert(at(1.0) == 2.0) // rank beyond finite buckets -> max finite le
+  }
+
+  test("math fns evaluate pointwise; absent flags empty vectors only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = Seq(("m", Map("i" -> "a"), -2.25, 995L),
+      ("m", Map("i" -> "b"), 9.0, 996L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def eval(q: String) = graft.promql.PromEval
+      .evalInstant(m, graft.promql.PromParser.parse(q), 1000L)
+      .collect().map(_.getAs[Double]("value")).sorted.toSeq
+    assert(eval("abs(m)") == Seq(2.25, 9.0))
+    assert(eval("ceil(m)") == Seq(-2.0, 9.0))
+    assert(eval("floor(m)") == Seq(-3.0, 9.0))
+    assert(eval("sqrt(m)").contains(3.0)) // sqrt(-2.25) is NaN
+    assert(eval("ln(exp(m))").exists(v => math.abs(v - 9.0) < 1e-12))
+    assert(eval("clamp(m, 0, 5)") == Seq(0.0, 5.0))
+    assert(eval("""absent(m{i="a"})""").isEmpty) // series exists
+    val one = graft.promql.PromEval.evalInstant(m,
+      graft.promql.PromParser.parse("""absent(m{i="zzz"})"""), 1000L).collect()
+    assert(one.length == 1 && one(0).getAs[Double]("value") == 1.0
+      && one(0).getAs[String]("skey") == "{}")
   }
 
   test("parsed flagship == hand-built flagship on fixtures") {
