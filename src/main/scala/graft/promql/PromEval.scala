@@ -62,6 +62,17 @@ object PromEval {
       val withBoth = hi.fold(withLo)(v => least(withLo, lit(v)))
       evalInstant(metrics, inner, atEpochSec, lookbackSec)
         .withColumn("value", withBoth)
+    case SetOp(op, l, r) =>
+      // set semantics on the full series key: semi/anti joins — the
+      // match key is tiny (distinct series), so these broadcast
+      val lf = evalInstant(metrics, l, atEpochSec, lookbackSec)
+      val rf = evalInstant(metrics, r, atEpochSec, lookbackSec)
+      op match {
+        case "and" => lf.join(rf.select(col("skey")).distinct(), Seq("skey"), "left_semi")
+        case "unless" => lf.join(rf.select(col("skey")).distinct(), Seq("skey"), "left_anti")
+        case "or" => lf.unionByName(
+          rf.join(lf.select(col("skey")).distinct(), Seq("skey"), "left_anti"))
+      }
     case Absent(sel) =>
       // alerting primitive: exactly one (label-less) 1.0 iff no series
       // matched — a count aggregate, usable as a subquery leaf

@@ -147,6 +147,28 @@ object PromOps {
     import org.apache.spark.sql.expressions.Window
     val rs = rangeSelector(metrics, metricName, atEpochSec, windowSec)
       .select(col("skey"), col("e"), col("value").cast("decimal(20,6)").as("vd"))
+    if (kind == "irate" || kind == "idelta") {
+      // instant-rate family: only the LAST TWO samples per series matter,
+      // so rank descending and keep rank ≤ 2 — the shuffle carries the
+      // full window's rows but the aggregation is two rows per series.
+      // (A 100 TB deployment would push a per-series tail prune into the
+      // scan; on the fact layout that is the (metric, day) partition.)
+      val byDesc = Window.partitionBy(col("skey"))
+        .orderBy(col("e").desc, col("vd").desc)
+      val agg = rs.withColumn("rn", row_number().over(byDesc))
+        .filter(col("rn") <= 2)
+        .groupBy(col("skey"))
+        .agg(max(when(col("rn") === 1, struct(col("e"), col("vd")))).as("lastS"),
+          max(when(col("rn") === 2, struct(col("e"), col("vd")))).as("prevS"))
+        .filter(col("prevS").isNotNull && col("lastS.e") > col("prevS.e"))
+      val value =
+        if (kind == "idelta") (col("lastS.vd") - col("prevS.vd")).cast("double")
+        else // irate: counter-reset aware, like rate but on the last pair
+          when(col("lastS.vd") >= col("prevS.vd"),
+            col("lastS.vd") - col("prevS.vd")).otherwise(col("lastS.vd"))
+            .cast("double") / (col("lastS.e") - col("prevS.e"))
+      return agg.select(col("skey"), value.as("value"))
+    }
     if (kind == "delta") {
       // gauge semantics: last observed − first observed, no counter-reset
       // logic, no span division (observed-boundary deviation stated on

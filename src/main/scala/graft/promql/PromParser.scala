@@ -70,13 +70,21 @@ object PromParser {
       hi: Option[Double]) extends Expr
   /** absent(sel): 1 for the empty label set iff the vector is empty. */
   final case class Absent(sel: Selector) extends Expr
+  /** Set operators between instant vectors: `and` (series of the left
+    * whose label set also appears on the right), `unless` (left minus
+    * right), `or` (left plus right series not matched on the left).
+    * Values and labels come from the left side except for `or`'s
+    * right-only series, per Prometheus. Matching is on the full label
+    * set (`on`/`ignoring` modifiers are not supported here — stated).
+    */
+  final case class SetOp(op: String, left: Expr, right: Expr) extends Expr
 
   private val aggFns = Set("sum", "avg", "min", "max", "count")
   private val topkFns = Set("topk", "bottomk")
   private val overTimeFns =
     Set("sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
       "count_over_time", "last_over_time")
-  private val rateFns = Set("rate", "increase", "delta")
+  private val rateFns = Set("rate", "increase", "delta", "irate", "idelta")
   private val unaryFns = Set("abs", "ceil", "floor", "sqrt", "exp", "ln")
 
   // ------------------------------------------------------------- tokenizer
@@ -132,8 +140,23 @@ object PromParser {
     }
 
     def parse(): Expr = {
-      val e = parseArith()
+      val e = parseSetOp()
       if (toks.nonEmpty) fail("trailing tokens")
+      e
+    }
+
+    /** lowest precedence, left-assoc: expr (and|or|unless) expr ... —
+      * matching Prometheus, where set ops bind looser than arithmetic.
+      */
+    private def parseSetOp(): Expr = {
+      var e = parseArith()
+      while (peek.exists {
+        case TId(s) => s == "and" || s == "or" || s == "unless"
+        case _ => false
+      }) {
+        val TId(op) = pop(): @unchecked
+        e = SetOp(op, e, parseArith())
+      }
       e
     }
 
@@ -203,7 +226,7 @@ object PromParser {
       case TId(fn @ ("clamp" | "clamp_min" | "clamp_max")) => parseClamp(fn)
       case TId(name) => withRangeSuffix(parseSelectorTail(name))
       case TSym("(") =>
-        val e = parseArith(); expectSym(")"); e
+        val e = parseSetOp(); expectSym(")"); e
       case other => fail(s"unexpected token $other")
     }
 
@@ -231,7 +254,7 @@ object PromParser {
       }
       clause()
       expectSym("(")
-      val inner = parseArith()
+      val inner = parseSetOp()
       expectSym(")")
       clause()
       Agg(fn, inner, by, without)
@@ -261,7 +284,7 @@ object PromParser {
         case other => fail(s"histogram_quantile needs a scalar q, got $other")
       }
       expectSym(",")
-      val inner = parseArith()
+      val inner = parseSetOp()
       expectSym(")")
       HistQuantile(q, inner)
     }
@@ -426,6 +449,7 @@ object PromParser {
     case HistQuantile(_, i) => containsPlaceholder(i)
     case UnaryFn(_, i) => containsPlaceholder(i)
     case Clamp(i, _, _) => containsPlaceholder(i)
+    case SetOp(_, l, r) => containsPlaceholder(l) || containsPlaceholder(r)
     case _ => false
   }
 }

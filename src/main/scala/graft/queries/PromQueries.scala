@@ -672,8 +672,86 @@ object PromQueries {
         |            ) AS DOUBLE) AS value
         |FROM s GROUP BY u, k HAVING max(e) - min(e) > 0""".stripMargin
 
+  /** Two-metric CTE for the set-op oracles: left = per-(u,k) max of
+    * purchase, right = the (u,k) series that have error samples. The
+    * engine matches on the full series key {user,k,cluster_name}, but
+    * cluster_name is a pure function of user in the fixture, so (u,k)
+    * matching is equivalent.
+    */
+  private val setOpCte: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(user_id AS VARCHAR) AS u,
+       |         json_extract_string(props, '$$.k') AS k, value AS v
+       |  FROM events
+       |  WHERE CAST(floor(epoch(ts)) AS BIGINT)
+       |        BETWEEN ${Te - 2592000 + 1} AND $Te
+       |), l AS (
+       |  SELECT u, k, max(v) AS value FROM ev
+       |  WHERE event_type = 'purchase' GROUP BY u, k
+       |), r AS (
+       |  SELECT u, k, max(v) AS value FROM ev
+       |  WHERE event_type = 'error' GROUP BY u, k
+       |)""".stripMargin
+
+  private def parsedSetOp(op: String)(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      s"max_over_time(purchase[720h]) $op max_over_time(error[720h])")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedAndOracle: String = setOpCte +
+    """
+      |SELECT l.u AS user, l.k AS k, l.value AS value
+      |FROM l JOIN r ON l.u = r.u AND l.k = r.k""".stripMargin
+
+  val parsedUnlessOracle: String = setOpCte +
+    """
+      |SELECT l.u AS user, l.k AS k, l.value AS value
+      |FROM l ANTI JOIN r ON l.u = r.u AND l.k = r.k""".stripMargin
+
+  val parsedOrOracle: String = setOpCte +
+    """
+      |SELECT l.u AS user, l.k AS k, l.value AS value FROM l
+      |UNION ALL
+      |SELECT r.u AS user, r.k AS k, r.value AS value
+      |FROM r ANTI JOIN l ON r.u = l.u AND r.k = l.k""".stripMargin
+
+  /** Parsed `irate(purchase[720h])` — the instant-rate family: only the
+    * last two samples per series matter (counter-reset aware, divided by
+    * their gap). idelta shares the code path and is spec-covered.
+    */
+  def parsedIrate(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse("irate(purchase[720h])")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedIrateOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      """
+        |, o AS (
+        |  SELECT u, k, e, CAST(v AS DECIMAL(20,6)) AS vd,
+        |         row_number() OVER (PARTITION BY u, k
+        |             ORDER BY e DESC, CAST(v AS DECIMAL(20,6)) DESC) AS rn
+        |  FROM s
+        |), p AS (
+        |  SELECT u, k,
+        |         max(CASE WHEN rn = 1 THEN struct_pack(e := e, vd := vd) END) AS lastS,
+        |         max(CASE WHEN rn = 2 THEN struct_pack(e := e, vd := vd) END) AS prevS
+        |  FROM o WHERE rn <= 2 GROUP BY u, k
+        |)
+        |SELECT u AS user, k,
+        |       CAST(CASE WHEN lastS.vd >= prevS.vd THEN lastS.vd - prevS.vd
+        |                 ELSE lastS.vd END AS DOUBLE) / (lastS.e - prevS.e) AS value
+        |FROM p WHERE prevS IS NOT NULL AND lastS.e > prevS.e""".stripMargin
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "promql_parsed_and" -> ((parsedSetOp("and") _, parsedAndOracle)),
+    "promql_parsed_unless" -> ((parsedSetOp("unless") _, parsedUnlessOracle)),
+    "promql_parsed_or" -> ((parsedSetOp("or") _, parsedOrOracle)),
+    "promql_parsed_irate" -> ((parsedIrate _, parsedIrateOracle)),
     "promql_parsed_mathfn" -> ((parsedMathFn _, parsedMathFnOracle)),
     "promql_parsed_delta" -> ((parsedDelta _, parsedDeltaOracle)),
     "promql_parsed_quantile" -> ((parsedQuantile _, parsedQuantileOracle)),

@@ -112,9 +112,26 @@ class PromParserSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](PromParser.parse("absent(rate(x[5m]))"))
   }
 
+  test("set operators bind loosest, left-assoc; irate/idelta parse") {
+    val SetOp("and", Selector("a", _, _, _), Selector("b", _, _, _)) =
+      PromParser.parse("a and b"): @unchecked
+    // arithmetic binds tighter than set ops
+    val SetOp("or", Arith(_, "*", 2.0), _) =
+      PromParser.parse("a * 2 or b"): @unchecked
+    val SetOp("unless", SetOp("and", _, _), _) =
+      PromParser.parse("a and b unless c"): @unchecked
+    // parenthesized set op under an aggregation
+    val Agg("sum", SetOp("or", _, _), Seq("user"), Nil) =
+      PromParser.parse("sum by (user) (a or b)"): @unchecked
+    val Rate("irate", Selector("c", _, _, _), 300L) =
+      PromParser.parse("irate(c[5m])"): @unchecked
+    val Rate("idelta", Selector("g", _, _, _), 600L) =
+      PromParser.parse("idelta(g[10m])"): @unchecked
+  }
+
   test("rejects what the reference never shipped") {
     intercept[IllegalArgumentException](PromParser.parse("x[5m]")) // bare range
-    intercept[IllegalArgumentException](PromParser.parse("irate(x[5m])"))
+    intercept[IllegalArgumentException](PromParser.parse("deriv(x[5m])"))
     intercept[IllegalArgumentException](PromParser.parse("x > 5")) // filtering cmp
     intercept[IllegalArgumentException](PromParser.parse("x /")) // trailing op
   }
@@ -178,6 +195,29 @@ class PromEvalSpec extends SparkSpec {
       graft.promql.PromParser.parse("""absent(m{i="zzz"})"""), 1000L).collect()
     assert(one.length == 1 && one(0).getAs[Double]("value") == 1.0
       && one(0).getAs[String]("skey") == "{}")
+  }
+
+  test("irate/idelta use only the last two samples, reset-aware") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // samples: (990, 5), (995, 3) <- counter reset, (998, 4)
+    val m = Seq(("c", Map("i" -> "a"), 5.0, 990L),
+      ("c", Map("i" -> "a"), 3.0, 995L),
+      ("c", Map("i" -> "a"), 4.0, 998L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def eval(q: String): Double = graft.promql.PromEval
+      .evalInstant(m, graft.promql.PromParser.parse(q), 1000L)
+      .collect().map(_.getAs[Double]("value")).head
+    assert(eval("idelta(c[1h])") == 1.0) // 4 - 3, reset at 995 invisible
+    assert(eval("irate(c[1h])") == 1.0 / 3.0) // (4-3)/(998-995)
+    // a reset in the last pair: only (995,3),(998,4) window
+    val m2 = m.filter(col("es") >= 995L || col("value") === 5.0)
+    def eval2(q: String): Double = graft.promql.PromEval
+      .evalInstant(m2, graft.promql.PromParser.parse(q), 996L)
+      .collect().map(_.getAs[Double]("value")).head
+    // window at t=996 covers (990,5),(995,3): reset -> irate = v_last/span
+    assert(eval2("irate(c[1h])") == 3.0 / 5.0)
   }
 
   test("parsed flagship == hand-built flagship on fixtures") {
