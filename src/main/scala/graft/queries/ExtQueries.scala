@@ -46,6 +46,70 @@ object ExtQueries {
       |         / len(string_split(lower(text), ' ')) AS uniq_ratio
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------ repetition filters
+
+  /** Gopher-style repetition quality signals (the MassiveText rules a
+    * corpus-curation pipeline gates on): per document, the fraction of
+    * tokens covered by the single most frequent 2-gram (top-2-gram
+    * fraction) and the fraction of 3-gram occurrences whose 3-gram
+    * appears more than once (duplicated-3-gram fraction). Both are
+    * reported as exact integer BASIS POINTS — `(x * 10000) div y` — the
+    * repo-wide rule for cross-engine ratio determinism. Two explode +
+    * partial-aggregation passes, linear in corpus size; no joins except
+    * the final per-doc assembly of three tiny aggregates.
+    */
+  def docRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docs(spark, sfDir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 3)
+    val top2 = base
+      .select(col("doc_id"), col("n"),
+        explode(TextOps.shingles("toks", 2)).as("g"))
+      .groupBy(col("doc_id"), col("n"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n")).agg(max(col("c")).as("topc"))
+      .select(col("doc_id"),
+        expr("(topc * 2 * 10000) div n").as("top2gram_bp"))
+    val dup3 = base
+      .select(col("doc_id"), col("n"),
+        explode(TextOps.shingles("toks", 3)).as("g"))
+      .groupBy(col("doc_id"), col("n"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_occ"))
+      .select(col("doc_id"),
+        expr("(dup_occ * 10000) div (n - 2)").as("dup3gram_bp"))
+    base.select(col("doc_id"), col("n").cast("long").as("n_toks"))
+      .join(top2, "doc_id").join(dup3, "doc_id")
+  }
+
+  val docRepetitionOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+      |         len(string_split(lower(text), ' ')) AS n
+      |  FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 3
+      |), g2 AS (
+      |  SELECT doc_id, n,
+      |         array_to_string(list_slice(toks, i.i + 1, i.i + 2), ' ') AS g
+      |  FROM t, unnest(generate_series(0, n - 2)) AS i(i)
+      |), top2 AS (
+      |  SELECT doc_id, CAST(max(c) * 2 * 10000 // any_value(n) AS BIGINT) AS top2gram_bp
+      |  FROM (SELECT doc_id, n, g, count(*) AS c FROM g2 GROUP BY 1, 2, 3)
+      |  GROUP BY doc_id
+      |), g3 AS (
+      |  SELECT doc_id, n,
+      |         array_to_string(list_slice(toks, i.i + 1, i.i + 3), ' ') AS g
+      |  FROM t, unnest(generate_series(0, n - 3)) AS i(i)
+      |), dup3 AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 10000
+      |              // (any_value(n) - 2) AS BIGINT) AS dup3gram_bp
+      |  FROM (SELECT doc_id, n, g, count(*) AS c FROM g3 GROUP BY 1, 2, 3)
+      |  GROUP BY doc_id
+      |)
+      |SELECT t.doc_id, CAST(n AS BIGINT) AS n_toks, top2gram_bp, dup3gram_bp
+      |FROM t JOIN top2 USING (doc_id) JOIN dup3 USING (doc_id)""".stripMargin
+
   // --------------------------------------------------------- token stats
 
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
@@ -901,6 +965,7 @@ object ExtQueries {
     "token_stats" -> ((tokenStats _, tokenStatsOracle)),
     "lang_id" -> ((langId _, langIdOracle)),
     "doc_fingerprint" -> ((docFingerprint _, docFingerprintOracle)),
+    "doc_repetition" -> ((docRepetition _, docRepetitionOracle)),
     "doc_rolling_hash" -> ((docRollingHash _, docRollingHashOracle)),
     "dedup_simhash" -> ((dedupSimhash _, dedupSimhashOracle)),
     "simhash_neardup" -> ((simhashNeardup _, simhashNeardupOracle)),
