@@ -595,12 +595,18 @@ object PromQueries {
       struct(lit("+Inf").as("les"), lit(Double.PositiveInfinity).as("led")): _*)
     val s = graft.promql.PromOps.rangeSelector(
       metrics(spark, sfDir), "purchase", Te, 2592000L)
+    // DENSE bucket vector: every bound is exploded per sample with a hit
+    // flag, so zero-count buckets exist too — the classic-histogram
+    // contract (an instrument exports all cumulative buckets). A sparse
+    // construction would silently re-anchor interpolation at 0 for any
+    // series whose low buckets are empty (caught at sf0.1: two users with
+    // all samples in one bucket got 45.0 vs the correct 47.0).
     val buckets = s
       .select(user.as("u"), col("value"))
-      .select(col("u"),
-        explode(filter(bArr, b => col("value") <= b.getField("led"))).as("b"))
+      .select(col("u"), col("value"), explode(bArr).as("b"))
       .groupBy(col("u"), col("b.les").as("le"))
-      .agg(count(lit(1)).cast("double").as("value"))
+      .agg(sum(when(col("value") <= col("b.led"), 1).otherwise(0))
+        .cast("double").as("value"))
       .select(lit("purchase_bucket").as("metric_name"),
         map(lit("user"), col("u"), lit("le"), col("le")).as("labels"),
         col("value"), timestamp_seconds(lit(Te)).as("timestamp"))
@@ -619,7 +625,9 @@ object PromQueries {
         |         CAST(count(*) FILTER (v <= 10.0) AS DOUBLE) AS c10,
         |         CAST(count(*) FILTER (v <= 20.0) AS DOUBLE) AS c20,
         |         CAST(count(*) FILTER (v <= 50.0) AS DOUBLE) AS c50,
-        |         CAST(count(*) AS DOUBLE) AS cinf
+        |         CAST(count(v) AS DOUBLE) AS cinf -- count(v): a NULL-valued
+        |         -- sample falls in no bucket on the engine side (the explode
+        |         -- predicate is null), so the +Inf total must skip it too
         |  FROM s GROUP BY u
         |), r AS (SELECT *, 0.9 * cinf AS rank FROM c)
         |SELECT u AS user,
