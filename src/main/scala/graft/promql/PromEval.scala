@@ -62,6 +62,9 @@ object PromEval {
       val withBoth = hi.fold(withLo)(v => least(withLo, lit(v)))
       evalInstant(metrics, inner, atEpochSec, lookbackSec)
         .withColumn("value", withBoth)
+    case Deriv(sel, w, predict) =>
+      PromOps.derivOverRange(matcherFilter(metrics, sel), sel.name,
+        atEpochSec - sel.offsetSec, w, predict)
     case SetOp(op, l, r) =>
       // set semantics on the full series key: semi/anti joins — the
       // match key is tiny (distinct series), so these broadcast

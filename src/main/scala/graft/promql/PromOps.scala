@@ -197,6 +197,48 @@ object PromOps {
     agg.select(col("skey"), value.as("value"))
   }
 
+  /** `deriv(x[w])` / `predict_linear(x[w], t)`: per-series least-squares
+    * slope over the window, optionally extrapolated `predictSec` past
+    * the evaluation time. Cross-engine determinism: sample times are
+    * centered on the WINDOW START (a constant, so x fits in ≤ w — small
+    * exact integers), every regression sum (Σx, Σx², Σv, Σxv) is kept in
+    * exact DECIMAL, and only the final slope division and the predict
+    * affine step run in doubles, in an operation order the oracle
+    * mirrors literally. One map-side-combinable aggregation per series —
+    * no window pass, no second shuffle. Exactness bound: the scaled
+    * Σxv term stays below 10³² for any n·w·|v| a real window holds.
+    */
+  def derivOverRange(metrics: DataFrame, metricName: String, atEpochSec: Long,
+      windowSec: Long, predictSec: Option[Double]): DataFrame = {
+    val x0 = atEpochSec - windowSec
+    val rs = rangeSelector(metrics, metricName, atEpochSec, windowSec)
+      .select(col("skey"), (col("e") - x0).as("x"),
+        col("value").cast("decimal(20,6)").as("vd"))
+    val agg = rs.groupBy(col("skey")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).as("sx"),
+      sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+      sum(col("vd")).as("sv"),
+      sum(col("vd") * col("x")).as("sxv"))
+    val num = (col("n") * col("sxv") - col("sx") * col("sv")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val slope = num / den
+    val withSlope = agg
+      .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0)
+      .withColumn("slope", slope)
+    predictSec match {
+      case None => withSlope.select(col("skey"), col("slope").as("value"))
+      case Some(d) =>
+        // intercept at x0, then extrapolate to (window end + horizon);
+        // the oracle reproduces this exact double expression
+        val intercept =
+          (col("sv").cast("double") - col("slope") * col("sx").cast("double")) /
+            col("n")
+        withSlope.select(col("skey"),
+          (intercept + col("slope") * lit(windowSec + d)).as("value"))
+    }
+  }
+
   /** `quantile_over_time(q, x[w])`: the φ-quantile of each series'
     * samples, with Prometheus's linear interpolation — sorted values
     * v_0..v_{n-1}, rank = q·(n-1), result = v_lo + (v_hi − v_lo)·frac.

@@ -70,6 +70,12 @@ object PromParser {
       hi: Option[Double]) extends Expr
   /** absent(sel): 1 for the empty label set iff the vector is empty. */
   final case class Absent(sel: Selector) extends Expr
+  /** `deriv(sel[w])` / `predict_linear(sel[w], t)` — per-series
+    * least-squares slope over the window (and its extrapolation t seconds
+    * past the evaluation time). `predictSec` is None for deriv.
+    */
+  final case class Deriv(sel: Selector, windowSec: Long,
+      predictSec: Option[Double]) extends Expr
   /** Set operators between instant vectors: `and` (series of the left
     * whose label set also appears on the right), `unless` (left minus
     * right), `or` (left plus right series not matched on the left).
@@ -213,6 +219,27 @@ object PromParser {
       case TId(fn) if rateFns(fn) => parseRate(fn)
       case TId("quantile_over_time") => parseQuantileOverTime()
       case TId("histogram_quantile") => parseHistQuantile()
+      case TId("deriv") =>
+        expectSym("(")
+        val e = parseArith() match {
+          case RangePlaceholder(sel, w) => Deriv(sel, w, None)
+          case _ => fail("deriv requires a plain range selector")
+        }
+        expectSym(")")
+        e
+      case TId("predict_linear") =>
+        expectSym("(")
+        val inner = parseArith()
+        expectSym(",")
+        val t = pop() match {
+          case TNum(v) => v
+          case other => fail(s"predict_linear needs a scalar horizon, got $other")
+        }
+        expectSym(")")
+        inner match {
+          case RangePlaceholder(sel, w) => Deriv(sel, w, Some(t))
+          case _ => fail("predict_linear requires a plain range selector")
+        }
       case TId(fn) if unaryFns(fn) =>
         expectSym("("); val e = parseArith(); expectSym(")"); UnaryFn(fn, e)
       case TId("absent") =>

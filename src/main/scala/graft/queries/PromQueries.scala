@@ -754,8 +754,61 @@ object PromQueries {
         |                 ELSE lastS.vd END AS DOUBLE) / (lastS.e - prevS.e) AS value
         |FROM p WHERE prevS IS NOT NULL AND lastS.e > prevS.e""".stripMargin
 
+  /** Parsed `deriv(view[720h])` — per-series least-squares slope. The
+    * regression sums are exact decimals over window-start-centered times
+    * in BOTH engines; only the final division is a double, in mirrored
+    * operation order (see [[graft.promql.PromOps.derivOverRange]]).
+    */
+  def parsedDeriv(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse("deriv(view[720h])")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  private def derivCte(metric: String): String = {
+    val x0 = Te - 2592000
+    sampleCte(metric, Te - 2592000 + 1, Te) +
+      s"""
+         |, a AS (
+         |  SELECT u, k, count(*) AS n,
+         |         CAST(sum(e - $x0) AS DECIMAL(38,0)) AS sx,
+         |         CAST(sum((e - $x0) * (e - $x0)) AS DECIMAL(38,0)) AS sxx,
+         |         sum(CAST(v AS DECIMAL(20,6))) AS sv,
+         |         sum(CAST(v AS DECIMAL(20,6)) * (e - $x0)) AS sxv
+         |  FROM s GROUP BY u, k
+         |), sl AS (
+         |  SELECT u, k, n, sx, sv,
+         |         CAST(n * sxv - sx * sv AS DOUBLE)
+         |           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+         |  FROM a WHERE n * sxx - sx * sx > 0
+         |)""".stripMargin
+  }
+
+  val parsedDerivOracle: String = derivCte("view") +
+    "\nSELECT u AS user, k, slope AS value FROM sl"
+
+  /** Parsed `predict_linear(signup[720h], 3600)` — the slope extrapolated
+    * one hour past the evaluation time via the same mirrored double
+    * affine step (intercept at window start + slope·(w + horizon)).
+    */
+  def parsedPredict(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "predict_linear(signup[720h], 3600)")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedPredictOracle: String = derivCte("signup") +
+    """
+      |SELECT u AS user, k,
+      |       (CAST(sv AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n
+      |         + slope * 2595600.0 AS value
+      |FROM sl""".stripMargin
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "promql_parsed_deriv" -> ((parsedDeriv _, parsedDerivOracle)),
+    "promql_parsed_predict" -> ((parsedPredict _, parsedPredictOracle)),
     "promql_parsed_and" -> ((parsedSetOp("and") _, parsedAndOracle)),
     "promql_parsed_unless" -> ((parsedSetOp("unless") _, parsedUnlessOracle)),
     "promql_parsed_or" -> ((parsedSetOp("or") _, parsedOrOracle)),

@@ -127,11 +127,16 @@ class PromParserSpec extends AnyFunSuite {
       PromParser.parse("irate(c[5m])"): @unchecked
     val Rate("idelta", Selector("g", _, _, _), 600L) =
       PromParser.parse("idelta(g[10m])"): @unchecked
+    val Deriv(Selector("g", _, _, _), 3600L, None) =
+      PromParser.parse("deriv(g[1h])"): @unchecked
+    val Deriv(Selector("g", _, _, _), 3600L, Some(600.0)) =
+      PromParser.parse("predict_linear(g[1h], 600)"): @unchecked
   }
 
   test("rejects what the reference never shipped") {
     intercept[IllegalArgumentException](PromParser.parse("x[5m]")) // bare range
-    intercept[IllegalArgumentException](PromParser.parse("deriv(x[5m])"))
+    intercept[IllegalArgumentException](
+      PromParser.parse("""label_replace(x, "a", "$1", "b", "(.*)")"""))
     intercept[IllegalArgumentException](PromParser.parse("x > 5")) // filtering cmp
     intercept[IllegalArgumentException](PromParser.parse("x /")) // trailing op
   }
@@ -218,6 +223,27 @@ class PromEvalSpec extends SparkSpec {
       .collect().map(_.getAs[Double]("value")).head
     // window at t=996 covers (990,5),(995,3): reset -> irate = v_last/span
     assert(eval2("irate(c[1h])") == 3.0 / 5.0)
+  }
+
+  test("deriv fits the exact slope; predict_linear extrapolates it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // perfect line v = 0.1 * (e - 900): slope must be exactly 0.1
+    val m = Seq(("g", Map("i" -> "a"), 1.0, 910L),
+      ("g", Map("i" -> "a"), 2.0, 920L),
+      ("g", Map("i" -> "a"), 3.0, 930L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def eval(q: String): Double = graft.promql.PromEval
+      .evalInstant(m, graft.promql.PromParser.parse(q), 1000L)
+      .collect().map(_.getAs[Double]("value")).head
+    assert(eval("deriv(g[100s])") == 0.1)
+    // intercept at window start is 0, so prediction = 0.1 * (100 + 50)
+    assert(eval("predict_linear(g[100s], 50)") == 0.1 * 150.0)
+    // a single sample (or equal timestamps) yields no slope
+    val one = m.limit(1)
+    assert(graft.promql.PromEval.evalInstant(one,
+      graft.promql.PromParser.parse("deriv(g[100s])"), 1000L).count() == 0)
   }
 
   test("parsed flagship == hand-built flagship on fixtures") {
