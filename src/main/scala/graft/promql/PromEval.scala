@@ -34,6 +34,9 @@ object PromEval {
       val rs = PromOps.rangeSelector(matcherFilter(metrics, sel), sel.name,
         atEpochSec - sel.offsetSec, w)
       rs.groupBy(col("skey")).agg(overTimeAgg(fn, col("e")).as("value"))
+    case Rate(kind, sel, w) if kind == "resets" || kind == "changes" =>
+      PromOps.resetsOverRange(matcherFilter(metrics, sel), sel.name,
+        atEpochSec - sel.offsetSec, w, kind)
     case Rate(kind, sel, w) =>
       PromOps.rateOverRange(matcherFilter(metrics, sel), sel.name,
         atEpochSec - sel.offsetSec, w, kind)

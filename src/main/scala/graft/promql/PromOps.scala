@@ -197,6 +197,27 @@ object PromOps {
     agg.select(col("skey"), value.as("value"))
   }
 
+  /** `resets(x[w])` / `changes(x[w])`: per series, the number of counter
+    * resets (value drops) / value changes between time-adjacent samples.
+    * Exact integer counts — one window pass on the series partitioning,
+    * one aggregation. Tie order among equal timestamps follows the
+    * repo-wide (e, value) rule so both engines see the same adjacency.
+    */
+  def resetsOverRange(metrics: DataFrame, metricName: String, atEpochSec: Long,
+      windowSec: Long, kind: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rs = rangeSelector(metrics, metricName, atEpochSec, windowSec)
+      .select(col("skey"), col("e"), col("value").cast("decimal(20,6)").as("vd"))
+    val w = Window.partitionBy(col("skey")).orderBy(col("e"), col("vd"))
+    val flag =
+      if (kind == "resets") col("vd") < col("prev")
+      else col("vd") =!= col("prev")
+    rs.withColumn("prev", lag(col("vd"), 1).over(w))
+      .groupBy(col("skey"))
+      .agg(sum(when(col("prev").isNotNull && flag, 1).otherwise(0))
+        .cast("double").as("value"))
+  }
+
   /** `deriv(x[w])` / `predict_linear(x[w], t)`: per-series least-squares
     * slope over the window, optionally extrapolated `predictSec` past
     * the evaluation time. Cross-engine determinism: sample times are

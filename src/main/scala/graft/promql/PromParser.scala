@@ -90,7 +90,8 @@ object PromParser {
   private val overTimeFns =
     Set("sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
       "count_over_time", "last_over_time")
-  private val rateFns = Set("rate", "increase", "delta", "irate", "idelta")
+  private val rateFns = Set("rate", "increase", "delta", "irate", "idelta",
+    "resets", "changes")
   private val unaryFns = Set("abs", "ceil", "floor", "sqrt", "exp", "ln")
 
   // ------------------------------------------------------------- tokenizer

@@ -805,8 +805,37 @@ object PromQueries {
       |         + slope * 2595600.0 AS value
       |FROM sl""".stripMargin
 
+  /** Parsed `resets(purchase[720h])` + `changes(error[720h])` — exact
+    * integer counts of counter resets / value changes between
+    * time-adjacent samples, per series.
+    */
+  private def parsedResets(kind: String, metric: String)(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(s"$kind($metric[720h])")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  private def resetsOracle(metric: String, cmp: String): String =
+    sampleCte(metric, Te - 2592000 + 1, Te) +
+      s"""
+         |, o AS (
+         |  SELECT u, k, CAST(v AS DECIMAL(20,6)) AS vd,
+         |         lag(CAST(v AS DECIMAL(20,6))) OVER (PARTITION BY u, k
+         |             ORDER BY e, CAST(v AS DECIMAL(20,6))) AS prev
+         |  FROM s
+         |)
+         |SELECT u AS user, k,
+         |       CAST(sum(CASE WHEN prev IS NOT NULL AND vd $cmp prev
+         |                     THEN 1 ELSE 0 END) AS DOUBLE) AS value
+         |FROM o GROUP BY u, k""".stripMargin
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "promql_parsed_resets" ->
+      ((parsedResets("resets", "purchase") _, resetsOracle("purchase", "<"))),
+    "promql_parsed_changes" ->
+      ((parsedResets("changes", "error") _, resetsOracle("error", "<>"))),
     "promql_parsed_deriv" -> ((parsedDeriv _, parsedDerivOracle)),
     "promql_parsed_predict" -> ((parsedPredict _, parsedPredictOracle)),
     "promql_parsed_and" -> ((parsedSetOp("and") _, parsedAndOracle)),

@@ -131,6 +131,8 @@ class PromParserSpec extends AnyFunSuite {
       PromParser.parse("deriv(g[1h])"): @unchecked
     val Deriv(Selector("g", _, _, _), 3600L, Some(600.0)) =
       PromParser.parse("predict_linear(g[1h], 600)"): @unchecked
+    val Rate("resets", _, 3600L) = PromParser.parse("resets(c[1h])"): @unchecked
+    val Rate("changes", _, 3600L) = PromParser.parse("changes(g[1h])"): @unchecked
   }
 
   test("rejects what the reference never shipped") {
