@@ -222,7 +222,23 @@ object PromEval {
     case "min" => min(col("value"))
     case "avg" => avg(col("value"))
     case "count" => count(lit(1)).cast("double")
+    case "stdvar" => stdvarColumn
+    case "stddev" => sqrt(stdvarColumn) // sqrt is IEEE correctly rounded:
+    // deterministic cross-engine, unlike exp/ln
     case other => throw new IllegalArgumentException(s"unsupported agg fn: $other")
+  }
+
+  /** Population variance, cross-engine exact: values quantized to 1e-6
+    * fixed point (the repo's vector-math trick), sums kept in scale-0
+    * decimals (no decimal-scale-loss hazard), the final
+    * (n·Σq² − (Σq)²)/n²/1e12 computed in doubles in an order the oracle
+    * mirrors literally.
+    */
+  private def stdvarColumn: Column = {
+    val q = floor(col("value") * 1e6 + 0.5).cast("decimal(38,0)")
+    val n = count(lit(1))
+    (n * sum(q * q) - sum(q) * sum(q)).cast("double") /
+      (n * n).cast("double") / 1e12
   }
 
   private def overTimeAgg(fn: String, timeCol: Column): Column = fn match {

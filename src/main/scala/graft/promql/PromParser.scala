@@ -85,7 +85,8 @@ object PromParser {
     */
   final case class SetOp(op: String, left: Expr, right: Expr) extends Expr
 
-  private val aggFns = Set("sum", "avg", "min", "max", "count")
+  private val aggFns =
+    Set("sum", "avg", "min", "max", "count", "stddev", "stdvar")
   private val topkFns = Set("topk", "bottomk")
   private val overTimeFns =
     Set("sum_over_time", "avg_over_time", "min_over_time", "max_over_time",

@@ -830,8 +830,37 @@ object PromQueries {
          |                     THEN 1 ELSE 0 END) AS DOUBLE) AS value
          |FROM o GROUP BY u, k""".stripMargin
 
+  /** Parsed `stddev by (user) (last_over_time(purchase[720h]))` — the
+    * spread of a user's per-(k) latest values. Population variance over
+    * 1e-6-quantized fixed-point values with scale-0 decimal sums; the
+    * final doubles (division chain + IEEE-exact sqrt) are mirrored in
+    * the oracle, so the comparison is bit-exact.
+    */
+  def parsedStddev(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "stddev by (user) (last_over_time(purchase[720h]))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), col("value"))
+  }
+
+  val parsedStddevOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      """
+        |, latest AS (
+        |  SELECT u, k, cl, (max(struct_pack(e := e, v := v))).v AS v
+        |  FROM s GROUP BY u, k, cl
+        |), qz AS (
+        |  SELECT u, CAST(floor(v * 1e6 + 0.5) AS DECIMAL(38,0)) AS q
+        |  FROM latest
+        |)
+        |SELECT u AS user,
+        |       sqrt(CAST(count(*) * sum(q * q) - sum(q) * sum(q) AS DOUBLE)
+        |            / CAST(count(*) * count(*) AS DOUBLE) / 1e12) AS value
+        |FROM qz GROUP BY u""".stripMargin
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "promql_parsed_stddev" -> ((parsedStddev _, parsedStddevOracle)),
     "promql_parsed_resets" ->
       ((parsedResets("resets", "purchase") _, resetsOracle("purchase", "<"))),
     "promql_parsed_changes" ->

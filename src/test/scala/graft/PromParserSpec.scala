@@ -133,6 +133,9 @@ class PromParserSpec extends AnyFunSuite {
       PromParser.parse("predict_linear(g[1h], 600)"): @unchecked
     val Rate("resets", _, 3600L) = PromParser.parse("resets(c[1h])"): @unchecked
     val Rate("changes", _, 3600L) = PromParser.parse("changes(g[1h])"): @unchecked
+    val Agg("stddev", _, Seq("u"), Nil) =
+      PromParser.parse("stddev by (u) (m)"): @unchecked
+    val Agg("stdvar", _, Nil, Nil) = PromParser.parse("stdvar(m)"): @unchecked
   }
 
   test("rejects what the reference never shipped") {
