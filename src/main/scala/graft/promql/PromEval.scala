@@ -45,9 +45,10 @@ object PromEval {
       val g1 = (atEpochSec / step) * step
       evalGrid(metrics, inner, g0, g1, step, lookbackSec)
         .groupBy(col("skey")).agg(overTimeAgg(fn, col("g")).as("value"))
-    case VecBin(op, l, r, on, ignoring) =>
+    case VecBin(op, l, r, on, ignoring, groupSide) =>
       vecBin(evalInstant(metrics, l, atEpochSec, lookbackSec),
-        evalInstant(metrics, r, atEpochSec, lookbackSec), op, on, ignoring)
+        evalInstant(metrics, r, atEpochSec, lookbackSec), op, on, ignoring,
+        groupSide)
     case TopK(fn, k, inner, by, without) =>
       topk(evalInstant(metrics, inner, atEpochSec, lookbackSec), fn, k, by, without)
     case QuantileOverTime(q, sel, w) =>
@@ -107,7 +108,8 @@ object PromEval {
     * label explosion, no cross join.
     */
   private def vecBin(left: DataFrame, right: DataFrame, op: String,
-      on: Option[Seq[String]], ignoring: Option[Seq[String]]): DataFrame = {
+      on: Option[Seq[String]], ignoring: Option[Seq[String]],
+      groupSide: Option[String] = None): DataFrame = {
     val mkey: Column = (on, ignoring) match {
       case (Some(ls), _) =>
         val keep = array(ls.map(lit): _*)
@@ -119,9 +121,27 @@ object PromEval {
           (k, _) => !array_contains(drop, k)))
       case _ => col("skey")
     }
-    val lf = left.select(mkey.as("skey"), col("value").as("lv"))
-    val rf = right.select(mkey.as("skey"), col("value").as("rv"))
-    lf.join(rf, "skey").select(col("skey"), arith2(col("lv"), op, col("rv")).as("value"))
+    groupSide match {
+      case None =>
+        val lf = left.select(mkey.as("skey"), col("value").as("lv"))
+        val rf = right.select(mkey.as("skey"), col("value").as("rv"))
+        lf.join(rf, "skey")
+          .select(col("skey"), arith2(col("lv"), op, col("rv")).as("value"))
+      case Some(side) =>
+        // many-to-one: the group_left/right side is the MANY side and
+        // keeps its full series key; the other side joins on the match
+        // key alone (one row per key — typically a by()-aggregate, so
+        // small and broadcastable)
+        val (many, one) = if (side == "left") (left, right) else (right, left)
+        val mf = many.select(col("skey"), mkey.as("mkey"),
+          col("value").as("manyv"))
+        val of = one.select(mkey.as("mkey"), col("value").as("onev"))
+        val joined = mf.join(of, "mkey")
+        val value =
+          if (side == "left") arith2(col("manyv"), op, col("onev"))
+          else arith2(col("onev"), op, col("manyv"))
+        joined.select(col("skey"), value.as("value"))
+    }
   }
 
   /** topk/bottomk: whole-series selection, deterministic skey tie-break.

@@ -36,17 +36,22 @@ object PromParser {
   final case class OverTimeSubquery(fn: String, inner: Expr,
       windowSec: Long, stepSec: Long) extends Expr
   final case class Arith(inner: Expr, op: String, scalar: Double) extends Expr
-  /** Vector-vector arithmetic with one-to-one matching: bare (full label
-    * set must match), `on(l..)` (match and keep only l..), or
-    * `ignoring(l..)` (match on the complement). Stated deviation from
-    * Prometheus: many-to-one matches are not detected-and-errored; the
-    * join simply pairs every match (`group_left`-less semantics are the
-    * caller's responsibility, as they are in the reference which ships
-    * the query text to a real server unparsed).
+  /** Vector-vector arithmetic: bare one-to-one (full label set must
+    * match), `on(l..)` (match and keep only l..), `ignoring(l..)` (match
+    * on the complement), and many-to-one via bare `group_left` /
+    * `group_right` (the named side is the MANY side and keeps its full
+    * label set). Stated deviation from Prometheus: without a group
+    * modifier, many-to-one matches are not detected-and-errored — the
+    * join simply pairs every match, as the reference effectively allows
+    * by shipping query text to a real server unparsed.
     */
   final case class VecBin(op: String, left: Expr, right: Expr,
       on: Option[Seq[String]] = None,
-      ignoring: Option[Seq[String]] = None) extends Expr
+      ignoring: Option[Seq[String]] = None,
+      groupSide: Option[String] = None) extends Expr // "left" | "right":
+  // many-to-one matching — the named side is the MANY side and keeps its
+  // full label set in the result (bare group_left/group_right only; the
+  // label-copying form group_left(lbl) is not supported — stated)
   /** `topk(k, expr)` / `bottomk(k, expr)`, optionally grouped `by`/
     * `without` — selects whole series, preserving their label sets.
     * Ties break on the canonical series key (Prometheus leaves tie order
@@ -184,10 +189,13 @@ object PromParser {
             e = Arith(e, op, v)
           case Some(TId("on")) =>
             pop(); val ls = labelList()
-            e = VecBin(op, e, parseComparison(), on = Some(ls))
+            val gs = parseGroupSide() // binds between the clause and the rhs
+            e = VecBin(op, e, parseComparison(), on = Some(ls), groupSide = gs)
           case Some(TId("ignoring")) =>
             pop(); val ls = labelList()
-            e = VecBin(op, e, parseComparison(), ignoring = Some(ls))
+            val gs = parseGroupSide()
+            e = VecBin(op, e, parseComparison(), ignoring = Some(ls),
+              groupSide = gs)
           case _ =>
             e = VecBin(op, e, parseComparison())
         }
@@ -430,6 +438,13 @@ object PromParser {
       case _ => sel.copy(offsetSec = parseOffset())
     }
 
+    /** bare `group_left` / `group_right` after a matching clause */
+    private def parseGroupSide(): Option[String] = peek match {
+      case Some(TId("group_left")) => pop(); Some("left")
+      case Some(TId("group_right")) => pop(); Some("right")
+      case _ => None
+    }
+
     /** `offset <duration>` if present, else 0 */
     private def parseOffset(): Long = peek match {
       case Some(TId("offset")) =>
@@ -473,7 +488,7 @@ object PromParser {
     case Agg(_, i, _, _) => containsPlaceholder(i)
     case Arith(i, _, _) => containsPlaceholder(i)
     case OverTimeSubquery(_, i, _, _) => containsPlaceholder(i)
-    case VecBin(_, l, r, _, _) => containsPlaceholder(l) || containsPlaceholder(r)
+    case VecBin(_, l, r, _, _, _) => containsPlaceholder(l) || containsPlaceholder(r)
     case TopK(_, _, i, _, _) => containsPlaceholder(i)
     case HistQuantile(_, i) => containsPlaceholder(i)
     case UnaryFn(_, i) => containsPlaceholder(i)

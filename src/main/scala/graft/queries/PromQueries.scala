@@ -858,8 +858,32 @@ object PromQueries {
         |            / CAST(count(*) * count(*) AS DOUBLE) / 1e12) AS value
         |FROM qz GROUP BY u""".stripMargin
 
+  /** Parsed many-to-one matching — THE normalization idiom: each
+    * (user,k,cluster) series' sample count as a share of its user's
+    * total, via `/ on(user) group_left` against the by(user) aggregate.
+    * The many side keeps its full label set; counts are exact and the
+    * single division is deterministic.
+    */
+  def parsedGroupLeft(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "count_over_time(purchase[720h]) / on(user) group_left " +
+        "sum by (user) (count_over_time(purchase[720h]))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedGroupLeftOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      """
+        |, c AS (SELECT u, k, CAST(count(*) AS DOUBLE) AS cnt
+        |        FROM s GROUP BY u, k),
+        |  t AS (SELECT u, CAST(count(*) AS DOUBLE) AS tot FROM s GROUP BY u)
+        |SELECT c.u AS user, c.k AS k, cnt / tot AS value
+        |FROM c JOIN t ON c.u = t.u""".stripMargin
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "promql_parsed_groupleft" -> ((parsedGroupLeft _, parsedGroupLeftOracle)),
     "promql_parsed_stddev" -> ((parsedStddev _, parsedStddevOracle)),
     "promql_parsed_resets" ->
       ((parsedResets("resets", "purchase") _, resetsOracle("purchase", "<"))),

@@ -58,20 +58,25 @@ class PromParserSpec extends AnyFunSuite {
   }
 
   test("vector-vector binops with on/ignoring and bare matching") {
-    val VecBin("/", Selector("a", _, _, _), Selector("b", _, _, _), Some(on), None) =
+    val VecBin("/", Selector("a", _, _, _), Selector("b", _, _, _), Some(on), None, None) =
       PromParser.parse("a / on(user) b"): @unchecked
     assert(on == Seq("user"))
-    val VecBin("+", _, _, None, Some(ig)) =
+    val VecBin("+", _, _, None, Some(ig), None) =
       PromParser.parse("a + ignoring(k, cl) b"): @unchecked
     assert(ig == Seq("k", "cl"))
-    val VecBin("-", Selector("a", _, _, _), Selector("b", _, _, _), None, None) =
+    val VecBin("-", Selector("a", _, _, _), Selector("b", _, _, _), None, None, None) =
       PromParser.parse("a - b"): @unchecked
     // scalar arithmetic still parses as Arith, not VecBin
     val Arith(Selector("a", _, _, _), "*", 2.0) =
       PromParser.parse("a * 2"): @unchecked
     // left-assoc chain: (a / b) * 100
-    val Arith(VecBin("/", _, _, _, _), "*", 100.0) =
+    val Arith(VecBin("/", _, _, _, _, _), "*", 100.0) =
       PromParser.parse("a / on(u) b * 100"): @unchecked
+    // many-to-one: group modifier binds between the clause and the rhs
+    val VecBin("/", _, _, Some(Seq("u")), None, Some("left")) =
+      PromParser.parse("a / on(u) group_left b"): @unchecked
+    val VecBin("*", _, _, None, Some(Seq("k")), Some("right")) =
+      PromParser.parse("a * ignoring(k) group_right b"): @unchecked
   }
 
   test("topk/bottomk with optional grouping") {
