@@ -46,6 +46,113 @@ object ExtQueries {
       |         / len(string_split(lower(text), ' ')) AS uniq_ratio
       |FROM documents""".stripMargin
 
+  // ---------------------------------------- sampling / splits / decontam
+
+  /** Deterministic stratified sampling — the training-data-mixing
+    * primitive: within each (lang, source) stratum, keep the documents
+    * whose md5-derived bucket falls under the target rate. Hash-based
+    * selection (never `rand()`) is reproducible across runs, engines,
+    * and cluster sizes, needs no shuffle beyond the stats aggregation,
+    * and composes with any downstream op. Reported per stratum: totals,
+    * sampled counts, and the realized rate in exact basis points.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("long") % 100
+    docs(spark, sfDir)
+      .withColumn("sampled", (bucket < 20).cast("int"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("sampled")).as("n_sampled"))
+      .withColumn("rate_bp", expr("(n_sampled * 10000) div n_total"))
+  }
+
+  val stratifiedSampleOracle: String =
+    """SELECT lang, source, count(*) AS n_total,
+      |       CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |                          % 100 < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |       CAST(sum(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |                          % 100 < 20 THEN 1 ELSE 0 END) * 10000
+      |            // count(*) AS BIGINT) AS rate_bp
+      |FROM documents GROUP BY lang, source""".stripMargin
+
+  /** Deterministic train/val/test assignment per document (90/5/5) from
+    * the same hash buckets — any engine, any run, any subset of the
+    * corpus assigns each doc_id identically, which is what makes
+    * incremental corpus refreshes safe (a re-ingested doc cannot hop
+    * from test into train).
+    */
+  def datasetSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("long") % 100
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+  }
+
+  val datasetSplitOracle: String =
+    """SELECT doc_id,
+      |       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+      |            THEN 'train'
+      |            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 95
+      |            THEN 'val' ELSE 'test' END AS split
+      |FROM documents""".stripMargin
+
+  /** Benchmark decontamination — the check every training pipeline runs
+    * before a model sees the corpus: training documents sharing any
+    * 8-token shingle with the held-out set (here: source = 'src0' plays
+    * the benchmark) are flagged with the overlap size. Scale shape: an
+    * inverted-index equi-join on 60-bit shingle hashes, benchmark side
+    * aggregated to distinct hashes first (it is the small side — gets
+    * broadcast), and the same document-frequency cap as ngram_jaccard so
+    * a corpus-scale stop-shingle cannot blow up the join.
+    */
+  def contaminationCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shingleSets(
+      docs(spark, sfDir).withColumn("toks", TextOps.tokens(col("text"))),
+      n = 8, lit("all"))
+    val isEval = col("source") === "src0"
+    val ids = docs(spark, sfDir).select(col("doc_id"), col("source"))
+    val tagged = sh.join(ids, "doc_id")
+    val keep = tagged.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 64).select(col("h"))
+    val capped = tagged.join(keep, "h")
+    val evalSh = capped.filter(isEval)
+      .select(col("h"), col("doc_id").as("eval_doc")).distinct()
+    capped.filter(!isEval)
+      .join(evalSh, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"))
+  }
+
+  val contaminationCheckOracle: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+      |  FROM (
+      |    SELECT doc_id,
+      |           array_to_string(list_slice(string_split(lower(text), ' '),
+      |                                      i.i + 1, i.i + 8), ' ') AS shingle
+      |    FROM documents,
+      |         unnest(generate_series(0, len(string_split(lower(text), ' ')) - 8)) AS i(i)
+      |  )
+      |), tagged AS (
+      |  SELECT sh.doc_id, sh.h, d.source FROM sh JOIN documents d USING (doc_id)
+      |), keep AS (
+      |  SELECT h FROM tagged GROUP BY h HAVING count(*) <= 64
+      |), capped AS (
+      |  SELECT tagged.* FROM tagged JOIN keep USING (h)
+      |), ev AS (
+      |  SELECT DISTINCT h, doc_id AS eval_doc FROM capped WHERE source = 'src0'
+      |)
+      |SELECT c.doc_id, count(*) AS n_shared_shingles,
+      |       count(DISTINCT ev.eval_doc) AS n_eval_docs
+      |FROM capped c JOIN ev USING (h)
+      |WHERE c.source <> 'src0'
+      |GROUP BY c.doc_id""".stripMargin
+
   // ------------------------------------------------ repetition filters
 
   /** Gopher-style repetition quality signals (the MassiveText rules a
@@ -966,6 +1073,9 @@ object ExtQueries {
     "lang_id" -> ((langId _, langIdOracle)),
     "doc_fingerprint" -> ((docFingerprint _, docFingerprintOracle)),
     "doc_repetition" -> ((docRepetition _, docRepetitionOracle)),
+    "stratified_sample" -> ((stratifiedSample _, stratifiedSampleOracle)),
+    "dataset_split" -> ((datasetSplit _, datasetSplitOracle)),
+    "contamination_check" -> ((contaminationCheck _, contaminationCheckOracle)),
     "doc_rolling_hash" -> ((docRollingHash _, docRollingHashOracle)),
     "dedup_simhash" -> ((dedupSimhash _, dedupSimhashOracle)),
     "simhash_neardup" -> ((simhashNeardup _, simhashNeardupOracle)),
