@@ -80,6 +80,22 @@ object PromEval {
         case "or" => lf.unionByName(
           rf.join(lf.select(col("skey")).distinct(), Seq("skey"), "left_anti"))
       }
+    case LabelJoin(inner, dst, sep, srcs) =>
+      val labels = PromOps.labelsOf(col("skey"))
+      val joined = concat_ws(sep,
+        srcs.map(s => coalesce(labels.getItem(s), lit(""))): _*)
+      evalInstant(metrics, inner, atEpochSec, lookbackSec)
+        .withColumn("skey", PromOps.seriesKey(setLabel(labels, dst, joined)))
+    case LabelReplace(inner, dst, repl, src, regex) =>
+      val labels = PromOps.labelsOf(col("skey"))
+      val anchored = "^(?:" + regex + ")$"
+      val srcVal = coalesce(labels.getItem(src), lit("")) // missing matches ""
+      val newKey = when(srcVal.rlike(anchored),
+        PromOps.seriesKey(setLabel(labels, dst,
+          regexp_replace(srcVal, anchored, repl))))
+        .otherwise(col("skey")) // no match: series unchanged
+      evalInstant(metrics, inner, atEpochSec, lookbackSec)
+        .withColumn("skey", newKey)
     case Absent(sel) =>
       // alerting primitive: exactly one (label-less) 1.0 iff no series
       // matched — a count aggregate, usable as a subquery leaf
@@ -177,6 +193,15 @@ object PromEval {
           .filter(col("rn") <= k)
           .select(col("skey"), col("value"))
     }
+  }
+
+  /** Set/overwrite one label; an empty or null value REMOVES it
+    * (Prometheus's label_replace/label_join contract).
+    */
+  private def setLabel(labels: Column, dst: String, value: Column): Column = {
+    val without = map_filter(labels, (k, _) => k =!= lit(dst))
+    when(value.isNull || value === "", without)
+      .otherwise(map_concat(without, map(lit(dst), value)))
   }
 
   private def arith2(l: Column, op: String, r: Column): Column = op match {

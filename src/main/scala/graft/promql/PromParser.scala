@@ -89,6 +89,19 @@ object PromParser {
     * set (`on`/`ignoring` modifiers are not supported here — stated).
     */
   final case class SetOp(op: String, left: Expr, right: Expr) extends Expr
+  /** `label_join(v, dst, sep, src...)`: dst := src values joined by sep
+    * (missing labels contribute the empty string, as in Prometheus).
+    */
+  final case class LabelJoin(inner: Expr, dst: String, sep: String,
+      srcs: Seq[String]) extends Expr
+  /** `label_replace(v, dst, replacement, src, regex)`: when the ANCHORED
+    * regex matches the src value, dst := replacement with $N group
+    * expansions; otherwise the series is unchanged. An empty result
+    * removes dst. Spec-tested rather than oracle-checked: regex dialects
+    * differ across engines.
+    */
+  final case class LabelReplace(inner: Expr, dst: String,
+      replacement: String, src: String, regex: String) extends Expr
 
   private val aggFns =
     Set("sum", "avg", "min", "max", "count", "stddev", "stdvar")
@@ -261,6 +274,19 @@ object PromParser {
         expectSym(")")
         e
       case TId(fn @ ("clamp" | "clamp_min" | "clamp_max")) => parseClamp(fn)
+      case TId("label_join") =>
+        expectSym("(")
+        val inner = parseSetOp()
+        val args = strArgs()
+        if (args.size < 2) fail("label_join needs (v, dst, sep, src...)")
+        LabelJoin(inner, args.head, args(1), args.drop(2))
+      case TId("label_replace") =>
+        expectSym("(")
+        val inner = parseSetOp()
+        val args = strArgs()
+        if (args.size != 4)
+          fail("label_replace needs (v, dst, replacement, src, regex)")
+        LabelReplace(inner, args(0), args(1), args(2), args(3))
       case TId(name) => withRangeSuffix(parseSelectorTail(name))
       case TSym("(") =>
         val e = parseSetOp(); expectSym(")"); e
@@ -438,6 +464,19 @@ object PromParser {
       case _ => sel.copy(offsetSec = parseOffset())
     }
 
+    /** `, "s1", "s2", ...)` — trailing string arguments up to the paren */
+    private def strArgs(): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var done = false
+      while (!done) pop() match {
+        case TSym(",") => ()
+        case TSym(")") => done = true
+        case TStr(s) => out += s
+        case other => fail(s"expected string argument, got $other")
+      }
+      out.result()
+    }
+
     /** bare `group_left` / `group_right` after a matching clause */
     private def parseGroupSide(): Option[String] = peek match {
       case Some(TId("group_left")) => pop(); Some("left")
@@ -494,6 +533,8 @@ object PromParser {
     case UnaryFn(_, i) => containsPlaceholder(i)
     case Clamp(i, _, _) => containsPlaceholder(i)
     case SetOp(_, l, r) => containsPlaceholder(l) || containsPlaceholder(r)
+    case LabelJoin(i, _, _, _) => containsPlaceholder(i)
+    case LabelReplace(i, _, _, _, _) => containsPlaceholder(i)
     case _ => false
   }
 }

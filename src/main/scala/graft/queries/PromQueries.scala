@@ -881,8 +881,31 @@ object PromQueries {
         |SELECT c.u AS user, c.k AS k, cnt / tot AS value
         |FROM c JOIN t ON c.u = t.u""".stripMargin
 
+  /** Parsed `max by (uk) (label_join(last_over_time(purchase[720h]),
+    * "uk", "|", "user", "k"))` — label manipulation end-to-end: the
+    * synthesized uk label becomes the grouping key. Pure string
+    * concatenation, so exactly oracle-able (label_replace, whose regex
+    * dialect is engine-specific, is spec-tested instead).
+    */
+  def parsedLabelJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "max by (uk) (label_join(last_over_time(purchase[720h]), " +
+        "\"uk\", \"|\", \"user\", \"k\"))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(graft.promql.PromOps.labelsOf(col("skey")).getItem("uk").as("uk"),
+        col("value"))
+  }
+
+  val parsedLabelJoinOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      s"""
+         |, latest AS ($latestPairSql)
+         |SELECT u || '|' || k AS uk, max(v) AS value
+         |FROM latest GROUP BY 1""".stripMargin
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "promql_parsed_labeljoin" -> ((parsedLabelJoin _, parsedLabelJoinOracle)),
     "promql_parsed_groupleft" -> ((parsedGroupLeft _, parsedGroupLeftOracle)),
     "promql_parsed_stddev" -> ((parsedStddev _, parsedStddevOracle)),
     "promql_parsed_resets" ->

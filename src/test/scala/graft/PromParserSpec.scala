@@ -145,8 +145,7 @@ class PromParserSpec extends AnyFunSuite {
 
   test("rejects what the reference never shipped") {
     intercept[IllegalArgumentException](PromParser.parse("x[5m]")) // bare range
-    intercept[IllegalArgumentException](
-      PromParser.parse("""label_replace(x, "a", "$1", "b", "(.*)")"""))
+    intercept[IllegalArgumentException](PromParser.parse("sort_desc(x)"))
     intercept[IllegalArgumentException](PromParser.parse("x > 5")) // filtering cmp
     intercept[IllegalArgumentException](PromParser.parse("x /")) // trailing op
   }
@@ -254,6 +253,32 @@ class PromEvalSpec extends SparkSpec {
     val one = m.limit(1)
     assert(graft.promql.PromEval.evalInstant(one,
       graft.promql.PromParser.parse("deriv(g[100s])"), 1000L).count() == 0)
+  }
+
+  test("label_join concatenates; label_replace is anchored and can remove") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = Seq(("m", Map("env" -> "prod", "dc" -> "eu"), 1.0, 995L),
+      ("m", Map("env" -> "dev"), 2.0, 996L)) // dc missing on the second
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def keys(q: String): Set[String] = graft.promql.PromEval
+      .evalInstant(m, graft.promql.PromParser.parse(q), 1000L)
+      .collect().map(_.getAs[String]("skey")).toSet
+    // missing src contributes the empty string
+    assert(keys("""label_join(m, "ed", "-", "env", "dc")""") ==
+      Set("""{"dc":"eu","ed":"prod-eu","env":"prod"}""",
+        """{"ed":"dev-","env":"dev"}"""))
+    // anchored match rewrites dst; non-match leaves the series untouched
+    assert(keys("""label_replace(m, "tier", "$1-x", "env", "(pr.*)")""") ==
+      Set("""{"dc":"eu","env":"prod","tier":"prod-x"}""",
+        """{"env":"dev"}"""))
+    // partial match is NOT enough (the regex is anchored)
+    assert(keys("""label_replace(m, "tier", "x", "env", "r")""") ==
+      Set("""{"dc":"eu","env":"prod"}""", """{"env":"dev"}"""))
+    // empty replacement removes the destination label
+    assert(keys("""label_replace(m, "dc", "", "env", ".*")""") ==
+      Set("""{"env":"prod"}""", """{"env":"dev"}"""))
   }
 
   test("parsed flagship == hand-built flagship on fixtures") {
