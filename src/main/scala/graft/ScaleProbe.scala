@@ -56,6 +56,7 @@ object ScaleProbe {
       time("dedup_groups", dir, tag)(graft.queries.ExtQueries.dedupGroups)
       time("simhash_neardup", dir, tag)(graft.queries.ExtQueries.simhashNeardup)
       time("ngram_jaccard", dir, tag)(graft.queries.ExtQueries.ngramJaccard)
+      time("contamination", dir, tag)(graft.queries.ExtQueries.contaminationCheck)
       time("sessionize", dir, tag)(graft.queries.AnalyticsQueries.sessionize)
       time("asof_join", dir, tag)(graft.queries.AnalyticsQueries.asofJoin)
     }
