@@ -21,7 +21,7 @@ object PromEval {
     case s: Selector =>
       applyMatchers(
         PromOps.instantVector(matcherFilter(metrics, s), s.name,
-          atEpochSec - s.offsetSec, lookbackSec))
+          s.evalAt(atEpochSec), lookbackSec))
     case BoolCmp(inner, op, v) =>
       evalInstant(metrics, inner, atEpochSec, lookbackSec)
         .withColumn("value", PromOps.boolCmp(col("value"), op, v))
@@ -32,14 +32,14 @@ object PromEval {
       regroup(evalInstant(metrics, inner, atEpochSec, lookbackSec), fn, by, without, Nil)
     case OverTime(fn, sel, w) =>
       val rs = PromOps.rangeSelector(matcherFilter(metrics, sel), sel.name,
-        atEpochSec - sel.offsetSec, w)
+        sel.evalAt(atEpochSec), w)
       rs.groupBy(col("skey")).agg(overTimeAgg(fn, col("e")).as("value"))
     case Rate(kind, sel, w) if kind == "resets" || kind == "changes" =>
       PromOps.resetsOverRange(matcherFilter(metrics, sel), sel.name,
-        atEpochSec - sel.offsetSec, w, kind)
+        sel.evalAt(atEpochSec), w, kind)
     case Rate(kind, sel, w) =>
       PromOps.rateOverRange(matcherFilter(metrics, sel), sel.name,
-        atEpochSec - sel.offsetSec, w, kind)
+        sel.evalAt(atEpochSec), w, kind)
     case OverTimeSubquery(fn, inner, w, step) =>
       val g0 = ((atEpochSec - w) / step + 1) * step // first aligned point > t-w
       val g1 = (atEpochSec / step) * step
@@ -54,7 +54,7 @@ object PromEval {
     case QuantileOverTime(q, sel, w) =>
       PromOps.quantileOverTime(
         PromOps.rangeSelector(matcherFilter(metrics, sel), sel.name,
-          atEpochSec - sel.offsetSec, w), q)
+          sel.evalAt(atEpochSec), w), q)
     case HistQuantile(q, inner) =>
       PromOps.histogramQuantile(
         evalInstant(metrics, inner, atEpochSec, lookbackSec), q)
@@ -68,7 +68,7 @@ object PromEval {
         .withColumn("value", withBoth)
     case Deriv(sel, w, predict) =>
       PromOps.derivOverRange(matcherFilter(metrics, sel), sel.name,
-        atEpochSec - sel.offsetSec, w, predict)
+        sel.evalAt(atEpochSec), w, predict)
     case SetOp(op, l, r) =>
       // set semantics on the full series key: semi/anti joins — the
       // match key is tiny (distinct series), so these broadcast
@@ -220,6 +220,8 @@ object PromEval {
       // offset shifts every evaluation point: value at g is the selector
       // at g - offset, so evaluate the shifted grid and relabel. The
       // offset must keep the grid step-aligned.
+      require(s.atSec.isEmpty,
+        "the @ modifier pins a constant instant; not meaningful on a grid")
       require(s.offsetSec % stepSec == 0,
         s"offset ${s.offsetSec}s must be a multiple of the ${stepSec}s step")
       val off = s.offsetSec

@@ -19,10 +19,16 @@ object PromParser {
   sealed trait Expr
   /** `offsetSec` is the PromQL `offset` modifier: the selector evaluates
     * as if "now" were `t - offsetSec` (parsed from `m{..}[w] offset 1d`).
+    * `atSec` is the `@` modifier — an absolute evaluation timestamp that
+    * replaces "now" entirely (offset then applies relative to it, as in
+    * Prometheus). Both parse after the range suffix in either order.
     */
   final case class Selector(name: String,
       eq: Seq[(String, String)] = Nil, ne: Seq[(String, String)] = Nil,
-      offsetSec: Long = 0L) extends Expr
+      offsetSec: Long = 0L, atSec: Option[Long] = None) extends Expr {
+    /** The effective evaluation instant given the query's eval time. */
+    def evalAt(default: Long): Long = atSec.getOrElse(default) - offsetSec
+  }
   final case class BoolCmp(inner: Expr, op: String, scalar: Double) extends Expr
   final case class Agg(fn: String, inner: Expr,
       by: Seq[String] = Nil, without: Seq[String] = Nil) extends Expr
@@ -458,10 +464,10 @@ object PromParser {
       case Some(TSym("[")) =>
         val (w, sOpt) = rangeSuffix()
         sOpt match {
-          case None => RangePlaceholder(sel.copy(offsetSec = parseOffset()), w)
+          case None => RangePlaceholder(parseModifiers(sel), w)
           case Some(_) => fail("bare subquery on a selector needs an enclosing *_over_time")
         }
-      case _ => sel.copy(offsetSec = parseOffset())
+      case _ => parseModifiers(sel)
     }
 
     /** `, "s1", "s2", ...)` — trailing string arguments up to the paren */
@@ -484,15 +490,27 @@ object PromParser {
       case _ => None
     }
 
-    /** `offset <duration>` if present, else 0 */
-    private def parseOffset(): Long = peek match {
-      case Some(TId("offset")) =>
-        pop()
-        pop() match {
-          case TId(d) => TimeResolver.parseDuration(d).getSeconds
-          case other => fail(s"expected duration after offset, got $other")
-        }
-      case _ => 0L
+    /** `offset <duration>` and/or `@ <unix_ts>`, any order, else as-is */
+    private def parseModifiers(sel: Selector): Selector = {
+      var s = sel
+      var go = true
+      while (go) peek match {
+        case Some(TId("offset")) =>
+          pop()
+          pop() match {
+            case TId(d) =>
+              s = s.copy(offsetSec = TimeResolver.parseDuration(d).getSeconds)
+            case other => fail(s"expected duration after offset, got $other")
+          }
+        case Some(TSym("@")) =>
+          pop()
+          pop() match {
+            case TNum(v) => s = s.copy(atSec = Some(v.toLong))
+            case other => fail(s"expected unix timestamp after @, got $other")
+          }
+        case _ => go = false
+      }
+      s
     }
 
     /** [w] or [w:s] */

@@ -903,8 +903,28 @@ object PromQueries {
          |SELECT u || '|' || k AS uk, max(v) AS value
          |FROM latest GROUP BY 1""".stripMargin
 
+  /** Parsed `last_over_time(purchase[48h] @ <ts>)` — the `@` modifier
+    * pins the selector to an absolute instant (three days before Te
+    * here), making the result independent of the query's own evaluation
+    * time; dashboards use it to mix "now" panels with fixed-reference
+    * panels in one expression.
+    */
+  def parsedAt(spark: SparkSession, sfDir: String): DataFrame = {
+    val pin = Te - 3 * 86400
+    val expr = graft.promql.PromParser.parse(
+      s"last_over_time(purchase[48h] @ $pin)")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedAtOracle: String =
+    sampleCte("purchase", Te - 3 * 86400 - 172800 + 1, Te - 3 * 86400) +
+      "\nSELECT u AS user, k, (max(struct_pack(e := e, v := v))).v AS value " +
+      "FROM s GROUP BY u, k"
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "promql_parsed_at" -> ((parsedAt _, parsedAtOracle)),
     "promql_parsed_labeljoin" -> ((parsedLabelJoin _, parsedLabelJoinOracle)),
     "promql_parsed_groupleft" -> ((parsedGroupLeft _, parsedGroupLeftOracle)),
     "promql_parsed_stddev" -> ((parsedStddev _, parsedStddevOracle)),

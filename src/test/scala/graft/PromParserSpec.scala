@@ -23,51 +23,60 @@ class PromParserSpec extends AnyFunSuite {
 
   test("simple selectors and doc examples") {
     assert(PromParser.parse("up") == Selector("up"))
-    val Agg("avg", Selector("node_cpu_usage", Nil, Nil, 0L), Seq("instance"), Nil) =
+    val Agg("avg", Selector("node_cpu_usage", Nil, Nil, 0L, None), Seq("instance"), Nil) =
       PromParser.parse("avg(node_cpu_usage) by (instance)"): @unchecked
   }
 
   test("label matchers") {
-    val Selector("m", eq, ne, _) =
+    val Selector("m", eq, ne, _, _) =
       PromParser.parse("""m{a="1", b!="2"}"""): @unchecked
     assert(eq == Seq("a" -> "1") && ne == Seq("b" -> "2"))
   }
 
   test("range selector with *_over_time") {
-    val OverTime("count", Selector("x", _, _, _), 3600L) =
+    val OverTime("count", Selector("x", _, _, _, _), 3600L) =
       PromParser.parse("count_over_time(x[1h])"): @unchecked
   }
 
   test("rate/increase parse over a plain range selector only") {
-    val Rate("rate", Selector("x", _, _, _), 300L) =
+    val Rate("rate", Selector("x", _, _, _, _), 300L) =
       PromParser.parse("rate(x[5m])"): @unchecked
-    val Rate("increase", Selector("y", eq, _, _), 86400L) =
+    val Rate("increase", Selector("y", eq, _, _, _), 86400L) =
       PromParser.parse("increase(y{cl=\"a\"}[24h])"): @unchecked
     assert(eq == Seq("cl" -> "a"))
     intercept[IllegalArgumentException](PromParser.parse("rate((x)[5m:1m])"))
   }
 
   test("offset modifier on plain and range selectors") {
-    val Selector("up", Nil, Nil, 300L) =
+    val Selector("up", Nil, Nil, 300L, None) =
       PromParser.parse("up offset 5m"): @unchecked
-    val OverTime("last", Selector("p", _, _, 86400L), 604800L) =
+    val OverTime("last", Selector("p", _, _, 86400L, _), 604800L) =
       PromParser.parse("last_over_time(p[1w] offset 1d)"): @unchecked
-    val Rate("rate", Selector("c", _, _, 3600L), 300L) =
+    val Rate("rate", Selector("c", _, _, 3600L, _), 300L) =
       PromParser.parse("rate(c[5m] offset 1h)"): @unchecked
     intercept[IllegalArgumentException](PromParser.parse("up offset"))
+    // @ modifier, alone and composed with offset in either order
+    val Selector("up", Nil, Nil, 0L, Some(1000L)) =
+      PromParser.parse("up @ 1000"): @unchecked
+    val OverTime("last", s1: Selector, 3600L) =
+      PromParser.parse("last_over_time(p[1h] @ 1000 offset 5m)"): @unchecked
+    assert(s1.evalAt(9999L) == 700L) // pinned instant minus offset
+    val OverTime("last", s2: Selector, 3600L) =
+      PromParser.parse("last_over_time(p[1h] offset 5m @ 1000)"): @unchecked
+    assert(s2.evalAt(9999L) == 700L)
   }
 
   test("vector-vector binops with on/ignoring and bare matching") {
-    val VecBin("/", Selector("a", _, _, _), Selector("b", _, _, _), Some(on), None, None) =
+    val VecBin("/", Selector("a", _, _, _, _), Selector("b", _, _, _, _), Some(on), None, None) =
       PromParser.parse("a / on(user) b"): @unchecked
     assert(on == Seq("user"))
     val VecBin("+", _, _, None, Some(ig), None) =
       PromParser.parse("a + ignoring(k, cl) b"): @unchecked
     assert(ig == Seq("k", "cl"))
-    val VecBin("-", Selector("a", _, _, _), Selector("b", _, _, _), None, None, None) =
+    val VecBin("-", Selector("a", _, _, _, _), Selector("b", _, _, _, _), None, None, None) =
       PromParser.parse("a - b"): @unchecked
     // scalar arithmetic still parses as Arith, not VecBin
-    val Arith(Selector("a", _, _, _), "*", 2.0) =
+    val Arith(Selector("a", _, _, _, _), "*", 2.0) =
       PromParser.parse("a * 2"): @unchecked
     // left-assoc chain: (a / b) * 100
     val Arith(VecBin("/", _, _, _, _, _), "*", 100.0) =
@@ -80,7 +89,7 @@ class PromParserSpec extends AnyFunSuite {
   }
 
   test("topk/bottomk with optional grouping") {
-    val TopK("topk", 5, Selector("m", _, _, _), Nil, Nil) =
+    val TopK("topk", 5, Selector("m", _, _, _, _), Nil, Nil) =
       PromParser.parse("topk(5, m)"): @unchecked
     val TopK("bottomk", 3, _, Seq("cl"), Nil) =
       PromParser.parse("bottomk by (cl) (3, m)"): @unchecked
@@ -91,9 +100,9 @@ class PromParserSpec extends AnyFunSuite {
   }
 
   test("quantile_over_time and histogram_quantile parse") {
-    val QuantileOverTime(0.9, Selector("m", _, _, _), 3600L) =
+    val QuantileOverTime(0.9, Selector("m", _, _, _, _), 3600L) =
       PromParser.parse("quantile_over_time(0.9, m[1h])"): @unchecked
-    val HistQuantile(0.5, Selector("b", _, _, _)) =
+    val HistQuantile(0.5, Selector("b", _, _, _, _)) =
       PromParser.parse("histogram_quantile(0.5, b)"): @unchecked
     intercept[IllegalArgumentException](
       PromParser.parse("quantile_over_time(1.5, m[1h])")) // q out of range
@@ -102,7 +111,7 @@ class PromParserSpec extends AnyFunSuite {
   }
 
   test("math fns, clamp family, delta, absent parse") {
-    val UnaryFn("abs", Selector("m", _, _, _)) =
+    val UnaryFn("abs", Selector("m", _, _, _, _)) =
       PromParser.parse("abs(m)"): @unchecked
     val Clamp(UnaryFn("ceil", _), Some(1.0), Some(9.0)) =
       PromParser.parse("clamp(ceil(m), 1, 9)"): @unchecked
@@ -110,15 +119,15 @@ class PromParserSpec extends AnyFunSuite {
       PromParser.parse("clamp_min(m, 2)"): @unchecked
     val Clamp(_, None, Some(3.0)) =
       PromParser.parse("clamp_max(m, 3)"): @unchecked
-    val Rate("delta", Selector("g", _, _, _), 3600L) =
+    val Rate("delta", Selector("g", _, _, _, _), 3600L) =
       PromParser.parse("delta(g[1h])"): @unchecked
-    val Absent(Selector("up", _, _, _)) =
+    val Absent(Selector("up", _, _, _, _)) =
       PromParser.parse("absent(up)"): @unchecked
     intercept[IllegalArgumentException](PromParser.parse("absent(rate(x[5m]))"))
   }
 
   test("set operators bind loosest, left-assoc; irate/idelta parse") {
-    val SetOp("and", Selector("a", _, _, _), Selector("b", _, _, _)) =
+    val SetOp("and", Selector("a", _, _, _, _), Selector("b", _, _, _, _)) =
       PromParser.parse("a and b"): @unchecked
     // arithmetic binds tighter than set ops
     val SetOp("or", Arith(_, "*", 2.0), _) =
@@ -128,13 +137,13 @@ class PromParserSpec extends AnyFunSuite {
     // parenthesized set op under an aggregation
     val Agg("sum", SetOp("or", _, _), Seq("user"), Nil) =
       PromParser.parse("sum by (user) (a or b)"): @unchecked
-    val Rate("irate", Selector("c", _, _, _), 300L) =
+    val Rate("irate", Selector("c", _, _, _, _), 300L) =
       PromParser.parse("irate(c[5m])"): @unchecked
-    val Rate("idelta", Selector("g", _, _, _), 600L) =
+    val Rate("idelta", Selector("g", _, _, _, _), 600L) =
       PromParser.parse("idelta(g[10m])"): @unchecked
-    val Deriv(Selector("g", _, _, _), 3600L, None) =
+    val Deriv(Selector("g", _, _, _, _), 3600L, None) =
       PromParser.parse("deriv(g[1h])"): @unchecked
-    val Deriv(Selector("g", _, _, _), 3600L, Some(600.0)) =
+    val Deriv(Selector("g", _, _, _, _), 3600L, Some(600.0)) =
       PromParser.parse("predict_linear(g[1h], 600)"): @unchecked
     val Rate("resets", _, 3600L) = PromParser.parse("resets(c[1h])"): @unchecked
     val Rate("changes", _, 3600L) = PromParser.parse("changes(g[1h])"): @unchecked
