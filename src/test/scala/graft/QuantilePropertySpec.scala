@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.promql.PromOps
+
+/** Property check: the distributed quantile_over_time equals a direct
+  * in-memory computation of Prometheus's rank rule (rank = q·(n−1),
+  * linear interpolation between the floor and ceil order statistics) on
+  * seeded random series — including the n = 1 and all-equal edge cases.
+  */
+class QuantilePropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def reference(values: Seq[Double], q: Double): Double = {
+    val v = values.sorted.toIndexedSeq
+    val rank = q * (v.size - 1)
+    val lo = v(math.floor(rank).toInt)
+    val hi = v(math.ceil(rank).toInt)
+    lo + (hi - lo) * (rank - math.floor(rank))
+  }
+
+  test("quantileOverTime == rank-rule reference on seeded random series") {
+    val rnd = new scala.util.Random(42)
+    // 20 series with 1..40 samples each; values include repeats
+    val rows = (0 until 20).flatMap { s =>
+      val n = 1 + rnd.nextInt(40)
+      (0 until n).map { i =>
+        ("m", Map("s" -> s.toString),
+          math.floor(rnd.nextDouble() * 50) / 2.0, // repeats likely
+          (900 + i).toLong)
+      }
+    }
+    val df = rows.toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    val byKey = rows.groupBy(r => r._2("s")).view.mapValues(_.map(_._3)).toMap
+    for (q <- Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)) {
+      val rs = PromOps.rangeSelector(df, "m", 1000L, 200L)
+      val got = PromOps.quantileOverTime(rs, q)
+        .collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      byKey.foreach { case (s, vals) =>
+        val key = s"""{"s":"$s"}"""
+        assert(got(key) == reference(vals, q),
+          s"q=$q series=$s: got ${got(key)}, want ${reference(vals, q)}")
+      }
+    }
+  }
+}
