@@ -25,6 +25,9 @@ object PromEval {
     case BoolCmp(inner, op, v) =>
       evalInstant(metrics, inner, atEpochSec, lookbackSec)
         .withColumn("value", PromOps.boolCmp(col("value"), op, v))
+    case FilterCmp(inner, op, v) =>
+      evalInstant(metrics, inner, atEpochSec, lookbackSec)
+        .filter(PromOps.boolCmp(col("value"), op, v) === 1.0)
     case Arith(inner, op, v) =>
       evalInstant(metrics, inner, atEpochSec, lookbackSec)
         .withColumn("value", arith(col("value"), op, v))
@@ -231,6 +234,9 @@ object PromEval {
     case BoolCmp(inner, op, v) =>
       evalGrid(metrics, inner, g0, g1, stepSec, lookbackSec)
         .withColumn("value", PromOps.boolCmp(col("value"), op, v))
+    case FilterCmp(inner, op, v) =>
+      evalGrid(metrics, inner, g0, g1, stepSec, lookbackSec)
+        .filter(PromOps.boolCmp(col("value"), op, v) === 1.0)
     case Arith(inner, op, v) =>
       evalGrid(metrics, inner, g0, g1, stepSec, lookbackSec)
         .withColumn("value", arith(col("value"), op, v))

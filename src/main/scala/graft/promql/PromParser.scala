@@ -30,6 +30,11 @@ object PromParser {
     def evalAt(default: Long): Long = atSec.getOrElse(default) - offsetSec
   }
   final case class BoolCmp(inner: Expr, op: String, scalar: Double) extends Expr
+  /** Filtering comparison `expr op scalar` (no `bool`): keeps only the
+    * series whose value satisfies the predicate, value unchanged — the
+    * alert-threshold idiom.
+    */
+  final case class FilterCmp(inner: Expr, op: String, scalar: Double) extends Expr
   final case class Agg(fn: String, inner: Expr,
       by: Seq[String] = Nil, without: Seq[String] = Nil) extends Expr
   /** fn_over_time over a plain range selector `sel[window]` */
@@ -232,9 +237,7 @@ object PromParser {
           if (isBool) pop()
           pop() match {
             case TNum(v) =>
-              if (isBool) BoolCmp(e, op, v)
-              else fail("only `bool` comparisons are supported (filtering " +
-                "comparisons are not in the reference's shipped surface)")
+              if (isBool) BoolCmp(e, op, v) else FilterCmp(e, op, v)
             case other => fail(s"expected scalar, got $other")
           }
         case _ => e
@@ -542,6 +545,7 @@ object PromParser {
   private def containsPlaceholder(e: Expr): Boolean = e match {
     case RangePlaceholder(_, _) => true
     case BoolCmp(i, _, _) => containsPlaceholder(i)
+    case FilterCmp(i, _, _) => containsPlaceholder(i)
     case Agg(_, i, _, _) => containsPlaceholder(i)
     case Arith(i, _, _) => containsPlaceholder(i)
     case OverTimeSubquery(_, i, _, _) => containsPlaceholder(i)

@@ -922,8 +922,26 @@ object PromQueries {
       "\nSELECT u AS user, k, (max(struct_pack(e := e, v := v))).v AS value " +
       "FROM s GROUP BY u, k"
 
+  /** Parsed `last_over_time(purchase[720h]) > 50` — the filtering
+    * comparison (no `bool`): only series whose value satisfies the
+    * threshold survive, values unchanged. The alert-threshold idiom.
+    */
+  def parsedFilterCmp(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "last_over_time(purchase[720h]) > 50")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedFilterCmpOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      "\nSELECT u AS user, k, v AS value FROM (" +
+      "SELECT u, k, (max(struct_pack(e := e, v := v))).v AS v " +
+      "FROM s GROUP BY u, k) WHERE v > 50"
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "promql_parsed_filtercmp" -> ((parsedFilterCmp _, parsedFilterCmpOracle)),
     "promql_parsed_at" -> ((parsedAt _, parsedAtOracle)),
     "promql_parsed_labeljoin" -> ((parsedLabelJoin _, parsedLabelJoinOracle)),
     "promql_parsed_groupleft" -> ((parsedGroupLeft _, parsedGroupLeftOracle)),

@@ -152,10 +152,17 @@ class PromParserSpec extends AnyFunSuite {
     val Agg("stdvar", _, Nil, Nil) = PromParser.parse("stdvar(m)"): @unchecked
   }
 
+  test("filtering comparisons keep series, bool returns 0/1") {
+    val FilterCmp(Selector("x", _, _, _, _), ">", 5.0) =
+      PromParser.parse("x > 5"): @unchecked
+    val BoolCmp(Selector("x", _, _, _, _), ">", 5.0) =
+      PromParser.parse("x > bool 5"): @unchecked
+  }
+
   test("rejects what the reference never shipped") {
     intercept[IllegalArgumentException](PromParser.parse("x[5m]")) // bare range
     intercept[IllegalArgumentException](PromParser.parse("sort_desc(x)"))
-    intercept[IllegalArgumentException](PromParser.parse("x > 5")) // filtering cmp
+    intercept[IllegalArgumentException](PromParser.parse("x > y")) // vector cmp
     intercept[IllegalArgumentException](PromParser.parse("x /")) // trailing op
   }
 }
