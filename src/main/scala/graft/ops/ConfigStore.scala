@@ -24,8 +24,11 @@ import graft.model.QueryConfig
 final class ConfigStore(spark: SparkSession, path: String) {
   import spark.implicits._
 
-  private def fs = org.apache.hadoop.fs.FileSystem.get(
-    spark.sparkContext.hadoopConfiguration)
+  // resolve the filesystem from the path's own scheme (not the default
+  // FS): a fully qualified file:// path under an hdfs:// default must
+  // rename/delete on the local FS, where spark.read/write also resolve
+  private def fs = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def p(s: String) = new org.apache.hadoop.fs.Path(s)
 
   def loadAll(): Dataset[QueryConfig] = {

@@ -52,6 +52,18 @@ object PromEval {
       vecBin(evalInstant(metrics, l, atEpochSec, lookbackSec),
         evalInstant(metrics, r, atEpochSec, lookbackSec), op, on, ignoring,
         groupSide)
+    case VecCmp(op, l, r, isBool) =>
+      // matched on the full series key; equi-join, broadcastable when one
+      // side is small — same shape as the bare VecBin
+      val lf = evalInstant(metrics, l, atEpochSec, lookbackSec)
+        .select(col("skey"), col("value").as("lv"))
+      val rf = evalInstant(metrics, r, atEpochSec, lookbackSec)
+        .select(col("skey"), col("value").as("rv"))
+      val pred = PromOps.cmpCol(col("lv"), op, col("rv"))
+      val joined = lf.join(rf, "skey")
+      if (isBool) joined.select(col("skey"), pred.as("value"))
+      else joined.filter(pred === 1.0)
+        .select(col("skey"), col("lv").as("value"))
     case TopK(fn, k, inner, by, without) =>
       topk(evalInstant(metrics, inner, atEpochSec, lookbackSec), fn, k, by, without)
     case QuantileOverTime(q, sel, w) =>
@@ -65,10 +77,17 @@ object PromEval {
       evalInstant(metrics, inner, atEpochSec, lookbackSec)
         .withColumn("value", unary(fn, col("value")))
     case Clamp(inner, lo, hi) =>
+      // clamp(v, lo, hi) with lo > hi is NaN for every point, per
+      // Prometheus; clamp_min/clamp_max have a single bound and no such
+      // degenerate case
       val withLo = lo.fold(col("value"))(v => greatest(col("value"), lit(v)))
       val withBoth = hi.fold(withLo)(v => least(withLo, lit(v)))
+      val clamped = (lo, hi) match {
+        case (Some(l), Some(h)) if l > h => lit(Double.NaN)
+        case _ => withBoth
+      }
       evalInstant(metrics, inner, atEpochSec, lookbackSec)
-        .withColumn("value", withBoth)
+        .withColumn("value", clamped)
     case Deriv(sel, w, predict) =>
       PromOps.derivOverRange(matcherFilter(metrics, sel), sel.name,
         sel.evalAt(atEpochSec), w, predict)
@@ -150,11 +169,21 @@ object PromEval {
         // many-to-one: the group_left/right side is the MANY side and
         // keeps its full series key; the other side joins on the match
         // key alone (one row per key — typically a by()-aggregate, so
-        // small and broadcastable)
+        // small and broadcastable). Uniqueness on the 'one' side is
+        // ENFORCED: a duplicate match key raises at execution (Prometheus
+        // errors on many-to-many matches rather than multiplying rows).
+        // assert_true returns NULL when the guard holds, so the filter
+        // keeps every row while pinning the check into the plan.
         val (many, one) = if (side == "left") (left, right) else (right, left)
         val mf = many.select(col("skey"), mkey.as("mkey"),
           col("value").as("manyv"))
         val of = one.select(mkey.as("mkey"), col("value").as("onev"))
+          .groupBy(col("mkey"))
+          .agg(min(col("onev")).as("onev"), count(lit(1)).as("nmatch"))
+          .filter(assert_true(col("nmatch") === 1,
+            concat(lit("many-to-many matching: duplicate 'one'-side series for key "),
+              col("mkey"))).isNull)
+          .select(col("mkey"), col("onev"))
         val joined = mf.join(of, "mkey")
         val value =
           if (side == "left") arith2(col("manyv"), op, col("onev"))

@@ -337,14 +337,18 @@ object PromOps {
   /** P2: comparison with the `bool` modifier — returns 1.0/0.0 instead of
     * filtering (reference flagship: `!= bool 999999`, migrate.sql:105).
     */
-  def boolCmp(value: Column, op: String, scalar: Double): Column = {
+  def boolCmp(value: Column, op: String, scalar: Double): Column =
+    cmpCol(value, op, lit(scalar))
+
+  /** Comparison against an arbitrary column RHS (vector-vector form). */
+  def cmpCol(value: Column, op: String, rhs: Column): Column = {
     val cond = op match {
-      case "==" => value === scalar
-      case "!=" => value =!= scalar
-      case ">"  => value > scalar
-      case ">=" => value >= scalar
-      case "<"  => value < scalar
-      case "<=" => value <= scalar
+      case "==" => value === rhs
+      case "!=" => value =!= rhs
+      case ">"  => value > rhs
+      case ">=" => value >= rhs
+      case "<"  => value < rhs
+      case "<=" => value <= rhs
       case _    => throw new IllegalArgumentException(s"bad comparison op: $op")
     }
     cond.cast("double")

@@ -35,6 +35,15 @@ object PromParser {
     * alert-threshold idiom.
     */
   final case class FilterCmp(inner: Expr, op: String, scalar: Double) extends Expr
+  /** Vector-vector comparison `l op r`, matched on the full series key
+    * (on/ignoring modifiers are not supported for comparisons — stated).
+    * Without `bool` it filters: keeps the left series whose value
+    * satisfies the predicate against the matched right value, value
+    * unchanged. With `bool` it returns 1/0 for every matched pair.
+    * Unmatched series drop, as in Prometheus.
+    */
+  final case class VecCmp(op: String, left: Expr, right: Expr,
+      bool: Boolean) extends Expr
   final case class Agg(fn: String, inner: Expr,
       by: Seq[String] = Nil, without: Seq[String] = Nil) extends Expr
   /** fn_over_time over a plain range selector `sel[window]` */
@@ -84,6 +93,23 @@ object PromParser {
   /** clamp(v, lo, hi) / clamp_min(v, lo) / clamp_max(v, hi). */
   final case class Clamp(inner: Expr, lo: Option[Double],
       hi: Option[Double]) extends Expr
+  /** `round(v[, to])`: nearest multiple of `to` (default 1), ties
+    * rounded up — Prometheus's floor(v/to + 0.5)·to rule.
+    */
+  final case class RoundFn(inner: Expr, to: Double) extends Expr
+  /** `quantile(q, expr)` aggregation operator: φ-quantile ACROSS the
+    * series of each group (vs quantile_over_time's per-series-over-
+    * samples), with the same linear-interpolation rank rule.
+    */
+  final case class AggQuantile(q: Double, inner: Expr,
+      by: Seq[String] = Nil, without: Seq[String] = Nil) extends Expr
+  /** `count_values("lbl", expr)`: one output series per distinct value
+    * within each group, labeled lbl=<value>, value = the count of series
+    * holding it. Integer-valued points format without a decimal point;
+    * the general float formatting is engine-specific (stated).
+    */
+  final case class CountValues(lbl: String, inner: Expr,
+      by: Seq[String] = Nil, without: Seq[String] = Nil) extends Expr
   /** absent(sel): 1 for the empty label set iff the vector is empty. */
   final case class Absent(sel: Selector) extends Expr
   /** `deriv(sel[w])` / `predict_linear(sel[w], t)` — per-series
@@ -115,14 +141,15 @@ object PromParser {
       replacement: String, src: String, regex: String) extends Expr
 
   private val aggFns =
-    Set("sum", "avg", "min", "max", "count", "stddev", "stdvar")
+    Set("sum", "avg", "min", "max", "count", "stddev", "stdvar", "group")
   private val topkFns = Set("topk", "bottomk")
   private val overTimeFns =
     Set("sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
       "count_over_time", "last_over_time")
   private val rateFns = Set("rate", "increase", "delta", "irate", "idelta",
     "resets", "changes")
-  private val unaryFns = Set("abs", "ceil", "floor", "sqrt", "exp", "ln")
+  private val unaryFns =
+    Set("abs", "ceil", "floor", "sqrt", "exp", "ln", "log2", "log10", "sgn")
 
   // ------------------------------------------------------------- tokenizer
   sealed private[promql] trait Tok
@@ -186,13 +213,40 @@ object PromParser {
       * matching Prometheus, where set ops bind looser than arithmetic.
       */
     private def parseSetOp(): Expr = {
-      var e = parseArith()
+      var e = parseComparison()
       while (peek.exists {
         case TId(s) => s == "and" || s == "or" || s == "unless"
         case _ => false
       }) {
         val TId(op) = pop(): @unchecked
-        e = SetOp(op, e, parseArith())
+        e = SetOp(op, e, parseComparison())
+      }
+      e
+    }
+
+    /** comparison, LOOSER than arithmetic (Prometheus precedence:
+      * set ops < comparison < arithmetic), so `a / b > 0.5` filters the
+      * ratio — the error-ratio alert idiom — and `expr * 100 > 5`
+      * thresholds the scaled expression. Left-assoc chain:
+      * expr (==|!=|>|>=|<|<=) [bool] (scalar | expr). The RHS scalar must
+      * be a literal number; anything else parses as a vector-vector
+      * comparison matched on the full series key.
+      */
+    private def parseComparison(): Expr = {
+      var e = parseArith()
+      while (peek.exists {
+        case TSym(s) => Set("==", "!=", ">", ">=", "<", "<=")(s)
+        case _ => false
+      }) {
+        val TSym(op) = pop(): @unchecked
+        val isBool = peek.contains(TId("bool"))
+        if (isBool) pop()
+        e = peek match {
+          case Some(TNum(_)) =>
+            val TNum(v) = pop(): @unchecked
+            if (isBool) BoolCmp(e, op, v) else FilterCmp(e, op, v)
+          case _ => VecCmp(op, e, parseArith(), bool = isBool)
+        }
       }
       e
     }
@@ -201,10 +255,11 @@ object PromParser {
       * Left-associative with uniform precedence across the four ops — a
       * stated simplification of Prometheus's `*`/`/` > `+`/`-` (the
       * reference never parses PromQL at all; queries in its configs are
-      * parenthesized).
+      * parenthesized). Comparison is NOT accepted in operand position:
+      * `a / (b > 0.5)` requires explicit parentheses.
       */
     private def parseArith(): Expr = {
-      var e = parseComparison()
+      var e = parsePrimary()
       while (peek.exists { case TSym(s) => "*/+-".contains(s); case _ => false }) {
         val TSym(op) = pop(): @unchecked
         peek match {
@@ -214,34 +269,17 @@ object PromParser {
           case Some(TId("on")) =>
             pop(); val ls = labelList()
             val gs = parseGroupSide() // binds between the clause and the rhs
-            e = VecBin(op, e, parseComparison(), on = Some(ls), groupSide = gs)
+            e = VecBin(op, e, parsePrimary(), on = Some(ls), groupSide = gs)
           case Some(TId("ignoring")) =>
             pop(); val ls = labelList()
             val gs = parseGroupSide()
-            e = VecBin(op, e, parseComparison(), ignoring = Some(ls),
+            e = VecBin(op, e, parsePrimary(), ignoring = Some(ls),
               groupSide = gs)
           case _ =>
-            e = VecBin(op, e, parseComparison())
+            e = VecBin(op, e, parsePrimary())
         }
       }
       e
-    }
-
-    /** comparison with bool modifier: expr (==|!=|>|>=|<|<=) bool N */
-    private def parseComparison(): Expr = {
-      val e = parsePrimary()
-      peek match {
-        case Some(TSym(op)) if Set("==", "!=", ">", ">=", "<", "<=")(op) =>
-          pop()
-          val isBool = peek.contains(TId("bool"))
-          if (isBool) pop()
-          pop() match {
-            case TNum(v) =>
-              if (isBool) BoolCmp(e, op, v) else FilterCmp(e, op, v)
-            case other => fail(s"expected scalar, got $other")
-          }
-        case _ => e
-      }
     }
 
     private def parsePrimary(): Expr = pop() match {
@@ -273,7 +311,7 @@ object PromParser {
           case _ => fail("predict_linear requires a plain range selector")
         }
       case TId(fn) if unaryFns(fn) =>
-        expectSym("("); val e = parseArith(); expectSym(")"); UnaryFn(fn, e)
+        expectSym("("); val e = parseSetOp(); expectSym(")"); UnaryFn(fn, e)
       case TId("absent") =>
         expectSym("(")
         val e = parseArith() match {
@@ -283,6 +321,22 @@ object PromParser {
         expectSym(")")
         e
       case TId(fn @ ("clamp" | "clamp_min" | "clamp_max")) => parseClamp(fn)
+      case TId("round") =>
+        expectSym("(")
+        val inner = parseSetOp()
+        val to = peek match {
+          case Some(TSym(",")) =>
+            pop()
+            pop() match {
+              case TNum(v) if v > 0 => v
+              case other => fail(s"round needs a positive scalar `to`, got $other")
+            }
+          case _ => 1.0
+        }
+        expectSym(")")
+        RoundFn(inner, to)
+      case TId("quantile") => parseAggQuantile()
+      case TId("count_values") => parseCountValues()
       case TId("label_join") =>
         expectSym("(")
         val inner = parseSetOp()
@@ -348,12 +402,15 @@ object PromParser {
       e
     }
 
-    /** histogram_quantile( q, expr ) */
+    /** histogram_quantile( q, expr ); q outside [0,1] is rejected at parse
+      * time (stated deviation: Prometheus returns -Inf/+Inf there — an
+      * out-of-range q in a stored config is a typo, not a query).
+      */
     private def parseHistQuantile(): Expr = {
       expectSym("(")
       val q = pop() match {
-        case TNum(v) => v
-        case other => fail(s"histogram_quantile needs a scalar q, got $other")
+        case TNum(v) if v >= 0 && v <= 1 => v
+        case other => fail(s"histogram_quantile needs q in [0,1], got $other")
       }
       expectSym(",")
       val inner = parseSetOp()
@@ -364,7 +421,7 @@ object PromParser {
     /** clamp(v, lo, hi) | clamp_min(v, lo) | clamp_max(v, hi) */
     private def parseClamp(fn: String): Expr = {
       expectSym("(")
-      val inner = parseArith()
+      val inner = parseSetOp()
       def num(): Double = { expectSym(","); pop() match {
         case TNum(v) => v
         case other => fail(s"$fn needs scalar bounds, got $other")
@@ -393,10 +450,52 @@ object PromParser {
         case other => fail(s"$fn needs a positive integer k, got $other")
       }
       expectSym(",")
-      val inner = parseArith()
+      val inner = parseSetOp()
       expectSym(")")
       clause()
       TopK(fn, k, inner, by, without)
+    }
+
+    /** quantile [by|without (l,..)] (q, expr) [by|without (l,..)] */
+    private def parseAggQuantile(): Expr = {
+      var by = Seq.empty[String]; var without = Seq.empty[String]
+      def clause(): Boolean = peek match {
+        case Some(TId("by")) => pop(); by = labelList(); true
+        case Some(TId("without")) => pop(); without = labelList(); true
+        case _ => false
+      }
+      clause()
+      expectSym("(")
+      val q = pop() match {
+        case TNum(v) if v >= 0 && v <= 1 => v
+        case other => fail(s"quantile needs q in [0,1], got $other")
+      }
+      expectSym(",")
+      val inner = parseSetOp()
+      expectSym(")")
+      clause()
+      AggQuantile(q, inner, by, without)
+    }
+
+    /** count_values [by|without (l,..)] ("lbl", expr) [by|without (l,..)] */
+    private def parseCountValues(): Expr = {
+      var by = Seq.empty[String]; var without = Seq.empty[String]
+      def clause(): Boolean = peek match {
+        case Some(TId("by")) => pop(); by = labelList(); true
+        case Some(TId("without")) => pop(); without = labelList(); true
+        case _ => false
+      }
+      clause()
+      expectSym("(")
+      val lbl = pop() match {
+        case TStr(s) if s.nonEmpty => s
+        case other => fail(s"count_values needs a label-name string, got $other")
+      }
+      expectSym(",")
+      val inner = parseSetOp()
+      expectSym(")")
+      clause()
+      CountValues(lbl, inner, by, without)
     }
 
     private def labelList(): Seq[String] = {
@@ -546,6 +645,7 @@ object PromParser {
     case RangePlaceholder(_, _) => true
     case BoolCmp(i, _, _) => containsPlaceholder(i)
     case FilterCmp(i, _, _) => containsPlaceholder(i)
+    case VecCmp(_, l, r, _) => containsPlaceholder(l) || containsPlaceholder(r)
     case Agg(_, i, _, _) => containsPlaceholder(i)
     case Arith(i, _, _) => containsPlaceholder(i)
     case OverTimeSubquery(_, i, _, _) => containsPlaceholder(i)
@@ -554,6 +654,9 @@ object PromParser {
     case HistQuantile(_, i) => containsPlaceholder(i)
     case UnaryFn(_, i) => containsPlaceholder(i)
     case Clamp(i, _, _) => containsPlaceholder(i)
+    case RoundFn(i, _) => containsPlaceholder(i)
+    case AggQuantile(_, i, _, _) => containsPlaceholder(i)
+    case CountValues(_, i, _, _) => containsPlaceholder(i)
     case SetOp(_, l, r) => containsPlaceholder(l) || containsPlaceholder(r)
     case LabelJoin(i, _, _, _) => containsPlaceholder(i)
     case LabelReplace(i, _, _, _, _) => containsPlaceholder(i)

@@ -483,6 +483,60 @@ object PromQueries {
        |SELECT sv.u AS user, CAST(sv.c AS DOUBLE) / CAST(sp.c AS DOUBLE) AS value
        |FROM sv JOIN sp ON sv.u = sp.u""".stripMargin
 
+  /** Parsed `a / on(user) b > 2` — the error-ratio alert idiom,
+    * exercising Prometheus operator precedence end-to-end: comparison
+    * binds LOOSER than arithmetic, so the threshold applies to the
+    * ratio, not to the divisor. Counts are integer-exact cross-engine;
+    * the single IEEE division and the `>` filter are deterministic.
+    */
+  def parsedRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "sum by (user) (count_over_time(view[720h])) / on(user) " +
+        "sum by (user) (count_over_time(purchase[720h])) > 2")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), col("value"))
+  }
+
+  val parsedRatioOracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(user_id AS VARCHAR) AS u
+       |  FROM events
+       |  WHERE CAST(floor(epoch(ts)) AS BIGINT)
+       |        BETWEEN ${Te - 2592000 + 1} AND $Te
+       |), sv AS (SELECT u, count(*) AS c FROM ev
+       |          WHERE event_type = 'view' GROUP BY u),
+       |   sp AS (SELECT u, count(*) AS c FROM ev
+       |          WHERE event_type = 'purchase' GROUP BY u)
+       |SELECT sv.u AS user, CAST(sv.c AS DOUBLE) / CAST(sp.c AS DOUBLE) AS value
+       |FROM sv JOIN sp ON sv.u = sp.u
+       |WHERE CAST(sv.c AS DOUBLE) / CAST(sp.c AS DOUBLE) > 2""".stripMargin
+
+  /** Parsed vector-vector `bool` comparison matched on the full series
+    * key: per-user 1/0 score of "more views than purchases". Unmatched
+    * users drop, per Prometheus binary-op matching.
+    */
+  def parsedVecCmp(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "sum by (user) (count_over_time(view[720h])) > bool " +
+        "sum by (user) (count_over_time(purchase[720h]))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), col("value"))
+  }
+
+  val parsedVecCmpOracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(user_id AS VARCHAR) AS u
+       |  FROM events
+       |  WHERE CAST(floor(epoch(ts)) AS BIGINT)
+       |        BETWEEN ${Te - 2592000 + 1} AND $Te
+       |), sv AS (SELECT u, count(*) AS c FROM ev
+       |          WHERE event_type = 'view' GROUP BY u),
+       |   sp AS (SELECT u, count(*) AS c FROM ev
+       |          WHERE event_type = 'purchase' GROUP BY u)
+       |SELECT sv.u AS user,
+       |       CASE WHEN sv.c > sp.c THEN 1.0 ELSE 0.0 END AS value
+       |FROM sv JOIN sp ON sv.u = sp.u""".stripMargin
+
   /** Parsed global `topk(5, ...)` — compiles to orderBy+limit, which
     * Spark plans as TakeOrderedAndProject (per-partition heap, k-row
     * merge — never a full sort). Tie-break on the canonical series key;
@@ -962,6 +1016,8 @@ object PromQueries {
     "promql_parsed_histq" -> ((parsedHistQuantile _, parsedHistQuantileOracle)),
     "promql_parsed_offset" -> ((parsedOffset _, parsedOffsetOracle)),
     "promql_parsed_binop" -> ((parsedBinop _, parsedBinopOracle)),
+    "promql_parsed_ratio" -> ((parsedRatio _, parsedRatioOracle)),
+    "promql_parsed_veccmp" -> ((parsedVecCmp _, parsedVecCmpOracle)),
     "promql_parsed_topk" -> ((parsedTopk _, parsedTopkOracle)),
     "promql_parsed_bottomk" -> ((parsedBottomk _, parsedBottomkOracle)),
     "promql_parsed_topk_by" -> ((parsedTopkBy _, parsedTopkByOracle)),

@@ -159,11 +159,38 @@ class PromParserSpec extends AnyFunSuite {
       PromParser.parse("x > bool 5"): @unchecked
   }
 
+  test("comparison binds looser than arithmetic (Prometheus precedence)") {
+    // the error-ratio alert idiom: (a / b) > 0.5, NOT a / (b > 0.5)
+    val FilterCmp(VecBin("/", Selector("a", _, _, _, _),
+        Selector("b", _, _, _, _), _, _, _), ">", 0.5) =
+      PromParser.parse("a / b > 0.5"): @unchecked
+    // a trailing comparison after an arith chain parses
+    val FilterCmp(Arith(Selector("x", _, _, _, _), "*", 100.0), ">", 5.0) =
+      PromParser.parse("x * 100 > 5"): @unchecked
+    val BoolCmp(VecBin("/", _, _, Some(Seq("u")), _, _), ">=", 0.9) =
+      PromParser.parse("a / on(u) b >= bool 0.9"): @unchecked
+    // but comparison stays looser than set ops' operands:
+    // `a > 5 and b` is (a > 5) and b
+    val SetOp("and", FilterCmp(_, ">", 5.0), Selector("b", _, _, _, _)) =
+      PromParser.parse("a > 5 and b"): @unchecked
+  }
+
+  test("vector-vector comparisons parse, filter and bool forms") {
+    val VecCmp(">", Selector("x", _, _, _, _), Selector("y", _, _, _, _), false) =
+      PromParser.parse("x > y"): @unchecked
+    val VecCmp("<=", _, _, true) =
+      PromParser.parse("x <= bool y"): @unchecked
+    // RHS binds the arithmetic chain: x > (y * 2)
+    val VecCmp(">", _, Arith(Selector("y", _, _, _, _), "*", 2.0), false) =
+      PromParser.parse("x > y * 2"): @unchecked
+  }
+
   test("rejects what the reference never shipped") {
     intercept[IllegalArgumentException](PromParser.parse("x[5m]")) // bare range
     intercept[IllegalArgumentException](PromParser.parse("sort_desc(x)"))
-    intercept[IllegalArgumentException](PromParser.parse("x > y")) // vector cmp
     intercept[IllegalArgumentException](PromParser.parse("x /")) // trailing op
+    intercept[IllegalArgumentException](
+      PromParser.parse("histogram_quantile(1.5, b)")) // q out of range
   }
 }
 
@@ -295,6 +322,64 @@ class PromEvalSpec extends SparkSpec {
     // empty replacement removes the destination label
     assert(keys("""label_replace(m, "dc", "", "env", ".*")""") ==
       Set("""{"env":"prod"}""", """{"env":"dev"}"""))
+  }
+
+  test("vector-vector comparison filters on matched keys; bool scores pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = Seq(
+      ("x", Map("i" -> "a"), 5.0, 995L), ("x", Map("i" -> "b"), 1.0, 996L),
+      ("x", Map("i" -> "c"), 7.0, 996L), // no matching y: drops
+      ("y", Map("i" -> "a"), 3.0, 995L), ("y", Map("i" -> "b"), 2.0, 996L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def eval(q: String) = graft.promql.PromEval
+      .evalInstant(m, graft.promql.PromParser.parse(q), 1000L)
+      .collect().map(r => r.getAs[String]("skey") -> r.getAs[Double]("value"))
+      .toMap
+    // filter form keeps the left value on satisfied, matched keys only
+    assert(eval("x > y") == Map("""{"i":"a"}""" -> 5.0))
+    // bool form scores every matched pair 1/0
+    assert(eval("x > bool y") ==
+      Map("""{"i":"a"}""" -> 1.0, """{"i":"b"}""" -> 0.0))
+    // precedence end-to-end: (x / y) > 1 keeps only the a-series ratio
+    // (5/3); b's ratio 1/2 filters out — under the old tighter-than-arith
+    // precedence this would have parsed as x / (y > 1) instead
+    assert(eval("x / y > 1") ==
+      Map("""{"i":"a"}""" -> 5.0 / 3.0))
+  }
+
+  test("clamp with lo > hi yields NaN per Prometheus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = Seq(("m", Map("i" -> "a"), 4.0, 995L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    val out = graft.promql.PromEval.evalInstant(m,
+      graft.promql.PromParser.parse("clamp(m, 5, 2)"), 1000L)
+      .collect().map(_.getAs[Double]("value"))
+    assert(out.length == 1 && out(0).isNaN)
+  }
+
+  test("group_left with a duplicate 'one'-side series raises") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = Seq(
+      ("a", Map("u" -> "1", "k" -> "p"), 10.0, 995L),
+      ("a", Map("u" -> "1", "k" -> "q"), 20.0, 995L),
+      ("b", Map("u" -> "1", "k" -> "x"), 2.0, 995L),
+      ("b", Map("u" -> "1", "k" -> "y"), 4.0, 995L)) // two one-side rows per u
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    val dup = graft.promql.PromEval.evalInstant(m,
+      graft.promql.PromParser.parse("a / on(u) group_left b"), 1000L)
+    val e = intercept[Exception](dup.collect())
+    assert(e.getMessage != null) // Spark wraps the assert_true error
+    // and the healthy path still works once the one side is aggregated
+    val ok = graft.promql.PromEval.evalInstant(m,
+      graft.promql.PromParser.parse("a / on(u) group_left sum by (u) (b)"),
+      1000L).collect().map(_.getAs[Double]("value")).sorted.toSeq
+    assert(ok == Seq(10.0 / 6.0, 20.0 / 6.0))
   }
 
   test("parsed flagship == hand-built flagship on fixtures") {
