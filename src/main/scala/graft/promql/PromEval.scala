@@ -91,6 +91,32 @@ object PromEval {
     case Deriv(sel, w, predict) =>
       PromOps.derivOverRange(matcherFilter(metrics, sel), sel.name,
         sel.evalAt(atEpochSec), w, predict)
+    case RoundFn(inner, to) =>
+      // Prometheus round: nearest multiple of `to`, ties rounded up
+      evalInstant(metrics, inner, atEpochSec, lookbackSec)
+        .withColumn("value", floor(col("value") / to + 0.5) * to)
+    case AggQuantile(q, inner, by, without) =>
+      // regroup the instant vector onto the group key, then the same
+      // rank-interpolation machinery as quantile_over_time — quantile
+      // ACROSS series instead of across samples
+      PromOps.quantileOverTime(
+        evalInstant(metrics, inner, atEpochSec, lookbackSec)
+          .withColumn("skey", seriesKeyOf(groupLabels(by, without))),
+        q)
+    case CountValues(lbl, inner, by, without) =>
+      // one output series per (group key, formatted value): integers
+      // print without a decimal point (the deterministic subset; float
+      // formatting is engine-specific — stated in the AST doc)
+      val isInt = col("value") === floor(col("value")) &&
+        abs(col("value")) < 1e15
+      val vstr = when(isInt, col("value").cast("long").cast("string"))
+        .otherwise(col("value").cast("string"))
+      val kept = map_filter(groupLabels(by, without), (k, _) => k =!= lit(lbl))
+      evalInstant(metrics, inner, atEpochSec, lookbackSec)
+        .withColumn("skey",
+          seriesKeyOf(map_concat(kept, map(lit(lbl), vstr))))
+        .groupBy(col("skey"))
+        .agg(count(lit(1)).cast("double").as("value"))
     case SetOp(op, l, r) =>
       // set semantics on the full series key: semi/anti joins — the
       // match key is tiny (distinct series), so these broadcast
@@ -135,7 +161,28 @@ object PromEval {
     case "sqrt" => sqrt(v)
     case "exp" => exp(v)
     case "ln" => log(v)
+    case "log2" => log2(v)
+    case "log10" => log10(v)
+    case "sgn" => signum(v)
   }
+
+  /** The by/without-filtered label map of the current row's skey; both
+    * empty means drop every label (aggregate-everything, key "{}").
+    */
+  private def groupLabels(by: Seq[String], without: Seq[String]): Column = {
+    val labels = PromOps.labelsOf(col("skey"))
+    (by, without) match {
+      case (b, Nil) =>
+        val keep = array(b.map(lit): _*)
+        map_filter(labels, (k, _) => array_contains(keep, k))
+      case (Nil, w) =>
+        val drop = array(w.map(lit): _*)
+        map_filter(labels, (k, _) => !array_contains(drop, k))
+      case _ => throw new IllegalArgumentException("both by and without given")
+    }
+  }
+
+  private def seriesKeyOf(labels: Column): Column = PromOps.seriesKey(labels)
 
   /** Vector-vector arithmetic, one-to-one. The match key is the full
     * series key (bare op), the kept-label key (`on`), or the
@@ -304,6 +351,7 @@ object PromEval {
     case "min" => min(col("value"))
     case "avg" => avg(col("value"))
     case "count" => count(lit(1)).cast("double")
+    case "group" => max(lit(1.0)) // 1 for every group, per Prometheus
     case "stdvar" => stdvarColumn
     case "stddev" => sqrt(stdvarColumn) // sqrt is IEEE correctly rounded:
     // deterministic cross-engine, unlike exp/ln

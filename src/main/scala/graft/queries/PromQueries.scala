@@ -537,6 +537,87 @@ object PromQueries {
        |       CASE WHEN sv.c > sp.c THEN 1.0 ELSE 0.0 END AS value
        |FROM sv JOIN sp ON sv.u = sp.u""".stripMargin
 
+  /** Parsed `round(last_over_time(purchase[720h]) / 7)` — the round()
+    * pointwise function through its deterministic path: IEEE division
+    * then floor(x + 0.5), both exactly reproducible cross-engine.
+    */
+  def parsedRound(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "round(last_over_time(purchase[720h]) / 7)")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedRoundOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      "\nSELECT u AS user, k, floor(v / 7 + 0.5) * 1.0 AS value FROM (" +
+      "SELECT u, k, (max(struct_pack(e := e, v := v))).v AS v " +
+      "FROM s GROUP BY u, k) t"
+
+  /** Parsed `quantile by (cluster_name) (0.5, ...)` — the quantile
+    * AGGREGATION operator: φ-quantile across the series of each group
+    * (quantile_over_time ranks samples within one series; this ranks
+    * series within one group), same interpolation rank rule, same
+    * deterministic lo + (hi−lo)·frac arithmetic.
+    */
+  def parsedAggQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "quantile by (cluster_name) (0.5, last_over_time(purchase[720h]))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(clusterLbl.as("cluster_name"), col("value"))
+  }
+
+  val parsedAggQuantileOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      s"""
+         |, latest AS ($latestPairSql)
+         |, o AS (
+         |  SELECT cl, v,
+         |         row_number() OVER (PARTITION BY cl ORDER BY v) - 1 AS rn,
+         |         0.5 * (count(*) OVER (PARTITION BY cl) - 1) AS rank
+         |  FROM latest
+         |), p AS (
+         |  SELECT cl,
+         |         max(CASE WHEN rn = floor(rank) THEN v END) AS lo,
+         |         max(CASE WHEN rn = ceil(rank) THEN v END) AS hi,
+         |         any_value(rank - floor(rank)) AS frac
+         |  FROM o WHERE rn = floor(rank) OR rn = ceil(rank)
+         |  GROUP BY cl
+         |)
+         |SELECT cl AS cluster_name, lo + (hi - lo) * frac AS value FROM p""".stripMargin
+
+  /** Parsed `count_values("cnt", sum by (user) (count_over_time(...)))`:
+    * how many users share each total-purchase count. The inner counts
+    * are integers, so the value-to-label formatting hits the
+    * deterministic no-decimal-point path in both engines.
+    */
+  def parsedCountValues(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      """count_values("cnt", sum by (user) (count_over_time(purchase[720h])))""")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(PromOps.labelsOf(col("skey")).getItem("cnt").as("cnt"),
+        col("value"))
+  }
+
+  val parsedCountValuesOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      "\nSELECT CAST(c AS VARCHAR) AS cnt, CAST(count(*) AS DOUBLE) AS value " +
+      "FROM (SELECT u, count(*) AS c FROM s GROUP BY u) t GROUP BY c"
+
+  /** Parsed `group by (k) (...)` — the group aggregator: 1.0 per group
+    * key, the standard "which label values exist" probe.
+    */
+  def parsedGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "group by (k) (last_over_time(purchase[720h]))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(kLbl.as("k"), col("value"))
+  }
+
+  val parsedGroupOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      "\nSELECT DISTINCT k, 1.0 AS value FROM s"
+
   /** Parsed global `topk(5, ...)` — compiles to orderBy+limit, which
     * Spark plans as TakeOrderedAndProject (per-partition heap, k-row
     * merge — never a full sort). Tie-break on the canonical series key;
@@ -1018,6 +1099,12 @@ object PromQueries {
     "promql_parsed_binop" -> ((parsedBinop _, parsedBinopOracle)),
     "promql_parsed_ratio" -> ((parsedRatio _, parsedRatioOracle)),
     "promql_parsed_veccmp" -> ((parsedVecCmp _, parsedVecCmpOracle)),
+    "promql_parsed_roundfn" -> ((parsedRound _, parsedRoundOracle)),
+    "promql_parsed_aggquantile" ->
+      ((parsedAggQuantile _, parsedAggQuantileOracle)),
+    "promql_parsed_countvalues" ->
+      ((parsedCountValues _, parsedCountValuesOracle)),
+    "promql_parsed_group" -> ((parsedGroup _, parsedGroupOracle)),
     "promql_parsed_topk" -> ((parsedTopk _, parsedTopkOracle)),
     "promql_parsed_bottomk" -> ((parsedBottomk _, parsedBottomkOracle)),
     "promql_parsed_topk_by" -> ((parsedTopkBy _, parsedTopkByOracle)),

@@ -185,6 +185,27 @@ class PromParserSpec extends AnyFunSuite {
       PromParser.parse("x > y * 2"): @unchecked
   }
 
+  test("round, quantile agg, count_values, group, sgn/log parse") {
+    val RoundFn(Selector("m", _, _, _, _), 1.0) =
+      PromParser.parse("round(m)"): @unchecked
+    val RoundFn(_, 0.5) = PromParser.parse("round(m, 0.5)"): @unchecked
+    intercept[IllegalArgumentException](PromParser.parse("round(m, 0)"))
+    val AggQuantile(0.9, Selector("m", _, _, _, _), Seq("cl"), Nil) =
+      PromParser.parse("quantile by (cl) (0.9, m)"): @unchecked
+    val AggQuantile(0.5, _, Nil, Nil) =
+      PromParser.parse("quantile(0.5, m)"): @unchecked
+    intercept[IllegalArgumentException](PromParser.parse("quantile(1.5, m)"))
+    val CountValues("v", Selector("m", _, _, _, _), Nil, Nil) =
+      PromParser.parse("""count_values("v", m)"""): @unchecked
+    val CountValues("v", _, Seq("k"), Nil) =
+      PromParser.parse("""count_values by (k) ("v", m)"""): @unchecked
+    val Agg("group", _, Seq("cl"), Nil) =
+      PromParser.parse("group by (cl) (m)"): @unchecked
+    val UnaryFn("sgn", _) = PromParser.parse("sgn(m)"): @unchecked
+    val UnaryFn("log2", _) = PromParser.parse("log2(m)"): @unchecked
+    val UnaryFn("log10", _) = PromParser.parse("log10(m)"): @unchecked
+  }
+
   test("rejects what the reference never shipped") {
     intercept[IllegalArgumentException](PromParser.parse("x[5m]")) // bare range
     intercept[IllegalArgumentException](PromParser.parse("sort_desc(x)"))
@@ -380,6 +401,39 @@ class PromEvalSpec extends SparkSpec {
       graft.promql.PromParser.parse("a / on(u) group_left sum by (u) (b)"),
       1000L).collect().map(_.getAs[Double]("value")).sorted.toSeq
     assert(ok == Seq(10.0 / 6.0, 20.0 / 6.0))
+  }
+
+  test("round/sgn/group/quantile-agg/count_values evaluate correctly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = Seq(
+      ("m", Map("cl" -> "a", "i" -> "1"), 1.0, 995L),
+      ("m", Map("cl" -> "a", "i" -> "2"), 2.0, 995L),
+      ("m", Map("cl" -> "a", "i" -> "3"), 4.0, 995L),
+      ("m", Map("cl" -> "b", "i" -> "4"), -2.5, 995L),
+      ("m", Map("cl" -> "b", "i" -> "5"), 4.0, 995L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def eval(q: String) = graft.promql.PromEval
+      .evalInstant(m, graft.promql.PromParser.parse(q), 1000L)
+      .collect().map(r => r.getAs[String]("skey") -> r.getAs[Double]("value"))
+      .toMap
+    // ties round up: -2.5 -> -2; to=2 multiples: 4.0 stays, 1.0 -> 2
+    assert(eval("""round(m{i="4"})""").values.toSeq == Seq(-2.0))
+    assert(eval("""round(m{i="1"}, 2)""").values.toSeq == Seq(2.0))
+    assert(eval("""sgn(m{cl="b"})""").values.toSet == Set(-1.0, 1.0))
+    // group: 1.0 per group key
+    assert(eval("group by (cl) (m)") ==
+      Map("""{"cl":"a"}""" -> 1.0, """{"cl":"b"}""" -> 1.0))
+    // quantile across series: cl=a has {1,2,4}, median 2; interpolated
+    // p75 of {1,2,4} is rank 1.5 -> 2 + 0.5*(4-2) = 3
+    assert(eval("quantile by (cl) (0.5, m)")("""{"cl":"a"}""") == 2.0)
+    assert(eval("quantile by (cl) (0.75, m)")("""{"cl":"a"}""") == 3.0)
+    // count_values: 4.0 appears twice (once per cl), integer-formatted
+    assert(eval("""count_values("v", m)""") ==
+      Map("""{"v":"1"}""" -> 1.0, """{"v":"2"}""" -> 1.0,
+        """{"v":"4"}""" -> 2.0, """{"v":"-2.5"}""" -> 1.0))
+    assert(eval("""count_values by (cl) ("v", m)""")("""{"cl":"b","v":"4"}""") == 1.0)
   }
 
   test("parsed flagship == hand-built flagship on fixtures") {
