@@ -64,6 +64,24 @@ object TextOps {
       (nUniq.cast("double") / nWords).as("uniq_ratio"))
   }
 
+  /** PII patterns shared VERBATIM with the DuckDB oracle — restricted to
+    * the regex subset whose semantics agree between Java regex (Spark)
+    * and RE2 (DuckDB): character classes, bounded/unbounded repetition,
+    * no backreferences, no lookaround.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Replace every match with a redaction token. (Spark regexp_replace
+    * is global by default; the DuckDB oracle needs the 'g' flag.)
+    */
+  def scrub(text: Column, pattern: String, token: String): Column =
+    regexp_replace(text, pattern, token)
+
+  /** Number of matches of `pattern` in `text`. */
+  def matchCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
   /** Content fingerprint: md5 of the whitespace-normalized lowercase text.
     * Equal fingerprints ⇒ byte-identical normalized content (exact dedup
     * key).

@@ -1066,7 +1066,103 @@ object ExtQueries {
       |       CAST(('0x' || substr(md5(text), 1, 2))::INT AS DOUBLE) AS f3
       |FROM documents""".stripMargin
 
+  // --------------------------------------------------- PII scrub / URLs
+
+  /** PII redaction over the documents table. The synthetic fixture text
+    * contains no PII, so the query AUGMENTS each document with
+    * deterministic email/phone tokens derived from doc_id (the same
+    * construction runs in the oracle — the in-query-fixture pattern the
+    * histogram_quantile entry uses), then scrubs with patterns from the
+    * Java-regex/RE2 compatible subset (TextOps.EmailPattern/
+    * PhonePattern). Returning the md5 of the SCRUBBED text proves the
+    * redaction itself matches cross-engine, not just the match counts.
+    * Scale: per-row regex inside whole-stage codegen; no shuffle, no
+    * UDF — this runs at parquet-scan speed on any corpus size.
+    */
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" contact user"), (col("doc_id") % 50).cast("string"),
+      lit("@mail.example.com"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" cc admin"), (col("doc_id") % 7).cast("string"),
+          lit("@ex.org"))).otherwise(lit("")),
+      lit(" or call "), (col("doc_id") % 900 + 100).cast("string"),
+      lit("-555-"), (col("doc_id") % 9000 + 1000).cast("string"))
+    val scrubbed = TextOps.scrub(
+      TextOps.scrub(aug, TextOps.EmailPattern, "<EMAIL>"),
+      TextOps.PhonePattern, "<PHONE>")
+    docs(spark, sfDir).select(col("doc_id"),
+      TextOps.matchCount(aug, TextOps.EmailPattern).cast("long").as("emails"),
+      TextOps.matchCount(aug, TextOps.PhonePattern).cast("long").as("phones"),
+      md5(scrubbed).as("clean_md5"))
+  }
+
+  val piiScrubOracle: String = {
+    val em = TextOps.EmailPattern
+    val ph = TextOps.PhonePattern
+    s"""WITH a AS (
+       |  SELECT doc_id,
+       |         text || ' contact user' || CAST(doc_id % 50 AS VARCHAR)
+       |           || '@mail.example.com'
+       |           || (CASE WHEN doc_id % 2 = 0
+       |               THEN ' cc admin' || CAST(doc_id % 7 AS VARCHAR) || '@ex.org'
+       |               ELSE '' END)
+       |           || ' or call ' || CAST(doc_id % 900 + 100 AS VARCHAR)
+       |           || '-555-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS t
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS emails,
+       |       CAST(len(regexp_extract_all(t, '$ph')) AS BIGINT) AS phones,
+       |       md5(regexp_replace(regexp_replace(t, '$em', '<EMAIL>', 'g'),
+       |                          '$ph', '<PHONE>', 'g')) AS clean_md5
+       |FROM a""".stripMargin
+  }
+
+  /** Per-domain URL stats: extract every URL host from the (augmented,
+    * as above — the fixture has none) text, explode, and aggregate.
+    * Counts are integer-exact; the average divides an exact integer sum
+    * by an exact count, deterministic IEEE cross-engine. Scale: the
+    * explode is linear in URL count and the single groupBy shuffles on
+    * domain — bounded cardinality, no skew hazard beyond a genuinely
+    * dominant domain (route through SkewOps.saltedAgg if one exists).
+    */
+  def urlDomainStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+      lit(".example.org/p/"), col("doc_id").cast("string"),
+      when(col("doc_id") % 3 === 0,
+        lit(" and http://mirror.example.net/x")).otherwise(lit("")))
+    docs(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"),
+        explode(regexp_extract_all(aug,
+          lit("https?://([A-Za-z0-9.-]+)"), lit(1))).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+  }
+
+  val urlDomainStatsOracle: String =
+    """WITH a AS (
+      |  SELECT doc_id, n_chars,
+      |         text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+      |           || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+      |           || (CASE WHEN doc_id % 3 = 0
+      |               THEN ' and http://mirror.example.net/x' ELSE '' END) AS t
+      |  FROM documents
+      |), u AS (
+      |  SELECT doc_id, n_chars,
+      |         unnest(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+      |  FROM a
+      |)
+      |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs,
+      |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+      |FROM u GROUP BY domain""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "pii_scrub" -> ((piiScrub _, piiScrubOracle)),
+    "url_domain_stats" -> ((urlDomainStats _, urlDomainStatsOracle)),
     "dedup_exact" -> ((dedupExact _, dedupExactOracle)),
     "text_quality" -> ((textQuality _, textQualityOracle)),
     "token_stats" -> ((tokenStats _, tokenStatsOracle)),

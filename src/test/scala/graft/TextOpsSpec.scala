@@ -30,4 +30,22 @@ class TextOpsSpec extends SparkSpec {
     val sizes = df.select(size(col("sh"))).collect().map(_.getInt(0)).toSeq
     assert(sizes == Seq(0, 2))
   }
+
+  test("PII scrub redacts every email and phone, counts match") {
+    val texts = Seq(
+      "mail a.b+c@sub.example.co.uk and x@y.io today",
+      "call 310-555-0142 or 212-555-9999",
+      "no pii here at all")
+    val df = texts.toDF("text").select(
+      TextOps.matchCount(col("text"), TextOps.EmailPattern).as("em"),
+      TextOps.matchCount(col("text"), TextOps.PhonePattern).as("ph"),
+      TextOps.scrub(TextOps.scrub(col("text"), TextOps.EmailPattern, "<EMAIL>"),
+        TextOps.PhonePattern, "<PHONE>").as("clean"))
+    val rows = df.collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2, 0, 0))
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 2, 0))
+    assert(rows(0).getString(2) == "mail <EMAIL> and <EMAIL> today")
+    assert(rows(1).getString(2) == "call <PHONE> or <PHONE>")
+    assert(rows(2).getString(2) == "no pii here at all")
+  }
 }
