@@ -1066,6 +1066,119 @@ object ExtQueries {
       |       CAST(('0x' || substr(md5(text), 1, 2))::INT AS DOUBLE) AS f3
       |FROM documents""".stripMargin
 
+  // ------------------------------------- curation sampling / packing / vocab
+
+  /** Quality-weighted sampling: P(keep) = the document's unique-token
+    * ratio, decided by comparing an md5-uniform of doc_id against the
+    * score — the standard curation move when DOWN-WEIGHTING low-quality
+    * mass without a hard cutoff, reproducible across runs/engines/
+    * cluster sizes (never `rand()`). The keep test is pure integer:
+    * bucket·n_words < n_uniq·1000 avoids any float compare. Scale: one
+    * narrow scan + one groupBy on lang — no skew (lang cardinality is
+    * tiny and the agg is partial-aggregated map-side).
+    */
+  def qualityWeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("long") % 1000
+    docs(spark, sfDir)
+      .withColumn("nw", size(toks).cast("long"))
+      .withColumn("nu", size(array_distinct(toks)).cast("long"))
+      .withColumn("kept", (bucket * col("nw") < col("nu") * 1000L).cast("int"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+      .withColumn("rate_bp", expr("(n_kept * 10000) div n_total"))
+  }
+
+  val qualityWeightedSampleOracle: String =
+    """WITH q AS (
+      |  SELECT lang,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |           % 1000 AS bucket,
+      |         len(string_split(lower(text), ' ')) AS nw,
+      |         len(list_distinct(string_split(lower(text), ' '))) AS nu
+      |  FROM documents
+      |)
+      |SELECT lang, count(*) AS n_total,
+      |       CAST(sum(CASE WHEN bucket * nw < nu * 1000 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_kept,
+      |       CAST(sum(CASE WHEN bucket * nw < nu * 1000 THEN 1 ELSE 0 END)
+      |            * 10000 // count(*) AS BIGINT) AS rate_bp
+      |FROM q GROUP BY lang""".stripMargin
+
+  /** Sequence-packing audit for a fixed context window (64 tokens):
+    * per language, the token mass, the padded mass if each document is
+    * padded to a whole window (the naive one-doc-per-row training
+    * layout), the waste in exact basis points, and the lower bound on
+    * bins a perfect packer could hit. All integer arithmetic
+    * (ceil(a/b) = (a+b−1) div b), so the oracle matches bit-for-bit.
+    */
+  def packingStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val ctx = 64L
+    docs(spark, sfDir)
+      .withColumn("nw", size(TextOps.tokens(col("text"))).cast("long"))
+      .withColumn("padded", expr(s"((nw + ${ctx - 1}) div $ctx) * $ctx"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("total_tokens"),
+        sum(col("padded")).as("padded_tokens"))
+      .withColumn("waste_bp",
+        expr("((padded_tokens - total_tokens) * 10000) div padded_tokens"))
+      .withColumn("min_bins", expr("(total_tokens + 63) div 64"))
+  }
+
+  val packingStatsOracle: String =
+    """WITH t AS (
+      |  SELECT lang, len(string_split(lower(text), ' ')) AS nw,
+      |         ((len(string_split(lower(text), ' ')) + 63) // 64) * 64 AS padded
+      |  FROM documents
+      |)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(nw) AS BIGINT) AS total_tokens,
+      |       CAST(sum(padded) AS BIGINT) AS padded_tokens,
+      |       CAST((sum(padded) - sum(nw)) * 10000 // sum(padded) AS BIGINT)
+      |         AS waste_bp,
+      |       CAST((sum(nw) + 63) // 64 AS BIGINT) AS min_bins
+      |FROM t GROUP BY lang""".stripMargin
+
+  /** Vocabulary coverage: build the top-100 global vocabulary (count
+    * desc, token asc — a deterministic tie-break) and score every
+    * document's out-of-vocabulary rate in exact basis points. The vocab
+    * side is 100 rows after a TakeOrderedAndProject, so the membership
+    * join BROADCASTS — the corpus never shuffles; this is the shape a
+    * tokenizer-coverage audit needs at 100 TB.
+    */
+  def vocabOov(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = docs(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+    val vocab = tok.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t").asc).limit(100)
+      .select(col("t"), lit(1).as("iv"))
+    tok.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("iv").isNull, 1).otherwise(0)).as("n_oov"))
+      .withColumn("oov_bp", expr("(n_oov * 10000) div n_toks"))
+  }
+
+  val vocabOovOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      |  FROM documents
+      |), v AS (
+      |  SELECT t FROM (
+      |    SELECT t, count(*) AS c FROM tok GROUP BY t
+      |    ORDER BY c DESC, t ASC LIMIT 100
+      |  )
+      |)
+      |SELECT doc_id, count(*) AS n_toks,
+      |       CAST(sum(CASE WHEN t NOT IN (SELECT t FROM v)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+      |       CAST(sum(CASE WHEN t NOT IN (SELECT t FROM v)
+      |                     THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT)
+      |         AS oov_bp
+      |FROM tok GROUP BY doc_id""".stripMargin
+
   // --------------------------------------------------- PII scrub / URLs
 
   /** PII redaction over the documents table. The synthetic fixture text
@@ -1163,6 +1276,10 @@ object ExtQueries {
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "pii_scrub" -> ((piiScrub _, piiScrubOracle)),
     "url_domain_stats" -> ((urlDomainStats _, urlDomainStatsOracle)),
+    "quality_weighted_sample" ->
+      ((qualityWeightedSample _, qualityWeightedSampleOracle)),
+    "packing_stats" -> ((packingStats _, packingStatsOracle)),
+    "vocab_oov" -> ((vocabOov _, vocabOovOracle)),
     "dedup_exact" -> ((dedupExact _, dedupExactOracle)),
     "text_quality" -> ((textQuality _, textQualityOracle)),
     "token_stats" -> ((tokenStats _, tokenStatsOracle)),

@@ -68,4 +68,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
+
+  test("pii_scrub is a single-stage scan: no shuffle, pruned columns") {
+    val plan = finalPlan(
+      SparkEntry.queries("pii_scrub")(spark, sf))
+    assert(shuffles(plan) == 0, plan.take(800))
+    // only the two needed columns reach the scan
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      plan.take(800))
+  }
+
+  test("vocab_oov broadcasts the 100-row vocabulary, corpus never shuffles for the join") {
+    val plan = finalPlan(
+      SparkEntry.queries("vocab_oov")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
+  test("ratio-threshold query joins on the match key, no cartesian") {
+    val plan = finalPlan(
+      SparkEntry.queries("promql_parsed_ratio")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
 }
