@@ -438,6 +438,51 @@ object AnalyticsQueries {
         |       count(DISTINCT event_type) AS n_types
         |FROM s GROUP BY user_id, sid""".stripMargin
 
+  /** Streaming twin of [[hourlyAvg]], END-TO-END under the SAME DuckDB
+    * oracle: a watermarked tumbling-window aggregation (the canonical
+    * Structured Streaming shape for the reference's cron-driven hourly
+    * buckets) over a parquet source, drained with Trigger.AvailableNow
+    * into a parquet sink, read back, and decimal-routed identically to
+    * the batch query — proving stream ≡ batch, not merely "rows came
+    * out". A single flush sentinel past the last hour advances the
+    * watermark so append mode closes every real window (Spark runs the
+    * extra no-data micro-batch on watermark advance); the sentinel's own
+    * window is dropped on read-back. The decimal sum lives in streaming
+    * state, so partial aggregation order cannot perturb the result.
+    */
+  def hourlyAvgStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("havg_e2e").toString
+    val in = metrics(spark, sfDir)
+      .filter(col("e") > Te - 86400 && col("e") <= Te)
+      .select(col("metric_name"), col("e"), col("value"))
+    in.unionByName(
+      spark.range(1).select(lit("__flush__").as("metric_name"),
+        lit(Te + 7200L).as("e"), lit(0.0).as("value")))
+      .coalesce(1) // one file -> one deterministic micro-batch
+      .write.parquet(s"$work/in")
+    spark.readStream
+      .schema("metric_name STRING, e LONG, value DOUBLE")
+      .parquet(s"$work/in")
+      .withColumn("ts", timestamp_seconds(col("e")))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("metric_name"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("vsum"))
+      .select(unix_timestamp(col("win.start")).as("hour_e"),
+        col("metric_name").as("metric"), col("n"), col("vsum"))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$work/out")
+      .option("checkpointLocation", s"$work/cp")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    spark.read.parquet(s"$work/out")
+      .filter(col("metric") =!= "__flush__")
+      .select(col("hour_e"), col("metric"), col("n"),
+        (col("vsum").cast("double") / col("n")).as("avg_value"))
+  }
+
   /** The streaming sessionizer run END-TO-END over the fixture events,
     * registered under the SAME DuckDB oracle as the batch [[sessionize]]
     * — the stream == batch equivalence gate (the reference is itself a
@@ -549,6 +594,7 @@ object AnalyticsQueries {
     "metric_median" -> ((metricMedian _, metricMedianOracle)),
     "sessionize" -> ((sessionize _, sessionizeOracle)),
     "sessionize_stream" -> ((sessionizeStream _, sessionizeOracle)),
+    "hourly_avg_stream" -> ((hourlyAvgStream _, hourlyAvgOracle)),
     "rollup_report" -> ((rollupReport _, rollupReportOracle)),
     "metric_quantiles" -> ((metricQuantiles _, metricQuantilesOracle)),
     "asof_join" -> ((asofJoin _, asofJoinOracle)),
