@@ -48,6 +48,20 @@ object PromEval {
       val g1 = (atEpochSec / step) * step
       evalGrid(metrics, inner, g0, g1, step, lookbackSec)
         .groupBy(col("skey")).agg(overTimeAgg(fn, col("g")).as("value"))
+    case VecBin(op, l, r, on, ignoring, groupSide)
+        if scalarish(l) != scalarish(r) =>
+      // vector op scalar-expression: the scalar side is ONE row by
+      // construction, so the pairing is an explicit broadcast cross
+      // join — every left series sees the same scalar, no shuffle
+      val (vec, sc, scalarOnLeft) =
+        if (scalarish(l)) (r, l, true) else (l, r, false)
+      val vf = evalInstant(metrics, vec, atEpochSec, lookbackSec)
+      val sf = broadcast(evalInstant(metrics, sc, atEpochSec, lookbackSec)
+        .select(col("value").as("scv")))
+      val value =
+        if (scalarOnLeft) arith2(col("scv"), op, col("value"))
+        else arith2(col("value"), op, col("scv"))
+      vf.crossJoin(sf).select(col("skey"), value.as("value"))
     case VecBin(op, l, r, on, ignoring, groupSide) =>
       vecBin(evalInstant(metrics, l, atEpochSec, lookbackSec),
         evalInstant(metrics, r, atEpochSec, lookbackSec), op, on, ignoring,
@@ -144,6 +158,20 @@ object PromEval {
         .otherwise(col("skey")) // no match: series unchanged
       evalInstant(metrics, inner, atEpochSec, lookbackSec)
         .withColumn("skey", newKey)
+    case ScalarFn(inner) =>
+      // exactly-one-series -> its value; otherwise NaN (Prometheus)
+      evalInstant(metrics, inner, atEpochSec, lookbackSec)
+        .agg(count(lit(1)).as("n"), min(col("value")).as("v"))
+        .select(lit("{}").as("skey"),
+          when(col("n") === 1, col("v"))
+            .otherwise(lit(Double.NaN)).as("value"))
+    case VectorLit(v) =>
+      metrics.sparkSession.range(1)
+        .select(lit("{}").as("skey"), lit(v).cast("double").as("value"))
+    case TimeFn() =>
+      metrics.sparkSession.range(1)
+        .select(lit("{}").as("skey"),
+          lit(atEpochSec.toDouble).as("value"))
     case Absent(sel) =>
       // alerting primitive: exactly one (label-less) 1.0 iff no series
       // matched — a count aggregate, usable as a subquery leaf
@@ -152,6 +180,14 @@ object PromEval {
         .select(lit("{}").as("skey"), lit(1.0).as("value"))
     case other =>
       throw new IllegalArgumentException(s"unsupported instant expr: $other")
+  }
+
+  /** Expressions that are one row by construction — legal as the scalar
+    * side of a binop.
+    */
+  private def scalarish(e: Expr): Boolean = e match {
+    case _: ScalarFn | _: VectorLit | _: TimeFn => true
+    case _ => false
   }
 
   private def unary(fn: String, v: Column): Column = fn match {

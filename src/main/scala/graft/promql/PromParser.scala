@@ -112,6 +112,17 @@ object PromParser {
       by: Seq[String] = Nil, without: Seq[String] = Nil) extends Expr
   /** absent(sel): 1 for the empty label set iff the vector is empty. */
   final case class Absent(sel: Selector) extends Expr
+  /** `scalar(expr)`: the single series' value as a scalar, NaN when the
+    * vector has ≠ 1 series (Prometheus semantics). Usable standalone
+    * (a one-row label-less result — stated representation) and as a
+    * binop operand, where it pairs with every left-side series via a
+    * broadcast of its one row.
+    */
+  final case class ScalarFn(inner: Expr) extends Expr
+  /** `vector(s)`: a scalar literal as a one-series label-less vector. */
+  final case class VectorLit(v: Double) extends Expr
+  /** `time()`: the evaluation timestamp in seconds (label-less). */
+  final case class TimeFn() extends Expr
   /** `deriv(sel[w])` / `predict_linear(sel[w], t)` — per-series
     * least-squares slope over the window (and its extrapolation t seconds
     * past the evaluation time). `predictSec` is None for deriv.
@@ -337,6 +348,18 @@ object PromParser {
         RoundFn(inner, to)
       case TId("quantile") => parseAggQuantile()
       case TId("count_values") => parseCountValues()
+      case TId("scalar") =>
+        expectSym("("); val e = parseSetOp(); expectSym(")"); ScalarFn(e)
+      case TId("vector") =>
+        expectSym("(")
+        val v = pop() match {
+          case TNum(x) => x
+          case other => fail(s"vector() takes a scalar literal, got $other")
+        }
+        expectSym(")")
+        VectorLit(v)
+      case TId("time") =>
+        expectSym("("); expectSym(")"); TimeFn()
       case TId("label_join") =>
         expectSym("(")
         val inner = parseSetOp()
@@ -655,6 +678,7 @@ object PromParser {
     case UnaryFn(_, i) => containsPlaceholder(i)
     case Clamp(i, _, _) => containsPlaceholder(i)
     case RoundFn(i, _) => containsPlaceholder(i)
+    case ScalarFn(i) => containsPlaceholder(i)
     case AggQuantile(_, i, _, _) => containsPlaceholder(i)
     case CountValues(_, i, _, _) => containsPlaceholder(i)
     case SetOp(_, l, r) => containsPlaceholder(l) || containsPlaceholder(r)

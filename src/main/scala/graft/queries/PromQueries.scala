@@ -618,6 +618,28 @@ object PromQueries {
     sampleCte("purchase", Te - 2592000 + 1, Te) +
       "\nSELECT DISTINCT k, 1.0 AS value FROM s"
 
+  /** Parsed `... / scalar(sum(...))` — the share-of-total normalization
+    * idiom: each user's purchase-count share of the global count. The
+    * scalar side is one row by construction and broadcasts over the
+    * vector; integer counts make the single division IEEE-deterministic.
+    */
+  def parsedScalar(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "sum by (user) (count_over_time(purchase[720h])) / " +
+        "scalar(sum(count_over_time(purchase[720h])))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), col("value"))
+  }
+
+  val parsedScalarOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      """
+        |, per AS (SELECT u, count(*) AS c FROM s GROUP BY u)
+        |SELECT u AS user,
+        |       CAST(c AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM s)
+        |         AS value
+        |FROM per""".stripMargin
+
   /** Parsed global `topk(5, ...)` — compiles to orderBy+limit, which
     * Spark plans as TakeOrderedAndProject (per-partition heap, k-row
     * merge — never a full sort). Tie-break on the canonical series key;
@@ -1105,6 +1127,7 @@ object PromQueries {
     "promql_parsed_countvalues" ->
       ((parsedCountValues _, parsedCountValuesOracle)),
     "promql_parsed_group" -> ((parsedGroup _, parsedGroupOracle)),
+    "promql_parsed_scalar" -> ((parsedScalar _, parsedScalarOracle)),
     "promql_parsed_topk" -> ((parsedTopk _, parsedTopkOracle)),
     "promql_parsed_bottomk" -> ((parsedBottomk _, parsedBottomkOracle)),
     "promql_parsed_topk_by" -> ((parsedTopkBy _, parsedTopkByOracle)),

@@ -206,6 +206,16 @@ class PromParserSpec extends AnyFunSuite {
     val UnaryFn("log10", _) = PromParser.parse("log10(m)"): @unchecked
   }
 
+  test("scalar/vector/time parse") {
+    val ScalarFn(Agg("sum", _, Nil, Nil)) =
+      PromParser.parse("scalar(sum(m))"): @unchecked
+    val VectorLit(5.0) = PromParser.parse("vector(5)"): @unchecked
+    val TimeFn() = PromParser.parse("time()"): @unchecked
+    val VecBin("/", _, ScalarFn(_), None, None, None) =
+      PromParser.parse("a / scalar(sum(b))"): @unchecked
+    intercept[IllegalArgumentException](PromParser.parse("vector(m)"))
+  }
+
   test("rejects what the reference never shipped") {
     intercept[IllegalArgumentException](PromParser.parse("x[5m]")) // bare range
     intercept[IllegalArgumentException](PromParser.parse("sort_desc(x)"))
@@ -434,6 +444,33 @@ class PromEvalSpec extends SparkSpec {
       Map("""{"v":"1"}""" -> 1.0, """{"v":"2"}""" -> 1.0,
         """{"v":"4"}""" -> 2.0, """{"v":"-2.5"}""" -> 1.0))
     assert(eval("""count_values by (cl) ("v", m)""")("""{"cl":"b","v":"4"}""") == 1.0)
+  }
+
+  test("scalar() broadcasts over a vector; NaN when not exactly one series") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = Seq(
+      ("x", Map("i" -> "a"), 6.0, 995L), ("x", Map("i" -> "b"), 2.0, 996L),
+      ("t", Map("i" -> "z"), 4.0, 995L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def eval(q: String) = graft.promql.PromEval
+      .evalInstant(m, graft.promql.PromParser.parse(q), 1000L)
+      .collect().map(r => r.getAs[String]("skey") -> r.getAs[Double]("value"))
+      .toMap
+    // share-of-total: x / scalar(sum(x))
+    assert(eval("x / scalar(sum(x))") ==
+      Map("""{"i":"a"}""" -> 0.75, """{"i":"b"}""" -> 0.25))
+    // scalar side on the left
+    assert(eval("scalar(t) - x") ==
+      Map("""{"i":"a"}""" -> -2.0, """{"i":"b"}""" -> 2.0))
+    // two series under scalar() -> NaN
+    assert(eval("scalar(x)").values.head.isNaN)
+    // vector() and time() standalone
+    assert(eval("vector(7)") == Map("{}" -> 7.0))
+    assert(eval("time()") == Map("{}" -> 1000.0))
+    // vector() as the one-series side of a bare binop
+    assert(eval("vector(2) * scalar(t)") == Map("{}" -> 8.0))
   }
 
   test("parsed flagship == hand-built flagship on fixtures") {
