@@ -59,6 +59,8 @@ object ScaleProbe {
       time("contamination", dir, tag)(graft.queries.ExtQueries.contaminationCheck)
       time("sessionize", dir, tag)(graft.queries.AnalyticsQueries.sessionize)
       time("asof_join", dir, tag)(graft.queries.AnalyticsQueries.asofJoin)
+      time("vocab_oov", dir, tag)(graft.queries.ExtQueries.vocabOov)
+      time("pii_scrub", dir, tag)(graft.queries.ExtQueries.piiScrub)
     }
     time("ngram_jaccard", s"$probeDir/hot", s"hot${copies}x")(
       graft.queries.ExtQueries.ngramJaccard)
