@@ -355,6 +355,19 @@ object PromEval {
     case Agg(fn, inner, by, without) =>
       regroup(evalGrid(metrics, inner, g0, g1, stepSec, lookbackSec),
         fn, by, without, Seq("g"))
+    case OverTime(fn, sel, w) =>
+      // moving-window family at range — one explode + one aggregation,
+      // linear in samples × window/step (PromOps.windowGrid)
+      require(sel.atSec.isEmpty,
+        "the @ modifier pins a constant instant; not meaningful on a grid")
+      require(sel.offsetSec % stepSec == 0,
+        s"offset ${sel.offsetSec}s must be a multiple of the ${stepSec}s step")
+      val off = sel.offsetSec
+      val base = PromOps.windowGrid(matcherFilter(metrics, sel), sel.name,
+        g0 - off, g1 - off, stepSec, w)
+        .groupBy(col("skey"), col("g"))
+        .agg(overTimeAgg(fn, col("e")).as("value"))
+      if (off == 0) base else base.withColumn("g", col("g") + off)
     case other =>
       throw new IllegalArgumentException(s"unsupported grid expr: $other")
   }

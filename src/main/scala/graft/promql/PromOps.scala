@@ -119,6 +119,40 @@ object PromOps {
       .select(col("skey"), col("g"), col("last.value").as("value"))
   }
 
+  /** Moving-window expansion for `fn_over_time(sel[w])` evaluated at
+    * every step-aligned grid point in [g0, g1] — the Grafana panel
+    * shape. A sample at `e` is inside the (g−w, g] window of the grid
+    * points g with e ≤ g < e+w, so each sample explodes into at most
+    * ⌈w/step⌉ (skey, g) rows: linear in samples × window/step, never a
+    * cross join, and the JSON series key is built once per sample
+    * before the explode. Output: (skey, g, e, value) for the enclosing
+    * evaluator to aggregate per (skey, g).
+    */
+  def windowGrid(
+      metrics: DataFrame,
+      metricName: String,
+      g0: Long,
+      g1: Long,
+      stepSec: Long,
+      windowSec: Long): DataFrame = {
+    require(g0 % stepSec == 0 && g1 % stepSec == 0 && g1 >= g0,
+      s"grid must be step-aligned: [$g0, $g1] step $stepSec")
+    metrics
+      .filter(col("metric_name") === metricName)
+      .withColumn("e", epochSec(col("timestamp")))
+      .filter(col("e") > g0 - windowSec && col("e") <= g1)
+      .withColumn("skey", seriesKey(col("labels")))
+      // first aligned g ≥ e, clamped to the grid
+      .withColumn("gs", greatest(lit(g0),
+        expr(s"((e + ${stepSec - 1}) div $stepSec) * $stepSec")))
+      // last aligned g < e + w (window is left-exclusive), clamped
+      .withColumn("ge", least(lit(g1),
+        expr(s"((e + ${windowSec - 1}) div $stepSec) * $stepSec")))
+      .filter(col("gs") <= col("ge"))
+      .select(col("skey"), col("e"), col("value"),
+        explode(sequence(col("gs"), col("ge"), lit(stepSec))).as("g"))
+  }
+
   /** PromQL range selector `x[window]` evaluated at `t`: all raw samples
     * with `t - window < ts <= t`, tagged with series identity. The
     * `*_over_time` family (P5) is a groupBy over this frame.

@@ -185,6 +185,31 @@ object PromQueries {
          |SELECT u AS user, k, g, (max(struct_pack(e := e, v := v))).v AS value
          |FROM ex GROUP BY u, k, g""".stripMargin
 
+  /** Range-evaluated `max_over_time(purchase[1h])` on the 5-minute grid
+    * — the Grafana moving-window panel shape, through the PARSED range
+    * path (PromEval.evalGrid → PromOps.windowGrid): each sample explodes
+    * into at most window/step grid points, one aggregation per (series,
+    * point), no cross join. max is order-independent and exact in
+    * doubles, so the oracle matches bit-for-bit.
+    */
+  def rangeOverTime(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse("max_over_time(purchase[1h])")
+    graft.promql.PromEval.evalGrid(metrics(spark, sfDir), expr, Gm0, Gm1,
+      stepSec = 300, lookbackSec = PromOps.DefaultLookbackSec)
+      .select(user.as("user"), kLbl.as("k"), col("g"), col("value"))
+  }
+
+  val rangeOverTimeOracle: String =
+    sampleCte("purchase", Gm0 - 3600 + 1, Gm1) +
+      s""", ex AS (
+         |  SELECT u, k, e, v,
+         |         unnest(generate_series(greatest($Gm0, ((e + 299) // 300) * 300),
+         |                                least($Gm1, ((e + 3599) // 300) * 300), 300)) AS g
+         |  FROM s
+         |)
+         |SELECT u AS user, k, g, max(v) AS value
+         |FROM ex GROUP BY u, k, g""".stripMargin
+
   // ------------------------------------------------------- P5 *_over_time
 
   /** P5: the `*_over_time` family over a 24h range selector, aggregated by
@@ -1141,6 +1166,7 @@ object PromQueries {
     "flagship_gpu_daily" -> ((flagship _, flagshipOracle)),
     "pq_instant_vector" -> ((instantVector _, instantVectorOracle)),
     "pq_range_matrix" -> ((rangeMatrix _, rangeMatrixOracle)),
+    "pq_range_overtime" -> ((rangeOverTime _, rangeOverTimeOracle)),
     "pq_over_time" -> ((overTime _, overTimeOracle)),
     "pq_rate" -> ((pqRate _, pqRateOracle)),
     "pq_agg_without" -> ((aggWithout _, aggWithoutOracle)),

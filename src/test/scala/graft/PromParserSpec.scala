@@ -473,6 +473,28 @@ class PromEvalSpec extends SparkSpec {
     assert(eval("vector(2) * scalar(t)") == Map("{}" -> 8.0))
   }
 
+  test("range-evaluated *_over_time: window edges are (g-w, g]") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // samples at e=100 (== g-w for g=400, w=300: excluded there),
+    // e=400 (== g: included), e=401 (> g: excluded at g=400)
+    val m = Seq(("m", Map("i" -> "a"), 1.0, 100L),
+      ("m", Map("i" -> "a"), 5.0, 400L),
+      ("m", Map("i" -> "a"), 9.0, 401L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    val out = graft.promql.PromEval.evalGrid(m,
+      graft.promql.PromParser.parse("sum_over_time(m[300s])"),
+      g0 = 200L, g1 = 600L, stepSec = 100L, lookbackSec = 300L)
+      .collect().map(r => r.getAs[Long]("g") -> r.getAs[Double]("value"))
+      .toMap
+    // g=200,300: only e=100 in window; g=400: (100,400] EXCLUDES the
+    // e=100 sample sitting exactly on the open left edge, includes
+    // e=400 on the closed right edge; g=500,600: e=400 and e=401
+    assert(out == Map(200L -> 1.0, 300L -> 1.0, 400L -> 5.0,
+      500L -> 14.0, 600L -> 14.0))
+  }
+
   test("parsed flagship == hand-built flagship on fixtures") {
     val sf = "/root/testdata/sf0.001"
     val a = graft.queries.PromQueries.flagship(spark, sf)
