@@ -368,6 +368,16 @@ object PromEval {
         .groupBy(col("skey"), col("g"))
         .agg(overTimeAgg(fn, col("e")).as("value"))
       if (off == 0) base else base.withColumn("g", col("g") + off)
+    case Rate(kind, sel, w)
+        if kind == "rate" || kind == "increase" || kind == "delta" =>
+      require(sel.atSec.isEmpty,
+        "the @ modifier pins a constant instant; not meaningful on a grid")
+      require(sel.offsetSec % stepSec == 0,
+        s"offset ${sel.offsetSec}s must be a multiple of the ${stepSec}s step")
+      val off = sel.offsetSec
+      val base = PromOps.rateOverGrid(matcherFilter(metrics, sel), sel.name,
+        g0 - off, g1 - off, stepSec, w, kind)
+      if (off == 0) base else base.withColumn("g", col("g") + off)
     case other =>
       throw new IllegalArgumentException(s"unsupported grid expr: $other")
   }

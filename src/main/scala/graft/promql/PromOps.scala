@@ -153,6 +153,43 @@ object PromOps {
         explode(sequence(col("gs"), col("ge"), lit(stepSec))).as("g"))
   }
 
+  /** `rate`/`increase`/`delta` at every grid point: the [[windowGrid]]
+    * expansion keyed by (skey, g), then the same observed-span formulas
+    * as [[rateOverRange]]. One window pass partitioned by (skey, g) —
+    * the g in the shuffle key spreads each series' grid across
+    * reducers, so a hot series cannot pin one partition.
+    */
+  def rateOverGrid(metrics: DataFrame, metricName: String, g0: Long,
+      g1: Long, stepSec: Long, windowSec: Long, kind: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wg = windowGrid(metrics, metricName, g0, g1, stepSec, windowSec)
+      .select(col("skey"), col("g"), col("e"),
+        col("value").cast("decimal(20,6)").as("vd"))
+    if (kind == "delta") {
+      return wg.groupBy(col("skey"), col("g"))
+        .agg(min(struct(col("e"), col("vd"))).as("first"),
+          max(struct(col("e"), col("vd"))).as("last"))
+        .filter(col("last.e") > col("first.e"))
+        .select(col("skey"), col("g"),
+          (col("last.vd") - col("first.vd")).cast("double").as("value"))
+    }
+    val w = Window.partitionBy(col("skey"), col("g"))
+      .orderBy(col("e"), col("vd"))
+    val agg = wg.withColumn("prev", lag(col("vd"), 1).over(w))
+      .withColumn("delta",
+        when(col("prev").isNull, lit(null))
+          .when(col("vd") >= col("prev"), col("vd") - col("prev"))
+          .otherwise(col("vd")))
+      .groupBy(col("skey"), col("g"))
+      .agg(sum(col("delta")).as("incd"),
+        (max(col("e")) - min(col("e"))).as("span"))
+      .filter(col("span") > 0)
+    val value =
+      if (kind == "increase") col("incd").cast("double")
+      else col("incd").cast("double") / col("span")
+    agg.select(col("skey"), col("g"), value.as("value"))
+  }
+
   /** PromQL range selector `x[window]` evaluated at `t`: all raw samples
     * with `t - window < ts <= t`, tagged with series identity. The
     * `*_over_time` family (P5) is a groupBy over this frame.

@@ -210,6 +210,41 @@ object PromQueries {
          |SELECT u AS user, k, g, max(v) AS value
          |FROM ex GROUP BY u, k, g""".stripMargin
 
+  /** Range-evaluated `rate(purchase[720h])` on the 5-minute grid — the
+    * canonical Grafana counter panel, through the parsed range path
+    * (PromEval.evalGrid → PromOps.rateOverGrid). The full-fixture window
+    * keeps every (series, point) non-vacuous; deltas sum in
+    * DECIMAL(20,6) (order-independent) and the single span division is
+    * IEEE-deterministic, mirrored literally in the oracle.
+    */
+  def rangeRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse("rate(purchase[720h])")
+    graft.promql.PromEval.evalGrid(metrics(spark, sfDir), expr, Gm0, Gm1,
+      stepSec = 300, lookbackSec = PromOps.DefaultLookbackSec)
+      .select(user.as("user"), kLbl.as("k"), col("g"), col("value"))
+  }
+
+  val rangeRateOracle: String =
+    sampleCte("purchase", Gm0 - 2592000 + 1, Gm1) +
+      s""", ex AS (
+         |  SELECT u, k, e, CAST(v AS DECIMAL(20,6)) AS vd,
+         |         unnest(generate_series(greatest($Gm0, ((e + 299) // 300) * 300),
+         |                                least($Gm1, ((e + 2591999) // 300) * 300), 300)) AS g
+         |  FROM s
+         |), o AS (
+         |  SELECT u, k, g, e, vd,
+         |         lag(vd) OVER (PARTITION BY u, k, g ORDER BY e, vd) AS prev
+         |  FROM ex
+         |), d AS (
+         |  SELECT u, k, g, e, CASE WHEN prev IS NULL THEN NULL
+         |                          WHEN vd >= prev THEN vd - prev
+         |                          ELSE vd END AS delta
+         |  FROM o
+         |)
+         |SELECT u AS user, k, g,
+         |       CAST(sum(delta) AS DOUBLE) / (max(e) - min(e)) AS value
+         |FROM d GROUP BY u, k, g HAVING max(e) - min(e) > 0""".stripMargin
+
   // ------------------------------------------------------- P5 *_over_time
 
   /** P5: the `*_over_time` family over a 24h range selector, aggregated by
@@ -1167,6 +1202,7 @@ object PromQueries {
     "pq_instant_vector" -> ((instantVector _, instantVectorOracle)),
     "pq_range_matrix" -> ((rangeMatrix _, rangeMatrixOracle)),
     "pq_range_overtime" -> ((rangeOverTime _, rangeOverTimeOracle)),
+    "pq_range_rate" -> ((rangeRate _, rangeRateOracle)),
     "pq_over_time" -> ((overTime _, overTimeOracle)),
     "pq_rate" -> ((pqRate _, pqRateOracle)),
     "pq_agg_without" -> ((aggWithout _, aggWithoutOracle)),
