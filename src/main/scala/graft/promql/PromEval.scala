@@ -230,7 +230,8 @@ object PromEval {
     */
   private def vecBin(left: DataFrame, right: DataFrame, op: String,
       on: Option[Seq[String]], ignoring: Option[Seq[String]],
-      groupSide: Option[String] = None): DataFrame = {
+      groupSide: Option[String] = None,
+      extraKeys: Seq[String] = Nil): DataFrame = {
     val mkey: Column = (on, ignoring) match {
       case (Some(ls), _) =>
         val keep = array(ls.map(lit): _*)
@@ -242,12 +243,16 @@ object PromEval {
           (k, _) => !array_contains(drop, k)))
       case _ => col("skey")
     }
+    // `extraKeys` (the grid point for range evaluation) ride along in
+    // every join/group key, so a range binop matches per (series, point)
+    val extras = extraKeys.map(col)
     groupSide match {
       case None =>
-        val lf = left.select(mkey.as("skey"), col("value").as("lv"))
-        val rf = right.select(mkey.as("skey"), col("value").as("rv"))
-        lf.join(rf, "skey")
-          .select(col("skey"), arith2(col("lv"), op, col("rv")).as("value"))
+        val lf = left.select(mkey.as("skey") +: extras :+ col("value").as("lv"): _*)
+        val rf = right.select(mkey.as("skey") +: extras :+ col("value").as("rv"): _*)
+        lf.join(rf, "skey" +: extraKeys)
+          .select(col("skey") +: extras :+
+            arith2(col("lv"), op, col("rv")).as("value"): _*)
       case Some(side) =>
         // many-to-one: the group_left/right side is the MANY side and
         // keeps its full series key; the other side joins on the match
@@ -258,20 +263,21 @@ object PromEval {
         // assert_true returns NULL when the guard holds, so the filter
         // keeps every row while pinning the check into the plan.
         val (many, one) = if (side == "left") (left, right) else (right, left)
-        val mf = many.select(col("skey"), mkey.as("mkey"),
-          col("value").as("manyv"))
-        val of = one.select(mkey.as("mkey"), col("value").as("onev"))
-          .groupBy(col("mkey"))
+        val mf = many.select(col("skey") +: mkey.as("mkey") +: extras :+
+          col("value").as("manyv"): _*)
+        val of = one.select(mkey.as("mkey") +: extras :+
+          col("value").as("onev"): _*)
+          .groupBy(col("mkey") +: extras: _*)
           .agg(min(col("onev")).as("onev"), count(lit(1)).as("nmatch"))
           .filter(assert_true(col("nmatch") === 1,
             concat(lit("many-to-many matching: duplicate 'one'-side series for key "),
               col("mkey"))).isNull)
-          .select(col("mkey"), col("onev"))
-        val joined = mf.join(of, "mkey")
+          .select(col("mkey") +: extras :+ col("onev"): _*)
+        val joined = mf.join(of, "mkey" +: extraKeys)
         val value =
           if (side == "left") arith2(col("manyv"), op, col("onev"))
           else arith2(col("onev"), op, col("manyv"))
-        joined.select(col("skey"), value.as("value"))
+        joined.select(col("skey") +: extras :+ value.as("value"): _*)
     }
   }
 
@@ -378,6 +384,11 @@ object PromEval {
       val base = PromOps.rateOverGrid(matcherFilter(metrics, sel), sel.name,
         g0 - off, g1 - off, stepSec, w, kind)
       if (off == 0) base else base.withColumn("g", col("g") + off)
+    case VecBin(op, l, r, on, ignoring, groupSide) =>
+      // per-point vector matching: the ratio-of-rates range panel
+      vecBin(evalGrid(metrics, l, g0, g1, stepSec, lookbackSec),
+        evalGrid(metrics, r, g0, g1, stepSec, lookbackSec), op, on,
+        ignoring, groupSide, extraKeys = Seq("g"))
     case other =>
       throw new IllegalArgumentException(s"unsupported grid expr: $other")
   }

@@ -245,6 +245,44 @@ object PromQueries {
          |       CAST(sum(delta) AS DOUBLE) / (max(e) - min(e)) AS value
          |FROM d GROUP BY u, k, g HAVING max(e) - min(e) > 0""".stripMargin
 
+  /** Range-evaluated vector division with `on(user)` matching — the
+    * ratio-of-rates dashboard panel: per grid point, each user's
+    * view-to-purchase count ratio over the trailing window. The binop
+    * joins per (match key, grid point); integer counts keep the single
+    * division IEEE-deterministic.
+    */
+  def rangeBinop(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "sum by (user) (count_over_time(view[720h])) / on(user) " +
+        "sum by (user) (count_over_time(purchase[720h]))")
+    graft.promql.PromEval.evalGrid(metrics(spark, sfDir), expr, Gm0, Gm1,
+      stepSec = 300, lookbackSec = PromOps.DefaultLookbackSec)
+      .select(user.as("user"), col("g"), col("value"))
+  }
+
+  val rangeBinopOracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(user_id AS VARCHAR) AS u,
+       |         CAST(floor(epoch(ts)) AS BIGINT) AS e
+       |  FROM events
+       |  WHERE CAST(floor(epoch(ts)) AS BIGINT)
+       |        BETWEEN ${Gm0 - 2592000 + 1} AND $Gm1
+       |), grid AS (
+       |  SELECT unnest(generate_series($Gm0, $Gm1, 300)) AS g
+       |), ex AS (
+       |  SELECT ev.event_type, ev.u, grid.g
+       |  FROM ev, grid WHERE ev.e > grid.g - 2592000 AND ev.e <= grid.g
+       |), sv AS (
+       |  SELECT u, g, count(*) AS c FROM ex
+       |  WHERE event_type = 'view' GROUP BY u, g
+       |), sp AS (
+       |  SELECT u, g, count(*) AS c FROM ex
+       |  WHERE event_type = 'purchase' GROUP BY u, g
+       |)
+       |SELECT sv.u AS user, sv.g,
+       |       CAST(sv.c AS DOUBLE) / CAST(sp.c AS DOUBLE) AS value
+       |FROM sv JOIN sp ON sv.u = sp.u AND sv.g = sp.g""".stripMargin
+
   // ------------------------------------------------------- P5 *_over_time
 
   /** P5: the `*_over_time` family over a 24h range selector, aggregated by
@@ -1203,6 +1241,7 @@ object PromQueries {
     "pq_range_matrix" -> ((rangeMatrix _, rangeMatrixOracle)),
     "pq_range_overtime" -> ((rangeOverTime _, rangeOverTimeOracle)),
     "pq_range_rate" -> ((rangeRate _, rangeRateOracle)),
+    "pq_range_binop" -> ((rangeBinop _, rangeBinopOracle)),
     "pq_over_time" -> ((overTime _, overTimeOracle)),
     "pq_rate" -> ((pqRate _, pqRateOracle)),
     "pq_agg_without" -> ((aggWithout _, aggWithoutOracle)),
