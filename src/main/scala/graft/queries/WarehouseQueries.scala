@@ -102,8 +102,49 @@ object WarehouseQueries {
       |GROUP BY 1, 2
       |ORDER BY total_value DESC, c_custkey ASC LIMIT 25""".stripMargin
 
+  /** TPC-H Q3-shaped shipping priority: unshipped-revenue top-10 per
+    * order for a market segment as of a cutoff date. Both date filters
+    * push into the parquet scans; the segment-filtered customer list
+    * broadcasts; the one shuffle is the (orderkey, date, priority)
+    * aggregation grain; the top-10 is TakeOrderedAndProject.
+    */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = "2001-06-01 00:00:00"
+    val cust = t(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "AUTOMOBILE")
+      .select(col("c_custkey"))
+    val ord = t(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < to_timestamp(lit(cutoff)))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val li = t(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") > to_timestamp(lit(cutoff)))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(decSum(col("rev")).as("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderkey"))
+      .limit(10)
+  }
+
+  val shippingPriorityOracle: String =
+    """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+      |       CAST(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+      |                     AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'AUTOMOBILE'
+      |  AND o.o_orderdate < TIMESTAMP '2001-06-01 00:00:00'
+      |  AND l.l_shipdate > TIMESTAMP '2001-06-01 00:00:00'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "revenue_by_nation" -> ((revenueByNation _, revenueByNationOracle)),
     "pricing_summary" -> ((pricingSummary _, pricingSummaryOracle)),
-    "top_customers" -> ((topCustomers _, topCustomersOracle)))
+    "top_customers" -> ((topCustomers _, topCustomersOracle)),
+    "shipping_priority" -> ((shippingPriority _, shippingPriorityOracle)))
 }
