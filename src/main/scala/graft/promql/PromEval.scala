@@ -91,17 +91,8 @@ object PromEval {
       evalInstant(metrics, inner, atEpochSec, lookbackSec)
         .withColumn("value", unary(fn, col("value")))
     case Clamp(inner, lo, hi) =>
-      // clamp(v, lo, hi) with lo > hi is NaN for every point, per
-      // Prometheus; clamp_min/clamp_max have a single bound and no such
-      // degenerate case
-      val withLo = lo.fold(col("value"))(v => greatest(col("value"), lit(v)))
-      val withBoth = hi.fold(withLo)(v => least(withLo, lit(v)))
-      val clamped = (lo, hi) match {
-        case (Some(l), Some(h)) if l > h => lit(Double.NaN)
-        case _ => withBoth
-      }
       evalInstant(metrics, inner, atEpochSec, lookbackSec)
-        .withColumn("value", clamped)
+        .withColumn("value", clampValue(lo, hi))
     case Deriv(sel, w, predict) =>
       PromOps.derivOverRange(matcherFilter(metrics, sel), sel.name,
         sel.evalAt(atEpochSec), w, predict)
@@ -180,6 +171,19 @@ object PromEval {
         .select(lit("{}").as("skey"), lit(1.0).as("value"))
     case other =>
       throw new IllegalArgumentException(s"unsupported instant expr: $other")
+  }
+
+  /** clamp(v, lo, hi) with lo > hi is NaN for every point, per
+    * Prometheus; clamp_min/clamp_max have a single bound and no such
+    * degenerate case.
+    */
+  private def clampValue(lo: Option[Double], hi: Option[Double]): Column = {
+    val withLo = lo.fold(col("value"))(v => greatest(col("value"), lit(v)))
+    val withBoth = hi.fold(withLo)(v => least(withLo, lit(v)))
+    (lo, hi) match {
+      case (Some(l), Some(h)) if l > h => lit(Double.NaN)
+      case _ => withBoth
+    }
   }
 
   /** Expressions that are one row by construction — legal as the scalar
@@ -389,6 +393,53 @@ object PromEval {
       vecBin(evalGrid(metrics, l, g0, g1, stepSec, lookbackSec),
         evalGrid(metrics, r, g0, g1, stepSec, lookbackSec), op, on,
         ignoring, groupSide, extraKeys = Seq("g"))
+    case UnaryFn(fn, inner) =>
+      evalGrid(metrics, inner, g0, g1, stepSec, lookbackSec)
+        .withColumn("value", unary(fn, col("value")))
+    case RoundFn(inner, to) =>
+      evalGrid(metrics, inner, g0, g1, stepSec, lookbackSec)
+        .withColumn("value", floor(col("value") / to + 0.5) * to)
+    case Clamp(inner, lo, hi) =>
+      evalGrid(metrics, inner, g0, g1, stepSec, lookbackSec)
+        .withColumn("value", clampValue(lo, hi))
+    case VecCmp(op, l, r, isBool) =>
+      val lf = evalGrid(metrics, l, g0, g1, stepSec, lookbackSec)
+        .select(col("skey"), col("g"), col("value").as("lv"))
+      val rf = evalGrid(metrics, r, g0, g1, stepSec, lookbackSec)
+        .select(col("skey"), col("g"), col("value").as("rv"))
+      val pred = PromOps.cmpCol(col("lv"), op, col("rv"))
+      val joined = lf.join(rf, Seq("skey", "g"))
+      if (isBool) joined.select(col("skey"), col("g"), pred.as("value"))
+      else joined.filter(pred === 1.0)
+        .select(col("skey"), col("g"), col("lv").as("value"))
+    case SetOp(op, l, r) =>
+      // per-point set semantics on the series key
+      val lf = evalGrid(metrics, l, g0, g1, stepSec, lookbackSec)
+      val rf = evalGrid(metrics, r, g0, g1, stepSec, lookbackSec)
+      val rk = rf.select(col("skey"), col("g")).distinct()
+      op match {
+        case "and" => lf.join(rk, Seq("skey", "g"), "left_semi")
+        case "unless" => lf.join(rk, Seq("skey", "g"), "left_anti")
+        case "or" => lf.unionByName(
+          rf.join(lf.select(col("skey"), col("g")).distinct(),
+            Seq("skey", "g"), "left_anti"))
+      }
+    case TopK(fn, k, inner, by, without) =>
+      // top-k PER GRID POINT: the grid point joins the window partition
+      // key, so the global form is a per-point heap, not a global sort
+      import org.apache.spark.sql.expressions.Window
+      val df = evalGrid(metrics, inner, g0, g1, stepSec, lookbackSec)
+      val ord =
+        if (fn == "topk") Seq(col("value").desc, col("skey").asc)
+        else Seq(col("value").asc, col("skey").asc)
+      val parts: Seq[Column] = (by, without) match {
+        case (Nil, Nil) => Seq(col("g"))
+        case _ => Seq(seriesKeyOf(groupLabels(by, without)), col("g"))
+      }
+      df.withColumn("rn",
+          row_number().over(Window.partitionBy(parts: _*).orderBy(ord: _*)))
+        .filter(col("rn") <= k)
+        .select(col("skey"), col("g"), col("value"))
     case other =>
       throw new IllegalArgumentException(s"unsupported grid expr: $other")
   }

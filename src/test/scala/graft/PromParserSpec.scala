@@ -495,6 +495,39 @@ class PromEvalSpec extends SparkSpec {
       500L -> 14.0, 600L -> 14.0))
   }
 
+  test("grid surface: pointwise, comparison, set ops, topk per point") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two series of metric m plus one of t, constant over the grid via
+    // the 300s lookback, sampled before the [400, 600]x100 grid
+    val m = Seq(
+      ("m", Map("i" -> "a"), 4.0, 390L), ("m", Map("i" -> "b"), -2.5, 391L),
+      ("t", Map("i" -> "a"), 3.0, 392L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def eval(q: String) = graft.promql.PromEval
+      .evalGrid(m, graft.promql.PromParser.parse(q), 400L, 600L, 100L, 300L)
+      .collect()
+      .map(r => (r.getAs[String]("skey"), r.getAs[Long]("g")) ->
+        r.getAs[Double]("value")).toMap
+    val pts = Seq(400L, 500L, 600L)
+    // pointwise over every grid point
+    assert(eval("abs(m)") == pts.flatMap(g => Seq(
+      ("""{"i":"a"}""", g) -> 4.0, ("""{"i":"b"}""", g) -> 2.5)).toMap)
+    assert(eval("round(m, 2)") == pts.flatMap(g => Seq(
+      ("""{"i":"a"}""", g) -> 4.0, ("""{"i":"b"}""", g) -> -2.0)).toMap)
+    assert(eval("clamp(m, 0, 1)") == pts.flatMap(g => Seq(
+      ("""{"i":"a"}""", g) -> 1.0, ("""{"i":"b"}""", g) -> 0.0)).toMap)
+    // comparison joins per (series, point); only i=a matches t
+    assert(eval("m > t") == pts.map(g => ("""{"i":"a"}""", g) -> 4.0).toMap)
+    // set ops per point
+    assert(eval("m and t") == pts.map(g => ("""{"i":"a"}""", g) -> 4.0).toMap)
+    assert(eval("m unless t") ==
+      pts.map(g => ("""{"i":"b"}""", g) -> -2.5).toMap)
+    // topk(1) per point keeps the max series at every point
+    assert(eval("topk(1, m)") == pts.map(g => ("""{"i":"a"}""", g) -> 4.0).toMap)
+  }
+
   test("parsed flagship == hand-built flagship on fixtures") {
     val sf = "/root/testdata/sf0.001"
     val a = graft.queries.PromQueries.flagship(spark, sf)
