@@ -247,14 +247,16 @@ object PromQueries {
 
   /** Range-evaluated vector division with `on(user)` matching — the
     * ratio-of-rates dashboard panel: per grid point, each user's
-    * view-to-purchase count ratio over the trailing window. The binop
-    * joins per (match key, grid point); integer counts keep the single
-    * division IEEE-deterministic.
+    * view-to-purchase count ratio over the trailing 24h window (wide
+    * enough to be non-vacuous at every fixture scale, narrow enough
+    * that the moving-window explode stays ~window/step per sample).
+    * The binop joins per (match key, grid point); integer counts keep
+    * the single division IEEE-deterministic.
     */
   def rangeBinop(spark: SparkSession, sfDir: String): DataFrame = {
     val expr = graft.promql.PromParser.parse(
-      "sum by (user) (count_over_time(view[720h])) / on(user) " +
-        "sum by (user) (count_over_time(purchase[720h]))")
+      "sum by (user) (count_over_time(view[24h])) / on(user) " +
+        "sum by (user) (count_over_time(purchase[24h]))")
     graft.promql.PromEval.evalGrid(metrics(spark, sfDir), expr, Gm0, Gm1,
       stepSec = 300, lookbackSec = PromOps.DefaultLookbackSec)
       .select(user.as("user"), col("g"), col("value"))
@@ -266,12 +268,12 @@ object PromQueries {
        |         CAST(floor(epoch(ts)) AS BIGINT) AS e
        |  FROM events
        |  WHERE CAST(floor(epoch(ts)) AS BIGINT)
-       |        BETWEEN ${Gm0 - 2592000 + 1} AND $Gm1
+       |        BETWEEN ${Gm0 - 86400 + 1} AND $Gm1
        |), grid AS (
        |  SELECT unnest(generate_series($Gm0, $Gm1, 300)) AS g
        |), ex AS (
        |  SELECT ev.event_type, ev.u, grid.g
-       |  FROM ev, grid WHERE ev.e > grid.g - 2592000 AND ev.e <= grid.g
+       |  FROM ev, grid WHERE ev.e > grid.g - 86400 AND ev.e <= grid.g
        |), sv AS (
        |  SELECT u, g, count(*) AS c FROM ex
        |  WHERE event_type = 'view' GROUP BY u, g
