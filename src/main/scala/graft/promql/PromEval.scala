@@ -163,6 +163,10 @@ object PromEval {
       metrics.sparkSession.range(1)
         .select(lit("{}").as("skey"),
           lit(atEpochSec.toDouble).as("value"))
+    case TimestampFn(sel) =>
+      PromOps.instantVector(matcherFilter(metrics, sel), sel.name,
+        sel.evalAt(atEpochSec), lookbackSec)
+        .select(col("skey"), col("e").cast("double").as("value"))
     case Absent(sel) =>
       // alerting primitive: exactly one (label-less) 1.0 iff no series
       // matched — a count aggregate, usable as a subquery leaf

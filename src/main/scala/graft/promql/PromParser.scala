@@ -123,6 +123,10 @@ object PromParser {
   final case class VectorLit(v: Double) extends Expr
   /** `time()`: the evaluation timestamp in seconds (label-less). */
   final case class TimeFn() extends Expr
+  /** `timestamp(sel)`: each series' sample timestamp (epoch seconds) as
+    * its value — the staleness-debugging primitive.
+    */
+  final case class TimestampFn(sel: Selector) extends Expr
   /** `deriv(sel[w])` / `predict_linear(sel[w], t)` — per-series
     * least-squares slope over the window (and its extrapolation t seconds
     * past the evaluation time). `predictSec` is None for deriv.
@@ -360,6 +364,14 @@ object PromParser {
         VectorLit(v)
       case TId("time") =>
         expectSym("("); expectSym(")"); TimeFn()
+      case TId("timestamp") =>
+        expectSym("(")
+        val e = parseSetOp() match {
+          case s: Selector => TimestampFn(s)
+          case other => fail(s"timestamp() takes an instant selector, got $other")
+        }
+        expectSym(")")
+        e
       case TId("label_join") =>
         expectSym("(")
         val inner = parseSetOp()

@@ -285,6 +285,45 @@ object PromQueries {
        |       CAST(sv.c AS DOUBLE) / CAST(sp.c AS DOUBLE) AS value
        |FROM sv JOIN sp ON sv.u = sp.u AND sv.g = sp.g""".stripMargin
 
+  /** Parsed `timestamp(click)` — each surviving series' sample epoch as
+    * its value (staleness debugging). Integer seconds: exact in doubles.
+    */
+  def parsedTimestamp(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse("timestamp(click)")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te,
+      lookbackSec = 86400) // day-wide lookback: non-vacuous at every sf
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedTimestampOracle: String =
+    sampleCte("click", Te - 86400, Te) +
+      "\nSELECT u AS user, k, " +
+      "CAST((max(struct_pack(e := e, v := v))).e AS DOUBLE) AS value " +
+      "FROM s GROUP BY u, k"
+
+  /** Parsed `label_replace` END-TO-END with a Java/RE2-compatible regex:
+    * pull the rack out of the cluster label into a new `rack` label.
+    * The PromQL replacement uses `$1`; the DuckDB oracle reproduces the
+    * value with group extraction (`\\1`-style replacement differs by
+    * dialect, the extracted VALUE does not).
+    */
+  def parsedLabelReplace(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      """label_replace(sum by (cluster_name) (count_over_time(purchase[720h])), """ +
+        """"rack", "$1", "cluster_name", "c[0-9]+-(r[0-9]+)-z[0-9]+")""")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(clusterLbl.as("cluster_name"),
+        PromOps.labelsOf(col("skey")).getItem("rack").as("rack"), col("value"))
+  }
+
+  val parsedLabelReplaceOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      """
+        |SELECT cl AS cluster_name,
+        |       regexp_extract(cl, 'c[0-9]+-(r[0-9]+)-z[0-9]+', 1) AS rack,
+        |       CAST(count(*) AS DOUBLE) AS value
+        |FROM s GROUP BY cl""".stripMargin
+
   // ------------------------------------------------------- P5 *_over_time
 
   /** P5: the `*_over_time` family over a 24h range selector, aggregated by
@@ -1244,6 +1283,9 @@ object PromQueries {
     "pq_range_overtime" -> ((rangeOverTime _, rangeOverTimeOracle)),
     "pq_range_rate" -> ((rangeRate _, rangeRateOracle)),
     "pq_range_binop" -> ((rangeBinop _, rangeBinopOracle)),
+    "promql_parsed_timestamp" -> ((parsedTimestamp _, parsedTimestampOracle)),
+    "promql_parsed_labelreplace" ->
+      ((parsedLabelReplace _, parsedLabelReplaceOracle)),
     "pq_over_time" -> ((overTime _, overTimeOracle)),
     "pq_rate" -> ((pqRate _, pqRateOracle)),
     "pq_agg_without" -> ((aggWithout _, aggWithoutOracle)),
