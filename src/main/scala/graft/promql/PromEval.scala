@@ -208,6 +208,18 @@ object PromEval {
     case "log2" => log2(v)
     case "log10" => log10(v)
     case "sgn" => signum(v)
+    // time components of an epoch-seconds value, UTC — pure integer
+    // math (hour/minute/day_of_week) or calendar fields on a UTC
+    // session (day_of_month/month/year); all exact cross-engine
+    // (Column./ is FLOATING division even on longs — floor() it)
+    case "hour" => (floor(v / 3600) % 24).cast("double")
+    case "minute" => (floor(v / 60) % 60).cast("double")
+    case "day_of_week" => // epoch day 0 = Thursday; Prometheus: 0 = Sunday
+      ((floor(v / 86400) + 4) % 7).cast("double")
+    case "day_of_month" =>
+      dayofmonth(timestamp_seconds(v.cast("long"))).cast("double")
+    case "month" => month(timestamp_seconds(v.cast("long"))).cast("double")
+    case "year" => year(timestamp_seconds(v.cast("long"))).cast("double")
   }
 
   /** The by/without-filtered label map of the current row's skey; both

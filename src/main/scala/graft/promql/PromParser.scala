@@ -164,7 +164,11 @@ object PromParser {
   private val rateFns = Set("rate", "increase", "delta", "irate", "idelta",
     "resets", "changes")
   private val unaryFns =
-    Set("abs", "ceil", "floor", "sqrt", "exp", "ln", "log2", "log10", "sgn")
+    Set("abs", "ceil", "floor", "sqrt", "exp", "ln", "log2", "log10", "sgn",
+      // time-component family over a vector of epoch-second values
+      // (Prometheus's hour(v) etc.; the zero-arg default v=vector(time())
+      // is not supported — pass timestamp(sel) or time() explicitly)
+      "hour", "minute", "day_of_week", "day_of_month", "month", "year")
 
   // ------------------------------------------------------------- tokenizer
   sealed private[promql] trait Tok

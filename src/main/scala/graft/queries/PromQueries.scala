@@ -301,6 +301,23 @@ object PromQueries {
       "CAST((max(struct_pack(e := e, v := v))).e AS DOUBLE) AS value " +
       "FROM s GROUP BY u, k"
 
+  /** Parsed `hour(timestamp(click))` — the time-component family over
+    * each series' sample epoch: which UTC hour the latest sample landed
+    * in. Pure integer division/modulo, exact in both engines.
+    */
+  def parsedTimeFns(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse("hour(timestamp(click))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te,
+      lookbackSec = 86400)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedTimeFnsOracle: String =
+    sampleCte("click", Te - 86400, Te) +
+      "\nSELECT u AS user, k, " +
+      "CAST((max(struct_pack(e := e, v := v))).e // 3600 % 24 AS DOUBLE) AS value " +
+      "FROM s GROUP BY u, k"
+
   /** Parsed `label_replace` END-TO-END with a Java/RE2-compatible regex:
     * pull the rack out of the cluster label into a new `rack` label.
     * The PromQL replacement uses `$1`; the DuckDB oracle reproduces the
@@ -1284,6 +1301,7 @@ object PromQueries {
     "pq_range_rate" -> ((rangeRate _, rangeRateOracle)),
     "pq_range_binop" -> ((rangeBinop _, rangeBinopOracle)),
     "promql_parsed_timestamp" -> ((parsedTimestamp _, parsedTimestampOracle)),
+    "promql_parsed_timefns" -> ((parsedTimeFns _, parsedTimeFnsOracle)),
     "promql_parsed_labelreplace" ->
       ((parsedLabelReplace _, parsedLabelReplaceOracle)),
     "pq_over_time" -> ((overTime _, overTimeOracle)),

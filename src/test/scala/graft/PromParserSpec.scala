@@ -380,6 +380,24 @@ class PromEvalSpec extends SparkSpec {
       Map("""{"i":"a"}""" -> 5.0 / 3.0))
   }
 
+  test("time-component fns are exact UTC integer math") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 2024-01-30 13:47:21 UTC = 1706622441
+    val m = Seq(("m", Map("i" -> "a"), 1706622441.0, 995L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def eval(q: String): Double = graft.promql.PromEval
+      .evalInstant(m, graft.promql.PromParser.parse(q), 1000L)
+      .collect().map(_.getAs[Double]("value")).head
+    assert(eval("hour(m)") == 13.0)
+    assert(eval("minute(m)") == 47.0)
+    assert(eval("day_of_week(m)") == 2.0) // 2024-01-30 is a Tuesday
+    assert(eval("day_of_month(m)") == 30.0)
+    assert(eval("month(m)") == 1.0)
+    assert(eval("year(m)") == 2024.0)
+  }
+
   test("clamp with lo > hi yields NaN per Prometheus") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
