@@ -643,6 +643,46 @@ object ExtQueries {
         |JOIN csizes sb ON sb.doc_id = doc_b
         |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.05""".stripMargin
 
+  /** n-gram CONTAINMENT near-dup: |A∩B| / min(|A|,|B|) — the asymmetric
+    * companion to Jaccard that catches a short document embedded in a
+    * long one (quote/excerpt dedup), which symmetric Jaccard dilutes
+    * toward 0. Same df-capped inverted-index candidate generation as
+    * [[ngramJaccard]] (identical scale shape); only the final filter
+    * differs. Counts are integers; the one division is IEEE-exact.
+    */
+  def ngramContainment(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.jaccardPairs(
+      shingleFrame(spark, sfDir, concat(col("lang"), lit("|"), col("source"))),
+      minJaccard = 0.0, dfCap = DfCap)
+      .withColumn("containment",
+        col("n_common").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= 0.05) // the fixture has one true
+      // excerpt pair (containment 1.0); the 0.05 floor (ngram_jaccard's
+      // bench convention) keeps the entry non-vacuous at every sf
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("containment"))
+
+  val ngramContainmentOracle: String =
+    shingleCte("lang || '|' || source") +
+      s"""
+        |, keep AS (
+        |  SELECT bucket, h FROM sh GROUP BY bucket, h HAVING count(*) <= $DfCap
+        |), shc AS (
+        |  SELECT sh.* FROM sh JOIN keep USING (bucket, h)
+        |), csizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY doc_id
+        |), common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM shc a JOIN shc b
+        |    ON a.bucket = b.bucket AND a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, n_common,
+        |       CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) AS containment
+        |FROM common
+        |JOIN csizes sa ON sa.doc_id = doc_a
+        |JOIN csizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.05""".stripMargin
+
   // --------------------------------------------------- MinHash + LSH
 
   private val NumSigs = 8
@@ -1297,6 +1337,7 @@ object ExtQueries {
     "distinctive_terms" -> ((distinctiveTerms _, distinctiveTermsOracle)),
     "lang_source_pivot" -> ((langSourcePivot _, langSourcePivotOracle)),
     "ngram_jaccard" -> ((ngramJaccard _, ngramJaccardOracle)),
+    "ngram_containment" -> ((ngramContainment _, ngramContainmentOracle)),
     "dedup_minhash_lsh" -> ((minhashLsh _, minhashLshOracle)),
     "ann_brute_topk" -> ((annBrute _, annBruteOracle)),
     "ann_ivf_topk" -> ((annIvf _, annIvfOracle)),

@@ -77,6 +77,7 @@ class PromParserPropertySpec extends AnyFunSuite {
     case ScalarFn(i) => s"scalar((${render(i)}))"
     case VectorLit(v) => s"vector(${renderScalar(v)})"
     case TimeFn() => "time()"
+    case TimestampFn(sel) => s"timestamp(${renderSel(sel)})"
     case Absent(sel) => s"absent(${renderSel(sel)})"
     case Deriv(sel, w, None) => s"deriv(${renderSel(sel)}[${w}s]${mods(sel)})"
     case Deriv(sel, w, Some(t)) =>
@@ -160,7 +161,8 @@ class PromParserPropertySpec extends AnyFunSuite {
       case 13 => HistQuantile(r.oneOf(qs), gen(r, depth - 1))
       case 14 => UnaryFn(
         r.oneOf(Seq("abs", "ceil", "floor", "sqrt", "exp", "ln", "log2",
-          "log10", "sgn")), gen(r, depth - 1))
+          "log10", "sgn", "hour", "minute", "day_of_week", "day_of_month",
+          "month", "year")), gen(r, depth - 1))
       case 15 => r.int(3) match {
         case 0 => Clamp(gen(r, depth - 1), Some(r.oneOf(scalars)),
           Some(r.oneOf(scalars)))
@@ -175,9 +177,10 @@ class PromParserPropertySpec extends AnyFunSuite {
         val (by, wo) = genLabels(r)
         CountValues("vl", gen(r, depth - 1), by, wo)
       case 19 => ScalarFn(gen(r, depth - 1))
-      case 20 => r.int(3) match {
+      case 20 => r.int(4) match {
         case 0 => VectorLit(r.oneOf(scalars))
         case 1 => TimeFn()
+        case 2 => TimestampFn(genSel(r, withMods = false))
         case _ => Absent(genSel(r, withMods = false))
       }
       case 21 => r.int(2) match {
