@@ -440,6 +440,17 @@ object PromEval {
           rf.join(lf.select(col("skey"), col("g")).distinct(),
             Seq("skey", "g"), "left_anti"))
       }
+    case QuantileOverTime(q, sel, w) =>
+      require(sel.atSec.isEmpty && sel.offsetSec == 0,
+        "modifiers on a grid quantile_over_time are unsupported (stated)")
+      PromOps.quantileOverTime(
+        PromOps.windowGrid(matcherFilter(metrics, sel), sel.name,
+          g0, g1, stepSec, w),
+        q, extraKeys = Seq("g"))
+    case HistQuantile(q, inner) =>
+      PromOps.histogramQuantile(
+        evalGrid(metrics, inner, g0, g1, stepSec, lookbackSec),
+        q, extraKeys = Seq("g"))
     case TopK(fn, k, inner, by, without) =>
       // top-k PER GRID POINT: the grid point joins the window partition
       // key, so the global form is a per-point heap, not a global sort

@@ -341,23 +341,27 @@ object PromOps {
     * window passes over data already partitioned by series, then one
     * aggregation — no collect, no UDF.
     */
-  def quantileOverTime(rangeSel: DataFrame, q: Double): DataFrame = {
+  def quantileOverTime(rangeSel: DataFrame, q: Double,
+      extraKeys: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(q >= 0 && q <= 1, s"quantile must be in [0,1], got $q")
-    val bySeries = Window.partitionBy(col("skey"))
+    // `extraKeys` (the grid point at range evaluation) join the series
+    // key in every partition/group, so one rank pass serves both forms
+    val keys = col("skey") +: extraKeys.map(col)
+    val bySeries = Window.partitionBy(keys: _*)
     val ranked = rangeSel
-      .select(col("skey"), col("value"))
+      .select(keys :+ col("value"): _*)
       .withColumn("rn", row_number().over(bySeries.orderBy(col("value"))) - 1)
       .withColumn("rank", lit(q) * (count(lit(1)).over(bySeries) - 1))
     ranked
       .filter(col("rn") === floor(col("rank")) || col("rn") === ceil(col("rank")))
-      .groupBy(col("skey"))
+      .groupBy(keys: _*)
       .agg(
         max(when(col("rn") === floor(col("rank")), col("value"))).as("lo"),
         max(when(col("rn") === ceil(col("rank")), col("value"))).as("hi"),
         first(col("rank") - floor(col("rank"))).as("frac"))
-      .select(col("skey"),
-        (col("lo") + (col("hi") - col("lo")) * col("frac")).as("value"))
+      .select(keys :+
+        (col("lo") + (col("hi") - col("lo")) * col("frac")).as("value"): _*)
   }
 
   /** `histogram_quantile(q, buckets)` over an instant vector of
@@ -372,16 +376,20 @@ object PromOps {
     * One sort-window per group plus one aggregation; bucket counts per
     * group are tiny by construction, so no skew.
     */
-  def histogramQuantile(buckets: DataFrame, q: Double): DataFrame = {
+  def histogramQuantile(buckets: DataFrame, q: Double,
+      extraKeys: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val labels = labelsOf(col("skey"))
     val led = when(labels.getItem("le").isin("+Inf", "Inf", "inf"),
       lit(Double.PositiveInfinity))
       .otherwise(labels.getItem("le").cast("double"))
     val gkey = seriesKey(map_filter(labels, (k, _) => k =!= "le"))
-    val base = buckets.select(gkey.as("gkey"), led.as("le"), col("value"))
-    val ordered = Window.partitionBy(col("gkey")).orderBy(col("le"))
-    val whole = Window.partitionBy(col("gkey"))
+    val extras = extraKeys.map(col)
+    val gkeys = col("gkey") +: extras
+    val base = buckets.select(gkey.as("gkey") +: extras :+ led.as("le") :+
+      col("value"): _*)
+    val ordered = Window.partitionBy(gkeys: _*).orderBy(col("le"))
+    val whole = Window.partitionBy(gkeys: _*)
     val enriched = base
       .withColumn("prev_cum", coalesce(lag(col("value"), 1).over(ordered), lit(0.0)))
       .withColumn("prev_le", coalesce(lag(col("le"), 1).over(ordered), lit(0.0)))
@@ -394,15 +402,15 @@ object PromOps {
       .filter(col("le") =!= Double.PositiveInfinity && col("value") >= col("rank"))
       .withColumn("rn", row_number().over(ordered))
       .filter(col("rn") === 1)
-      .select(col("gkey"),
+      .select(gkeys :+
         (col("prev_le") + (col("le") - col("prev_le")) *
           (col("rank") - col("prev_cum")) / (col("value") - col("prev_cum")))
-          .as("qval"))
-    enriched.groupBy(col("gkey"))
+          .as("qval"): _*)
+    enriched.groupBy(gkeys: _*)
       .agg(first(col("max_finite_le")).as("fallback"))
-      .join(winners, Seq("gkey"), "left")
-      .select(col("gkey").as("skey"),
-        coalesce(col("qval"), col("fallback")).as("value"))
+      .join(winners, "gkey" +: extraKeys, "left")
+      .select(col("gkey").as("skey") +: extras :+
+        coalesce(col("qval"), col("fallback")).as("value"): _*)
   }
 
   /** P2: comparison with the `bool` modifier — returns 1.0/0.0 instead of

@@ -546,6 +546,36 @@ class PromEvalSpec extends SparkSpec {
     assert(eval("topk(1, m)") == pts.map(g => ("""{"i":"a"}""", g) -> 4.0).toMap)
   }
 
+  test("grid quantile_over_time and histogram_quantile per point") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // quantile over the moving window: samples 1,2,4 all inside each
+    // window at g=400 (w=300: (100,400] covers e=200,300,390)
+    val m = Seq(("m", Map("i" -> "a"), 1.0, 200L),
+      ("m", Map("i" -> "a"), 2.0, 300L),
+      ("m", Map("i" -> "a"), 4.0, 390L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    val qr = graft.promql.PromEval.evalGrid(m,
+      graft.promql.PromParser.parse("quantile_over_time(0.5, m[300s])"),
+      400L, 500L, 100L, 300L)
+      .collect().map(r => r.getAs[Long]("g") -> r.getAs[Double]("value")).toMap
+    assert(qr(400L) == 2.0) // median of {1,2,4}
+    assert(qr(500L) == 3.0) // window (200,500]: {2,4} -> interpolated 3
+    // histogram buckets constant over the grid via lookback
+    val b = Seq(
+      ("b", Map("job" -> "x", "le" -> "1.0"), 10.0, 390L),
+      ("b", Map("job" -> "x", "le" -> "2.0"), 30.0, 390L),
+      ("b", Map("job" -> "x", "le" -> "+Inf"), 40.0, 390L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    val hr = graft.promql.PromEval.evalGrid(b,
+      graft.promql.PromParser.parse("histogram_quantile(0.5, b)"),
+      400L, 500L, 100L, 300L)
+      .collect().map(r => r.getAs[Long]("g") -> r.getAs[Double]("value")).toMap
+    assert(hr == Map(400L -> 1.5, 500L -> 1.5))
+  }
+
   test("parsed flagship == hand-built flagship on fixtures") {
     val sf = "/root/testdata/sf0.001"
     val a = graft.queries.PromQueries.flagship(spark, sf)
