@@ -1219,6 +1219,96 @@ object ExtQueries {
       |         AS oov_bp
       |FROM tok GROUP BY doc_id""".stripMargin
 
+  /** The curation PIPELINE capstone: every gate this engine ships,
+    * composed into one per-document keep decision — length bounds,
+    * unique-token-ratio quality (integer-exact nu·10 ≥ nw·3 test),
+    * exact-duplicate collapse (keep only each fingerprint group's
+    * lowest doc_id), and benchmark decontamination (no df-capped shared
+    * 8-gram with the src0 eval slice). Per-gate booleans come along so
+    * a curator can audit WHY a document dropped. Scale: the gates are
+    * one narrow scan plus the two bounded joins the standalone queries
+    * already proved (broadcast-sized fingerprint dupes; df-capped
+    * inverted index) — composition adds no new shuffle.
+    */
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val toks = TextOps.tokens(col("text"))
+    val base = d
+      .withColumn("nw", size(toks).cast("long"))
+      .withColumn("nu", size(array_distinct(toks)).cast("long"))
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+    val dupLosers = base.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_doc"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("fp"), col("keep_doc"))
+    val sh = Dedup.shingleSets(
+      d.withColumn("toks", toks), n = 8, lit("all"))
+    val tagged = sh.join(d.select(col("doc_id"), col("source")), "doc_id")
+    val keepSh = tagged.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 64).select(col("h"))
+    val capped = tagged.join(keepSh, "h")
+    val contaminated = capped.filter(col("source") =!= "src0")
+      .join(capped.filter(col("source") === "src0").select(col("h")).distinct(),
+        "h")
+      .select(col("doc_id")).distinct()
+      .withColumn("contam", lit(true))
+    base
+      .join(dupLosers, Seq("fp"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("nw") >= 20 && col("nw") <= 10000).as("len_ok"),
+        (col("nu") * 10 >= col("nw") * 3).as("quality_ok"),
+        (col("keep_doc").isNull || col("keep_doc") === col("doc_id"))
+          .as("not_dup"),
+        coalesce(!col("contam"), lit(true)).as("not_contaminated"))
+      .withColumn("keep",
+        col("len_ok") && col("quality_ok") && col("not_dup") &&
+          col("not_contaminated"))
+  }
+
+  val curationPipelineOracle: String =
+    """WITH q AS (
+      |  SELECT doc_id, source,
+      |         len(string_split(lower(text), ' ')) AS nw,
+      |         len(list_distinct(string_split(lower(text), ' '))) AS nu,
+      |         substr(md5(replace(lower(text), ' ', '')), 1, 16) AS fp
+      |  FROM documents
+      |), losers AS (
+      |  SELECT fp, min(doc_id) AS keep_doc FROM q
+      |  GROUP BY fp HAVING count(*) > 1
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+      |  FROM (
+      |    SELECT doc_id,
+      |           array_to_string(list_slice(string_split(lower(text), ' '),
+      |                                      i.i + 1, i.i + 8), ' ') AS shingle
+      |    FROM documents,
+      |         unnest(generate_series(0, len(string_split(lower(text), ' ')) - 8)) AS i(i)
+      |  )
+      |), tagged AS (
+      |  SELECT sh.doc_id, sh.h, d.source FROM sh JOIN documents d USING (doc_id)
+      |), keepsh AS (
+      |  SELECT h FROM tagged GROUP BY h HAVING count(*) <= 64
+      |), capped AS (
+      |  SELECT tagged.* FROM tagged JOIN keepsh USING (h)
+      |), contaminated AS (
+      |  SELECT DISTINCT c.doc_id
+      |  FROM capped c JOIN (SELECT DISTINCT h FROM capped WHERE source = 'src0') ev
+      |    USING (h)
+      |  WHERE c.source <> 'src0'
+      |)
+      |SELECT q.doc_id,
+      |       nw >= 20 AND nw <= 10000 AS len_ok,
+      |       nu * 10 >= nw * 3 AS quality_ok,
+      |       (l.keep_doc IS NULL OR l.keep_doc = q.doc_id) AS not_dup,
+      |       q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |         AS not_contaminated,
+      |       (nw >= 20 AND nw <= 10000) AND (nu * 10 >= nw * 3)
+      |         AND (l.keep_doc IS NULL OR l.keep_doc = q.doc_id)
+      |         AND q.doc_id NOT IN (SELECT doc_id FROM contaminated) AS keep
+      |FROM q LEFT JOIN losers l USING (fp)""".stripMargin
+
   // --------------------------------------------------- PII scrub / URLs
 
   /** PII redaction over the documents table. The synthetic fixture text
@@ -1314,6 +1404,7 @@ object ExtQueries {
       |FROM u GROUP BY domain""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "curation_pipeline" -> ((curationPipeline _, curationPipelineOracle)),
     "pii_scrub" -> ((piiScrub _, piiScrubOracle)),
     "url_domain_stats" -> ((urlDomainStats _, urlDomainStatsOracle)),
     "quality_weighted_sample" ->
