@@ -394,8 +394,7 @@ object PromEval {
         .groupBy(col("skey"), col("g"))
         .agg(overTimeAgg(fn, col("e")).as("value"))
       if (off == 0) base else base.withColumn("g", col("g") + off)
-    case Rate(kind, sel, w)
-        if kind == "rate" || kind == "increase" || kind == "delta" =>
+    case Rate(kind, sel, w) =>
       require(sel.atSec.isEmpty,
         "the @ modifier pins a constant instant; not meaningful on a grid")
       require(sel.offsetSec % stepSec == 0,

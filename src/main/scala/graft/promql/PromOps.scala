@@ -153,11 +153,13 @@ object PromOps {
         explode(sequence(col("gs"), col("ge"), lit(stepSec))).as("g"))
   }
 
-  /** `rate`/`increase`/`delta` at every grid point: the [[windowGrid]]
-    * expansion keyed by (skey, g), then the same observed-span formulas
-    * as [[rateOverRange]]. One window pass partitioned by (skey, g) —
-    * the g in the shuffle key spreads each series' grid across
-    * reducers, so a hot series cannot pin one partition.
+  /** The full Rate family at every grid point — `rate`/`increase`/
+    * `delta`/`irate`/`idelta`/`resets`/`changes`: the [[windowGrid]]
+    * expansion keyed by (skey, g), then the same formulas as the
+    * instant path ([[rateOverRange]]/[[resetsOverRange]]). One window
+    * pass partitioned by (skey, g) — the g in the shuffle key spreads
+    * each series' grid across reducers, so a hot series cannot pin one
+    * partition.
     */
   def rateOverGrid(metrics: DataFrame, metricName: String, g0: Long,
       g1: Long, stepSec: Long, windowSec: Long, kind: String): DataFrame = {
@@ -165,6 +167,34 @@ object PromOps {
     val wg = windowGrid(metrics, metricName, g0, g1, stepSec, windowSec)
       .select(col("skey"), col("g"), col("e"),
         col("value").cast("decimal(20,6)").as("vd"))
+    if (kind == "irate" || kind == "idelta") {
+      // instant family per grid point: last two samples of each window
+      val byDesc = Window.partitionBy(col("skey"), col("g"))
+        .orderBy(col("e").desc, col("vd").desc)
+      val agg = wg.withColumn("rn", row_number().over(byDesc))
+        .filter(col("rn") <= 2)
+        .groupBy(col("skey"), col("g"))
+        .agg(max(when(col("rn") === 1, struct(col("e"), col("vd")))).as("lastS"),
+          max(when(col("rn") === 2, struct(col("e"), col("vd")))).as("prevS"))
+        .filter(col("prevS").isNotNull && col("lastS.e") > col("prevS.e"))
+      val value =
+        if (kind == "idelta") (col("lastS.vd") - col("prevS.vd")).cast("double")
+        else when(col("lastS.vd") >= col("prevS.vd"),
+          col("lastS.vd") - col("prevS.vd")).otherwise(col("lastS.vd"))
+          .cast("double") / (col("lastS.e") - col("prevS.e"))
+      return agg.select(col("skey"), col("g"), value.as("value"))
+    }
+    if (kind == "resets" || kind == "changes") {
+      val w = Window.partitionBy(col("skey"), col("g"))
+        .orderBy(col("e"), col("vd"))
+      val flag =
+        if (kind == "resets") col("vd") < col("prev")
+        else col("vd") =!= col("prev")
+      return wg.withColumn("prev", lag(col("vd"), 1).over(w))
+        .groupBy(col("skey"), col("g"))
+        .agg(sum(when(col("prev").isNotNull && flag, 1).otherwise(0))
+          .cast("double").as("value"))
+    }
     if (kind == "delta") {
       return wg.groupBy(col("skey"), col("g"))
         .agg(min(struct(col("e"), col("vd"))).as("first"),

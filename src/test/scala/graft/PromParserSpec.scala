@@ -546,6 +546,26 @@ class PromEvalSpec extends SparkSpec {
     assert(eval("topk(1, m)") == pts.map(g => ("""{"i":"a"}""", g) -> 4.0).toMap)
   }
 
+  test("grid irate/resets/changes: instant family per grid point") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = Seq(("c", Map("i" -> "a"), 5.0, 100L),
+      ("c", Map("i" -> "a"), 3.0, 250L),
+      ("c", Map("i" -> "a"), 4.0, 390L),
+      ("c", Map("i" -> "a"), 1.0, 450L)) // reset inside g=500's window
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def eval(q: String) = graft.promql.PromEval
+      .evalGrid(m, graft.promql.PromParser.parse(q), 400L, 500L, 100L, 300L)
+      .collect().map(r => r.getAs[Long]("g") -> r.getAs[Double]("value")).toMap
+    // g=400 window (100,400]: (250,3),(390,4); g=500 (200,500]: +(450,1)
+    assert(eval("irate(c[300s])") ==
+      Map(400L -> 1.0 / 140.0, 500L -> 1.0 / 60.0)) // reset: v_last/span
+    assert(eval("idelta(c[300s])") == Map(400L -> 1.0, 500L -> -3.0))
+    assert(eval("resets(c[300s])") == Map(400L -> 0.0, 500L -> 1.0))
+    assert(eval("changes(c[300s])") == Map(400L -> 1.0, 500L -> 2.0))
+  }
+
   test("grid quantile_over_time and histogram_quantile per point") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
