@@ -439,6 +439,11 @@ object PromEval {
           rf.join(lf.select(col("skey"), col("g")).distinct(),
             Seq("skey", "g"), "left_anti"))
       }
+    case Deriv(sel, w, predict) =>
+      require(sel.atSec.isEmpty && sel.offsetSec == 0,
+        "modifiers on a grid deriv/predict_linear are unsupported (stated)")
+      PromOps.derivOverGrid(matcherFilter(metrics, sel), sel.name,
+        g0, g1, stepSec, w, predict)
     case QuantileOverTime(q, sel, w) =>
       require(sel.atSec.isEmpty && sel.offsetSec == 0,
         "modifiers on a grid quantile_over_time are unsupported (stated)")

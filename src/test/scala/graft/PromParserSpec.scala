@@ -566,6 +566,28 @@ class PromEvalSpec extends SparkSpec {
     assert(eval("changes(c[300s])") == Map(400L -> 1.0, 500L -> 2.0))
   }
 
+  test("grid deriv fits each window's own slope") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // line v = 0.1*(e-100) on 200..390; a flat tail from 450
+    val m = Seq(("g", Map("i" -> "a"), 10.0, 200L),
+      ("g", Map("i" -> "a"), 20.0, 300L),
+      ("g", Map("i" -> "a"), 29.0, 390L),
+      ("g", Map("i" -> "a"), 29.0, 450L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def eval(q: String) = graft.promql.PromEval
+      .evalGrid(m, graft.promql.PromParser.parse(q), 400L, 500L, 100L, 300L)
+      .collect().map(r => r.getAs[Long]("g") -> r.getAs[Double]("value")).toMap
+    val out = eval("deriv(g[300s])")
+    // g=400 window (100,400]: exact line through (200,10),(300,20) plus
+    // (390,29) — least squares slope close to 0.1 but not exact (29 vs
+    // the line's 29.0... the line gives 0.1*(390-100)=29: exact!)
+    assert(math.abs(out(400L) - 0.1) < 1e-12)
+    // g=500 window (200,500]: the flat tail drags the slope below 0.1
+    assert(out(500L) < 0.1 && out(500L) > 0.0)
+  }
+
   test("grid quantile_over_time and histogram_quantile per point") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
