@@ -52,20 +52,48 @@ object PromEval {
         if scalarish(l) != scalarish(r) =>
       // vector op scalar-expression: the scalar side is ONE row by
       // construction, so the pairing is an explicit broadcast cross
-      // join — every left series sees the same scalar, no shuffle
+      // join — every left series sees the same scalar, no shuffle.
+      // Prometheus rejects matching modifiers on scalar operands; so do
+      // we, loudly, rather than silently dropping them (ADVICE r5).
+      require(on.isEmpty && ignoring.isEmpty && groupSide.isEmpty,
+        "on/ignoring/group_* are invalid with a scalar-typed operand")
       val (vec, sc, scalarOnLeft) =
         if (scalarish(l)) (r, l, true) else (l, r, false)
       val vf = evalInstant(metrics, vec, atEpochSec, lookbackSec)
-      val sf = broadcast(evalInstant(metrics, sc, atEpochSec, lookbackSec)
-        .select(col("value").as("scv")))
-      val value =
-        if (scalarOnLeft) arith2(col("scv"), op, col("value"))
-        else arith2(col("value"), op, col("scv"))
-      vf.crossJoin(sf).select(col("skey"), value.as("value"))
+      PromParser.constFold(sc) match {
+        case Some(v) => // literal-only scalar side: plain column math
+          val value =
+            if (scalarOnLeft) arith2(lit(v), op, col("value"))
+            else arith2(col("value"), op, lit(v))
+          vf.select(col("skey"), value.as("value"))
+        case None =>
+          val sf = broadcast(evalInstant(metrics, sc, atEpochSec, lookbackSec)
+            .select(col("value").as("scv")))
+          val value =
+            if (scalarOnLeft) arith2(col("scv"), op, col("value"))
+            else arith2(col("value"), op, col("scv"))
+          vf.crossJoin(sf).select(col("skey"), value.as("value"))
+      }
     case VecBin(op, l, r, on, ignoring, groupSide) =>
       vecBin(evalInstant(metrics, l, atEpochSec, lookbackSec),
         evalInstant(metrics, r, atEpochSec, lookbackSec), op, on, ignoring,
         groupSide)
+    case VecCmp(op, l, r, isBool) if scalarish(l) != scalarish(r) =>
+      // vector-scalar comparison: filters the vector (or scores it with
+      // bool) against the scalar side's single broadcast value — the
+      // Prometheus semantics the equi-join form would silently miss,
+      // since the scalar side's key is '{}' (ADVICE r5, medium)
+      val scalarOnLeft = scalarish(l)
+      val (vec, sc) = if (scalarOnLeft) (r, l) else (l, r)
+      val vf = evalInstant(metrics, vec, atEpochSec, lookbackSec)
+      val sf = broadcast(evalInstant(metrics, sc, atEpochSec, lookbackSec)
+        .select(col("value").as("scv")))
+      val pred =
+        if (scalarOnLeft) PromOps.cmpCol(col("scv"), op, col("value"))
+        else PromOps.cmpCol(col("value"), op, col("scv"))
+      val joined = vf.crossJoin(sf)
+      if (isBool) joined.select(col("skey"), pred.as("value"))
+      else joined.filter(pred === 1.0).select(col("skey"), col("value"))
     case VecCmp(op, l, r, isBool) =>
       // matched on the full series key; equi-join, broadcastable when one
       // side is small — same shape as the bare VecBin
@@ -159,6 +187,9 @@ object PromEval {
     case VectorLit(v) =>
       metrics.sparkSession.range(1)
         .select(lit("{}").as("skey"), lit(v).cast("double").as("value"))
+    case NumLit(v) => // literal heading an arithmetic chain: one {} row
+      metrics.sparkSession.range(1)
+        .select(lit("{}").as("skey"), lit(v).cast("double").as("value"))
     case TimeFn() =>
       metrics.sparkSession.range(1)
         .select(lit("{}").as("skey"),
@@ -191,10 +222,13 @@ object PromEval {
   }
 
   /** Expressions that are one row by construction — legal as the scalar
-    * side of a binop.
+    * side of a binop or comparison. Closed under arithmetic: a chain of
+    * scalar-typed operands stays scalar-typed (`0.5 * scalar(x) + 1`).
     */
   private def scalarish(e: Expr): Boolean = e match {
-    case _: ScalarFn | _: VectorLit | _: TimeFn => true
+    case _: ScalarFn | _: VectorLit | _: TimeFn | _: NumLit => true
+    case Arith(i, _, _) => scalarish(i)
+    case VecBin(_, l, r, None, None, None) => scalarish(l) && scalarish(r)
     case _ => false
   }
 
@@ -403,6 +437,29 @@ object PromEval {
       val base = PromOps.rateOverGrid(matcherFilter(metrics, sel), sel.name,
         g0 - off, g1 - off, stepSec, w, kind)
       if (off == 0) base else base.withColumn("g", col("g") + off)
+    case VecBin(op, l, r, on, ignoring, groupSide)
+        if scalarish(l) != scalarish(r) =>
+      // vector op scalar per grid point: the scalar side is one row per
+      // point, so the pairing is a broadcast equi-join on g alone
+      require(on.isEmpty && ignoring.isEmpty && groupSide.isEmpty,
+        "on/ignoring/group_* are invalid with a scalar-typed operand")
+      val (vec, sc, scalarOnLeft) =
+        if (scalarish(l)) (r, l, true) else (l, r, false)
+      val vf = evalGrid(metrics, vec, g0, g1, stepSec, lookbackSec)
+      PromParser.constFold(sc) match {
+        case Some(v) =>
+          val value =
+            if (scalarOnLeft) arith2(lit(v), op, col("value"))
+            else arith2(col("value"), op, lit(v))
+          vf.select(col("skey"), col("g"), value.as("value"))
+        case None =>
+          val sf = broadcast(evalGrid(metrics, sc, g0, g1, stepSec, lookbackSec)
+            .select(col("g"), col("value").as("scv")))
+          val value =
+            if (scalarOnLeft) arith2(col("scv"), op, col("value"))
+            else arith2(col("value"), op, col("scv"))
+          vf.join(sf, "g").select(col("skey"), col("g"), value.as("value"))
+      }
     case VecBin(op, l, r, on, ignoring, groupSide) =>
       // per-point vector matching: the ratio-of-rates range panel
       vecBin(evalGrid(metrics, l, g0, g1, stepSec, lookbackSec),
@@ -417,6 +474,20 @@ object PromEval {
     case Clamp(inner, lo, hi) =>
       evalGrid(metrics, inner, g0, g1, stepSec, lookbackSec)
         .withColumn("value", clampValue(lo, hi))
+    case VecCmp(op, l, r, isBool) if scalarish(l) != scalarish(r) =>
+      // vector-scalar comparison per grid point (see the instant twin)
+      val scalarOnLeft = scalarish(l)
+      val (vec, sc) = if (scalarOnLeft) (r, l) else (l, r)
+      val vf = evalGrid(metrics, vec, g0, g1, stepSec, lookbackSec)
+      val sf = broadcast(evalGrid(metrics, sc, g0, g1, stepSec, lookbackSec)
+        .select(col("g"), col("value").as("scv")))
+      val pred =
+        if (scalarOnLeft) PromOps.cmpCol(col("scv"), op, col("value"))
+        else PromOps.cmpCol(col("value"), op, col("scv"))
+      val joined = vf.join(sf, "g")
+      if (isBool) joined.select(col("skey"), col("g"), pred.as("value"))
+      else joined.filter(pred === 1.0)
+        .select(col("skey"), col("g"), col("value"))
     case VecCmp(op, l, r, isBool) =>
       val lf = evalGrid(metrics, l, g0, g1, stepSec, lookbackSec)
         .select(col("skey"), col("g"), col("value").as("lv"))
@@ -455,6 +526,28 @@ object PromEval {
       PromOps.histogramQuantile(
         evalGrid(metrics, inner, g0, g1, stepSec, lookbackSec),
         q, extraKeys = Seq("g"))
+    case NumLit(v) =>
+      gridFrame(metrics, g0, g1, stepSec)
+        .withColumn("value", lit(v).cast("double"))
+    case VectorLit(v) =>
+      gridFrame(metrics, g0, g1, stepSec)
+        .withColumn("value", lit(v).cast("double"))
+    case TimeFn() => // time() on a grid is the grid point itself
+      gridFrame(metrics, g0, g1, stepSec)
+        .withColumn("value", col("g").cast("double"))
+    case ScalarFn(inner) =>
+      // scalar() per grid point: the single series' value where exactly
+      // one series exists at that point, NaN otherwise — including points
+      // where the inner vector is EMPTY, so the sparse grid left-joins
+      // against the dense one
+      val agg = evalGrid(metrics, inner, g0, g1, stepSec, lookbackSec)
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("v"))
+      gridFrame(metrics, g0, g1, stepSec)
+        .join(broadcast(agg), Seq("g"), "left")
+        .select(col("skey"), col("g"),
+          when(col("n") === 1, col("v"))
+            .otherwise(lit(Double.NaN)).as("value"))
     case TopK(fn, k, inner, by, without) =>
       // top-k PER GRID POINT: the grid point joins the window partition
       // key, so the global form is a per-point heap, not a global sort
@@ -474,6 +567,14 @@ object PromEval {
     case other =>
       throw new IllegalArgumentException(s"unsupported grid expr: $other")
   }
+
+  /** One (skey='{}', g) row per aligned grid point — the dense backbone
+    * for scalar-typed grid expressions. |grid| rows total: tiny.
+    */
+  private def gridFrame(metrics: DataFrame, g0: Long, g1: Long,
+      stepSec: Long): DataFrame =
+    metrics.sparkSession.range(g0, g1 + 1, stepSec)
+      .select(lit("{}").as("skey"), col("id").as("g"))
 
   /** Label matchers: equality filters push into the scan; the result keeps
     * only matching series.

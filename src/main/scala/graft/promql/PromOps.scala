@@ -168,15 +168,21 @@ object PromOps {
       .select(col("skey"), col("g"), col("e"),
         col("value").cast("decimal(20,6)").as("vd"))
     if (kind == "irate" || kind == "idelta") {
-      // instant family per grid point: last two samples of each window
+      // instant family per grid point: the last two DISTINCT-TIMESTAMP
+      // samples of each window — timestamp collisions collapse to their
+      // max-value sample first, exactly as the instant path does
+      // (ADVICE r5: a collision at the window tail must pair with the
+      // most recent earlier timestamp, not drop the grid point)
+      val dedup = wg.groupBy(col("skey"), col("g"), col("e"))
+        .agg(max(col("vd")).as("vd"))
       val byDesc = Window.partitionBy(col("skey"), col("g"))
-        .orderBy(col("e").desc, col("vd").desc)
-      val agg = wg.withColumn("rn", row_number().over(byDesc))
+        .orderBy(col("e").desc)
+      val agg = dedup.withColumn("rn", row_number().over(byDesc))
         .filter(col("rn") <= 2)
         .groupBy(col("skey"), col("g"))
         .agg(max(when(col("rn") === 1, struct(col("e"), col("vd")))).as("lastS"),
           max(when(col("rn") === 2, struct(col("e"), col("vd")))).as("prevS"))
-        .filter(col("prevS").isNotNull && col("lastS.e") > col("prevS.e"))
+        .filter(col("prevS").isNotNull) // e's are distinct by construction
       val value =
         if (kind == "idelta") (col("lastS.vd") - col("prevS.vd")).cast("double")
         else when(col("lastS.vd") >= col("prevS.vd"),
@@ -249,19 +255,24 @@ object PromOps {
     val rs = rangeSelector(metrics, metricName, atEpochSec, windowSec)
       .select(col("skey"), col("e"), col("value").cast("decimal(20,6)").as("vd"))
     if (kind == "irate" || kind == "idelta") {
-      // instant-rate family: only the LAST TWO samples per series matter,
-      // so rank descending and keep rank ≤ 2 — the shuffle carries the
-      // full window's rows but the aggregation is two rows per series.
+      // instant-rate family: only the last two DISTINCT-TIMESTAMP samples
+      // per series matter. Second-truncated timestamps can collide
+      // (instantVector's tie rule), so collapse each timestamp to its
+      // winning sample (max value — the repo-wide (e, value) rule) FIRST,
+      // then rank: a collision at the window tail pairs with the most
+      // recent earlier timestamp instead of dropping the series
+      // (ADVICE r5). The collapse is a map-side-combinable groupBy; the
+      // rank pass then sees at most one row per (series, second).
       // (A 100 TB deployment would push a per-series tail prune into the
       // scan; on the fact layout that is the (metric, day) partition.)
-      val byDesc = Window.partitionBy(col("skey"))
-        .orderBy(col("e").desc, col("vd").desc)
-      val agg = rs.withColumn("rn", row_number().over(byDesc))
+      val dedup = rs.groupBy(col("skey"), col("e")).agg(max(col("vd")).as("vd"))
+      val byDesc = Window.partitionBy(col("skey")).orderBy(col("e").desc)
+      val agg = dedup.withColumn("rn", row_number().over(byDesc))
         .filter(col("rn") <= 2)
         .groupBy(col("skey"))
         .agg(max(when(col("rn") === 1, struct(col("e"), col("vd")))).as("lastS"),
           max(when(col("rn") === 2, struct(col("e"), col("vd")))).as("prevS"))
-        .filter(col("prevS").isNotNull && col("lastS.e") > col("prevS.e"))
+        .filter(col("prevS").isNotNull) // e's are distinct by construction
       val value =
         if (kind == "idelta") (col("lastS.vd") - col("prevS.vd")).cast("double")
         else // irate: counter-reset aware, like rate but on the last pair

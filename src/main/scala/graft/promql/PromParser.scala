@@ -121,6 +121,13 @@ object PromParser {
   final case class ScalarFn(inner: Expr) extends Expr
   /** `vector(s)`: a scalar literal as a one-series label-less vector. */
   final case class VectorLit(v: Double) extends Expr
+  /** A bare scalar literal in expression position (`0.5 * b`, `2 + 1`).
+    * Evaluates to one label-less row, like [[VectorLit]], and counts as
+    * scalar-typed for binop operand pairing. Comparisons against a bare
+    * literal still collapse to [[FilterCmp]]/[[BoolCmp]] at parse time —
+    * NumLit only survives where the literal heads an arithmetic chain.
+    */
+  final case class NumLit(v: Double) extends Expr
   /** `time()`: the evaluation timestamp in seconds (label-less). */
   final case class TimeFn() extends Expr
   /** `timestamp(sel)`: each series' sample timestamp (epoch seconds) as
@@ -247,9 +254,13 @@ object PromParser {
       * set ops < comparison < arithmetic), so `a / b > 0.5` filters the
       * ratio — the error-ratio alert idiom — and `expr * 100 > 5`
       * thresholds the scaled expression. Left-assoc chain:
-      * expr (==|!=|>|>=|<|<=) [bool] (scalar | expr). The RHS scalar must
-      * be a literal number; anything else parses as a vector-vector
-      * comparison matched on the full series key.
+      * expr (==|!=|>|>=|<|<=) [bool] expr. The RHS parses as a full
+      * arithmetic chain (arithmetic binds tighter than comparison, so
+      * `a > 0.5 * b` thresholds against the scaled vector); a RHS that
+      * reduces to a bare literal collapses to the scalar comparison
+      * forms, anything else is a vector-vector comparison matched on the
+      * full series key — scalar-typed operands pair via broadcast in the
+      * evaluator.
       */
     private def parseComparison(): Expr = {
       var e = parseArith()
@@ -260,11 +271,10 @@ object PromParser {
         val TSym(op) = pop(): @unchecked
         val isBool = peek.contains(TId("bool"))
         if (isBool) pop()
-        e = peek match {
-          case Some(TNum(_)) =>
-            val TNum(v) = pop(): @unchecked
+        e = parseArith() match {
+          case Folded(v) =>
             if (isBool) BoolCmp(e, op, v) else FilterCmp(e, op, v)
-          case _ => VecCmp(op, e, parseArith(), bool = isBool)
+          case rhs => VecCmp(op, e, rhs, bool = isBool)
         }
       }
       e
@@ -390,6 +400,7 @@ object PromParser {
           fail("label_replace needs (v, dst, replacement, src, regex)")
         LabelReplace(inner, args(0), args(1), args(2), args(3))
       case TId(name) => withRangeSuffix(parseSelectorTail(name))
+      case TNum(v) => NumLit(v) // literal heading an arithmetic chain
       case TSym("(") =>
         val e = parseSetOp(); expectSym(")"); e
       case other => fail(s"unexpected token $other")
@@ -673,6 +684,30 @@ object PromParser {
 
   /** internal marker: a selector with a pending [w] suffix */
   private final case class RangePlaceholder(sel: Selector, windowSec: Long) extends Expr
+
+  /** Constant-fold a literal-only arithmetic expression to its value —
+    * `2 + 1`, `100 * 0.5` — so comparisons against it use the scalar
+    * comparison forms (and their cheaper plans) instead of a join.
+    */
+  def constFold(e: Expr): Option[Double] = e match {
+    case NumLit(v) => Some(v)
+    case Arith(i, op, v) => constFold(i).map(applyOp(_, op, v))
+    case VecBin(op, l, r, None, None, None) =>
+      for (lv <- constFold(l); rv <- constFold(r)) yield applyOp(lv, op, rv)
+    case _ => None
+  }
+
+  private def applyOp(l: Double, op: String, r: Double): Double = op match {
+    case "*" => l * r
+    case "/" => l / r
+    case "+" => l + r
+    case "-" => l - r
+  }
+
+  /** Extractor form of [[constFold]] for parse-time collapsing. */
+  private object Folded {
+    def unapply(e: Expr): Option[Double] = constFold(e)
+  }
 
   def parse(query: String): Expr = {
     val e = new Parser(tokenize(query), query).parse()

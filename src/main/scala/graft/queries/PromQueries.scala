@@ -1051,11 +1051,13 @@ object PromQueries {
   val parsedIrateOracle: String =
     sampleCte("purchase", Te - 2592000 + 1, Te) +
       """
-        |, o AS (
-        |  SELECT u, k, e, CAST(v AS DECIMAL(20,6)) AS vd,
-        |         row_number() OVER (PARTITION BY u, k
-        |             ORDER BY e DESC, CAST(v AS DECIMAL(20,6)) DESC) AS rn
-        |  FROM s
+        |, d AS (
+        |  SELECT u, k, e, max(CAST(v AS DECIMAL(20,6))) AS vd
+        |  FROM s GROUP BY u, k, e
+        |), o AS (
+        |  SELECT u, k, e, vd,
+        |         row_number() OVER (PARTITION BY u, k ORDER BY e DESC) AS rn
+        |  FROM d
         |), p AS (
         |  SELECT u, k,
         |         max(CASE WHEN rn = 1 THEN struct_pack(e := e, vd := vd) END) AS lastS,
@@ -1065,7 +1067,7 @@ object PromQueries {
         |SELECT u AS user, k,
         |       CAST(CASE WHEN lastS.vd >= prevS.vd THEN lastS.vd - prevS.vd
         |                 ELSE lastS.vd END AS DOUBLE) / (lastS.e - prevS.e) AS value
-        |FROM p WHERE prevS IS NOT NULL AND lastS.e > prevS.e""".stripMargin
+        |FROM p WHERE prevS IS NOT NULL""".stripMargin
 
   /** Parsed `deriv(view[720h])` — per-series least-squares slope. The
     * regression sums are exact decimals over window-start-centered times
@@ -1252,6 +1254,89 @@ object PromQueries {
       "SELECT u, k, (max(struct_pack(e := e, v := v))).v AS v " +
       "FROM s GROUP BY u, k) WHERE v > 50"
 
+  /** Parsed `... >= 0.5 * scalar(max(...))` — vector-SCALAR comparison
+    * with an arithmetic RHS: comparison binds looser than arithmetic, the
+    * RHS is scalar-typed (literal × scalar()), and the filter keeps the
+    * users at or above half the busiest user's count. Exercises the
+    * literal-headed arithmetic chain and the broadcast scalar-compare
+    * path (ADVICE r5 medium). Counts are integer-exact; 0.5·max is an
+    * exact binary scaling, so the comparison is deterministic.
+    */
+  def parsedScalarCmp(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "sum by (user) (count_over_time(view[720h])) >= " +
+        "0.5 * scalar(max(sum by (user) (count_over_time(view[720h]))))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), col("value"))
+  }
+
+  val parsedScalarCmpOracle: String =
+    sampleCte("view", Te - 2592000 + 1, Te) +
+      """
+        |, c AS (SELECT u, CAST(count(*) AS DOUBLE) AS value FROM s GROUP BY u)
+        |SELECT u AS user, value FROM c
+        |WHERE value >= 0.5 * (SELECT max(value) FROM c)""".stripMargin
+
+  /** Parsed `scalar(sum(...)) / 10 < bool ...` — the scalar operand on
+    * the LEFT of a bool comparison: every user scored 1/0 against a
+    * tenth of the global total. The single division is the same IEEE
+    * operation in both engines, so the boundary is deterministic.
+    */
+  def parsedScalarCmpBool(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "scalar(sum(count_over_time(purchase[720h]))) / 10 < bool " +
+        "sum by (user) (count_over_time(purchase[720h]))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), col("value"))
+  }
+
+  val parsedScalarCmpBoolOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      """
+        |, per AS (SELECT u, count(*) AS c FROM s GROUP BY u)
+        |SELECT u AS user,
+        |       CASE WHEN (SELECT CAST(count(*) AS DOUBLE) FROM s) / 10
+        |                 < CAST(c AS DOUBLE) THEN 1.0 ELSE 0.0 END AS value
+        |FROM per""".stripMargin
+
+  /** `... > scalar(avg(...))` on the step grid: per grid point, the
+    * users with an above-average trailing-24h view count. The scalar
+    * side is one row per point (dense over the grid), joined to the
+    * vector side on the point alone — a broadcast, never a shuffle of
+    * the vector side. The mean's single division is the same IEEE
+    * operation over exact integer sums in both engines.
+    */
+  def rangeScalarCmp(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "sum by (user) (count_over_time(view[24h])) > " +
+        "scalar(avg(sum by (user) (count_over_time(view[24h]))))")
+    graft.promql.PromEval.evalGrid(metrics(spark, sfDir), expr, Gm0, Gm1,
+      stepSec = 300, lookbackSec = PromOps.DefaultLookbackSec)
+      .select(user.as("user"), col("g"), col("value"))
+  }
+
+  val rangeScalarCmpOracle: String =
+    s"""WITH ev AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS u,
+       |         CAST(floor(epoch(ts)) AS BIGINT) AS e
+       |  FROM events
+       |  WHERE event_type = 'view'
+       |    AND CAST(floor(epoch(ts)) AS BIGINT)
+       |        BETWEEN ${Gm0 - 86400 + 1} AND $Gm1
+       |), ex AS (
+       |  SELECT u,
+       |         unnest(generate_series(greatest($Gm0, ((e + 299) // 300) * 300),
+       |                                least($Gm1, ((e + 86399) // 300) * 300), 300)) AS g
+       |  FROM ev
+       |), cnt AS (
+       |  SELECT u, g, CAST(count(*) AS DOUBLE) AS c FROM ex GROUP BY u, g
+       |), m AS (
+       |  SELECT g, avg(c) AS a FROM cnt GROUP BY g
+       |)
+       |SELECT cnt.u AS user, cnt.g AS g, cnt.c AS value
+       |FROM cnt JOIN m ON cnt.g = m.g
+       |WHERE cnt.c > m.a""".stripMargin
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "promql_parsed_filtercmp" -> ((parsedFilterCmp _, parsedFilterCmpOracle)),
@@ -1277,6 +1362,10 @@ object PromQueries {
     "promql_parsed_binop" -> ((parsedBinop _, parsedBinopOracle)),
     "promql_parsed_ratio" -> ((parsedRatio _, parsedRatioOracle)),
     "promql_parsed_veccmp" -> ((parsedVecCmp _, parsedVecCmpOracle)),
+    "promql_parsed_scalarcmp" -> ((parsedScalarCmp _, parsedScalarCmpOracle)),
+    "promql_parsed_scalarcmp_bool" ->
+      ((parsedScalarCmpBool _, parsedScalarCmpBoolOracle)),
+    "pq_range_scalarcmp" -> ((rangeScalarCmp _, rangeScalarCmpOracle)),
     "promql_parsed_roundfn" -> ((parsedRound _, parsedRoundOracle)),
     "promql_parsed_aggquantile" ->
       ((parsedAggQuantile _, parsedAggQuantileOracle)),

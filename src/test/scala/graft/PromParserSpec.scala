@@ -626,4 +626,106 @@ class PromEvalSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(a.nonEmpty && a == b)
   }
+
+  test("comparison RHS parses a full arithmetic chain") {
+    import graft.promql.PromParser._
+    // literal-only RHS constant-folds back to the scalar comparison form
+    val FilterCmp(_, ">", v1) = parse("a > 2 + 1"): @unchecked
+    assert(v1 == 3.0)
+    val BoolCmp(_, "<", v2) = parse("a < bool 100 * 0.5"): @unchecked
+    assert(v2 == 50.0)
+    // literal × vector stays a vector-vector comparison
+    val VecCmp(">", _, VecBin("*", NumLit(h), _: Selector, None, None, None),
+      false) = parse("a > 0.5 * b"): @unchecked
+    assert(h == 0.5)
+    // scalar()-headed RHS
+    val VecCmp(">=", _, VecBin("*", NumLit(_), ScalarFn(_), None, None, None),
+      false) = parse("a >= 0.5 * scalar(max(a))"): @unchecked
+  }
+
+  test("vector-scalar comparison filters/scores against the broadcast value") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = Seq(("m", Map("i" -> "a"), 1.0, 990L),
+      ("m", Map("i" -> "b"), 5.0, 990L),
+      ("m", Map("i" -> "c"), 9.0, 990L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def eval(q: String): Map[String, Double] = graft.promql.PromEval
+      .evalInstant(m, graft.promql.PromParser.parse(q), 1000L)
+      .collect()
+      .map(r => r.getAs[String]("skey") -> r.getAs[Double]("value")).toMap
+    // filter form keeps the vector's values; scalar side = max = 9
+    assert(eval("m >= 0.5 * scalar(max(m))") ==
+      Map("""{"i":"b"}""" -> 5.0, """{"i":"c"}""" -> 9.0))
+    // bool form scores every series; time() = 1000 as a scalar operand
+    assert(eval("m > bool scalar(min(m)) + 1") ==
+      Map("""{"i":"a"}""" -> 0.0, """{"i":"b"}""" -> 1.0,
+        """{"i":"c"}""" -> 1.0))
+    // scalar on the LEFT: filters the vector side too
+    assert(eval("scalar(min(m)) + 4 < m") == Map("""{"i":"c"}""" -> 9.0))
+    // comparison against time(): every value is below the eval instant
+    assert(eval("m < bool time()").values.toSeq == Seq(1.0, 1.0, 1.0))
+    // matching modifiers on a scalar operand error loudly
+    intercept[IllegalArgumentException] {
+      graft.promql.PromEval.evalInstant(m,
+        graft.promql.PromParser.parse("m * on(i) scalar(max(m))"), 1000L)
+    }
+  }
+
+  test("grid scalar-typed operands: per-point broadcast join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = Seq(("m", Map("i" -> "a"), 2.0, 390L),
+      ("m", Map("i" -> "b"), 6.0, 390L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    // scalar(sum(m)) per point = 8 where both series visible
+    val r = graft.promql.PromEval.evalGrid(m,
+      graft.promql.PromParser.parse("m > 0.5 * scalar(sum(m))"),
+      400L, 500L, 100L, 300L)
+      .collect()
+      .map(r => (r.getAs[String]("skey"), r.getAs[Long]("g")) ->
+        r.getAs[Double]("value")).toMap
+    assert(r == Map(("""{"i":"b"}""", 400L) -> 6.0,
+      ("""{"i":"b"}""", 500L) -> 6.0))
+    // time() on the grid is the point itself; scalar() of an empty
+    // vector is NaN at every point (dense over the grid)
+    val t = graft.promql.PromEval.evalGrid(m,
+      graft.promql.PromParser.parse("m < bool time()"),
+      400L, 500L, 100L, 300L).collect()
+    assert(t.length == 4 && t.forall(_.getAs[Double]("value") == 1.0))
+    val nan = graft.promql.PromEval.evalGrid(m,
+      graft.promql.PromParser.parse("scalar(nope)"),
+      400L, 500L, 100L, 300L)
+      .collect().map(r => r.getAs[Long]("g") -> r.getAs[Double]("value"))
+    assert(nan.length == 2 && nan.forall(_._2.isNaN))
+  }
+
+  test("irate pairs the last two DISTINCT timestamps on collisions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two samples share e=998 (second truncation); the winner is the
+    // max-value one (4.0), paired with e=995 — NOT dropped
+    val m = Seq(("c", Map("i" -> "a"), 3.0, 995L),
+      ("c", Map("i" -> "a"), 2.0, 998L),
+      ("c", Map("i" -> "a"), 4.0, 998L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def eval(q: String): Seq[Double] = graft.promql.PromEval
+      .evalInstant(m, graft.promql.PromParser.parse(q), 1000L)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(eval("irate(c[1h])") == Seq((4.0 - 3.0) / (998 - 995)))
+    assert(eval("idelta(c[1h])") == Seq(1.0))
+    // grid form: same pairing per point
+    val g = graft.promql.PromEval.evalGrid(m,
+      graft.promql.PromParser.parse("idelta(c[300s])"),
+      1000L, 1000L, 100L, 300L)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(g == Seq(1.0))
+    // a series with ONLY colliding timestamps still drops
+    val solo = m.filter(col("es") === 998L)
+    assert(graft.promql.PromEval.evalInstant(solo,
+      graft.promql.PromParser.parse("irate(c[1h])"), 1000L).count() == 0)
+  }
 }
