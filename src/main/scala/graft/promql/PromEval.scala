@@ -577,14 +577,26 @@ object PromEval {
       .select(lit("{}").as("skey"), col("id").as("g"))
 
   /** Label matchers: equality filters push into the scan; the result keeps
-    * only matching series.
+    * only matching series. Regex matchers are fully anchored and treat a
+    * missing label as the empty string, both per Prometheus. The regex
+    * dialect is the Java/RE2-common subset (the repo-wide stated rule,
+    * as for label_replace).
     */
   private def matcherFilter(metrics: DataFrame, s: Selector): DataFrame = {
+    def anchored(l: String, rx: String): Column =
+      coalesce(col("labels").getItem(l), lit(""))
+        .rlike("^(?:" + rx + ")$")
     val withEq = s.eq.foldLeft(metrics) { case (df, (l, v)) =>
       df.filter(col("labels").getItem(l) === v)
     }
-    s.ne.foldLeft(withEq) { case (df, (l, v)) =>
+    val withNe = s.ne.foldLeft(withEq) { case (df, (l, v)) =>
       df.filter(col("labels").getItem(l).isNull || col("labels").getItem(l) =!= v)
+    }
+    val withRe = s.re.foldLeft(withNe) { case (df, (l, rx)) =>
+      df.filter(anchored(l, rx))
+    }
+    s.nre.foldLeft(withRe) { case (df, (l, rx)) =>
+      df.filter(!anchored(l, rx))
     }
   }
 
@@ -626,6 +638,7 @@ object PromEval {
 
   private def overTimeAgg(fn: String, timeCol: Column): Column = fn match {
     case "last" => max(struct(timeCol, col("value"))).getField("value")
+    case "present" => max(lit(1.0)) // 1 for any series with samples
     case other => aggColumn(other)
   }
 

@@ -25,7 +25,9 @@ object PromParser {
     */
   final case class Selector(name: String,
       eq: Seq[(String, String)] = Nil, ne: Seq[(String, String)] = Nil,
-      offsetSec: Long = 0L, atSec: Option[Long] = None) extends Expr {
+      offsetSec: Long = 0L, atSec: Option[Long] = None,
+      re: Seq[(String, String)] = Nil,
+      nre: Seq[(String, String)] = Nil) extends Expr {
     /** The effective evaluation instant given the query's eval time. */
     def evalAt(default: Long): Long = atSec.getOrElse(default) - offsetSec
   }
@@ -167,7 +169,8 @@ object PromParser {
   private val topkFns = Set("topk", "bottomk")
   private val overTimeFns =
     Set("sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
-      "count_over_time", "last_over_time")
+      "count_over_time", "last_over_time", "stddev_over_time",
+      "stdvar_over_time", "present_over_time")
   private val rateFns = Set("rate", "increase", "delta", "irate", "idelta",
     "resets", "changes")
   private val unaryFns =
@@ -207,6 +210,8 @@ object PromParser {
         require(j > 0, s"unterminated string at $i in: $q")
         out += TStr(q.substring(i + 1, j)); i = j + 1
       } else if (c == '!' && i + 1 < n && q(i + 1) == '=') { out += TSym("!="); i += 2 }
+      else if (c == '!' && i + 1 < n && q(i + 1) == '~') { out += TSym("!~"); i += 2 }
+      else if (c == '=' && i + 1 < n && q(i + 1) == '~') { out += TSym("=~"); i += 2 }
       else if (c == '=' && i + 1 < n && q(i + 1) == '=') { out += TSym("=="); i += 2 }
       else if (c == '>' && i + 1 < n && q(i + 1) == '=') { out += TSym(">="); i += 2 }
       else if (c == '<' && i + 1 < n && q(i + 1) == '=') { out += TSym("<="); i += 2 }
@@ -586,11 +591,15 @@ object PromParser {
       e
     }
 
-    /** metric{l="v", l2!="v2"} */
+    /** metric{l="v", l2!="v2", l3=~"rx", l4!~"rx"} — regex matchers are
+      * fully anchored, as in Prometheus, and a missing label matches as
+      * the empty string.
+      */
     private def parseSelectorTail(name: String): Selector = {
       if (!peek.contains(TSym("{"))) return Selector(name)
       pop()
       var eq = Seq.empty[(String, String)]; var ne = Seq.empty[(String, String)]
+      var re = Seq.empty[(String, String)]; var nre = Seq.empty[(String, String)]
       var done = false
       while (!done) pop() match {
         case TSym("}") => done = true
@@ -601,11 +610,13 @@ object PromParser {
           op match {
             case "=" | "==" => eq :+= (l -> v)
             case "!=" => ne :+= (l -> v)
+            case "=~" => re :+= (l -> v)
+            case "!~" => nre :+= (l -> v)
             case _ => fail(s"unsupported matcher op $op")
           }
         case other => fail(s"bad matcher token $other")
       }
-      Selector(name, eq, ne)
+      Selector(name, eq, ne, re = re, nre = nre)
     }
 
     /** selector[24h] wrapped so an enclosing *_over_time can claim it;

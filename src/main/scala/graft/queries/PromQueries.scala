@@ -1337,6 +1337,70 @@ object PromQueries {
        |FROM cnt JOIN m ON cnt.g = m.g
        |WHERE cnt.c > m.a""".stripMargin
 
+  /** Parsed regex label matchers `{cluster_name=~"...", k!~"..."}` —
+    * fully anchored, missing labels match as "" (Prometheus semantics).
+    * The patterns stay inside the Java/RE2-common dialect (character
+    * classes, alternation, `.*`) so both engines see identical matches —
+    * the repo-wide regex rule stated on label_replace.
+    */
+  def parsedRegexMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      """last_over_time(purchase{cluster_name=~"c[12]-r[01]-z0", k!~"[0-9]"}[720h])""")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"),
+        clusterLbl.as("cluster_name"), col("value"))
+  }
+
+  val parsedRegexMatchOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      """
+        |, f AS (
+        |  SELECT * FROM s
+        |  WHERE regexp_matches(cl, '^(?:c[12]-r[01]-z0)$')
+        |    AND NOT regexp_matches(coalesce(k, ''), '^(?:[0-9])$')
+        |)
+        |SELECT u AS user, k, cl AS cluster_name,
+        |       (max(struct_pack(e := e, v := v))).v AS value
+        |FROM f GROUP BY u, k, cl""".stripMargin
+
+  /** Parsed `stdvar_over_time(purchase[720h])` — per-series population
+    * variance over the window's samples, through the repo's exact
+    * fixed-point route: values quantized to 1e-6, integer sums in
+    * DECIMAL(38,0), one mirrored double expression at the end.
+    */
+  def parsedStdvarOt(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "stdvar_over_time(purchase[720h])")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedStdvarOtOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      """
+        |, qz AS (
+        |  SELECT u, k, CAST(floor(v * 1e6 + 0.5) AS DECIMAL(38,0)) AS q
+        |  FROM s
+        |)
+        |SELECT u AS user, k,
+        |       CAST(count(*) * sum(q * q) - sum(q) * sum(q) AS DOUBLE)
+        |         / CAST(count(*) * count(*) AS DOUBLE) / 1e12 AS value
+        |FROM qz GROUP BY u, k""".stripMargin
+
+  /** Parsed `present_over_time(view[720h])` — 1.0 for every series with
+    * at least one sample in the window; the series-existence probe.
+    */
+  def parsedPresentOt(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "present_over_time(view[720h])")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedPresentOtOracle: String =
+    sampleCte("view", Te - 2592000 + 1, Te) +
+      "\nSELECT DISTINCT u AS user, k, 1.0 AS value FROM s"
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "promql_parsed_filtercmp" -> ((parsedFilterCmp _, parsedFilterCmpOracle)),
@@ -1363,6 +1427,9 @@ object PromQueries {
     "promql_parsed_ratio" -> ((parsedRatio _, parsedRatioOracle)),
     "promql_parsed_veccmp" -> ((parsedVecCmp _, parsedVecCmpOracle)),
     "promql_parsed_scalarcmp" -> ((parsedScalarCmp _, parsedScalarCmpOracle)),
+    "promql_parsed_regex" -> ((parsedRegexMatch _, parsedRegexMatchOracle)),
+    "promql_parsed_stdvar_ot" -> ((parsedStdvarOt _, parsedStdvarOtOracle)),
+    "promql_parsed_present_ot" -> ((parsedPresentOt _, parsedPresentOtOracle)),
     "promql_parsed_scalarcmp_bool" ->
       ((parsedScalarCmpBool _, parsedScalarCmpBoolOracle)),
     "pq_range_scalarcmp" -> ((rangeScalarCmp _, rangeScalarCmpOracle)),

@@ -19,7 +19,9 @@ class PromParserPropertySpec extends AnyFunSuite {
 
   private def renderSel(s: Selector): String = {
     val ms = s.eq.map { case (l, v) => s"""$l="$v"""" } ++
-      s.ne.map { case (l, v) => s"""$l!="$v"""" }
+      s.ne.map { case (l, v) => s"""$l!="$v"""" } ++
+      s.re.map { case (l, v) => s"""$l=~"$v"""" } ++
+      s.nre.map { case (l, v) => s"""$l!~"$v"""" }
     val base = if (ms.isEmpty) s.name else s.name + ms.mkString("{", ", ", "}")
     base
   }
@@ -104,12 +106,16 @@ class PromParserPropertySpec extends AnyFunSuite {
     Seq("sum", "avg", "min", "max", "count", "stddev", "stdvar", "group")
   private val cmps = Seq("==", "!=", ">", ">=", "<", "<=")
 
+  private val regexes = Seq("v.*", "v1|v2", "[ab]+c?", "w[0-9]*z")
+
   private def genSel(r: Rand, withMods: Boolean): Selector = {
     val eq = (0 until r.int(3)).map(i => labelNames(i) -> s"v${r.int(5)}")
     val ne = (0 until r.int(2)).map(i => labelNames(2 + i) -> s"w${r.int(3)}")
     val off = if (withMods && r.int(4) == 0) 60L * (1 + r.int(5)) else 0L
     val at = if (withMods && r.int(4) == 0) Some(1000L + r.int(100)) else None
-    Selector(r.oneOf(metricNames), eq, ne, off, at)
+    val re = (0 until r.int(2)).map(i => labelNames(i) -> r.oneOf(regexes))
+    val nre = (0 until r.int(2)).map(i => labelNames(3 - i) -> r.oneOf(regexes))
+    Selector(r.oneOf(metricNames), eq, ne, off, at, re, nre)
   }
 
   private def genLabels(r: Rand): (Seq[String], Seq[String]) = r.int(3) match {
@@ -147,7 +153,8 @@ class PromParserPropertySpec extends AnyFunSuite {
         TopK(r.oneOf(Seq("topk", "bottomk")), 1 + r.int(9),
           gen(r, depth - 1), by, wo)
       case 9 => OverTime(
-        r.oneOf(Seq("sum", "avg", "min", "max", "count", "last")),
+        r.oneOf(Seq("sum", "avg", "min", "max", "count", "last",
+          "stddev", "stdvar", "present")),
         genSel(r, withMods = true), 60L * (1 + r.int(10)))
       case 10 => OverTimeSubquery(
         r.oneOf(Seq("sum", "avg", "min", "max", "count", "last")),
