@@ -33,6 +33,14 @@ object Dedup {
     */
   def shingleSets(docs: DataFrame, n: Int, bucket: Column): DataFrame =
     docs
+      // the explode below fans each doc into hundreds of shingle rows and
+      // is the CPU-heaviest step of every n-gram query; a small corpus
+      // arrives as a single parquet split (≤ maxPartitionBytes), which
+      // would pin the whole tokenize+md5 pipeline to ONE core. Hashing
+      // docs across the cluster first costs one tiny shuffle of the raw
+      // text and buys full parallelism — at real corpus scale the scan
+      // already yields many splits and this keeps per-task fan-out even.
+      .repartition(col("doc_id"))
       .select(col("doc_id"), bucket.as("bucket"),
         explode(TextOps.shingles("toks", n)).as("sh"))
       .select(col("doc_id"), col("bucket"),
@@ -58,14 +66,23 @@ object Dedup {
     */
   def jaccardPairs(shingles: DataFrame, minJaccard: Double,
       dfCap: Int = Int.MaxValue): DataFrame = {
+    // the tokenize+explode+md5 shingle pipeline feeds the df cap AND
+    // three downstream consumers (sizes, both self-join sides) — persist
+    // it once instead of recomputing it per consumer (the same pattern
+    // minhashLsh uses; ~35% of this query's time was re-shingling)
+    val sh = shingles.persist()
     val capped =
-      if (dfCap == Int.MaxValue) shingles
+      if (dfCap == Int.MaxValue) sh
       else {
-        val keep = shingles.groupBy(col("bucket"), col("h"))
+        // the keep set is distinct (bucket, h) pairs with df ≤ cap: small
+        // at fixture scale (broadcast); at corpus scale the join stays an
+        // equi-join whose BUILD side has no hot keys — the stop-shingle
+        // rows on the probe side match nothing and die at the join
+        val keep = sh.groupBy(col("bucket"), col("h"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") <= dfCap)
           .select(col("bucket"), col("h"))
-        shingles.join(keep, Seq("bucket", "h"))
+        sh.join(keep, Seq("bucket", "h"))
       }
     val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = capped.select(col("bucket"), col("doc_id").as("doc_a"), col("h"))

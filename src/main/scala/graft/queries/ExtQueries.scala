@@ -114,7 +114,9 @@ object ExtQueries {
       n = 8, lit("all"))
     val isEval = col("source") === "src0"
     val ids = docs(spark, sfDir).select(col("doc_id"), col("source"))
-    val tagged = sh.join(ids, "doc_id")
+    // the 8-token shingle explode feeds the df cap and both join sides —
+    // persist it once (same pattern as jaccardPairs/minhashLsh)
+    val tagged = sh.join(ids, "doc_id").persist()
     val keep = tagged.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 64).select(col("h"))
     val capped = tagged.join(keep, "h")
