@@ -472,22 +472,22 @@ object PromOps {
       .withColumn("prev_le", coalesce(lag(col("le"), 1).over(ordered), lit(0.0)))
       .withColumn("total",
         max(when(col("le") === Double.PositiveInfinity, col("value"))).over(whole))
-      .withColumn("max_finite_le",
-        max(when(col("le") =!= Double.PositiveInfinity, col("le"))).over(whole))
       .withColumn("rank", lit(q) * col("total"))
-    val winners = enriched
-      .filter(col("le") =!= Double.PositiveInfinity && col("value") >= col("rank"))
-      .withColumn("rn", row_number().over(ordered))
-      .filter(col("rn") === 1)
-      .select(gkeys :+
-        (col("prev_le") + (col("le") - col("prev_le")) *
-          (col("rank") - col("prev_cum")) / (col("value") - col("prev_cum")))
-          .as("qval"): _*)
+    // the winning bucket is the LOWEST finite le whose cumulative count
+    // reaches the rank; selecting it with min(struct(le, qval)) inside
+    // ONE aggregation (le is unique per group, so the struct min is the
+    // min-le row) replaces the former filter→row_number→left-join shape,
+    // which scanned the whole upstream pipeline twice. The interpolation
+    // expression is unchanged, so values are bit-identical.
+    val qval = col("prev_le") + (col("le") - col("prev_le")) *
+      (col("rank") - col("prev_cum")) / (col("value") - col("prev_cum"))
     enriched.groupBy(gkeys: _*)
-      .agg(first(col("max_finite_le")).as("fallback"))
-      .join(winners, "gkey" +: extraKeys, "left")
+      .agg(
+        min(when(col("le") =!= Double.PositiveInfinity && col("value") >= col("rank"),
+          struct(col("le"), qval.as("qv")))).as("winner"),
+        max(when(col("le") =!= Double.PositiveInfinity, col("le"))).as("fallback"))
       .select(col("gkey").as("skey") +: extras :+
-        coalesce(col("qval"), col("fallback")).as("value"): _*)
+        coalesce(col("winner.qv"), col("fallback")).as("value"): _*)
   }
 
   /** P2: comparison with the `bool` modifier — returns 1.0/0.0 instead of

@@ -450,6 +450,21 @@ object AnalyticsQueries {
     * window is dropped on read-back. The decimal sum lives in streaming
     * state, so partial aggregation order cannot perturb the result.
     */
+  /** Run `f` with the shuffle-partition count lowered for a streaming
+    * query: the stateful operators create (and checkpoint) one state
+    * store per shuffle partition PER MICRO-BATCH, so a keyed stream
+    * whose state is small pays pure file-I/O overhead for every extra
+    * partition. 8 is sized to the fixture's key cardinality; a
+    * production deployment sizes it to throughput, not to the session
+    * default. The conf is restored even on failure.
+    */
+  private def withStreamPartitions[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try f finally spark.conf.set(key, old)
+  }
+
   def hourlyAvgStream(spark: SparkSession, sfDir: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("havg_e2e").toString
     val in = metrics(spark, sfDir)
@@ -460,23 +475,25 @@ object AnalyticsQueries {
         lit(Te + 7200L).as("e"), lit(0.0).as("value")))
       .coalesce(1) // one file -> one deterministic micro-batch
       .write.parquet(s"$work/in")
-    spark.readStream
-      .schema("metric_name STRING, e LONG, value DOUBLE")
-      .parquet(s"$work/in")
-      .withColumn("ts", timestamp_seconds(col("e")))
-      .withWatermark("ts", "0 seconds")
-      .groupBy(window(col("ts"), "1 hour").as("win"), col("metric_name"))
-      .agg(count(lit(1)).as("n"), decSum(col("value")).as("vsum"))
-      .select(unix_timestamp(col("win.start")).as("hour_e"),
-        col("metric_name").as("metric"), col("n"), col("vsum"))
-      .writeStream
-      .format("parquet")
-      .option("path", s"$work/out")
-      .option("checkpointLocation", s"$work/cp")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
+    withStreamPartitions(spark) {
+      spark.readStream
+        .schema("metric_name STRING, e LONG, value DOUBLE")
+        .parquet(s"$work/in")
+        .withColumn("ts", timestamp_seconds(col("e")))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("metric_name"))
+        .agg(count(lit(1)).as("n"), decSum(col("value")).as("vsum"))
+        .select(unix_timestamp(col("win.start")).as("hour_e"),
+          col("metric_name").as("metric"), col("n"), col("vsum"))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/cp")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
     spark.read.parquet(s"$work/out")
       .filter(col("metric") =!= "__flush__")
       .select(col("hour_e"), col("metric"), col("n"),
@@ -516,19 +533,21 @@ object AnalyticsQueries {
       .coalesce(1) // one file -> one deterministic micro-batch
       .write.parquet(s"$work/in")
     import SessionizeStream._
-    val stream = spark.readStream
-      .schema("user_id LONG, event_type STRING, ts TIMESTAMP")
-      .parquet(s"$work/in")
-      .as[SessionEvent](evEnc)
-    SessionizeStream.sessions(stream, gapSec = 1800)
-      .writeStream
-      .format("parquet")
-      .option("path", s"$work/out")
-      .option("checkpointLocation", s"$work/cp")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
+    withStreamPartitions(spark) {
+      val stream = spark.readStream
+        .schema("user_id LONG, event_type STRING, ts TIMESTAMP")
+        .parquet(s"$work/in")
+        .as[SessionEvent](evEnc)
+      SessionizeStream.sessions(stream, gapSec = 1800)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/cp")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
     spark.read.parquet(s"$work/out")
       .withColumn("session_id",
         row_number().over(Window.partitionBy(col("user_id"))
