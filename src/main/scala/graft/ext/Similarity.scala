@@ -134,6 +134,7 @@ object Similarity {
       .withColumn("sim", cosineQN(col("qv"), col("centroid"), col("qn"), col("cn")))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("sim"), (-col("cell")).as("negcell"))).as("best"))
-      .select(col("vec_id"), (-col("best.negcell")).cast("int").as("cell"))
+      .select(col("vec_id"), (-col("best.negcell")).cast("int").as("cell"),
+        col("best.sim").as("cell_cos")) // winning cosine, for inertia stats
   }
 }

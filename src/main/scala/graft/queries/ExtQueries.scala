@@ -1405,8 +1405,192 @@ object ExtQueries {
       |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
       |FROM u GROUP BY domain""".stripMargin
 
+  // ------------------------------------- int8 quantization / clustering
+
+  /** Int8 embedding quantization with a top-k recall audit — the check a
+    * pipeline runs before switching its ANN index to a compressed code:
+    * per-vector symmetric int8 (scale = max |x|, q = round(x·127/scale)),
+    * top-10 by int8 cosine vs top-10 by the exact fixed-point cosine,
+    * recall reported in basis points per query. Every quantized value and
+    * both dot products are exact integers (an int8 dot at dim 64 is <
+    * 2⁵³, so even a double-summing engine computes it exactly); the two
+    * ranking cosines divide identical integers. Scale shape: queries
+    * broadcast, candidate scan embarrassingly parallel, two per-query
+    * heaps.
+    */
+  def embInt8Recall(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(spark, sfDir)
+    val scale = aggregate(col("embedding"), lit(0d),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val base = emb
+      .withColumn("s", when(scale === 0d, 1d).otherwise(scale))
+      .select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qv"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 127 / col("s") + 0.5).cast("long"))
+          .as("v8"))
+      .withColumn("qn", Similarity.normSqQ(col("qv")))
+      .withColumn("n8", Similarity.normSqQ(col("v8")))
+    val q = broadcast(base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("qv").as("q_qv"),
+        col("v8").as("q_v8"), col("qn").as("q_qn"), col("n8").as("q_n8")))
+    val scored = q.join(base, col("qid") =!= col("vec_id"))
+      .withColumn("cos_exact",
+        Similarity.cosineQN(col("q_qv"), col("qv"), col("q_qn"), col("qn")))
+      .withColumn("cos_int8",
+        Similarity.cosineQN(col("q_v8"), col("v8"), col("q_n8"), col("n8")))
+      .withColumn("rk_exact", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cos_exact").desc, col("vec_id").asc)))
+      .withColumn("rk_int8", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("cos_int8").desc, col("vec_id").asc)))
+    val overlap = scored.filter(col("rk_exact") <= 10)
+      .select(col("qid"), col("vec_id"))
+      .join(scored.filter(col("rk_int8") <= 10)
+        .select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+    q.select(col("qid")).join(overlap, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("recall_bp", expr("(n_overlap * 10000) div 10"))
+  }
+
+  val embInt8RecallOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), sc AS (
+       |  SELECT vec_id, v,
+       |         CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1
+       |              ELSE list_max(list_transform(v, x -> abs(x))) END AS s
+       |  FROM e
+       |), b AS (
+       |  SELECT vec_id,
+       |         list_transform(v, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv,
+       |         list_transform(v, x -> CAST(floor(x * 127 / s + 0.5) AS BIGINT)) AS v8
+       |  FROM sc
+       |), scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY ${cosSql("q.qv", "c.qv")} DESC, c.vec_id ASC) AS rk_exact,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY ${cosSql("q.v8", "c.v8")} DESC, c.vec_id ASC) AS rk_int8
+       |  FROM b q JOIN b c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+       |), ov AS (
+       |  SELECT a.qid, count(*) AS n_overlap
+       |  FROM (SELECT qid, vec_id FROM scored WHERE rk_exact <= 10) a
+       |  JOIN (SELECT qid, vec_id FROM scored WHERE rk_int8 <= 10) i
+       |    USING (qid, vec_id)
+       |  GROUP BY a.qid
+       |)
+       |SELECT q.qid, COALESCE(ov.n_overlap, 0) AS n_overlap,
+       |       COALESCE(ov.n_overlap, 0) * 10000 // 10 AS recall_bp
+       |FROM (SELECT DISTINCT vec_id AS qid FROM e WHERE vec_id < 5) q
+       |LEFT JOIN ov USING (qid)""".stripMargin
+
+  /** One Lloyd iteration over the embedding corpus — the SemDeDup-style
+    * clustering step a curation pipeline runs to group near-duplicate
+    * regions: integer-mean centroids seeded per label, every vector
+    * assigned to its nearest centroid by cosine (broadcast centroids, no
+    * shuffle of the corpus), then per-cell size, label purity in basis
+    * points, and mean cosine-to-centroid. Per-row cosines are identical
+    * doubles cross-engine; they are quantized to 1e-9 fixed point BEFORE
+    * the sum so the aggregate is order-independent, with one trailing
+    * division.
+    */
+  def embKmeansStep(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    val cents = Similarity.centroids(emb, "label")
+    Similarity.assignCells(emb, cents)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum((col("label") === col("cell")).cast("long")).as("n_label_match"),
+        sum(floor(col("cell_cos") * 1e9 + 0.5).cast("long")).as("cosq"))
+      .select(col("cell"), col("n_vectors"),
+        expr("(n_label_match * 10000) div n_vectors").as("purity_bp"),
+        (col("cosq").cast("double") / col("n_vectors") / 1e9).as("avg_cos"))
+  }
+
+  val embKmeansStepOracle: String =
+    s"""WITH v AS (SELECT vec_id, label, $qvSql AS qv FROM embeddings),
+       |comp AS (
+       |  SELECT label, i.i AS pos, qv[i.i] AS q
+       |  FROM v, unnest(generate_series(1, 64)) AS i(i)
+       |), cent AS (
+       |  SELECT label AS cell, list(c ORDER BY pos) AS centroid
+       |  FROM (SELECT label, pos,
+       |               CAST(trunc(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS c
+       |        FROM comp GROUP BY label, pos)
+       |  GROUP BY label
+       |), assigned AS (
+       |  SELECT vec_id, label, cell, sim FROM (
+       |    SELECT v.vec_id, v.label, c.cell,
+       |           ${cosSql("v.qv", "c.centroid")} AS sim,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${cosSql("v.qv", "c.centroid")} DESC, c.cell ASC) AS rr
+       |    FROM v, cent c
+       |  ) WHERE rr = 1
+       |)
+       |SELECT cell, count(*) AS n_vectors,
+       |       CAST(sum(CASE WHEN label = cell THEN 1 ELSE 0 END) * 10000
+       |            // count(*) AS BIGINT) AS purity_bp,
+       |       CAST(sum(CAST(floor(sim * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+       |         / count(*) / 1e9 AS avg_cos
+       |FROM assigned GROUP BY cell""".stripMargin
+
+  // ------------------------------------------------- per-doc TF-IDF
+
+  /** Top-3 TF-IDF terms per document — the per-document twin of the
+    * per-source [[distinctiveTerms]]: tf·N/df as the score (exact
+    * integers, ONE division — a deterministic stand-in for the usual
+    * tf·ln(N/df), which would drag libm's last-ulp differences into the
+    * gate), ranked per doc with (score desc, term) tie-break.
+    */
+  def tfidfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+    // corpus size as a broadcast one-row frame, not a driver-side action
+    val n = docs(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rn").cast("long").as("rank"))
+  }
+
+  val tfidfTopkOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, t.term AS term
+      |  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+      |), df AS (
+      |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+      |), n AS (SELECT count(*) AS n FROM documents
+      |), scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |         CAST(tf * n.n AS DOUBLE) / df AS score
+      |  FROM tf JOIN df USING (term), n
+      |)
+      |SELECT doc_id, term, tf, df, score, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |            ORDER BY score DESC, term) AS rank
+      |  FROM scored
+      |) WHERE rank <= 3""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "curation_pipeline" -> ((curationPipeline _, curationPipelineOracle)),
+    "emb_int8_recall" -> ((embInt8Recall _, embInt8RecallOracle)),
+    "emb_kmeans_step" -> ((embKmeansStep _, embKmeansStepOracle)),
+    "tfidf_topk" -> ((tfidfTopk _, tfidfTopkOracle)),
     "pii_scrub" -> ((piiScrub _, piiScrubOracle)),
     "url_domain_stats" -> ((urlDomainStats _, urlDomainStatsOracle)),
     "quality_weighted_sample" ->

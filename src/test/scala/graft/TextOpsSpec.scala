@@ -31,6 +31,39 @@ class TextOpsSpec extends SparkSpec {
     assert(sizes == Seq(0, 2))
   }
 
+  test("int8 quantization round-trips rank order on well-spread vectors") {
+    import graft.ext.Similarity
+    // a vector whose max |x| is 1: int8 code of 1.0 is exactly 127
+    val df = Seq((0L, Array(1.0f, 0.5f, -1.0f))).toDF("vec_id", "embedding")
+    val v8 = df.select(transform(col("embedding"),
+      x => floor(x.cast("double") * 127 /
+        aggregate(col("embedding"), lit(0d),
+          (acc, y) => greatest(acc, abs(y.cast("double")))) + 0.5)
+        .cast("long")).as("v8"))
+      .head().getSeq[Long](0)
+    assert(v8 == Seq(127L, 64L, -127L)) // floor(-127 + .5) = floor(-126.5) = -127
+    // the recall query itself: self-consistent bounds on the fixture
+    val r = graft.queries.ExtQueries.embInt8Recall(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(r.nonEmpty && r.forall { row =>
+      val bp = row.getAs[Long]("recall_bp")
+      bp >= 0 && bp <= 10000 && bp == row.getAs[Long]("n_overlap") * 1000
+    })
+  }
+
+  test("kmeans step: label-seeded centroids give full-purity cells") {
+    // vectors exactly at two orthogonal directions, labels matching:
+    // assignment must reproduce the labels and avg_cos = 1.0
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(2.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 1), (3L, Array(0.0f, 3.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val cents = graft.ext.Similarity.centroids(df, "label")
+    val out = graft.ext.Similarity.assignCells(df, cents).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1))
+  }
+
   test("PII scrub redacts every email and phone, counts match") {
     val texts = Seq(
       "mail a.b+c@sub.example.co.uk and x@y.io today",
