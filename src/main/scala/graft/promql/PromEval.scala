@@ -204,6 +204,12 @@ object PromEval {
       evalInstant(metrics, sel, atEpochSec, lookbackSec)
         .agg(count(lit(1)).as("n")).filter(col("n") === 0)
         .select(lit("{}").as("skey"), lit(1.0).as("value"))
+    case AbsentOT(sel, w) =>
+      // 1 iff the RANGE is empty: no sample from any matching series
+      PromOps.rangeSelector(matcherFilter(metrics, sel), sel.name,
+        sel.evalAt(atEpochSec), w)
+        .agg(count(lit(1)).as("n")).filter(col("n") === 0)
+        .select(lit("{}").as("skey"), lit(1.0).as("value"))
     case other =>
       throw new IllegalArgumentException(s"unsupported instant expr: $other")
   }
@@ -511,17 +517,45 @@ object PromEval {
             Seq("skey", "g"), "left_anti"))
       }
     case Deriv(sel, w, predict) =>
-      require(sel.atSec.isEmpty && sel.offsetSec == 0,
-        "modifiers on a grid deriv/predict_linear are unsupported (stated)")
-      PromOps.derivOverGrid(matcherFilter(metrics, sel), sel.name,
-        g0, g1, stepSec, w, predict)
+      // offset: evaluate the shifted grid and relabel, as for OverTime
+      require(sel.atSec.isEmpty,
+        "the @ modifier pins a constant instant; not meaningful on a grid")
+      require(sel.offsetSec % stepSec == 0,
+        s"offset ${sel.offsetSec}s must be a multiple of the ${stepSec}s step")
+      val off = sel.offsetSec
+      val base = PromOps.derivOverGrid(matcherFilter(metrics, sel), sel.name,
+        g0 - off, g1 - off, stepSec, w, predict)
+      if (off == 0) base else base.withColumn("g", col("g") + off)
     case QuantileOverTime(q, sel, w) =>
-      require(sel.atSec.isEmpty && sel.offsetSec == 0,
-        "modifiers on a grid quantile_over_time are unsupported (stated)")
-      PromOps.quantileOverTime(
+      require(sel.atSec.isEmpty,
+        "the @ modifier pins a constant instant; not meaningful on a grid")
+      require(sel.offsetSec % stepSec == 0,
+        s"offset ${sel.offsetSec}s must be a multiple of the ${stepSec}s step")
+      val off = sel.offsetSec
+      val base = PromOps.quantileOverTime(
         PromOps.windowGrid(matcherFilter(metrics, sel), sel.name,
-          g0, g1, stepSec, w),
+          g0 - off, g1 - off, stepSec, w),
         q, extraKeys = Seq("g"))
+      if (off == 0) base else base.withColumn("g", col("g") + off)
+    case Absent(sel) =>
+      // per-point absence of the instant vector: grid points where no
+      // sample is visible under the staleness rule — anti-join of the
+      // dense grid against the sparse presence set
+      require(sel.atSec.isEmpty && sel.offsetSec == 0,
+        "modifiers on a grid absent() are unsupported (stated)")
+      val present = PromOps.rangeEval(matcherFilter(metrics, sel), sel.name,
+        g0, g1, stepSec, lookbackSec).select(col("g")).distinct()
+      gridFrame(metrics, g0, g1, stepSec)
+        .join(broadcast(present), Seq("g"), "left_anti")
+        .withColumn("value", lit(1.0))
+    case AbsentOT(sel, w) =>
+      require(sel.atSec.isEmpty && sel.offsetSec == 0,
+        "modifiers on a grid absent_over_time() are unsupported (stated)")
+      val present = PromOps.windowGrid(matcherFilter(metrics, sel), sel.name,
+        g0, g1, stepSec, w).select(col("g")).distinct()
+      gridFrame(metrics, g0, g1, stepSec)
+        .join(broadcast(present), Seq("g"), "left_anti")
+        .withColumn("value", lit(1.0))
     case HistQuantile(q, inner) =>
       PromOps.histogramQuantile(
         evalGrid(metrics, inner, g0, g1, stepSec, lookbackSec),

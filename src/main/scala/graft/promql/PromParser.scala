@@ -114,6 +114,10 @@ object PromParser {
       by: Seq[String] = Nil, without: Seq[String] = Nil) extends Expr
   /** absent(sel): 1 for the empty label set iff the vector is empty. */
   final case class Absent(sel: Selector) extends Expr
+  /** absent_over_time(sel[w]): 1 iff NO series has a sample in the
+    * window — the "did this metric stop reporting" alert primitive.
+    */
+  final case class AbsentOT(sel: Selector, windowSec: Long) extends Expr
   /** `scalar(expr)`: the single series' value as a scalar, NaN when the
     * vector has ≠ 1 series (Prometheus semantics). Usable standalone
     * (a one-row label-less result — stated representation) and as a
@@ -351,6 +355,15 @@ object PromParser {
         val e = parseArith() match {
           case s: Selector => Absent(s)
           case other => fail(s"absent() takes an instant selector, got $other")
+        }
+        expectSym(")")
+        e
+      case TId("absent_over_time") =>
+        expectSym("(")
+        val e = parseArith() match {
+          case RangePlaceholder(sel, w) => AbsentOT(sel, w)
+          case other =>
+            fail(s"absent_over_time() takes a range selector, got $other")
         }
         expectSym(")")
         e

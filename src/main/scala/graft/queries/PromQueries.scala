@@ -1401,6 +1401,24 @@ object PromQueries {
     sampleCte("view", Te - 2592000 + 1, Te) +
       "\nSELECT DISTINCT u AS user, k, 1.0 AS value FROM s"
 
+  /** Parsed `absent_over_time(purchase{cluster_name="c9-r9-z9"}[720h])` —
+    * the "did it stop reporting" alert primitive, aimed at a cluster that
+    * does not exist so the one-row absence path (not the empty result) is
+    * what both engines must produce.
+    */
+  def parsedAbsentOt(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      """absent_over_time(purchase{cluster_name="c9-r9-z9"}[720h])""")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(col("value"))
+  }
+
+  val parsedAbsentOtOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      """
+        |SELECT 1.0 AS value
+        |WHERE (SELECT count(*) FROM s WHERE cl = 'c9-r9-z9') = 0""".stripMargin
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "promql_parsed_filtercmp" -> ((parsedFilterCmp _, parsedFilterCmpOracle)),
@@ -1430,6 +1448,7 @@ object PromQueries {
     "promql_parsed_regex" -> ((parsedRegexMatch _, parsedRegexMatchOracle)),
     "promql_parsed_stdvar_ot" -> ((parsedStdvarOt _, parsedStdvarOtOracle)),
     "promql_parsed_present_ot" -> ((parsedPresentOt _, parsedPresentOtOracle)),
+    "promql_parsed_absent_ot" -> ((parsedAbsentOt _, parsedAbsentOtOracle)),
     "promql_parsed_scalarcmp_bool" ->
       ((parsedScalarCmpBool _, parsedScalarCmpBoolOracle)),
     "pq_range_scalarcmp" -> ((rangeScalarCmp _, rangeScalarCmpOracle)),

@@ -712,6 +712,51 @@ class PromEvalSpec extends SparkSpec {
     assert(nan.length == 2 && nan.forall(_._2.isNaN))
   }
 
+  test("absent_over_time flags empty ranges; grid absents per point") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = Seq(("m", Map("i" -> "a"), 1.0, 350L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def one(q: String, at: Long) = graft.promql.PromEval
+      .evalInstant(m, graft.promql.PromParser.parse(q), at).collect()
+    assert(one("absent_over_time(m[100s])", 400L).isEmpty) // sample at 350
+    val hit = one("absent_over_time(m[100s])", 1000L) // window (900,1000]
+    assert(hit.length == 1 && hit(0).getAs[Double]("value") == 1.0)
+    assert(one("""absent_over_time(m{i="zzz"}[100s])""", 400L).length == 1)
+    // grid: absent at points whose window misses the sample
+    val g = graft.promql.PromEval.evalGrid(m,
+      graft.promql.PromParser.parse("absent_over_time(m[100s])"),
+      400L, 600L, 100L, 300L)
+      .collect().map(_.getAs[Long]("g")).sorted.toSeq
+    assert(g == Seq(500L, 600L)) // 400 covered by (300,400]
+    val gi = graft.promql.PromEval.evalGrid(m,
+      graft.promql.PromParser.parse("absent(m)"),
+      400L, 800L, 100L, 300L) // staleness 300s: present at 400..650
+      .collect().map(_.getAs[Long]("g")).sorted.toSeq
+    assert(gi == Seq(700L, 800L))
+  }
+
+  test("grid offset on quantile_over_time and deriv shifts the window") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = Seq(("m", Map("i" -> "a"), 1.0, 200L),
+      ("m", Map("i" -> "a"), 2.0, 300L),
+      ("m", Map("i" -> "a"), 4.0, 390L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def grid(q: String, g0: Long, g1: Long) = graft.promql.PromEval
+      .evalGrid(m, graft.promql.PromParser.parse(q), g0, g1, 100L, 300L)
+      .collect().map(r => r.getAs[Long]("g") -> r.getAs[Double]("value")).toMap
+    // offset 100s at g is the unshifted value at g-100, relabeled
+    val plain = grid("quantile_over_time(0.5, m[300s])", 400L, 500L)
+    val off = grid("quantile_over_time(0.5, m[300s] offset 100s)", 500L, 600L)
+    assert(off == Map(500L -> plain(400L), 600L -> plain(500L)))
+    val dPlain = grid("deriv(m[300s])", 400L, 400L)
+    val dOff = grid("deriv(m[300s] offset 200s)", 600L, 600L)
+    assert(dOff(600L) == dPlain(400L))
+  }
+
   test("regex matchers filter anchored; missing label matches empty") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
