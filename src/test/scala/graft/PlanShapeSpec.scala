@@ -91,4 +91,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
+
+  test("histogram_quantile is one aggregation: no join in the plan") {
+    // the winning-bucket selection must stay min(struct(le, qval)) inside
+    // the group-by — a Join node means the filter/row_number/left-join
+    // double-scan shape regressed
+    val plan = finalPlan(
+      SparkEntry.queries("promql_parsed_histq")(spark, sf))
+    assert(!plan.contains("Join"), plan.take(1200))
+  }
+
+  test("kmeans step broadcasts its centroids, corpus never shuffles to score") {
+    val plan = finalPlan(
+      SparkEntry.queries("emb_kmeans_step")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("ngram_jaccard reuses the persisted shingle frame across join sides") {
+    val plan = finalPlan(
+      SparkEntry.queries("ngram_jaccard")(spark, sf))
+    // every consumer (sizes + both self-join sides) must read the cache:
+    // the tokenize+explode+md5 pipeline (the Generate node) appears ONCE
+    // — inside the cache materialization — not once per consumer
+    assert(plan.contains("InMemoryTableScan"), plan.take(1200))
+    assert("Generate explode".r.findAllIn(plan).length <= 1, plan.take(1200))
+  }
+
+  test("vector-scalar comparison broadcasts the one-row scalar side") {
+    val plan = finalPlan(
+      SparkEntry.queries("promql_parsed_scalarcmp")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
 }
