@@ -210,6 +210,9 @@ object PromEval {
         sel.evalAt(atEpochSec), w)
         .agg(count(lit(1)).as("n")).filter(col("n") === 0)
         .select(lit("{}").as("skey"), lit(1.0).as("value"))
+    case HoltWinters(sel, w, sf, tf) =>
+      PromOps.holtWinters(matcherFilter(metrics, sel), sel.name,
+        sel.evalAt(atEpochSec), w, sf, tf)
     case other =>
       throw new IllegalArgumentException(s"unsupported instant expr: $other")
   }

@@ -408,6 +408,45 @@ object PromOps {
     }
   }
 
+  /** `holt_winters(x[w], sf, tf)`: double exponential smoothing over each
+    * series' time-ordered window samples — Prometheus's algorithm
+    * verbatim (level s, trend b; b seeds from the first two samples, the
+    * trend blend starts on the second step). The recursion is inherently
+    * sequential, so the samples are collected per (series, window) —
+    * bounded by the window's sample count, the same bound Prometheus
+    * itself holds in memory — sorted by the repo-wide (e, value) tie
+    * rule, and folded with `aggregate` entirely inside codegen'd
+    * expressions. Doubles are deterministic here BECAUSE the fold order
+    * is total: the oracle replays the identical recursion as a recursive
+    * CTE, same IEEE ops in the same order.
+    */
+  def holtWinters(metrics: DataFrame, metricName: String, atEpochSec: Long,
+      windowSec: Long, sf: Double, tf: Double): DataFrame = {
+    val rs = rangeSelector(metrics, metricName, atEpochSec, windowSec)
+    val arr = rs.groupBy(col("skey"))
+      .agg(array_sort(collect_list(struct(col("e"), col("value")))).as("evs"))
+      .filter(size(col("evs")) >= 2) // Prometheus: no output below 2 samples
+      .withColumn("vs", transform(col("evs"), s => s.getField("value")))
+    val zero = struct(lit(0d).as("s0"),
+      element_at(col("vs"), 1).as("s1"),
+      lit(null).cast("double").as("b"))
+    val folded = aggregate(
+      expr("slice(vs, 2, size(vs) - 1)"),
+      zero,
+      (acc, v) => {
+        // b is NULL only on the first step: the trend seeds as v1 - v0
+        // and calcTrendValue(0) returns it unblended, as in Prometheus
+        val b0 = when(acc.getField("b").isNull, v - acc.getField("s1"))
+          .otherwise(lit(tf) * (acc.getField("s1") - acc.getField("s0")) +
+            lit(1 - tf) * acc.getField("b"))
+        struct(acc.getField("s1").as("s0"),
+          (lit(sf) * v + lit(1 - sf) * (acc.getField("s1") + b0)).as("s1"),
+          b0.as("b"))
+      },
+      acc => acc.getField("s1"))
+    arr.select(col("skey"), folded.as("value"))
+  }
+
   /** `quantile_over_time(q, x[w])`: the φ-quantile of each series'
     * samples, with Prometheus's linear interpolation — sorted values
     * v_0..v_{n-1}, rank = q·(n-1), result = v_lo + (v_hi − v_lo)·frac.

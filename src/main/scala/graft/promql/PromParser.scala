@@ -146,6 +146,14 @@ object PromParser {
     */
   final case class Deriv(sel: Selector, windowSec: Long,
       predictSec: Option[Double]) extends Expr
+  /** `holt_winters(sel[w], sf, tf)` (Prometheus 3.x:
+    * double_exponential_smoothing): per-series smoothed value over the
+    * window's time-ordered samples — level factor sf, trend factor tf,
+    * both in (0, 1). Sequential by definition; evaluated as a fold over
+    * the sorted sample list.
+    */
+  final case class HoltWinters(sel: Selector, windowSec: Long,
+      sf: Double, tf: Double) extends Expr
   /** Set operators between instant vectors: `and` (series of the left
     * whose label set also appears on the right), `unless` (left minus
     * right), `or` (left plus right series not matched on the left).
@@ -358,6 +366,19 @@ object PromParser {
         }
         expectSym(")")
         e
+      case TId("holt_winters") =>
+        expectSym("(")
+        val inner = parseArith()
+        def factor(what: String): Double = { expectSym(","); pop() match {
+          case TNum(v) if v > 0 && v < 1 => v
+          case other => fail(s"holt_winters $what factor must be in (0,1), got $other")
+        } }
+        val sf = factor("smoothing"); val tf = factor("trend")
+        expectSym(")")
+        inner match {
+          case RangePlaceholder(sel, w) => HoltWinters(sel, w, sf, tf)
+          case other => fail(s"holt_winters needs a range selector, got $other")
+        }
       case TId("absent_over_time") =>
         expectSym("(")
         val e = parseArith() match {

@@ -1419,6 +1419,43 @@ object PromQueries {
         |SELECT 1.0 AS value
         |WHERE (SELECT count(*) FROM s WHERE cl = 'c9-r9-z9') = 0""".stripMargin
 
+  /** Parsed `holt_winters(purchase[720h], 0.3, 0.5)` — double exponential
+    * smoothing per series. The recursion is a total order over the
+    * (e, value)-sorted window samples, so raw-double arithmetic IS
+    * deterministic here: the oracle replays the identical fold as a
+    * recursive CTE, same IEEE operations in the same sequence — no
+    * fixed-point detour needed.
+    */
+  def parsedHoltWinters(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "holt_winters(purchase[720h], 0.3, 0.5)")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedHoltWintersOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te)
+      .replaceFirst("WITH s AS", "WITH RECURSIVE s AS") +
+      """
+        |, arr AS (
+        |  SELECT u, k, list(v ORDER BY e, v) AS vs, count(*) AS n
+        |  FROM s GROUP BY u, k
+        |), st AS (
+        |  SELECT u, k, 1 AS i, 0.0::DOUBLE AS s0, vs[1] AS s1,
+        |         NULL::DOUBLE AS b, vs, n
+        |  FROM arr WHERE n >= 2
+        |  UNION ALL
+        |  SELECT u, k, i + 1,
+        |         s1 AS s0,
+        |         0.3 * vs[i + 1] + (1 - 0.3) * (s1 + b0) AS s1,
+        |         b0 AS b, vs, n
+        |  FROM (SELECT *, CASE WHEN b IS NULL THEN vs[i + 1] - s1
+        |                       ELSE 0.5 * (s1 - s0) + (1 - 0.5) * b END AS b0
+        |        FROM st)
+        |  WHERE i < n
+        |)
+        |SELECT u AS user, k, s1 AS value FROM st WHERE i = n""".stripMargin
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "promql_parsed_filtercmp" -> ((parsedFilterCmp _, parsedFilterCmpOracle)),
@@ -1449,6 +1486,8 @@ object PromQueries {
     "promql_parsed_stdvar_ot" -> ((parsedStdvarOt _, parsedStdvarOtOracle)),
     "promql_parsed_present_ot" -> ((parsedPresentOt _, parsedPresentOtOracle)),
     "promql_parsed_absent_ot" -> ((parsedAbsentOt _, parsedAbsentOtOracle)),
+    "promql_parsed_holtwinters" ->
+      ((parsedHoltWinters _, parsedHoltWintersOracle)),
     "promql_parsed_scalarcmp_bool" ->
       ((parsedScalarCmpBool _, parsedScalarCmpBoolOracle)),
     "pq_range_scalarcmp" -> ((rangeScalarCmp _, rangeScalarCmpOracle)),

@@ -82,6 +82,8 @@ class PromParserPropertySpec extends AnyFunSuite {
     case TimestampFn(sel) => s"timestamp(${renderSel(sel)})"
     case Absent(sel) => s"absent(${renderSel(sel)})"
     case AbsentOT(sel, w) => s"absent_over_time(${renderSel(sel)}[${w}s])"
+    case HoltWinters(sel, w, sf, tf) =>
+      s"holt_winters(${renderSel(sel)}[${w}s], $sf, $tf)"
     case Deriv(sel, w, None) => s"deriv(${renderSel(sel)}[${w}s]${mods(sel)})"
     case Deriv(sel, w, Some(t)) =>
       s"predict_linear(${renderSel(sel)}[${w}s]${mods(sel)}, ${renderScalar(t)})"
@@ -185,11 +187,13 @@ class PromParserPropertySpec extends AnyFunSuite {
         val (by, wo) = genLabels(r)
         CountValues("vl", gen(r, depth - 1), by, wo)
       case 19 => ScalarFn(gen(r, depth - 1))
-      case 20 => r.int(5) match {
+      case 20 => r.int(6) match {
         case 0 => VectorLit(r.oneOf(scalars))
         case 1 => TimeFn()
         case 2 => TimestampFn(genSel(r, withMods = false))
         case 3 => AbsentOT(genSel(r, withMods = false), 60L * (1 + r.int(10)))
+        case 4 => HoltWinters(genSel(r, withMods = false),
+          60L * (1 + r.int(10)), 0.3, 0.5)
         case _ => Absent(genSel(r, withMods = false))
       }
       case 21 => r.int(2) match {

@@ -712,6 +712,38 @@ class PromEvalSpec extends SparkSpec {
     assert(nan.length == 2 && nan.forall(_._2.isNaN))
   }
 
+  test("holt_winters reproduces the Prometheus recursion exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vals = Seq(10.0, 12.0, 13.0, 17.0)
+    val m = vals.zipWithIndex.map { case (v, i) =>
+      ("m", Map("i" -> "a"), v, 900L + 10 * i) }
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    // scala reference of the Prometheus algorithm
+    def ref(vs: Seq[Double], sf: Double, tf: Double): Double = {
+      var s0 = 0.0; var s1 = vs.head; var b = Double.NaN; var first = true
+      vs.tail.foreach { v =>
+        val b0 = if (first) { first = false; v - s1 }
+                 else tf * (s1 - s0) + (1 - tf) * b
+        val next = sf * v + (1 - sf) * (s1 + b0)
+        s0 = s1; s1 = next; b = b0
+      }
+      s1
+    }
+    val got = graft.promql.PromEval.evalInstant(m,
+      graft.promql.PromParser.parse("holt_winters(m[1h], 0.3, 0.5)"), 1000L)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(got == Seq(ref(vals, 0.3, 0.5)))
+    // below two samples -> no output; factor range enforced at parse
+    val one = m.filter(col("es") === 900L)
+    assert(graft.promql.PromEval.evalInstant(one,
+      graft.promql.PromParser.parse("holt_winters(m[1h], 0.3, 0.5)"), 1000L)
+      .count() == 0)
+    intercept[IllegalArgumentException](
+      graft.promql.PromParser.parse("holt_winters(m[1h], 1.5, 0.5)"))
+  }
+
   test("absent_over_time flags empty ranges; grid absents per point") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
