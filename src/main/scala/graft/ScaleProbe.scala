@@ -41,6 +41,14 @@ object ScaleProbe {
           .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L)))
       .reduce(_ union _)
       .write.mode("overwrite").parquet(s"$probeDir/events.parquet")
+    // embeddings amplify as exact copies with offset vec_ids: N× the
+    // corpus behind the broadcast-query ANN/recall joins and N× vectors
+    // per k-means cell (labels unchanged)
+    val v0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    (0 until copies).map(i =>
+        v0.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000000L)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$probeDir/embeddings.parquet")
 
     def time(name: String, dir: String, tag: String)(
         fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
@@ -61,6 +69,9 @@ object ScaleProbe {
       time("asof_join", dir, tag)(graft.queries.AnalyticsQueries.asofJoin)
       time("vocab_oov", dir, tag)(graft.queries.ExtQueries.vocabOov)
       time("pii_scrub", dir, tag)(graft.queries.ExtQueries.piiScrub)
+      time("emb_int8_recall", dir, tag)(graft.queries.ExtQueries.embInt8Recall)
+      time("emb_kmeans_step", dir, tag)(graft.queries.ExtQueries.embKmeansStep)
+      time("tfidf_topk", dir, tag)(graft.queries.ExtQueries.tfidfTopk)
     }
     time("ngram_jaccard", s"$probeDir/hot", s"hot${copies}x")(
       graft.queries.ExtQueries.ngramJaccard)

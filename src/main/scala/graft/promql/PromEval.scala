@@ -263,6 +263,18 @@ object PromEval {
       dayofmonth(timestamp_seconds(v.cast("long"))).cast("double")
     case "month" => month(timestamp_seconds(v.cast("long"))).cast("double")
     case "year" => year(timestamp_seconds(v.cast("long"))).cast("double")
+    // trig family: libm-backed, spec-tested only (never in oracles)
+    case "sin" => sin(v)
+    case "cos" => cos(v)
+    case "tan" => tan(v)
+    case "asin" => asin(v)
+    case "acos" => acos(v)
+    case "atan" => atan(v)
+    case "sinh" => sinh(v)
+    case "cosh" => cosh(v)
+    case "tanh" => tanh(v)
+    case "deg" => degrees(v)
+    case "rad" => radians(v)
   }
 
   /** The by/without-filtered label map of the current row's skey; both

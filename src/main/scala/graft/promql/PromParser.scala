@@ -190,7 +190,12 @@ object PromParser {
       // time-component family over a vector of epoch-second values
       // (Prometheus's hour(v) etc.; the zero-arg default v=vector(time())
       // is not supported — pass timestamp(sel) or time() explicitly)
-      "hour", "minute", "day_of_week", "day_of_month", "month", "year")
+      "hour", "minute", "day_of_week", "day_of_month", "month", "year",
+      // trigonometric family (Prometheus 2.31+). libm results can differ
+      // in the last ulp across engines, so these are spec-tested, never
+      // used in oracle entries (the repo-wide libm rule)
+      "sin", "cos", "tan", "asin", "acos", "atan", "sinh", "cosh", "tanh",
+      "deg", "rad")
 
   // ------------------------------------------------------------- tokenizer
   sealed private[promql] trait Tok

@@ -172,7 +172,8 @@ class PromParserPropertySpec extends AnyFunSuite {
       case 14 => UnaryFn(
         r.oneOf(Seq("abs", "ceil", "floor", "sqrt", "exp", "ln", "log2",
           "log10", "sgn", "hour", "minute", "day_of_week", "day_of_month",
-          "month", "year")), gen(r, depth - 1))
+          "month", "year", "sin", "cos", "tan", "asin", "acos", "atan",
+          "sinh", "cosh", "tanh", "deg", "rad")), gen(r, depth - 1))
       case 15 => r.int(3) match {
         case 0 => Clamp(gen(r, depth - 1), Some(r.oneOf(scalars)),
           Some(r.oneOf(scalars)))

@@ -712,6 +712,26 @@ class PromEvalSpec extends SparkSpec {
     assert(nan.length == 2 && nan.forall(_._2.isNaN))
   }
 
+  test("trig family evaluates pointwise (spec-only, libm rule)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = Seq(("m", Map("i" -> "a"), 0.5, 990L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def eval(q: String): Double = graft.promql.PromEval
+      .evalInstant(m, graft.promql.PromParser.parse(q), 1000L)
+      .collect().map(_.getAs[Double]("value")).head
+    assert(eval("sin(m)") == math.sin(0.5))
+    assert(eval("cos(m)") == math.cos(0.5))
+    assert(eval("atan(tan(m))") == math.atan(math.tan(0.5)))
+    assert(eval("asin(m)") == math.asin(0.5))
+    assert(eval("tanh(m)") == math.tanh(0.5))
+    assert(eval("deg(m)") == math.toDegrees(0.5))
+    assert(eval("rad(deg(m))") == 0.5)
+    // parenthesized: the repo's arithmetic chain is uniform-precedence
+    assert(eval("(cosh(m) * cosh(m)) - (sinh(m) * sinh(m))") > 0.999)
+  }
+
   test("holt_winters reproduces the Prometheus recursion exactly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
