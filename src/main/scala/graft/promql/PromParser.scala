@@ -412,6 +412,13 @@ object PromParser {
       case TId("count_values") => parseCountValues()
       case TId("scalar") =>
         expectSym("("); val e = parseSetOp(); expectSym(")"); ScalarFn(e)
+      case TId("sort") | TId("sort_desc") =>
+        // presentation-order only in Prometheus: the sample SET is
+        // unchanged, and this engine's results are unordered relations
+        // (the reference lands them in a database) — so sort parses and
+        // evaluates as identity. Stated deviation: an API layer that
+        // must render ordered output re-sorts at the edge.
+        expectSym("("); val e = parseSetOp(); expectSym(")"); e
       case TId("vector") =>
         expectSym("(")
         val v = pop() match {

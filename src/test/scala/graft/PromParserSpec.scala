@@ -228,10 +228,15 @@ class PromParserSpec extends AnyFunSuite {
 
   test("rejects what the reference never shipped") {
     intercept[IllegalArgumentException](PromParser.parse("x[5m]")) // bare range
-    intercept[IllegalArgumentException](PromParser.parse("sort_desc(x)"))
     intercept[IllegalArgumentException](PromParser.parse("x /")) // trailing op
     intercept[IllegalArgumentException](
       PromParser.parse("histogram_quantile(1.5, b)")) // q out of range
+  }
+
+  test("sort/sort_desc parse as identity over an unordered relation") {
+    assert(PromParser.parse("sort(x)") == Selector("x"))
+    assert(PromParser.parse("sort_desc(sum by (u) (x))") ==
+      PromParser.parse("sum by (u) (x)"))
   }
 }
 
