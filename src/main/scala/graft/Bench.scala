@@ -40,6 +40,7 @@ object Bench {
         }
       }
       spark.catalog.clearCache() // drop tiny-sf data; compiled code stays hot
+      graft.ext.CacheScope.drain() // already evicted above; clears the registry
     }
     // fill the fact-frame cache at the target sf (engine startup warms
     // the buffer pool) so the one-time ingest doesn't land on an
@@ -63,6 +64,9 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         if (ok) sec else -sec
       }
+      // release per-query deferred caches before the next query is timed:
+      // a leaked shingle cache would both skew memory and help a repeat run
+      graft.ext.CacheScope.drain()
       name -> (if (runs.exists(_ < 0)) -runs.map(math.abs).max
                else runs.min)
     }
@@ -89,19 +93,25 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // chars for the inline queries map: the full line must stay under the
-    // ~2000-char tail minus sbt's "[info] " prefix, its trailing
-    // "[success] Total time" line, and ~200 chars of fixed JSON fields
-    val budget = 1300
+    // The printed line must survive the harness's ~2000-char stdout tail AND
+    // parse as JSON: keep it well under 1 kB, make it the LAST thing on
+    // stdout (after spark.stop(), whose shutdown chatter goes to stderr),
+    // and carry only the top-slowest queries inline — the full map lives in
+    // BENCH_FULL.json. The budget loop breaks at the first entry that does
+    // not fit so the inline map is a strict slowest-first prefix.
+    val budget = 400
     val inline = new StringBuilder
     var omitted = 0
+    var full = false
     slowestFirst.foreach { case (k, v) =>
       val entry = (if (inline.nonEmpty) "," else "") + "\"" + k + "\":" + ms(v)
-      if (inline.length + entry.length <= budget) inline.append(entry)
-      else omitted += 1
+      if (!full && inline.length + entry.length <= budget) inline.append(entry)
+      else { full = true; omitted += 1 }
     }
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":{${inline.result()}},"queries_omitted":$omitted,"full":"BENCH_FULL.json","failed":$failedJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":{${inline.result()}},"queries_omitted":$omitted,"full":"BENCH_FULL.json","failed":$failedJson,"sf":"$sfDir"}"""
     spark.stop()
+    System.out.println(line)
+    System.out.flush()
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -69,8 +69,10 @@ object Dedup {
     // the tokenize+explode+md5 shingle pipeline feeds the df cap AND
     // three downstream consumers (sizes, both self-join sides) — persist
     // it once instead of recomputing it per consumer (the same pattern
-    // minhashLsh uses; ~35% of this query's time was re-shingling)
-    val sh = shingles.persist()
+    // minhashLsh uses; ~35% of this query's time was re-shingling).
+    // Lifetime: the returned frame is lazy, so release happens at the
+    // session's next CacheScope.drain(), not here.
+    val sh = CacheScope.register(shingles.persist())
     val capped =
       if (dfCap == Int.MaxValue) sh
       else {

@@ -48,7 +48,7 @@ object PromEval {
       val g1 = (atEpochSec / step) * step
       evalGrid(metrics, inner, g0, g1, step, lookbackSec)
         .groupBy(col("skey")).agg(overTimeAgg(fn, col("g")).as("value"))
-    case VecBin(op, l, r, on, ignoring, groupSide)
+    case VecBin(op, l, r, on, ignoring, groupSide, _)
         if scalarish(l) != scalarish(r) =>
       // vector op scalar-expression: the scalar side is ONE row by
       // construction, so the pairing is an explicit broadcast cross
@@ -74,15 +74,18 @@ object PromEval {
             else arith2(col("value"), op, col("scv"))
           vf.crossJoin(sf).select(col("skey"), value.as("value"))
       }
-    case VecBin(op, l, r, on, ignoring, groupSide) =>
+    case VecBin(op, l, r, on, ignoring, groupSide, groupLabels) =>
       vecBin(evalInstant(metrics, l, atEpochSec, lookbackSec),
         evalInstant(metrics, r, atEpochSec, lookbackSec), op, on, ignoring,
-        groupSide)
-    case VecCmp(op, l, r, isBool) if scalarish(l) != scalarish(r) =>
+        groupSide, groupLabels)
+    case VecCmp(op, l, r, isBool, on, ignoring)
+        if scalarish(l) != scalarish(r) =>
       // vector-scalar comparison: filters the vector (or scores it with
       // bool) against the scalar side's single broadcast value — the
       // Prometheus semantics the equi-join form would silently miss,
       // since the scalar side's key is '{}' (ADVICE r5, medium)
+      require(on.isEmpty && ignoring.isEmpty,
+        "on/ignoring are invalid with a scalar-typed comparison operand")
       val scalarOnLeft = scalarish(l)
       val (vec, sc) = if (scalarOnLeft) (r, l) else (l, r)
       val vf = evalInstant(metrics, vec, atEpochSec, lookbackSec)
@@ -94,18 +97,10 @@ object PromEval {
       val joined = vf.crossJoin(sf)
       if (isBool) joined.select(col("skey"), pred.as("value"))
       else joined.filter(pred === 1.0).select(col("skey"), col("value"))
-    case VecCmp(op, l, r, isBool) =>
-      // matched on the full series key; equi-join, broadcastable when one
-      // side is small — same shape as the bare VecBin
-      val lf = evalInstant(metrics, l, atEpochSec, lookbackSec)
-        .select(col("skey"), col("value").as("lv"))
-      val rf = evalInstant(metrics, r, atEpochSec, lookbackSec)
-        .select(col("skey"), col("value").as("rv"))
-      val pred = PromOps.cmpCol(col("lv"), op, col("rv"))
-      val joined = lf.join(rf, "skey")
-      if (isBool) joined.select(col("skey"), pred.as("value"))
-      else joined.filter(pred === 1.0)
-        .select(col("skey"), col("lv").as("value"))
+    case VecCmp(op, l, r, isBool, on, ignoring) =>
+      vecCmp(evalInstant(metrics, l, atEpochSec, lookbackSec),
+        evalInstant(metrics, r, atEpochSec, lookbackSec), op, isBool, on,
+        ignoring)
     case TopK(fn, k, inner, by, without) =>
       topk(evalInstant(metrics, inner, atEpochSec, lookbackSec), fn, k, by, without)
     case QuantileOverTime(q, sel, w) =>
@@ -199,17 +194,20 @@ object PromEval {
         sel.evalAt(atEpochSec), lookbackSec)
         .select(col("skey"), col("e").cast("double").as("value"))
     case Absent(sel) =>
-      // alerting primitive: exactly one (label-less) 1.0 iff no series
-      // matched — a count aggregate, usable as a subquery leaf
+      // alerting primitive: exactly one 1.0 iff no series matched — a
+      // count aggregate, usable as a subquery leaf. The output labels
+      // are derived from the selector's EQUALITY matchers (they are what
+      // alert routing keys on), as Prometheus does.
       evalInstant(metrics, sel, atEpochSec, lookbackSec)
         .agg(count(lit(1)).as("n")).filter(col("n") === 0)
-        .select(lit("{}").as("skey"), lit(1.0).as("value"))
+        .select(lit(absentKey(sel)).as("skey"), lit(1.0).as("value"))
     case AbsentOT(sel, w) =>
-      // 1 iff the RANGE is empty: no sample from any matching series
+      // 1 iff the RANGE is empty: no sample from any matching series;
+      // labels from the equality matchers, as for absent()
       PromOps.rangeSelector(matcherFilter(metrics, sel), sel.name,
         sel.evalAt(atEpochSec), w)
         .agg(count(lit(1)).as("n")).filter(col("n") === 0)
-        .select(lit("{}").as("skey"), lit(1.0).as("value"))
+        .select(lit(absentKey(sel)).as("skey"), lit(1.0).as("value"))
     case HoltWinters(sel, w, sf, tf) =>
       PromOps.holtWinters(matcherFilter(metrics, sel), sel.name,
         sel.evalAt(atEpochSec), w, sf, tf)
@@ -237,7 +235,7 @@ object PromEval {
   private def scalarish(e: Expr): Boolean = e match {
     case _: ScalarFn | _: VectorLit | _: TimeFn | _: NumLit => true
     case Arith(i, _, _) => scalarish(i)
-    case VecBin(_, l, r, None, None, None) => scalarish(l) && scalarish(r)
+    case VecBin(_, l, r, None, None, None, _) => scalarish(l) && scalarish(r)
     case _ => false
   }
 
@@ -295,29 +293,37 @@ object PromEval {
 
   private def seriesKeyOf(labels: Column): Column = PromOps.seriesKey(labels)
 
-  /** Vector-vector arithmetic, one-to-one. The match key is the full
-    * series key (bare op), the kept-label key (`on`), or the
-    * complement-label key (`ignoring`); with a modifier the output series
-    * carries the match key as its label set, as Prometheus does for
-    * one-to-one matches. The join is a plain equi-join on the key —
-    * broadcastable when one side is small, shuffle-hash otherwise; no
-    * label explosion, no cross join.
+  /** The vector-matching key: the full series key (bare op), the
+    * kept-label key (`on`), or the complement-label key (`ignoring`).
+    */
+  private def matchKey(on: Option[Seq[String]],
+      ignoring: Option[Seq[String]]): Column = (on, ignoring) match {
+    case (Some(ls), _) =>
+      val keep = array(ls.map(lit): _*)
+      PromOps.seriesKey(map_filter(PromOps.labelsOf(col("skey")),
+        (k, _) => array_contains(keep, k)))
+    case (_, Some(ls)) =>
+      val drop = array(ls.map(lit): _*)
+      PromOps.seriesKey(map_filter(PromOps.labelsOf(col("skey")),
+        (k, _) => !array_contains(drop, k)))
+    case _ => col("skey")
+  }
+
+  /** Vector-vector arithmetic, one-to-one. With a matching modifier the
+    * output series carries the match key as its label set, as Prometheus
+    * does for one-to-one matches. The join is a plain equi-join on the
+    * key — broadcastable when one side is small, shuffle-hash otherwise;
+    * no label explosion, no cross join. `groupLabels` is the
+    * `group_left(version)` label-copy list: the listed labels are copied
+    * from the ONE side onto each output series (missing labels remove
+    * the label, Prometheus's overwrite rule).
     */
   private def vecBin(left: DataFrame, right: DataFrame, op: String,
       on: Option[Seq[String]], ignoring: Option[Seq[String]],
       groupSide: Option[String] = None,
+      groupLabels: Seq[String] = Nil,
       extraKeys: Seq[String] = Nil): DataFrame = {
-    val mkey: Column = (on, ignoring) match {
-      case (Some(ls), _) =>
-        val keep = array(ls.map(lit): _*)
-        PromOps.seriesKey(map_filter(PromOps.labelsOf(col("skey")),
-          (k, _) => array_contains(keep, k)))
-      case (_, Some(ls)) =>
-        val drop = array(ls.map(lit): _*)
-        PromOps.seriesKey(map_filter(PromOps.labelsOf(col("skey")),
-          (k, _) => !array_contains(drop, k)))
-      case _ => col("skey")
-    }
+    val mkey = matchKey(on, ignoring)
     // `extraKeys` (the grid point for range evaluation) ride along in
     // every join/group key, so a range binop matches per (series, point)
     val extras = extraKeys.map(col)
@@ -336,24 +342,66 @@ object PromEval {
         // ENFORCED: a duplicate match key raises at execution (Prometheus
         // errors on many-to-many matches rather than multiplying rows).
         // assert_true returns NULL when the guard holds, so the filter
-        // keeps every row while pinning the check into the plan.
+        // keeps every row while pinning the check into the plan. The
+        // label-copy values ride the same one-row-per-key aggregate, so
+        // the copy costs nothing beyond the columns themselves.
         val (many, one) = if (side == "left") (left, right) else (right, left)
         val mf = many.select(col("skey") +: mkey.as("mkey") +: extras :+
           col("value").as("manyv"): _*)
-        val of = one.select(mkey.as("mkey") +: extras :+
+        val oneLabels = PromOps.labelsOf(col("skey"))
+        val copySel = groupLabels.zipWithIndex.map { case (lbl, i) =>
+          oneLabels.getItem(lbl).as(s"cp$i") }
+        val copyCols = groupLabels.indices.map(i => col(s"cp$i"))
+        val aggs = Seq(min(col("onev")).as("onev"),
+          count(lit(1)).as("nmatch")) ++
+          groupLabels.indices.map(i => min(col(s"cp$i")).as(s"cp$i"))
+        val of = one.select(Seq(mkey.as("mkey")) ++ extras ++ copySel :+
           col("value").as("onev"): _*)
           .groupBy(col("mkey") +: extras: _*)
-          .agg(min(col("onev")).as("onev"), count(lit(1)).as("nmatch"))
+          .agg(aggs.head, aggs.tail: _*)
           .filter(assert_true(col("nmatch") === 1,
             concat(lit("many-to-many matching: duplicate 'one'-side series for key "),
               col("mkey"))).isNull)
-          .select(col("mkey") +: extras :+ col("onev"): _*)
+          .select(Seq(col("mkey")) ++ extras ++ copyCols :+ col("onev"): _*)
         val joined = mf.join(of, "mkey" +: extraKeys)
         val value =
           if (side == "left") arith2(col("manyv"), op, col("onev"))
           else arith2(col("onev"), op, col("manyv"))
-        joined.select(col("skey") +: extras :+ value.as("value"): _*)
+        val outKey =
+          if (groupLabels.isEmpty) col("skey")
+          else PromOps.seriesKey(
+            groupLabels.zipWithIndex.foldLeft(PromOps.labelsOf(col("skey"))) {
+              case (lbls, (lbl, i)) => setLabel(lbls, lbl, col(s"cp$i"))
+            })
+        joined.select(outKey.as("skey") +: extras :+ value.as("value"): _*)
     }
+  }
+
+  /** Vector-vector comparison: equi-join on the match key. Without
+    * `bool` the LEFT series survives with its full label set and value
+    * when the predicate holds (the filtering form); with `bool` every
+    * matched pair scores 1/0, and under a matching modifier the output
+    * carries the match key as its label set (the one-to-one output-label
+    * rule). Broadcastable when one side is small. Stated deviation, same
+    * as [[vecBin]]'s bare form: duplicate match keys are not
+    * detected-and-errored — the join pairs every match.
+    */
+  private def vecCmp(left: DataFrame, right: DataFrame, op: String,
+      isBool: Boolean, on: Option[Seq[String]],
+      ignoring: Option[Seq[String]], extraKeys: Seq[String] = Nil): DataFrame = {
+    val mkey = matchKey(on, ignoring)
+    val extras = extraKeys.map(col)
+    val lf = left.select(Seq(col("skey"), mkey.as("mkey")) ++ extras :+
+      col("value").as("lv"): _*)
+    val rf = right.select(mkey.as("mkey") +: extras :+ col("value").as("rv"): _*)
+    val joined = lf.join(rf, "mkey" +: extraKeys)
+    val pred = PromOps.cmpCol(col("lv"), op, col("rv"))
+    if (isBool) {
+      val outKey =
+        if (on.isEmpty && ignoring.isEmpty) col("skey") else col("mkey")
+      joined.select(outKey.as("skey") +: extras :+ pred.as("value"): _*)
+    } else joined.filter(pred === 1.0)
+      .select(col("skey") +: extras :+ col("lv").as("value"): _*)
   }
 
   /** topk/bottomk: whole-series selection, deterministic skey tie-break.
@@ -458,7 +506,7 @@ object PromEval {
       val base = PromOps.rateOverGrid(matcherFilter(metrics, sel), sel.name,
         g0 - off, g1 - off, stepSec, w, kind)
       if (off == 0) base else base.withColumn("g", col("g") + off)
-    case VecBin(op, l, r, on, ignoring, groupSide)
+    case VecBin(op, l, r, on, ignoring, groupSide, _)
         if scalarish(l) != scalarish(r) =>
       // vector op scalar per grid point: the scalar side is one row per
       // point, so the pairing is a broadcast equi-join on g alone
@@ -481,11 +529,11 @@ object PromEval {
             else arith2(col("value"), op, col("scv"))
           vf.join(sf, "g").select(col("skey"), col("g"), value.as("value"))
       }
-    case VecBin(op, l, r, on, ignoring, groupSide) =>
+    case VecBin(op, l, r, on, ignoring, groupSide, groupLabels) =>
       // per-point vector matching: the ratio-of-rates range panel
       vecBin(evalGrid(metrics, l, g0, g1, stepSec, lookbackSec),
         evalGrid(metrics, r, g0, g1, stepSec, lookbackSec), op, on,
-        ignoring, groupSide, extraKeys = Seq("g"))
+        ignoring, groupSide, groupLabels, extraKeys = Seq("g"))
     case UnaryFn(fn, inner) =>
       evalGrid(metrics, inner, g0, g1, stepSec, lookbackSec)
         .withColumn("value", unary(fn, col("value")))
@@ -495,8 +543,11 @@ object PromEval {
     case Clamp(inner, lo, hi) =>
       evalGrid(metrics, inner, g0, g1, stepSec, lookbackSec)
         .withColumn("value", clampValue(lo, hi))
-    case VecCmp(op, l, r, isBool) if scalarish(l) != scalarish(r) =>
+    case VecCmp(op, l, r, isBool, on, ignoring)
+        if scalarish(l) != scalarish(r) =>
       // vector-scalar comparison per grid point (see the instant twin)
+      require(on.isEmpty && ignoring.isEmpty,
+        "on/ignoring are invalid with a scalar-typed comparison operand")
       val scalarOnLeft = scalarish(l)
       val (vec, sc) = if (scalarOnLeft) (r, l) else (l, r)
       val vf = evalGrid(metrics, vec, g0, g1, stepSec, lookbackSec)
@@ -509,16 +560,10 @@ object PromEval {
       if (isBool) joined.select(col("skey"), col("g"), pred.as("value"))
       else joined.filter(pred === 1.0)
         .select(col("skey"), col("g"), col("value"))
-    case VecCmp(op, l, r, isBool) =>
-      val lf = evalGrid(metrics, l, g0, g1, stepSec, lookbackSec)
-        .select(col("skey"), col("g"), col("value").as("lv"))
-      val rf = evalGrid(metrics, r, g0, g1, stepSec, lookbackSec)
-        .select(col("skey"), col("g"), col("value").as("rv"))
-      val pred = PromOps.cmpCol(col("lv"), op, col("rv"))
-      val joined = lf.join(rf, Seq("skey", "g"))
-      if (isBool) joined.select(col("skey"), col("g"), pred.as("value"))
-      else joined.filter(pred === 1.0)
-        .select(col("skey"), col("g"), col("lv").as("value"))
+    case VecCmp(op, l, r, isBool, on, ignoring) =>
+      vecCmp(evalGrid(metrics, l, g0, g1, stepSec, lookbackSec),
+        evalGrid(metrics, r, g0, g1, stepSec, lookbackSec), op, isBool, on,
+        ignoring, extraKeys = Seq("g"))
     case SetOp(op, l, r) =>
       // per-point set semantics on the series key
       val lf = evalGrid(metrics, l, g0, g1, stepSec, lookbackSec)
@@ -562,7 +607,7 @@ object PromEval {
         g0, g1, stepSec, lookbackSec).select(col("g")).distinct()
       gridFrame(metrics, g0, g1, stepSec)
         .join(broadcast(present), Seq("g"), "left_anti")
-        .withColumn("value", lit(1.0))
+        .select(lit(absentKey(sel)).as("skey"), col("g"), lit(1.0).as("value"))
     case AbsentOT(sel, w) =>
       require(sel.atSec.isEmpty && sel.offsetSec == 0,
         "modifiers on a grid absent_over_time() are unsupported (stated)")
@@ -570,7 +615,7 @@ object PromEval {
         g0, g1, stepSec, w).select(col("g")).distinct()
       gridFrame(metrics, g0, g1, stepSec)
         .join(broadcast(present), Seq("g"), "left_anti")
-        .withColumn("value", lit(1.0))
+        .select(lit(absentKey(sel)).as("skey"), col("g"), lit(1.0).as("value"))
     case HistQuantile(q, inner) =>
       PromOps.histogramQuantile(
         evalGrid(metrics, inner, g0, g1, stepSec, lookbackSec),
@@ -615,6 +660,24 @@ object PromEval {
         .select(col("skey"), col("g"), col("value"))
     case other =>
       throw new IllegalArgumentException(s"unsupported grid expr: $other")
+  }
+
+  /** absent()/absent_over_time() output labels: the selector's equality
+    * matchers as a canonical series key (sorted by label, same JSON shape
+    * as [[PromOps.seriesKey]]) — they are compile-time constants, so the
+    * key is built driver-side. Duplicate matcher names keep the last
+    * occurrence; non-equality matchers contribute nothing, per
+    * Prometheus.
+    */
+  private def absentKey(sel: Selector): String = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+    sel.eq.toMap.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
   }
 
   /** One (skey='{}', g) row per aligned grid point — the dense backbone

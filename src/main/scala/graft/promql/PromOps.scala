@@ -535,15 +535,23 @@ object PromOps {
   def boolCmp(value: Column, op: String, scalar: Double): Column =
     cmpCol(value, op, lit(scalar))
 
-  /** Comparison against an arbitrary column RHS (vector-vector form). */
+  /** Comparison against an arbitrary column RHS (vector-vector form),
+    * with IEEE-754 NaN semantics as Prometheus computes them: every
+    * ordered comparison and `==` involving NaN is FALSE, and `!=`
+    * involving NaN is TRUE. Spark's native comparison operators instead
+    * use SQL total ordering (NaN sorts greatest and equals itself), which
+    * is reachable here — `scalar()` yields NaN by design when its inner
+    * vector has ≠ 1 series — so the NaN cases are routed explicitly.
+    */
   def cmpCol(value: Column, op: String, rhs: Column): Column = {
+    val anyNaN = isnan(value) || isnan(rhs)
     val cond = op match {
-      case "==" => value === rhs
-      case "!=" => value =!= rhs
-      case ">"  => value > rhs
-      case ">=" => value >= rhs
-      case "<"  => value < rhs
-      case "<=" => value <= rhs
+      case "==" => !anyNaN && value === rhs
+      case "!=" => anyNaN || value =!= rhs
+      case ">"  => !anyNaN && (value > rhs)
+      case ">=" => !anyNaN && (value >= rhs)
+      case "<"  => !anyNaN && (value < rhs)
+      case "<=" => !anyNaN && (value <= rhs)
       case _    => throw new IllegalArgumentException(s"bad comparison op: $op")
     }
     cond.cast("double")

@@ -38,14 +38,21 @@ object PromParser {
     */
   final case class FilterCmp(inner: Expr, op: String, scalar: Double) extends Expr
   /** Vector-vector comparison `l op r`, matched on the full series key
-    * (on/ignoring modifiers are not supported for comparisons — stated).
-    * Without `bool` it filters: keeps the left series whose value
-    * satisfies the predicate against the matched right value, value
-    * unchanged. With `bool` it returns 1/0 for every matched pair.
-    * Unmatched series drop, as in Prometheus.
+    * (bare form), the kept-label key (`on`), or the complement-label key
+    * (`ignoring`) — the `errors / on(instance) total > 0.01` alert idiom
+    * composes FilterCmp-style thresholds with cross-metric matching.
+    * Without `bool` it filters: keeps the left series (full label set)
+    * whose value satisfies the predicate against the matched right
+    * value, value unchanged. With `bool` it returns 1/0 per matched
+    * pair; under a matching modifier the output series carries the match
+    * key as its label set (the one-to-one output-label rule). Unmatched
+    * series drop, as in Prometheus. Stated deviation (same as
+    * [[VecBin]]'s): duplicate match keys are not detected-and-errored —
+    * the join simply pairs every match.
     */
   final case class VecCmp(op: String, left: Expr, right: Expr,
-      bool: Boolean) extends Expr
+      bool: Boolean, on: Option[Seq[String]] = None,
+      ignoring: Option[Seq[String]] = None) extends Expr
   final case class Agg(fn: String, inner: Expr,
       by: Seq[String] = Nil, without: Seq[String] = Nil) extends Expr
   /** fn_over_time over a plain range selector `sel[window]` */
@@ -70,10 +77,15 @@ object PromParser {
   final case class VecBin(op: String, left: Expr, right: Expr,
       on: Option[Seq[String]] = None,
       ignoring: Option[Seq[String]] = None,
-      groupSide: Option[String] = None) extends Expr // "left" | "right":
-  // many-to-one matching — the named side is the MANY side and keeps its
-  // full label set in the result (bare group_left/group_right only; the
-  // label-copying form group_left(lbl) is not supported — stated)
+      groupSide: Option[String] = None, // "left" | "right": many-to-one
+      // matching — the named side is the MANY side and keeps its full
+      // label set in the result
+      groupLabels: Seq[String] = Nil) extends Expr
+  // groupLabels: the label-copying form `group_left(version)` — the
+  // listed labels are copied from the ONE side onto each output series
+  // (the metadata-join idiom `* on(instance) group_left(version)
+  // build_info`); a label the one side lacks is removed from the output,
+  // matching Prometheus's overwrite semantics
   /** `topk(k, expr)` / `bottomk(k, expr)`, optionally grouped `by`/
     * `without` — selects whole series, preserving their label sets.
     * Ties break on the canonical series key (Prometheus leaves tie order
@@ -291,12 +303,19 @@ object PromParser {
         case _ => false
       }) {
         val TSym(op) = pop(): @unchecked
+        // modifier order per the Prometheus grammar: bool first, then a
+        // matching clause — `a != bool on(job) b`
         val isBool = peek.contains(TId("bool"))
         if (isBool) pop()
+        val (on, ignoring) = peek match {
+          case Some(TId("on")) => pop(); (Some(labelList()), None)
+          case Some(TId("ignoring")) => pop(); (None, Some(labelList()))
+          case _ => (None, None)
+        }
         e = parseArith() match {
-          case Folded(v) =>
+          case Folded(v) if on.isEmpty && ignoring.isEmpty =>
             if (isBool) BoolCmp(e, op, v) else FilterCmp(e, op, v)
-          case rhs => VecCmp(op, e, rhs, bool = isBool)
+          case rhs => VecCmp(op, e, rhs, bool = isBool, on, ignoring)
         }
       }
       e
@@ -319,13 +338,14 @@ object PromParser {
             e = Arith(e, op, v)
           case Some(TId("on")) =>
             pop(); val ls = labelList()
-            val gs = parseGroupSide() // binds between the clause and the rhs
-            e = VecBin(op, e, parsePrimary(), on = Some(ls), groupSide = gs)
+            val (gs, gl) = parseGroupSide() // binds between the clause and the rhs
+            e = VecBin(op, e, parsePrimary(), on = Some(ls), groupSide = gs,
+              groupLabels = gl)
           case Some(TId("ignoring")) =>
             pop(); val ls = labelList()
-            val gs = parseGroupSide()
+            val (gs, gl) = parseGroupSide()
             e = VecBin(op, e, parsePrimary(), ignoring = Some(ls),
-              groupSide = gs)
+              groupSide = gs, groupLabels = gl)
           case _ =>
             e = VecBin(op, e, parsePrimary())
         }
@@ -692,11 +712,18 @@ object PromParser {
       out.result()
     }
 
-    /** bare `group_left` / `group_right` after a matching clause */
-    private def parseGroupSide(): Option[String] = peek match {
-      case Some(TId("group_left")) => pop(); Some("left")
-      case Some(TId("group_right")) => pop(); Some("right")
-      case _ => None
+    /** `group_left` / `group_right` after a matching clause, with the
+      * optional label-copy list: `group_left(version, revision)`.
+      */
+    private def parseGroupSide(): (Option[String], Seq[String]) = peek match {
+      case Some(TId("group_left")) => pop(); (Some("left"), maybeLabelList())
+      case Some(TId("group_right")) => pop(); (Some("right"), maybeLabelList())
+      case _ => (None, Nil)
+    }
+
+    private def maybeLabelList(): Seq[String] = peek match {
+      case Some(TSym("(")) => labelList()
+      case _ => Nil
     }
 
     /** `offset <duration>` and/or `@ <unix_ts>`, any order, else as-is */
@@ -749,7 +776,7 @@ object PromParser {
   def constFold(e: Expr): Option[Double] = e match {
     case NumLit(v) => Some(v)
     case Arith(i, op, v) => constFold(i).map(applyOp(_, op, v))
-    case VecBin(op, l, r, None, None, None) =>
+    case VecBin(op, l, r, None, None, None, _) =>
       for (lv <- constFold(l); rv <- constFold(r)) yield applyOp(lv, op, rv)
     case _ => None
   }
@@ -776,11 +803,11 @@ object PromParser {
     case RangePlaceholder(_, _) => true
     case BoolCmp(i, _, _) => containsPlaceholder(i)
     case FilterCmp(i, _, _) => containsPlaceholder(i)
-    case VecCmp(_, l, r, _) => containsPlaceholder(l) || containsPlaceholder(r)
+    case VecCmp(_, l, r, _, _, _) => containsPlaceholder(l) || containsPlaceholder(r)
     case Agg(_, i, _, _) => containsPlaceholder(i)
     case Arith(i, _, _) => containsPlaceholder(i)
     case OverTimeSubquery(_, i, _, _) => containsPlaceholder(i)
-    case VecBin(_, l, r, _, _, _) => containsPlaceholder(l) || containsPlaceholder(r)
+    case VecBin(_, l, r, _, _, _, _) => containsPlaceholder(l) || containsPlaceholder(r)
     case TopK(_, _, i, _, _) => containsPlaceholder(i)
     case HistQuantile(_, i) => containsPlaceholder(i)
     case UnaryFn(_, i) => containsPlaceholder(i)

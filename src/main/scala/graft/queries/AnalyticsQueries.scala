@@ -450,19 +450,21 @@ object AnalyticsQueries {
     * window is dropped on read-back. The decimal sum lives in streaming
     * state, so partial aggregation order cannot perturb the result.
     */
-  /** Run `f` with the shuffle-partition count lowered for a streaming
-    * query: the stateful operators create (and checkpoint) one state
-    * store per shuffle partition PER MICRO-BATCH, so a keyed stream
-    * whose state is small pays pure file-I/O overhead for every extra
-    * partition. 8 is sized to the fixture's key cardinality; a
-    * production deployment sizes it to throughput, not to the session
-    * default. The conf is restored even on failure.
+  /** Run `f` against a DEDICATED session whose shuffle-partition count is
+    * lowered for a streaming query: the stateful operators create (and
+    * checkpoint) one state store per shuffle partition PER MICRO-BATCH,
+    * so a keyed stream whose state is small pays pure file-I/O overhead
+    * for every extra partition. 8 is sized to the fixture's key
+    * cardinality; a production deployment sizes it to throughput, not to
+    * the session default. `newSession` shares the SparkContext and cache
+    * but owns its conf, so concurrent batch queries in the parent session
+    * can never observe the temporary value (the old set/restore on the
+    * shared conf was not thread-safe).
     */
-  private def withStreamPartitions[A](spark: SparkSession)(f: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try f finally spark.conf.set(key, old)
+  private def withStreamSession[A](spark: SparkSession)(f: SparkSession => A): A = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    f(ss)
   }
 
   def hourlyAvgStream(spark: SparkSession, sfDir: String): DataFrame = {
@@ -475,8 +477,8 @@ object AnalyticsQueries {
         lit(Te + 7200L).as("e"), lit(0.0).as("value")))
       .coalesce(1) // one file -> one deterministic micro-batch
       .write.parquet(s"$work/in")
-    withStreamPartitions(spark) {
-      spark.readStream
+    withStreamSession(spark) { ss =>
+      ss.readStream
         .schema("metric_name STRING, e LONG, value DOUBLE")
         .parquet(s"$work/in")
         .withColumn("ts", timestamp_seconds(col("e")))
@@ -533,8 +535,8 @@ object AnalyticsQueries {
       .coalesce(1) // one file -> one deterministic micro-batch
       .write.parquet(s"$work/in")
     import SessionizeStream._
-    withStreamPartitions(spark) {
-      val stream = spark.readStream
+    withStreamSession(spark) { ss =>
+      val stream = ss.readStream
         .schema("user_id LONG, event_type STRING, ts TIMESTAMP")
         .parquet(s"$work/in")
         .as[SessionEvent](evEnc)

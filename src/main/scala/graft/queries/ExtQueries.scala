@@ -115,8 +115,9 @@ object ExtQueries {
     val isEval = col("source") === "src0"
     val ids = docs(spark, sfDir).select(col("doc_id"), col("source"))
     // the 8-token shingle explode feeds the df cap and both join sides —
-    // persist it once (same pattern as jaccardPairs/minhashLsh)
-    val tagged = sh.join(ids, "doc_id").persist()
+    // persist it once (same pattern as jaccardPairs/minhashLsh); released
+    // at the session's next CacheScope.drain()
+    val tagged = graft.ext.CacheScope.register(sh.join(ids, "doc_id").persist())
     val keep = tagged.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 64).select(col("h"))
     val capped = tagged.join(keep, "h")
@@ -553,6 +554,7 @@ object ExtQueries {
       .select(col("doc_id"), col("component"),
         (col("doc_id") =!= col("component")).cast("boolean").as("is_dup"))
       .persist()
+    graft.ext.CacheScope.register(out)
     out.count()
     repComp.unpersist(false)
     out
@@ -727,7 +729,7 @@ object ExtQueries {
     // result and RELEASE the shingle/signature caches — a long-lived
     // session running many queries must not accumulate per-query blocks
     // (at 100 TB a leaked shingle cache is executor-memory death)
-    val out = result.persist()
+    val out = graft.ext.CacheScope.register(result.persist())
     out.count()
     sh.unpersist(false)
     sigs.unpersist(false)

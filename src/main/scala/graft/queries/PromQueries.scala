@@ -1196,6 +1196,116 @@ object PromQueries {
         |SELECT c.u AS user, c.k AS k, cnt / tot AS value
         |FROM c JOIN t ON c.u = t.u""".stripMargin
 
+  /** Parsed vector-vector comparison with `on(user)` matching — the
+    * cross-metric alert idiom (`errors / on(instance) total > 0.01`
+    * family): per-(user, cluster) view counts thresholded against the
+    * per-user purchase total, matched on the user label alone. The
+    * filter form keeps the LEFT series with its full label set and
+    * value; counts are integer-exact in both engines.
+    */
+  def parsedVecCmpOn(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "sum by (user, cluster_name) (count_over_time(view[720h])) > on(user) " +
+        "sum by (user) (count_over_time(purchase[720h]))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), clusterLbl.as("cluster_name"), col("value"))
+  }
+
+  val parsedVecCmpOnOracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(user_id AS VARCHAR) AS u,
+       |         'c' || (user_id % 5) || '-r' || (user_id % 3) || '-z0' AS cl
+       |  FROM events
+       |  WHERE CAST(floor(epoch(ts)) AS BIGINT)
+       |        BETWEEN ${Te - 2592000 + 1} AND $Te
+       |), sv AS (SELECT u, cl, count(*) AS c FROM ev
+       |          WHERE event_type = 'view' GROUP BY u, cl),
+       |   sp AS (SELECT u, count(*) AS c FROM ev
+       |          WHERE event_type = 'purchase' GROUP BY u)
+       |SELECT sv.u AS user, sv.cl AS cluster_name,
+       |       CAST(sv.c AS DOUBLE) AS value
+       |FROM sv JOIN sp ON sv.u = sp.u WHERE sv.c > sp.c""".stripMargin
+
+  /** Parsed `group_left(cluster_name)` label-copy — the metadata-join
+    * idiom (`* on(instance) group_left(version) build_info`): per-(user,
+    * k) purchase counts annotated with the user's cluster_name copied
+    * from the one side, values multiplied by the user's max latest
+    * purchase value. The copy rides the one-row-per-key aggregate; the
+    * single count × max multiply is IEEE-deterministic.
+    */
+  def parsedGroupLeftLabel(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "sum by (user, k) (count_over_time(purchase[720h])) * on(user) " +
+        "group_left(cluster_name) " +
+        "max by (user, cluster_name) (last_over_time(purchase[720h]))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"),
+        clusterLbl.as("cluster_name"), col("value"))
+  }
+
+  val parsedGroupLeftLabelOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      """
+        |, c AS (SELECT u, k, CAST(count(*) AS DOUBLE) AS cnt
+        |        FROM s GROUP BY u, k),
+        |  latest AS (SELECT u, k, cl,
+        |             (max(struct_pack(e := e, v := v))).v AS v
+        |             FROM s GROUP BY u, k, cl),
+        |  m AS (SELECT u, cl, max(v) AS mx FROM latest GROUP BY u, cl)
+        |SELECT c.u AS user, c.k AS k, m.cl AS cluster_name,
+        |       c.cnt * m.mx AS value
+        |FROM c JOIN m ON c.u = m.u""".stripMargin
+
+  /** Parsed `sort_desc(...)` — presentation-order only in Prometheus;
+    * this engine's results are unordered relations, so sort evaluates as
+    * identity on the value SET (stated deviation; ordering semantics are
+    * pinned by a spec, the driver's hash gate is order-blind anyway).
+    */
+  def parsedSort(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "sort_desc(sum by (user) (count_over_time(purchase[720h])))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), col("value"))
+  }
+
+  val parsedSortOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      "\nSELECT u AS user, CAST(count(*) AS DOUBLE) AS value FROM s GROUP BY u"
+
+  /** Parsed subquery with a NON-DIVISOR step — `[720h:7h]`, where
+    * 720h % 7h ≠ 0: pins Prometheus's absolute step-alignment rule
+    * cross-engine (grid points are the multiples of 7h inside
+    * (Te−720h, Te], NOT offsets from the window start — with a
+    * non-divisor window the first grid point is NOT Te−720h-aligned).
+    * The inner count_over_time(view[7h]) buckets samples by aligned 7h
+    * windows (window == step, so each sample lands on exactly one grid
+    * point); the outer max_over_time takes each series' busiest bucket.
+    * Counts are integer-exact in both engines.
+    */
+  def parsedSubqueryStep(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "max_over_time(count_over_time(view[7h])[720h:7h])")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedSubqueryStepOracle: String = {
+    val step = 25200L
+    val g1 = (Te / step) * step
+    val g0 = ((Te - 2592000L) / step + 1) * step
+    sampleCte("view", g0 - step + 1, g1) +
+      s"""
+         |, b AS (
+         |  SELECT u, k, ((e + ${step - 1}) // $step) * $step AS gb,
+         |         count(*) AS c
+         |  FROM s
+         |  WHERE ((e + ${step - 1}) // $step) * $step BETWEEN $g0 AND $g1
+         |  GROUP BY u, k, gb
+         |)
+         |SELECT u AS user, k, CAST(max(c) AS DOUBLE) AS value
+         |FROM b GROUP BY u, k""".stripMargin
+  }
+
   /** Parsed `max by (uk) (label_join(last_over_time(purchase[720h]),
     * "uk", "|", "user", "k"))` — label manipulation end-to-end: the
     * synthesized uk label becomes the grouping key. Pure string
@@ -1404,19 +1514,22 @@ object PromQueries {
   /** Parsed `absent_over_time(purchase{cluster_name="c9-r9-z9"}[720h])` —
     * the "did it stop reporting" alert primitive, aimed at a cluster that
     * does not exist so the one-row absence path (not the empty result) is
-    * what both engines must produce.
+    * what both engines must produce. The output labels derive from the
+    * selector's equality matchers (Prometheus semantics — they are what
+    * alert routing keys on), so the result carries
+    * cluster_name="c9-r9-z9" and the gate checks it.
     */
   def parsedAbsentOt(spark: SparkSession, sfDir: String): DataFrame = {
     val expr = graft.promql.PromParser.parse(
       """absent_over_time(purchase{cluster_name="c9-r9-z9"}[720h])""")
     graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
-      .select(col("value"))
+      .select(clusterLbl.as("cluster_name"), col("value"))
   }
 
   val parsedAbsentOtOracle: String =
     sampleCte("purchase", Te - 2592000 + 1, Te) +
       """
-        |SELECT 1.0 AS value
+        |SELECT 'c9-r9-z9' AS cluster_name, 1.0 AS value
         |WHERE (SELECT count(*) FROM s WHERE cl = 'c9-r9-z9') = 0""".stripMargin
 
   /** Parsed `holt_winters(purchase[720h], 0.3, 0.5)` — double exponential
@@ -1462,6 +1575,12 @@ object PromQueries {
     "promql_parsed_at" -> ((parsedAt _, parsedAtOracle)),
     "promql_parsed_labeljoin" -> ((parsedLabelJoin _, parsedLabelJoinOracle)),
     "promql_parsed_groupleft" -> ((parsedGroupLeft _, parsedGroupLeftOracle)),
+    "promql_parsed_veccmp_on" -> ((parsedVecCmpOn _, parsedVecCmpOnOracle)),
+    "promql_parsed_groupleft_label" ->
+      ((parsedGroupLeftLabel _, parsedGroupLeftLabelOracle)),
+    "promql_parsed_sort" -> ((parsedSort _, parsedSortOracle)),
+    "promql_parsed_subquery_step" ->
+      ((parsedSubqueryStep _, parsedSubqueryStepOracle)),
     "promql_parsed_stddev" -> ((parsedStddev _, parsedStddevOracle)),
     "promql_parsed_resets" ->
       ((parsedResets("resets", "purchase") _, resetsOracle("purchase", "<"))),

@@ -41,15 +41,21 @@ class PromParserPropertySpec extends AnyFunSuite {
     case s: Selector => renderSel(s) + mods(s)
     case BoolCmp(i, op, v) => s"(${render(i)}) $op bool ${renderScalar(v)}"
     case FilterCmp(i, op, v) => s"(${render(i)}) $op ${renderScalar(v)}"
-    case VecCmp(op, l, r, b) =>
+    case VecCmp(op, l, r, b, on, ig) =>
       val bs = if (b) "bool " else ""
-      s"(${render(l)}) $op $bs(${render(r)})"
-    case Arith(i, op, v) => s"(${render(i)}) $op ${renderScalar(v)}"
-    case VecBin(op, l, r, on, ig, gs) =>
       val m = on.map(ls => s"on(${ls.mkString(", ")}) ")
         .orElse(ig.map(ls => s"ignoring(${ls.mkString(", ")}) "))
         .getOrElse("")
-      val g = gs.map(s => s"group_$s ").getOrElse("")
+      s"(${render(l)}) $op $bs$m(${render(r)})"
+    case Arith(i, op, v) => s"(${render(i)}) $op ${renderScalar(v)}"
+    case VecBin(op, l, r, on, ig, gs, gl) =>
+      val m = on.map(ls => s"on(${ls.mkString(", ")}) ")
+        .orElse(ig.map(ls => s"ignoring(${ls.mkString(", ")}) "))
+        .getOrElse("")
+      // an explicit (possibly empty) label list: a bare `group_left`
+      // followed by the parenthesized RHS would otherwise claim the
+      // paren as its label list — the same grammar quirk Prometheus has
+      val g = gs.map(s => s"group_$s(${gl.mkString(", ")}) ").getOrElse("")
       s"(${render(l)}) $op $m$g(${render(r)})"
     case SetOp(op, l, r) => s"(${render(l)}) $op (${render(r)})"
     case Agg(fn, i, by, wo) => s"$fn${clause(by, wo)}(${render(i)})"
@@ -133,7 +139,14 @@ class PromParserPropertySpec extends AnyFunSuite {
       case 0 => genSel(r, withMods = true)
       case 1 => BoolCmp(gen(r, depth - 1), r.oneOf(cmps), r.oneOf(scalars))
       case 2 => FilterCmp(gen(r, depth - 1), r.oneOf(cmps), r.oneOf(scalars))
-      case 3 => VecCmp(r.oneOf(cmps), gen(r, depth - 1), gen(r, depth - 1), r.bool)
+      case 3 =>
+        val (on, ig) = r.int(4) match {
+          case 0 => (Some(labelNames.take(1 + r.int(2))), None)
+          case 1 => (None, Some(labelNames.take(1 + r.int(2))))
+          case _ => (None, None)
+        }
+        VecCmp(r.oneOf(cmps), gen(r, depth - 1), gen(r, depth - 1), r.bool,
+          on, ig)
       case 4 => Arith(gen(r, depth - 1), r.oneOf(Seq("*", "/", "+", "-")),
         r.oneOf(scalars))
       case 5 =>
@@ -144,8 +157,10 @@ class PromParserPropertySpec extends AnyFunSuite {
         }
         val gs = if ((on.nonEmpty || ig.nonEmpty) && r.int(3) == 0)
           Some(r.oneOf(Seq("left", "right"))) else None
+        val gl = if (gs.nonEmpty && r.int(2) == 0)
+          labelNames.drop(2).take(1 + r.int(2)) else Nil
         VecBin(r.oneOf(Seq("*", "/", "+", "-")), gen(r, depth - 1),
-          gen(r, depth - 1), on, ig, gs)
+          gen(r, depth - 1), on, ig, gs, gl)
       case 6 => SetOp(r.oneOf(Seq("and", "or", "unless")),
         gen(r, depth - 1), gen(r, depth - 1))
       case 7 =>

@@ -77,24 +77,24 @@ class PromParserSpec extends AnyFunSuite {
   }
 
   test("vector-vector binops with on/ignoring and bare matching") {
-    val VecBin("/", Selector("a", _, _, _, _, _, _), Selector("b", _, _, _, _, _, _), Some(on), None, None) =
+    val VecBin("/", Selector("a", _, _, _, _, _, _), Selector("b", _, _, _, _, _, _), Some(on), None, None, _) =
       PromParser.parse("a / on(user) b"): @unchecked
     assert(on == Seq("user"))
-    val VecBin("+", _, _, None, Some(ig), None) =
+    val VecBin("+", _, _, None, Some(ig), None, _) =
       PromParser.parse("a + ignoring(k, cl) b"): @unchecked
     assert(ig == Seq("k", "cl"))
-    val VecBin("-", Selector("a", _, _, _, _, _, _), Selector("b", _, _, _, _, _, _), None, None, None) =
+    val VecBin("-", Selector("a", _, _, _, _, _, _), Selector("b", _, _, _, _, _, _), None, None, None, _) =
       PromParser.parse("a - b"): @unchecked
     // scalar arithmetic still parses as Arith, not VecBin
     val Arith(Selector("a", _, _, _, _, _, _), "*", 2.0) =
       PromParser.parse("a * 2"): @unchecked
     // left-assoc chain: (a / b) * 100
-    val Arith(VecBin("/", _, _, _, _, _), "*", 100.0) =
+    val Arith(VecBin("/", _, _, _, _, _, _), "*", 100.0) =
       PromParser.parse("a / on(u) b * 100"): @unchecked
     // many-to-one: group modifier binds between the clause and the rhs
-    val VecBin("/", _, _, Some(Seq("u")), None, Some("left")) =
+    val VecBin("/", _, _, Some(Seq("u")), None, Some("left"), _) =
       PromParser.parse("a / on(u) group_left b"): @unchecked
-    val VecBin("*", _, _, None, Some(Seq("k")), Some("right")) =
+    val VecBin("*", _, _, None, Some(Seq("k")), Some("right"), _) =
       PromParser.parse("a * ignoring(k) group_right b"): @unchecked
   }
 
@@ -171,13 +171,12 @@ class PromParserSpec extends AnyFunSuite {
 
   test("comparison binds looser than arithmetic (Prometheus precedence)") {
     // the error-ratio alert idiom: (a / b) > 0.5, NOT a / (b > 0.5)
-    val FilterCmp(VecBin("/", Selector("a", _, _, _, _, _, _),
-        Selector("b", _, _, _, _, _, _), _, _, _), ">", 0.5) =
+    val FilterCmp(VecBin("/", Selector("a", _, _, _, _, _, _),        Selector("b", _, _, _, _, _, _), _, _, _, _), ">", 0.5) =
       PromParser.parse("a / b > 0.5"): @unchecked
     // a trailing comparison after an arith chain parses
     val FilterCmp(Arith(Selector("x", _, _, _, _, _, _), "*", 100.0), ">", 5.0) =
       PromParser.parse("x * 100 > 5"): @unchecked
-    val BoolCmp(VecBin("/", _, _, Some(Seq("u")), _, _), ">=", 0.9) =
+    val BoolCmp(VecBin("/", _, _, Some(Seq("u")), _, _, _), ">=", 0.9) =
       PromParser.parse("a / on(u) b >= bool 0.9"): @unchecked
     // but comparison stays looser than set ops' operands:
     // `a > 5 and b` is (a > 5) and b
@@ -186,12 +185,12 @@ class PromParserSpec extends AnyFunSuite {
   }
 
   test("vector-vector comparisons parse, filter and bool forms") {
-    val VecCmp(">", Selector("x", _, _, _, _, _, _), Selector("y", _, _, _, _, _, _), false) =
+    val VecCmp(">", Selector("x", _, _, _, _, _, _), Selector("y", _, _, _, _, _, _), false, None, None) =
       PromParser.parse("x > y"): @unchecked
-    val VecCmp("<=", _, _, true) =
+    val VecCmp("<=", _, _, true, None, None) =
       PromParser.parse("x <= bool y"): @unchecked
     // RHS binds the arithmetic chain: x > (y * 2)
-    val VecCmp(">", _, Arith(Selector("y", _, _, _, _, _, _), "*", 2.0), false) =
+    val VecCmp(">", _, Arith(Selector("y", _, _, _, _, _, _), "*", 2.0), false, None, None) =
       PromParser.parse("x > y * 2"): @unchecked
   }
 
@@ -221,7 +220,7 @@ class PromParserSpec extends AnyFunSuite {
       PromParser.parse("scalar(sum(m))"): @unchecked
     val VectorLit(5.0) = PromParser.parse("vector(5)"): @unchecked
     val TimeFn() = PromParser.parse("time()"): @unchecked
-    val VecBin("/", _, ScalarFn(_), None, None, None) =
+    val VecBin("/", _, ScalarFn(_), None, None, None, _) =
       PromParser.parse("a / scalar(sum(b))"): @unchecked
     intercept[IllegalArgumentException](PromParser.parse("vector(m)"))
   }
@@ -237,6 +236,20 @@ class PromParserSpec extends AnyFunSuite {
     assert(PromParser.parse("sort(x)") == Selector("x"))
     assert(PromParser.parse("sort_desc(sum by (u) (x))") ==
       PromParser.parse("sum by (u) (x)"))
+  }
+
+  test("comparison matching modifiers and group_left label-copy parse") {
+    val VecCmp(">", _, _, false, Some(Seq("user")), None) =
+      PromParser.parse("a > on(user) b"): @unchecked
+    val VecCmp("==", _, _, true, None, Some(Seq("k"))) =
+      PromParser.parse("a == bool ignoring(k) b"): @unchecked
+    val VecBin("*", _, _, Some(Seq("u")), None, Some("left"), Seq("version")) =
+      PromParser.parse("a * on(u) group_left(version) b"): @unchecked
+    val VecBin("/", _, _, None, Some(Seq("k")), Some("right"), Seq("x1", "y2")) =
+      PromParser.parse("a / ignoring(k) group_right(x1, y2) b"): @unchecked
+    // empty label list is the bare many-to-one form
+    val VecBin("*", _, _, Some(Seq("u")), None, Some("left"), Nil) =
+      PromParser.parse("a * on(u) group_left() b"): @unchecked
   }
 }
 
@@ -277,6 +290,37 @@ class PromEvalSpec extends SparkSpec {
     assert(at(1.0) == 2.0) // rank beyond finite buckets -> max finite le
   }
 
+  test("on/ignoring comparisons and group_left label copy evaluate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = Seq(
+      ("err", Map("inst" -> "a", "job" -> "x"), 9.0, 995L),
+      ("err", Map("inst" -> "b", "job" -> "x"), 1.0, 995L),
+      ("tot", Map("inst" -> "a"), 3.0, 996L),
+      ("tot", Map("inst" -> "b"), 4.0, 996L),
+      ("info", Map("inst" -> "a", "version" -> "v1"), 1.0, 997L),
+      ("info", Map("inst" -> "b", "version" -> "v2"), 1.0, 997L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def rows(q: String) = graft.promql.PromEval
+      .evalInstant(m, graft.promql.PromParser.parse(q), 1000L)
+      .collect()
+      .map(r => r.getAs[String]("skey") -> r.getAs[Double]("value")).toMap
+    // filter form: the LEFT series survives with its full label set
+    assert(rows("err > on(inst) tot") ==
+      Map("""{"inst":"a","job":"x"}""" -> 9.0))
+    // bool form under a modifier carries the match key as the label set
+    assert(rows("err >= bool on(inst) tot") ==
+      Map("""{"inst":"a"}""" -> 1.0, """{"inst":"b"}""" -> 0.0))
+    // ignoring: match on the complement labels
+    assert(rows("err < ignoring(job) tot") ==
+      Map("""{"inst":"b","job":"x"}""" -> 1.0))
+    // group_left(version): metadata copied from the one side
+    assert(rows("err * on(inst) group_left(version) info") == Map(
+      """{"inst":"a","job":"x","version":"v1"}""" -> 9.0,
+      """{"inst":"b","job":"x","version":"v2"}""" -> 1.0))
+  }
+
   test("math fns evaluate pointwise; absent flags empty vectors only") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
@@ -296,8 +340,9 @@ class PromEvalSpec extends SparkSpec {
     assert(eval("""absent(m{i="a"})""").isEmpty) // series exists
     val one = graft.promql.PromEval.evalInstant(m,
       graft.promql.PromParser.parse("""absent(m{i="zzz"})"""), 1000L).collect()
+    // Prometheus derives absent()'s labels from the equality matchers
     assert(one.length == 1 && one(0).getAs[Double]("value") == 1.0
-      && one(0).getAs[String]("skey") == "{}")
+      && one(0).getAs[String]("skey") == """{"i":"zzz"}""")
   }
 
   test("irate/idelta use only the last two samples, reset-aware") {
@@ -650,12 +695,10 @@ class PromEvalSpec extends SparkSpec {
     val BoolCmp(_, "<", v2) = parse("a < bool 100 * 0.5"): @unchecked
     assert(v2 == 50.0)
     // literal × vector stays a vector-vector comparison
-    val VecCmp(">", _, VecBin("*", NumLit(h), _: Selector, None, None, None),
-      false) = parse("a > 0.5 * b"): @unchecked
+    val VecCmp(">", _, VecBin("*", NumLit(h), _: Selector, None, None, None, _),      false, None, None) = parse("a > 0.5 * b"): @unchecked
     assert(h == 0.5)
     // scalar()-headed RHS
-    val VecCmp(">=", _, VecBin("*", NumLit(_), ScalarFn(_), None, None, None),
-      false) = parse("a >= 0.5 * scalar(max(a))"): @unchecked
+    val VecCmp(">=", _, VecBin("*", NumLit(_), ScalarFn(_), None, None, None, _),      false, None, None) = parse("a >= 0.5 * scalar(max(a))"): @unchecked
   }
 
   test("vector-scalar comparison filters/scores against the broadcast value") {
