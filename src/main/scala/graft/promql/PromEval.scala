@@ -460,12 +460,12 @@ object PromEval {
     */
   def evalGrid(metrics: DataFrame, expr: Expr, g0: Long, g1: Long,
       stepSec: Long, lookbackSec: Long): DataFrame = expr match {
+    case s: Selector if s.atSec.nonEmpty =>
+      pinnedGrid(metrics, s, g0, g1, stepSec, lookbackSec)
     case s: Selector =>
       // offset shifts every evaluation point: value at g is the selector
       // at g - offset, so evaluate the shifted grid and relabel. The
       // offset must keep the grid step-aligned.
-      require(s.atSec.isEmpty,
-        "the @ modifier pins a constant instant; not meaningful on a grid")
       require(s.offsetSec % stepSec == 0,
         s"offset ${s.offsetSec}s must be a multiple of the ${stepSec}s step")
       val off = s.offsetSec
@@ -484,11 +484,11 @@ object PromEval {
     case Agg(fn, inner, by, without) =>
       regroup(evalGrid(metrics, inner, g0, g1, stepSec, lookbackSec),
         fn, by, without, Seq("g"))
+    case OverTime(_, sel, _) if sel.atSec.nonEmpty =>
+      pinnedGrid(metrics, expr, g0, g1, stepSec, lookbackSec)
     case OverTime(fn, sel, w) =>
       // moving-window family at range — one explode + one aggregation,
       // linear in samples × window/step (PromOps.windowGrid)
-      require(sel.atSec.isEmpty,
-        "the @ modifier pins a constant instant; not meaningful on a grid")
       require(sel.offsetSec % stepSec == 0,
         s"offset ${sel.offsetSec}s must be a multiple of the ${stepSec}s step")
       val off = sel.offsetSec
@@ -497,9 +497,9 @@ object PromEval {
         .groupBy(col("skey"), col("g"))
         .agg(overTimeAgg(fn, col("e")).as("value"))
       if (off == 0) base else base.withColumn("g", col("g") + off)
+    case Rate(_, sel, _) if sel.atSec.nonEmpty =>
+      pinnedGrid(metrics, expr, g0, g1, stepSec, lookbackSec)
     case Rate(kind, sel, w) =>
-      require(sel.atSec.isEmpty,
-        "the @ modifier pins a constant instant; not meaningful on a grid")
       require(sel.offsetSec % stepSec == 0,
         s"offset ${sel.offsetSec}s must be a multiple of the ${stepSec}s step")
       val off = sel.offsetSec
@@ -576,19 +576,19 @@ object PromEval {
           rf.join(lf.select(col("skey"), col("g")).distinct(),
             Seq("skey", "g"), "left_anti"))
       }
+    case Deriv(sel, _, _) if sel.atSec.nonEmpty =>
+      pinnedGrid(metrics, expr, g0, g1, stepSec, lookbackSec)
     case Deriv(sel, w, predict) =>
       // offset: evaluate the shifted grid and relabel, as for OverTime
-      require(sel.atSec.isEmpty,
-        "the @ modifier pins a constant instant; not meaningful on a grid")
       require(sel.offsetSec % stepSec == 0,
         s"offset ${sel.offsetSec}s must be a multiple of the ${stepSec}s step")
       val off = sel.offsetSec
       val base = PromOps.derivOverGrid(matcherFilter(metrics, sel), sel.name,
         g0 - off, g1 - off, stepSec, w, predict)
       if (off == 0) base else base.withColumn("g", col("g") + off)
+    case QuantileOverTime(_, sel, _) if sel.atSec.nonEmpty =>
+      pinnedGrid(metrics, expr, g0, g1, stepSec, lookbackSec)
     case QuantileOverTime(q, sel, w) =>
-      require(sel.atSec.isEmpty,
-        "the @ modifier pins a constant instant; not meaningful on a grid")
       require(sel.offsetSec % stepSec == 0,
         s"offset ${sel.offsetSec}s must be a multiple of the ${stepSec}s step")
       val off = sel.offsetSec
@@ -597,20 +597,24 @@ object PromEval {
           g0 - off, g1 - off, stepSec, w),
         q, extraKeys = Seq("g"))
       if (off == 0) base else base.withColumn("g", col("g") + off)
+    case Absent(sel) if sel.atSec.nonEmpty =>
+      pinnedGrid(metrics, expr, g0, g1, stepSec, lookbackSec)
     case Absent(sel) =>
       // per-point absence of the instant vector: grid points where no
       // sample is visible under the staleness rule — anti-join of the
       // dense grid against the sparse presence set
-      require(sel.atSec.isEmpty && sel.offsetSec == 0,
-        "modifiers on a grid absent() are unsupported (stated)")
+      require(sel.offsetSec == 0,
+        "offset on a grid absent() is unsupported (stated)")
       val present = PromOps.rangeEval(matcherFilter(metrics, sel), sel.name,
         g0, g1, stepSec, lookbackSec).select(col("g")).distinct()
       gridFrame(metrics, g0, g1, stepSec)
         .join(broadcast(present), Seq("g"), "left_anti")
         .select(lit(absentKey(sel)).as("skey"), col("g"), lit(1.0).as("value"))
+    case AbsentOT(sel, _) if sel.atSec.nonEmpty =>
+      pinnedGrid(metrics, expr, g0, g1, stepSec, lookbackSec)
     case AbsentOT(sel, w) =>
-      require(sel.atSec.isEmpty && sel.offsetSec == 0,
-        "modifiers on a grid absent_over_time() are unsupported (stated)")
+      require(sel.offsetSec == 0,
+        "offset on a grid absent_over_time() is unsupported (stated)")
       val present = PromOps.windowGrid(matcherFilter(metrics, sel), sel.name,
         g0, g1, stepSec, w).select(col("g")).distinct()
       gridFrame(metrics, g0, g1, stepSec)
@@ -642,6 +646,15 @@ object PromEval {
         .select(col("skey"), col("g"),
           when(col("n") === 1, col("v"))
             .otherwise(lit(Double.NaN)).as("value"))
+    case HoltWinters(sel, _, _, _) if sel.atSec.nonEmpty =>
+      pinnedGrid(metrics, expr, g0, g1, stepSec, lookbackSec)
+    case HoltWinters(sel, w, sf, tf) =>
+      require(sel.offsetSec % stepSec == 0,
+        s"offset ${sel.offsetSec}s must be a multiple of the ${stepSec}s step")
+      val off = sel.offsetSec
+      val base = PromOps.holtWintersGrid(matcherFilter(metrics, sel), sel.name,
+        g0 - off, g1 - off, stepSec, w, sf, tf)
+      if (off == 0) base else base.withColumn("g", col("g") + off)
     case TopK(fn, k, inner, by, without) =>
       // top-k PER GRID POINT: the grid point joins the window partition
       // key, so the global form is a per-point heap, not a global sort
@@ -661,6 +674,19 @@ object PromEval {
     case other =>
       throw new IllegalArgumentException(s"unsupported grid expr: $other")
   }
+
+  /** An `@`-pinned expression on a grid: the @ timestamp replaces "now"
+    * entirely (offset then applies relative to it), so the value is
+    * CONSTANT across the grid — evaluate the instant form once and pair
+    * every series with every aligned point via a broadcast of the tiny
+    * grid frame (|grid| rows). This is Prometheus's range-query
+    * semantics for @: each step evaluates at the same pinned instant.
+    */
+  private def pinnedGrid(metrics: DataFrame, expr: Expr, g0: Long, g1: Long,
+      stepSec: Long, lookbackSec: Long): DataFrame =
+    evalInstant(metrics, expr, g1, lookbackSec)
+      .crossJoin(broadcast(gridFrame(metrics, g0, g1, stepSec).select(col("g"))))
+      .select(col("skey"), col("g"), col("value"))
 
   /** absent()/absent_over_time() output labels: the selector's equality
     * matchers as a canonical series key (sorted by label, same JSON shape

@@ -421,9 +421,30 @@ object PromOps {
     * CTE, same IEEE ops in the same order.
     */
   def holtWinters(metrics: DataFrame, metricName: String, atEpochSec: Long,
-      windowSec: Long, sf: Double, tf: Double): DataFrame = {
-    val rs = rangeSelector(metrics, metricName, atEpochSec, windowSec)
-    val arr = rs.groupBy(col("skey"))
+      windowSec: Long, sf: Double, tf: Double): DataFrame =
+    holtWintersOver(rangeSelector(metrics, metricName, atEpochSec, windowSec),
+      Seq(col("skey")), sf, tf)
+      .select(col("skey"), col("value"))
+
+  /** holt_winters at every grid point: the [[windowGrid]] expansion keyed
+    * by (skey, g), then the same total-order fold per window — the g in
+    * the shuffle key spreads a hot series across reducers, as for the
+    * rest of the over-time family.
+    */
+  def holtWintersGrid(metrics: DataFrame, metricName: String, g0: Long,
+      g1: Long, stepSec: Long, windowSec: Long, sf: Double,
+      tf: Double): DataFrame =
+    holtWintersOver(windowGrid(metrics, metricName, g0, g1, stepSec, windowSec),
+      Seq(col("skey"), col("g")), sf, tf)
+      .select(col("skey"), col("g"), col("value"))
+
+  /** The shared smoothing fold over (e, value) rows grouped by `keys`:
+    * collect-sort by the repo-wide (e, value) tie rule, then the
+    * Prometheus recursion entirely inside codegen'd expressions.
+    */
+  private def holtWintersOver(rows: DataFrame, keys: Seq[Column], sf: Double,
+      tf: Double): DataFrame = {
+    val arr = rows.groupBy(keys: _*)
       .agg(array_sort(collect_list(struct(col("e"), col("value")))).as("evs"))
       .filter(size(col("evs")) >= 2) // Prometheus: no output below 2 samples
       .withColumn("vs", transform(col("evs"), s => s.getField("value")))
@@ -444,7 +465,7 @@ object PromOps {
           b0.as("b"))
       },
       acc => acc.getField("s1"))
-    arr.select(col("skey"), folded.as("value"))
+    arr.withColumn("value", folded)
   }
 
   /** `quantile_over_time(q, x[w])`: the φ-quantile of each series'

@@ -1569,6 +1569,50 @@ object PromQueries {
         |)
         |SELECT u AS user, k, s1 AS value FROM st WHERE i = n""".stripMargin
 
+  /** Range-evaluated `holt_winters(purchase[24h], 0.3, 0.5)` on the
+    * 5-minute grid — the smoothed dashboard panel through the parsed
+    * range path (PromEval.evalGrid → PromOps.holtWintersGrid): the
+    * windowGrid explode keyed by (series, point), then the same
+    * total-order fold as the instant form. The recursion is
+    * IEEE-deterministic because the fold order is total; the oracle
+    * replays it per (series, point) as a recursive CTE.
+    */
+  def rangeHoltWinters(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "holt_winters(purchase[168h], 0.3, 0.5)")
+    graft.promql.PromEval.evalGrid(metrics(spark, sfDir), expr, Gm0, Gm1,
+      stepSec = 300, lookbackSec = PromOps.DefaultLookbackSec)
+      .select(user.as("user"), kLbl.as("k"), col("g"), col("value"))
+  }
+
+  val rangeHoltWintersOracle: String =
+    sampleCte("purchase", Gm0 - 604800 + 1, Gm1)
+      .replaceFirst("WITH s AS", "WITH RECURSIVE s AS") +
+      s"""
+         |, ex AS (
+         |  SELECT u, k, e, v,
+         |         unnest(generate_series(greatest($Gm0, ((e + 299) // 300) * 300),
+         |                                least($Gm1, ((e + 604799) // 300) * 300), 300)) AS g
+         |  FROM s
+         |), arr AS (
+         |  SELECT u, k, g, list(v ORDER BY e, v) AS vs, count(*) AS n
+         |  FROM ex GROUP BY u, k, g
+         |), st AS (
+         |  SELECT u, k, g, 1 AS i, 0.0::DOUBLE AS s0, vs[1] AS s1,
+         |         NULL::DOUBLE AS b, vs, n
+         |  FROM arr WHERE n >= 2
+         |  UNION ALL
+         |  SELECT u, k, g, i + 1,
+         |         s1 AS s0,
+         |         0.3 * vs[i + 1] + (1 - 0.3) * (s1 + b0) AS s1,
+         |         b0 AS b, vs, n
+         |  FROM (SELECT *, CASE WHEN b IS NULL THEN vs[i + 1] - s1
+         |                       ELSE 0.5 * (s1 - s0) + (1 - 0.5) * b END AS b0
+         |        FROM st)
+         |  WHERE i < n
+         |)
+         |SELECT u AS user, k, g, s1 AS value FROM st WHERE i = n""".stripMargin
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "promql_parsed_filtercmp" -> ((parsedFilterCmp _, parsedFilterCmpOracle)),
@@ -1631,6 +1675,7 @@ object PromQueries {
     "pq_instant_vector" -> ((instantVector _, instantVectorOracle)),
     "pq_range_matrix" -> ((rangeMatrix _, rangeMatrixOracle)),
     "pq_range_overtime" -> ((rangeOverTime _, rangeOverTimeOracle)),
+    "pq_range_holtwinters" -> ((rangeHoltWinters _, rangeHoltWintersOracle)),
     "pq_range_rate" -> ((rangeRate _, rangeRateOracle)),
     "pq_range_binop" -> ((rangeBinop _, rangeBinopOracle)),
     "promql_parsed_timestamp" -> ((parsedTimestamp _, parsedTimestampOracle)),

@@ -837,6 +837,32 @@ class PromEvalSpec extends SparkSpec {
     assert(gi == Seq(700L, 800L))
   }
 
+  test("@-pinned expressions are constant across the grid") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = Seq(
+      ("m", Map("i" -> "a"), 1.0, 350L),
+      ("m", Map("i" -> "a"), 5.0, 380L),
+      ("m", Map("i" -> "a"), 9.0, 550L)) // outside the pinned window
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def grid(q: String) = graft.promql.PromEval.evalGrid(m,
+      graft.promql.PromParser.parse(q), 400L, 600L, 100L, 300L)
+      .collect().map(r => r.getAs[Long]("g") -> r.getAs[Double]("value"))
+      .toMap
+    // selector @ 400: latest visible sample at t=400 is 5.0, at EVERY point
+    assert(grid("m @ 400") == Map(400L -> 5.0, 500L -> 5.0, 600L -> 5.0))
+    // over-time family @: window (300,400] sums 1+5, constant over grid
+    assert(grid("sum_over_time(m[100s] @ 400)") ==
+      Map(400L -> 6.0, 500L -> 6.0, 600L -> 6.0))
+    // offset applies relative to @ (window (250,350] has only the 1.0)
+    assert(grid("sum_over_time(m[100s] @ 450 offset 100s)") ==
+      Map(400L -> 1.0, 500L -> 1.0, 600L -> 1.0))
+    // absent_over_time @ a window with no samples: 1.0 at every point
+    assert(grid("absent_over_time(m[100s] @ 800)") ==
+      Map(400L -> 1.0, 500L -> 1.0, 600L -> 1.0))
+  }
+
   test("grid offset on quantile_over_time and deriv shifts the window") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
