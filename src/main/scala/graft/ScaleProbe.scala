@@ -35,6 +35,17 @@ object ScaleProbe {
       .withColumn("text",
         concat(col("text"), lit(" zq zq zq zq zq zq")))
       .write.mode("overwrite").parquet(s"$probeDir/hot/documents.parquet")
+    // pathological single mega-cluster: EVERY document (all N× copies)
+    // carries the same text, so exact-dedup must collapse the whole
+    // corpus into one root before the near-dup machinery sees it — the
+    // worst duplicate-cluster shape a crawl corpus can produce. The CC
+    // stage then runs on ONE representative; a design that fed the full
+    // cluster into banding/pair generation would blow up quadratically.
+    spark.read.parquet(s"$probeDir/documents.parquet")
+      .withColumn("text",
+        lit("the same crawl page mirrored everywhere zz yy xx ww vv uu " +
+          "tt ss rr qq pp oo nn mm ll kk jj ii hh gg"))
+      .write.mode("overwrite").parquet(s"$probeDir/mega/documents.parquet")
     val e0 = spark.read.parquet(s"$sfDir/events.parquet")
     (0 until copies).map(i =>
         e0.withColumn("user_id", col("user_id") + lit(i.toLong * 100000L))
@@ -54,27 +65,37 @@ object ScaleProbe {
         fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
       fn(spark, dir).count() // warm: codegen + scans
       spark.catalog.clearCache()
+      graft.ext.CacheScope.drain()
       val t0 = System.nanoTime()
       val n = fn(spark, dir).count()
       println(f"PROBE $name%-14s $tag%4s rows=$n%-9d sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       spark.catalog.clearCache()
+      graft.ext.CacheScope.drain()
     }
 
+    // `heavy` (arg 3) restricts to the dedup family — the 30x-100x decade
+    // runs take minutes on the full list, and the deep-amplification
+    // question is specifically about candidate generation and CC
+    val heavy = args.length > 2 && args(2) == "heavy"
     for ((dir, tag) <- Seq((sfDir, "1x"), (probeDir, s"${copies}x"))) {
       time("dedup_groups", dir, tag)(graft.queries.ExtQueries.dedupGroups)
       time("simhash_neardup", dir, tag)(graft.queries.ExtQueries.simhashNeardup)
       time("ngram_jaccard", dir, tag)(graft.queries.ExtQueries.ngramJaccard)
       time("contamination", dir, tag)(graft.queries.ExtQueries.contaminationCheck)
-      time("sessionize", dir, tag)(graft.queries.AnalyticsQueries.sessionize)
-      time("asof_join", dir, tag)(graft.queries.AnalyticsQueries.asofJoin)
-      time("vocab_oov", dir, tag)(graft.queries.ExtQueries.vocabOov)
-      time("pii_scrub", dir, tag)(graft.queries.ExtQueries.piiScrub)
-      time("emb_int8_recall", dir, tag)(graft.queries.ExtQueries.embInt8Recall)
-      time("emb_kmeans_step", dir, tag)(graft.queries.ExtQueries.embKmeansStep)
-      time("tfidf_topk", dir, tag)(graft.queries.ExtQueries.tfidfTopk)
+      if (!heavy) {
+        time("sessionize", dir, tag)(graft.queries.AnalyticsQueries.sessionize)
+        time("asof_join", dir, tag)(graft.queries.AnalyticsQueries.asofJoin)
+        time("vocab_oov", dir, tag)(graft.queries.ExtQueries.vocabOov)
+        time("pii_scrub", dir, tag)(graft.queries.ExtQueries.piiScrub)
+        time("emb_int8_recall", dir, tag)(graft.queries.ExtQueries.embInt8Recall)
+        time("emb_kmeans_step", dir, tag)(graft.queries.ExtQueries.embKmeansStep)
+        time("tfidf_topk", dir, tag)(graft.queries.ExtQueries.tfidfTopk)
+      }
     }
     time("ngram_jaccard", s"$probeDir/hot", s"hot${copies}x")(
       graft.queries.ExtQueries.ngramJaccard)
+    time("dedup_groups", s"$probeDir/mega", s"mega${copies}x")(
+      graft.queries.ExtQueries.dedupGroups)
     spark.stop()
   }
 }

@@ -3,14 +3,19 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.US_ASCII
 
 /** Multimodal column plumbing: image/audio/video payloads are opaque
   * `binary` columns with typed metadata travelling alongside. The decode /
   * feature-extract step runs per-partition (one codec context per
-  * partition, batch-amortized) — the Spark-side shape is real; the codec
-  * itself is stubbed behind [[Multimodal.Decoder]] because no media
-  * libraries ship in this environment. Swapping in a real decoder changes
-  * one function, not the plan.
+  * partition, batch-amortized). Two REAL public byte formats are decoded
+  * end-to-end — PPM P6 (netpbm binary RGB; public spec, trivially
+  * self-describing) and canonical-header WAV PCM16 (RIFF chunks) — so the
+  * pipeline exercises an actual parse of actual image/audio bytes, not a
+  * hash of them. Heavier codecs (JPEG/FLAC/video) plug in through the
+  * same [[Multimodal.Decoder]] seam: per-partition init, bytes in, fixed
+  * feature vector out.
   */
 object Multimodal {
 
@@ -29,26 +34,177 @@ object Multimodal {
     StructField("byte_len", LongType, nullable = false),
     StructField("feature", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
-  /** The pluggable decode step. The deterministic fake hashes payload
-    * bytes into a tiny feature vector — enough to exercise partitioning,
-    * batch shape, and schema end-to-end. A real deployment implements
-    * `decode` with the actual codec (per-partition init, reused across
-    * rows).
+  private val synthSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** The pluggable decode step: bytes in, feature vector out. One
+    * instance serves a whole partition (a real codec holds its native
+    * context here).
     */
   trait Decoder extends Serializable {
     def decode(payload: Array[Byte], mediaType: String): Array[Double]
   }
 
-  object FakeDecoder extends Decoder {
+  // ------------------------------------------------------------ PPM P6
+
+  /** Encode an RGB image as PPM P6: ASCII header `P6\n<w> <h>\n255\n`
+    * followed by 3·w·h raw channel bytes (the netpbm binary format).
+    */
+  def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * w * h, s"rgb length ${rgb.length} != 3*$w*$h")
+    s"P6\n$w $h\n255\n".getBytes(US_ASCII) ++ rgb
+  }
+
+  /** Real PPM P6 parser: whitespace-and-comment-tolerant ASCII header
+    * (magic, width, height, maxval, then exactly one whitespace byte),
+    * then the raw RGB triplets. Features: [width, height, sum_r, sum_g,
+    * sum_b] — integer-exact, so an oracle can reproduce them from the
+    * generation parameters without decoding.
+    */
+  object PpmDecoder extends Decoder {
     def decode(payload: Array[Byte], mediaType: String): Array[Double] = {
-      // deterministic 4-dim "feature": byte count, first/last byte, and the
-      // first byte of the md5 digest — every component is reproducible from
-      // the raw bytes in any engine, which keeps the stub oracle-checkable
-      val n = payload.length.toDouble
-      val first = if (payload.nonEmpty) (payload(0) & 0xff).toDouble else 0d
-      val last = if (payload.nonEmpty) (payload(payload.length - 1) & 0xff).toDouble else 0d
-      val digest = java.security.MessageDigest.getInstance("MD5").digest(payload)
-      Array(n, first, last, (digest(0) & 0xff).toDouble)
+      var pos = 0
+      def isWs(b: Byte): Boolean =
+        b == ' ' || b == '\n' || b == '\r' || b == '\t'
+      def skipWs(): Unit = {
+        var go = true
+        while (go && pos < payload.length) {
+          if (isWs(payload(pos))) pos += 1
+          else if (payload(pos) == '#') { // comment runs to end-of-line
+            while (pos < payload.length && payload(pos) != '\n') pos += 1
+          } else go = false
+        }
+      }
+      def token(): String = {
+        skipWs()
+        val start = pos
+        while (pos < payload.length && !isWs(payload(pos))) pos += 1
+        new String(payload, start, pos - start, US_ASCII)
+      }
+      require(token() == "P6", "not a PPM P6 payload")
+      val w = token().toInt
+      val h = token().toInt
+      val maxval = token().toInt
+      require(maxval > 0 && maxval < 256, s"unsupported maxval $maxval")
+      pos += 1 // exactly ONE whitespace byte after maxval, per the spec
+      val n = w * h
+      require(payload.length - pos == 3 * n,
+        s"pixel data is ${payload.length - pos} bytes, want ${3 * n}")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var i = 0
+      while (i < n) {
+        sr += payload(pos + 3 * i) & 0xff
+        sg += payload(pos + 3 * i + 1) & 0xff
+        sb += payload(pos + 3 * i + 2) & 0xff
+        i += 1
+      }
+      Array(w.toDouble, h.toDouble, sr.toDouble, sg.toDouble, sb.toDouble)
+    }
+  }
+
+  // --------------------------------------------------------- WAV PCM16
+
+  /** Encode 16-bit little-endian PCM with the canonical 44-byte RIFF
+    * header (RIFF size WAVE, `fmt ` 16-byte PCM block, `data`).
+    */
+  def encodeWavPcm16(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(US_ASCII)).putInt(36 + dataSize)
+      .put("WAVE".getBytes(US_ASCII))
+      .put("fmt ".getBytes(US_ASCII)).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes(US_ASCII)).putInt(dataSize)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Real RIFF/WAVE parser: validates the magics, walks the chunk list
+    * (skipping unknown chunks with odd-size padding, per RIFF), reads
+    * the PCM16 `fmt ` block and the `data` samples. Features:
+    * [sample_rate, channels, n_samples, sum, min, max] — integer-exact.
+    */
+  object WavDecoder extends Decoder {
+    def decode(payload: Array[Byte], mediaType: String): Array[Double] = {
+      val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+      def str4(): String = {
+        val a = new Array[Byte](4); bb.get(a); new String(a, US_ASCII)
+      }
+      require(str4() == "RIFF", "not a RIFF payload")
+      bb.getInt // declared riff size; chunk walk below is authoritative
+      require(str4() == "WAVE", "not a WAVE form")
+      var rate = 0; var ch = 0
+      var samples: Array[Short] = null
+      while (rate == 0 || samples == null) {
+        require(bb.remaining() >= 8, "missing fmt/data chunk")
+        val id = str4(); val size = bb.getInt
+        id match {
+          case "fmt " =>
+            require(bb.getShort == 1, "PCM only")
+            ch = bb.getShort
+            rate = bb.getInt
+            bb.getInt; bb.getShort // byte rate, block align
+            require(bb.getShort == 16, "16-bit only")
+            if (size > 16) bb.position(bb.position() + size - 16)
+          case "data" =>
+            val n = size / 2
+            val arr = new Array[Short](n)
+            var i = 0
+            while (i < n) { arr(i) = bb.getShort; i += 1 }
+            samples = arr
+          case _ => // unknown chunk: skip, odd sizes pad to even
+            bb.position(bb.position() + size + (size & 1))
+        }
+      }
+      var s = 0L; var mn = 0L; var mx = 0L
+      if (samples.nonEmpty) { mn = samples(0); mx = samples(0) }
+      samples.foreach { v =>
+        s += v; if (v < mn) mn = v; if (v > mx) mx = v
+      }
+      Array(rate.toDouble, ch.toDouble, samples.length.toDouble,
+        s.toDouble, mn.toDouble, mx.toDouble)
+    }
+  }
+
+  // -------------------------------------------------- fixture synthesis
+
+  /** Deterministic media fixtures, encoded through the REAL encoders so
+    * the decode stage parses real format bytes. Per id: a (2+id%7) ×
+    * (2+id%5) RGB image whose j-th channel byte is (id·31 + 7j) mod 256,
+    * and a 16+id%17-sample mono 8 kHz PCM16 clip whose j-th sample is
+    * ((id·131 + 17j) mod 2048) − 1024. Every derived feature has a
+    * closed form over id, so a SQL oracle checks the encode→decode round
+    * trip byte-exactly without itself decoding anything.
+    */
+  def synthPpm(ids: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    implicit val enc = RowEncoder.encoderFor(synthSchema)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (2 + id % 7).toInt
+        val h = (2 + id % 5).toInt
+        val rgb = Array.tabulate(3 * w * h)(j => ((id * 31 + 7L * j) % 256).toByte)
+        Row(id, encodePpm(w, h, rgb))
+      }
+    }
+  }
+
+  def synthWav(ids: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    implicit val enc = RowEncoder.encoderFor(synthSchema)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = (16 + id % 17).toInt
+        val samples = Array.tabulate(n)(j =>
+          (((id * 131 + 17L * j) % 2048) - 1024).toShort)
+        Row(id, encodeWavPcm16(8000, 1, samples))
+      }
     }
   }
 
@@ -68,7 +224,7 @@ object Multimodal {
     * instance per partition (where a real codec would hold its native
     * context) and streams rows through it.
     */
-  def extractFeatures(media: DataFrame, decoder: Decoder = FakeDecoder): DataFrame = {
+  def extractFeatures(media: DataFrame, decoder: Decoder): DataFrame = {
     import org.apache.spark.sql.catalyst.encoders.RowEncoder
     implicit val enc = RowEncoder.encoderFor(featureSchema)
     media.select("media_id", "media_type", "byte_len", "payload")

@@ -1081,34 +1081,88 @@ object ExtQueries {
       |       sha256(text) AS sha
       |FROM documents""".stripMargin
 
-  /** Per-partition feature extraction through the stub decoder —
-    * mapPartitions plumbing. The stub's feature components are each
-    * recomputable from the raw bytes in plain SQL, so the fake decode is
-    * fully oracle-checkable; the array is flattened to scalar columns
-    * because the driver's compare can't sort array cells.
+  /** Per-partition feature extraction through the REAL PPM P6 decoder:
+    * per document, a deterministic RGB image is built and encoded as
+    * actual netpbm bytes (Multimodal.synthPpm → encodePpm), then the
+    * decode stage parses the header and pixel data back. Every feature
+    * has a closed form over doc_id (widths/heights/channel sums are
+    * integer-exact), so the DuckDB oracle checks the encode→decode round
+    * trip byte-exactly without itself decoding. The array is flattened
+    * to scalar columns because the driver's compare can't sort array
+    * cells. w ∈ 2..8, h ∈ 2..6 are single-digit, so the header is
+    * exactly 11 bytes.
     */
   def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.asMedia(
-        docs(spark, sfDir).withColumn("text_bin", col("text").cast("binary")),
-        "doc_id", "text_bin", "text"))
+        Multimodal.synthPpm(docs(spark, sfDir), "doc_id"),
+        "media_id", "payload", "image"),
+      Multimodal.PpmDecoder)
       .select(col("media_id"), col("media_type"), col("byte_len"),
-        element_at(col("feature"), 1).as("f0"),
-        element_at(col("feature"), 2).as("f1"),
-        element_at(col("feature"), 3).as("f2"),
-        element_at(col("feature"), 4).as("f3"))
+        element_at(col("feature"), 1).as("width"),
+        element_at(col("feature"), 2).as("height"),
+        element_at(col("feature"), 3).as("sum_r"),
+        element_at(col("feature"), 4).as("sum_g"),
+        element_at(col("feature"), 5).as("sum_b"))
 
   val multimodalFeaturesOracle: String =
-    """SELECT doc_id AS media_id, 'text' AS media_type,
-      |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-      |       CAST(octet_length(encode(text)) AS DOUBLE) AS f0,
-      |       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
-      |            ELSE ('0x' || substr(hex(encode(text)), 1, 2))::INT END AS DOUBLE) AS f1,
-      |       CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
-      |            ELSE ('0x' || substr(hex(encode(text)),
-      |                                 2 * octet_length(encode(text)) - 1, 2))::INT END AS DOUBLE) AS f2,
-      |       CAST(('0x' || substr(md5(text), 1, 2))::INT AS DOUBLE) AS f3
-      |FROM documents""".stripMargin
+    """WITH p AS (
+      |  SELECT doc_id, 2 + doc_id % 7 AS w, 2 + doc_id % 5 AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i
+      |  FROM p
+      |), sums AS (
+      |  SELECT doc_id, w, h,
+      |         sum((doc_id * 31 + (3 * i + 0) * 7) % 256) AS sr,
+      |         sum((doc_id * 31 + (3 * i + 1) * 7) % 256) AS sg,
+      |         sum((doc_id * 31 + (3 * i + 2) * 7) % 256) AS sb
+      |  FROM px GROUP BY doc_id, w, h
+      |)
+      |SELECT doc_id AS media_id, 'image' AS media_type,
+      |       CAST(11 + 3 * w * h AS BIGINT) AS byte_len,
+      |       CAST(w AS DOUBLE) AS width, CAST(h AS DOUBLE) AS height,
+      |       CAST(sr AS DOUBLE) AS sum_r, CAST(sg AS DOUBLE) AS sum_g,
+      |       CAST(sb AS DOUBLE) AS sum_b
+      |FROM sums""".stripMargin
+
+  /** The audio twin: canonical-header WAV PCM16 encoded from a
+    * deterministic per-document sample sequence, parsed back through the
+    * real RIFF chunk walker. Sample sums/extrema are integer-exact;
+    * byte_len pins the 44-byte canonical header + 2 bytes per sample.
+    */
+  def multimodalWav(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.asMedia(
+        Multimodal.synthWav(docs(spark, sfDir), "doc_id"),
+        "media_id", "payload", "audio"),
+      Multimodal.WavDecoder)
+      .select(col("media_id"), col("media_type"), col("byte_len"),
+        element_at(col("feature"), 1).as("sample_rate"),
+        element_at(col("feature"), 2).as("channels"),
+        element_at(col("feature"), 3).as("n_samples"),
+        element_at(col("feature"), 4).as("sum_s"),
+        element_at(col("feature"), 5).as("min_s"),
+        element_at(col("feature"), 6).as("max_s"))
+
+  val multimodalWavOracle: String =
+    """WITH p AS (
+      |  SELECT doc_id, 16 + doc_id % 17 AS n FROM documents
+      |), sx AS (
+      |  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM p
+      |), s AS (
+      |  SELECT doc_id, n,
+      |         sum((doc_id * 131 + 17 * i) % 2048 - 1024) AS ssum,
+      |         min((doc_id * 131 + 17 * i) % 2048 - 1024) AS smin,
+      |         max((doc_id * 131 + 17 * i) % 2048 - 1024) AS smax
+      |  FROM sx GROUP BY doc_id, n
+      |)
+      |SELECT doc_id AS media_id, 'audio' AS media_type,
+      |       CAST(44 + 2 * n AS BIGINT) AS byte_len,
+      |       8000.0 AS sample_rate, 1.0 AS channels,
+      |       CAST(n AS DOUBLE) AS n_samples, CAST(ssum AS DOUBLE) AS sum_s,
+      |       CAST(smin AS DOUBLE) AS min_s, CAST(smax AS DOUBLE) AS max_s
+      |FROM s""".stripMargin
 
   // ------------------------------------- curation sampling / packing / vocab
 
@@ -1627,5 +1681,6 @@ object ExtQueries {
     "emb_centroid_stats" -> ((embCentroidStats _, embCentroidStatsOracle)),
     "emb_neardup" -> ((embNeardup _, embNeardupOracle)),
     "multimodal_meta" -> ((multimodalMeta _, multimodalMetaOracle)),
-    "multimodal_features" -> ((multimodalFeatures _, multimodalFeaturesOracle)))
+    "multimodal_features" -> ((multimodalFeatures _, multimodalFeaturesOracle)),
+    "multimodal_wav" -> ((multimodalWav _, multimodalWavOracle)))
 }
