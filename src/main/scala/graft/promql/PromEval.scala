@@ -48,6 +48,16 @@ object PromEval {
       val g1 = (atEpochSec / step) * step
       evalGrid(metrics, inner, g0, g1, step, lookbackSec)
         .groupBy(col("skey")).agg(overTimeAgg(fn, col("g")).as("value"))
+    case RateSubquery(kind, inner, w, step) =>
+      // the inner expression's grid values play the samples; the same
+      // reset-aware machinery then runs per series over (g, value)
+      val g0 = ((atEpochSec - w) / step + 1) * step
+      val g1 = (atEpochSec / step) * step
+      val samples = evalGrid(metrics, inner, g0, g1, step, lookbackSec)
+        .select(col("skey"), col("g").as("e"), col("value"))
+      if (kind == "resets" || kind == "changes")
+        PromOps.resetsFromSamples(samples, kind)
+      else PromOps.rateFromSamples(samples, kind)
     case VecBin(op, l, r, on, ignoring, groupSide, _)
         if scalarish(l) != scalarish(r) =>
       // vector op scalar-expression: the scalar side is ONE row by
@@ -453,6 +463,8 @@ object PromEval {
     case "/" => l / r
     case "+" => l + r
     case "-" => l - r
+    case "%" => l % r // Spark Remainder == Java % == Go math.Mod (fmod)
+    case "^" => pow(l, r)
   }
 
   /** Evaluate `expr` at every aligned grid point in [g0, g1] (step-aligned):
@@ -746,6 +758,8 @@ object PromEval {
     case "/" => value / v
     case "+" => value + v
     case "-" => value - v
+    case "%" => value % v
+    case "^" => pow(value, v)
   }
 
   private def aggColumn(fn: String): Column = fn match {

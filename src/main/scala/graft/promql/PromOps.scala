@@ -250,9 +250,19 @@ object PromOps {
     * data is already shuffled by.
     */
   def rateOverRange(metrics: DataFrame, metricName: String, atEpochSec: Long,
-      windowSec: Long, kind: String): DataFrame = {
+      windowSec: Long, kind: String): DataFrame =
+    rateFromSamples(
+      rangeSelector(metrics, metricName, atEpochSec, windowSec), kind)
+
+  /** The rate family over an arbitrary (skey, e, value) sample frame —
+    * shared by plain range selectors and SUBQUERY ranges, where the
+    * "samples" are the inner expression's values at the aligned grid
+    * points (`rate(expr[w:s])`). Same shapes as documented on
+    * [[rateOverRange]].
+    */
+  def rateFromSamples(samples: DataFrame, kind: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rs = rangeSelector(metrics, metricName, atEpochSec, windowSec)
+    val rs = samples
       .select(col("skey"), col("e"), col("value").cast("decimal(20,6)").as("vd"))
     if (kind == "irate" || kind == "idelta") {
       // instant-rate family: only the last two DISTINCT-TIMESTAMP samples
@@ -316,9 +326,16 @@ object PromOps {
     * repo-wide (e, value) rule so both engines see the same adjacency.
     */
   def resetsOverRange(metrics: DataFrame, metricName: String, atEpochSec: Long,
-      windowSec: Long, kind: String): DataFrame = {
+      windowSec: Long, kind: String): DataFrame =
+    resetsFromSamples(
+      rangeSelector(metrics, metricName, atEpochSec, windowSec), kind)
+
+  /** resets/changes over an arbitrary (skey, e, value) sample frame
+    * (see [[rateFromSamples]]).
+    */
+  def resetsFromSamples(samples: DataFrame, kind: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rs = rangeSelector(metrics, metricName, atEpochSec, windowSec)
+    val rs = samples
       .select(col("skey"), col("e"), col("value").cast("decimal(20,6)").as("vd"))
     val w = Window.partitionBy(col("skey")).orderBy(col("e"), col("vd"))
     val flag =

@@ -64,6 +64,13 @@ object PromParser {
   /** fn_over_time over a subquery `expr[window:step]` */
   final case class OverTimeSubquery(fn: String, inner: Expr,
       windowSec: Long, stepSec: Long) extends Expr
+  /** The rate family over a subquery `rate(expr[w:s])`: the inner
+    * expression's values at the aligned grid points play the samples —
+    * the "rate of a derived series" idiom recording rules otherwise
+    * cover. Same counter-reset/observed-span semantics as [[Rate]].
+    */
+  final case class RateSubquery(kind: String, inner: Expr,
+      windowSec: Long, stepSec: Long) extends Expr
   final case class Arith(inner: Expr, op: String, scalar: Double) extends Expr
   /** Vector-vector arithmetic: bare one-to-one (full label set must
     * match), `on(l..)` (match and keep only l..), `ignoring(l..)` (match
@@ -321,16 +328,19 @@ object PromParser {
       e
     }
 
-    /** arithmetic chain: expr (*|/|+|-) (number | [on|ignoring (l..)] expr)
-      * Left-associative with uniform precedence across the four ops — a
-      * stated simplification of Prometheus's `*`/`/` > `+`/`-` (the
-      * reference never parses PromQL at all; queries in its configs are
-      * parenthesized). Comparison is NOT accepted in operand position:
-      * `a / (b > 0.5)` requires explicit parentheses.
+    /** arithmetic chain: expr (*|/|%|^|+|-) (number | [on|ignoring (l..)] expr)
+      * Left-associative with uniform precedence across the six ops — a
+      * stated simplification of Prometheus's `^` > `*`/`/`/`%` > `+`/`-`
+      * (and right-assoc `^`); the reference never parses PromQL at all,
+      * and queries in its configs are parenthesized. `%` is float mod
+      * with the dividend's sign (Go math.Mod == Spark/Java remainder);
+      * `^` is libm pow, so it follows the repo's spec-only policy.
+      * Comparison is NOT accepted in operand position: `a / (b > 0.5)`
+      * requires explicit parentheses.
       */
     private def parseArith(): Expr = {
       var e = parsePrimary()
-      while (peek.exists { case TSym(s) => "*/+-".contains(s); case _ => false }) {
+      while (peek.exists { case TSym(s) => "*/+-%^".contains(s); case _ => false }) {
         val TSym(op) = pop(): @unchecked
         peek match {
           case Some(TNum(_)) =>
@@ -477,15 +487,25 @@ object PromParser {
       case other => fail(s"unexpected token $other")
     }
 
-    /** rate( selector[w] ) / increase( selector[w] ) — range selector
-      * only; subquery rates are outside the supported surface.
+    /** rate( selector[w] ) / rate( (expr)[w:s] ) — the subquery form
+      * binds like parseOverTime's: a trailing [w:s] suffix on any
+      * expression.
       */
     private def parseRate(fn: String): Expr = {
       expectSym("(")
       val inner = parseArith()
-      val e = inner match {
-        case RangePlaceholder(sel, w) => Rate(fn, sel, w)
-        case _ => fail(s"$fn requires a plain range selector: $fn(x[w])")
+      val e = peek match {
+        case Some(TSym("[")) =>
+          val (w, sOpt) = rangeSuffix()
+          sOpt match {
+            case Some(s) => RateSubquery(fn, inner, w, s)
+            case None =>
+              fail(s"$fn over a non-selector needs a subquery: (expr)[w:s]")
+          }
+        case _ => inner match {
+          case RangePlaceholder(sel, w) => Rate(fn, sel, w)
+          case _ => fail(s"$fn requires a range: $fn(x[w]) or $fn((expr)[w:s])")
+        }
       }
       expectSym(")")
       e
@@ -786,6 +806,8 @@ object PromParser {
     case "/" => l / r
     case "+" => l + r
     case "-" => l - r
+    case "%" => l % r // fmod, dividend's sign — Go math.Mod semantics
+    case "^" => math.pow(l, r)
   }
 
   /** Extractor form of [[constFold]] for parse-time collapsing. */
@@ -807,6 +829,7 @@ object PromParser {
     case Agg(_, i, _, _) => containsPlaceholder(i)
     case Arith(i, _, _) => containsPlaceholder(i)
     case OverTimeSubquery(_, i, _, _) => containsPlaceholder(i)
+    case RateSubquery(_, i, _, _) => containsPlaceholder(i)
     case VecBin(_, l, r, _, _, _, _) => containsPlaceholder(l) || containsPlaceholder(r)
     case TopK(_, _, i, _, _) => containsPlaceholder(i)
     case HistQuantile(_, i) => containsPlaceholder(i)

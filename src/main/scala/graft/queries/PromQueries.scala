@@ -1613,6 +1613,67 @@ object PromQueries {
          |)
          |SELECT u AS user, k, g, s1 AS value FROM st WHERE i = n""".stripMargin
 
+  /** Parsed `%` — float mod with the dividend's sign (Go math.Mod, Java
+    * remainder, DuckDB integer %): per-user purchase count mod 7. Exact
+    * for integer-valued doubles, so fully oracle-checkable (`^` is libm
+    * pow and follows the spec-only policy).
+    */
+  def parsedMod(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "sum by (user) (count_over_time(purchase[720h])) % 7")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), col("value"))
+  }
+
+  val parsedModOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      "\nSELECT u AS user, CAST(count(*) % 7 AS DOUBLE) AS value " +
+      "FROM s GROUP BY u"
+
+  /** Parsed SUBQUERY rate — `increase((sum by (user)
+    * (count_over_time(purchase[24h])))[72h:6h])`: the rate family over a
+    * derived series (the idiom recording rules otherwise cover). The
+    * inner expression's values at the twelve aligned 6h grid points play
+    * the samples; the counter-reset-aware delta chain then runs per user
+    * over exact integer counts in DECIMAL — fully deterministic.
+    */
+  def parsedSubqueryRate(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "increase((sum by (user) (count_over_time(purchase[24h])))[72h:6h])")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), col("value"))
+  }
+
+  val parsedSubqueryRateOracle: String = {
+    val step = 21600L
+    val g1 = (Te / step) * step
+    val g0 = ((Te - 259200L) / step + 1) * step
+    s"""WITH ev AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS u,
+       |         CAST(floor(epoch(ts)) AS BIGINT) AS e
+       |  FROM events
+       |  WHERE event_type = 'purchase'
+       |    AND CAST(floor(epoch(ts)) AS BIGINT)
+       |        BETWEEN ${g0 - 86400 + 1} AND $g1
+       |), gr AS (
+       |  SELECT unnest(generate_series($g0, $g1, $step)) AS g
+       |), c AS (
+       |  SELECT u, g, CAST(count(*) AS DECIMAL(20,6)) AS c
+       |  FROM ev JOIN gr ON ev.e > g - 86400 AND ev.e <= g
+       |  GROUP BY u, g
+       |), o AS (
+       |  SELECT u, g, c, lag(c) OVER (PARTITION BY u ORDER BY g) AS prev
+       |  FROM c
+       |), d AS (
+       |  SELECT u, g, CASE WHEN prev IS NULL THEN NULL
+       |                    WHEN c >= prev THEN c - prev
+       |                    ELSE c END AS delta
+       |  FROM o
+       |)
+       |SELECT u AS user, CAST(sum(delta) AS DOUBLE) AS value
+       |FROM d GROUP BY u HAVING max(g) - min(g) > 0""".stripMargin
+  }
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "promql_parsed_filtercmp" -> ((parsedFilterCmp _, parsedFilterCmpOracle)),
@@ -1623,6 +1684,9 @@ object PromQueries {
     "promql_parsed_groupleft_label" ->
       ((parsedGroupLeftLabel _, parsedGroupLeftLabelOracle)),
     "promql_parsed_sort" -> ((parsedSort _, parsedSortOracle)),
+    "promql_parsed_mod" -> ((parsedMod _, parsedModOracle)),
+    "promql_parsed_subquery_rate" ->
+      ((parsedSubqueryRate _, parsedSubqueryRateOracle)),
     "promql_parsed_subquery_step" ->
       ((parsedSubqueryStep _, parsedSubqueryStepOracle)),
     "promql_parsed_stddev" -> ((parsedStddev _, parsedStddevOracle)),

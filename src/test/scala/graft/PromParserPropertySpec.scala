@@ -64,6 +64,8 @@ class PromParserPropertySpec extends AnyFunSuite {
       s"${fn}_over_time(${renderSel(sel)}[${w}s]${mods(sel)})"
     case OverTimeSubquery(fn, i, w, st) =>
       s"${fn}_over_time((${render(i)})[${w}s:${st}s])"
+    case RateSubquery(kind, i, w, st) =>
+      s"$kind((${render(i)})[${w}s:${st}s])"
     case Rate(kind, sel, w) =>
       s"$kind(${renderSel(sel)}[${w}s]${mods(sel)})"
     case QuantileOverTime(q, sel, w) =>
@@ -147,7 +149,7 @@ class PromParserPropertySpec extends AnyFunSuite {
         }
         VecCmp(r.oneOf(cmps), gen(r, depth - 1), gen(r, depth - 1), r.bool,
           on, ig)
-      case 4 => Arith(gen(r, depth - 1), r.oneOf(Seq("*", "/", "+", "-")),
+      case 4 => Arith(gen(r, depth - 1), r.oneOf(Seq("*", "/", "+", "-", "%", "^")),
         r.oneOf(scalars))
       case 5 =>
         val (on, ig) = r.int(3) match {
@@ -159,7 +161,7 @@ class PromParserPropertySpec extends AnyFunSuite {
           Some(r.oneOf(Seq("left", "right"))) else None
         val gl = if (gs.nonEmpty && r.int(2) == 0)
           labelNames.drop(2).take(1 + r.int(2)) else Nil
-        VecBin(r.oneOf(Seq("*", "/", "+", "-")), gen(r, depth - 1),
+        VecBin(r.oneOf(Seq("*", "/", "+", "-", "%", "^")), gen(r, depth - 1),
           gen(r, depth - 1), on, ig, gs, gl)
       case 6 => SetOp(r.oneOf(Seq("and", "or", "unless")),
         gen(r, depth - 1), gen(r, depth - 1))
@@ -174,9 +176,13 @@ class PromParserPropertySpec extends AnyFunSuite {
         r.oneOf(Seq("sum", "avg", "min", "max", "count", "last",
           "stddev", "stdvar", "present")),
         genSel(r, withMods = true), 60L * (1 + r.int(10)))
-      case 10 => OverTimeSubquery(
-        r.oneOf(Seq("sum", "avg", "min", "max", "count", "last")),
-        gen(r, depth - 1), 3600L, 60L)
+      case 10 =>
+        if (r.bool) OverTimeSubquery(
+          r.oneOf(Seq("sum", "avg", "min", "max", "count", "last")),
+          gen(r, depth - 1), 3600L, 60L)
+        else RateSubquery(
+          r.oneOf(Seq("rate", "increase", "delta", "resets", "changes")),
+          gen(r, depth - 1), 3600L, 60L)
       case 11 => Rate(
         r.oneOf(Seq("rate", "increase", "delta", "irate", "idelta",
           "resets", "changes")),

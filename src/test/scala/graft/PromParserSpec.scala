@@ -54,7 +54,19 @@ class PromParserSpec extends AnyFunSuite {
     val Rate("increase", Selector("y", eq, _, _, _, _, _), 86400L) =
       PromParser.parse("increase(y{cl=\"a\"}[24h])"): @unchecked
     assert(eq == Seq("cl" -> "a"))
-    intercept[IllegalArgumentException](PromParser.parse("rate((x)[5m:1m])"))
+    // subquery rate: the inner expr's grid values play the samples
+    val RateSubquery("rate", Selector("x", _, _, _, _, _, _), 300L, 60L) =
+      PromParser.parse("rate((x)[5m:1m])"): @unchecked
+    val RateSubquery("increase", Agg("sum", _, Seq("u"), Nil), 3600L, 300L) =
+      PromParser.parse("increase((sum by (u) (m))[1h:5m])"): @unchecked
+    // a bare [w] suffix on a non-selector is still rejected
+    intercept[IllegalArgumentException](PromParser.parse("rate((x + 1)[5m])"))
+    // % and ^ parse in the uniform arithmetic tier
+    val Arith(Selector("m", _, _, _, _, _, _), "%", 7.0) =
+      PromParser.parse("m % 7"): @unchecked
+    val Arith(_, "^", 2.0) = PromParser.parse("m ^ 2"): @unchecked
+    val VecBin("%", _, _, None, None, None, _) =
+      PromParser.parse("a % b"): @unchecked
   }
 
   test("offset modifier on plain and range selectors") {
