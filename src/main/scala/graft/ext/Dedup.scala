@@ -70,9 +70,14 @@ object Dedup {
     // three downstream consumers (sizes, both self-join sides) — persist
     // it once instead of recomputing it per consumer (the same pattern
     // minhashLsh uses; ~35% of this query's time was re-shingling).
-    // Lifetime: the returned frame is lazy, so release happens at the
-    // session's next CacheScope.drain(), not here.
-    val sh = CacheScope.register(shingles.persist())
+    // A caller may pass an already-persisted frame (the session-scoped
+    // shingle cache shared by the jaccard/containment pair) — leave its
+    // lifecycle to its owner; otherwise the persist is per-query and
+    // released at the session's next CacheScope.drain().
+    val sh =
+      if (shingles.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        shingles
+      else CacheScope.register(shingles.persist())
     val capped =
       if (dfCap == Int.MaxValue) sh
       else {

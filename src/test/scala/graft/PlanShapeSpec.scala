@@ -125,4 +125,44 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), plan.take(1200))
   }
+
+  test("on(user) comparison is an equi-join on the match key, no cartesian") {
+    val plan = finalPlan(
+      SparkEntry.queries("promql_parsed_veccmp_on")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
+  test("group_left label copy keeps the one-row-per-key aggregate shape") {
+    // the copied label rides the existing one-side aggregate: same join
+    // count as the bare group_left query, no extra exchange for the copy
+    val plan = finalPlan(
+      SparkEntry.queries("promql_parsed_groupleft_label")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).length
+    assert(joins == 1, s"want exactly 1 join for the one-side agg: $joins\n" +
+      plan.take(1200))
+  }
+
+  test("grid holt_winters is one explode + one aggregation, no window pass") {
+    val plan = finalPlan(
+      SparkEntry.queries("pq_range_holtwinters")(spark, sf))
+    assert(plan.contains("Generate explode"), plan.take(1200))
+    assert(!plan.contains("Window"), "unexpected window pass:\n" + plan.take(1200))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("subquery rate never cross-joins: grid explode then per-series chain") {
+    val plan = finalPlan(
+      SparkEntry.queries("promql_parsed_subquery_rate")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
+  test("multimodal decode stays partition-local: no shuffle before features") {
+    val plan = finalPlan(
+      SparkEntry.queries("multimodal_features")(spark, sf))
+    assert(shuffles(plan) == 0, plan.take(1200))
+  }
 }

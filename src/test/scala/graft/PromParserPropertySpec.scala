@@ -27,7 +27,7 @@ class PromParserPropertySpec extends AnyFunSuite {
   }
 
   private def mods(s: Selector): String = {
-    val off = if (s.offsetSec > 0) s" offset ${s.offsetSec}s" else ""
+    val off = if (s.offsetSec != 0) s" offset ${s.offsetSec}s" else ""
     val at = s.atSec.map(t => s" @ $t").getOrElse("")
     off + at
   }
@@ -122,7 +122,8 @@ class PromParserPropertySpec extends AnyFunSuite {
   private def genSel(r: Rand, withMods: Boolean): Selector = {
     val eq = (0 until r.int(3)).map(i => labelNames(i) -> s"v${r.int(5)}")
     val ne = (0 until r.int(2)).map(i => labelNames(2 + i) -> s"w${r.int(3)}")
-    val off = if (withMods && r.int(4) == 0) 60L * (1 + r.int(5)) else 0L
+    val off = if (withMods && r.int(4) == 0)
+      (if (r.int(4) == 0) -60L else 60L) * (1 + r.int(5)) else 0L
     val at = if (withMods && r.int(4) == 0) Some(1000L + r.int(100)) else None
     val re = (0 until r.int(2)).map(i => labelNames(i) -> r.oneOf(regexes))
     val nre = (0 until r.int(2)).map(i => labelNames(3 - i) -> r.oneOf(regexes))

@@ -77,6 +77,9 @@ class PromParserSpec extends AnyFunSuite {
     val Rate("rate", Selector("c", _, _, 3600L, _, _, _), 300L) =
       PromParser.parse("rate(c[5m] offset 1h)"): @unchecked
     intercept[IllegalArgumentException](PromParser.parse("up offset"))
+    // negative offset looks forward (promql-negative-offset semantics)
+    val Selector("up", Nil, Nil, -3600L, None, _, _) =
+      PromParser.parse("up offset -1h"): @unchecked
     // @ modifier, alone and composed with offset in either order
     val Selector("up", Nil, Nil, 0L, Some(1000L), _, _) =
       PromParser.parse("up @ 1000"): @unchecked
