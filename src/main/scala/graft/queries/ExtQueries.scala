@@ -1239,6 +1239,78 @@ object ExtQueries {
       |            * 10000 // count(*) AS BIGINT) AS rate_bp
       |FROM q GROUP BY lang""".stripMargin
 
+  /** Sequence PACKING PLAN — the actual doc→bin assignment a training
+    * pipeline materializes when concatenating documents into fixed
+    * token-budget sequences (the audit twin [[packingStats]] only counts
+    * waste). Greedy-decreasing within (lang, shard): documents in
+    * (n_tokens desc, doc_id) order join the current bin while the
+    * 512-token budget holds, otherwise open the next; an oversized
+    * document owns its bin. The recurrence is sequential by definition,
+    * so it folds per group over the sorted list — the holt_winters
+    * discipline: a TOTAL order makes the fold deterministic, and the
+    * oracle replays it as a recursive CTE. The shard key (doc_id mod 4
+    * here; a corpus-sized shard count in production) bounds per-group
+    * state at 100 TB — one shuffle, no window pass, no driver loop.
+    * Everything is exact integer arithmetic.
+    */
+  def packingPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val B = 512L
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        (col("doc_id") % 4).as("shard"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+    val sorted = d.groupBy(col("lang"), col("shard"))
+      .agg(array_sort(collect_list(struct(
+        (-col("n_tokens")).as("negl"), col("doc_id"),
+        col("n_tokens")))).as("ds"))
+    val zero = struct(lit(0L).as("bin"), lit(0L).as("fill"),
+      expr("CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, n_tokens: BIGINT, " +
+        "bin_id: BIGINT, bin_fill: BIGINT>>)").as("out"))
+    val folded = aggregate(col("ds"), zero, (acc, dd) => {
+      // an empty bin accepts its first document regardless of size
+      val stay = acc.getField("fill") + dd.getField("n_tokens") <= B ||
+        acc.getField("fill") === 0L
+      val bin = when(stay, acc.getField("bin"))
+        .otherwise(acc.getField("bin") + 1L)
+      val fill = when(stay, acc.getField("fill") + dd.getField("n_tokens"))
+        .otherwise(dd.getField("n_tokens"))
+      struct(bin.as("bin"), fill.as("fill"),
+        concat(acc.getField("out"), array(struct(
+          dd.getField("doc_id").as("doc_id"),
+          dd.getField("n_tokens").as("n_tokens"),
+          bin.as("bin_id"), fill.as("bin_fill")))).as("out"))
+    }, acc => acc.getField("out"))
+    sorted.select(col("lang"), col("shard"), explode(folded).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("lang"), col("shard"),
+        col("p.n_tokens").as("n_tokens"), col("p.bin_id").as("bin_id"),
+        col("p.bin_fill").as("bin_fill"))
+  }
+
+  val packingPlanOracle: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, lang, doc_id % 4 AS shard,
+      |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), o AS (
+      |  SELECT *, row_number() OVER (PARTITION BY lang, shard
+      |             ORDER BY n_tokens DESC, doc_id) AS i
+      |  FROM d
+      |), st AS (
+      |  SELECT lang, shard, i, doc_id, n_tokens,
+      |         CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+      |  FROM o WHERE i = 1
+      |  UNION ALL
+      |  SELECT o.lang, o.shard, o.i, o.doc_id, o.n_tokens,
+      |         CASE WHEN st.fill + o.n_tokens <= 512 THEN st.bin
+      |              ELSE st.bin + 1 END,
+      |         CASE WHEN st.fill + o.n_tokens <= 512
+      |              THEN st.fill + o.n_tokens ELSE o.n_tokens END
+      |  FROM st JOIN o ON o.lang = st.lang AND o.shard = st.shard
+      |                AND o.i = st.i + 1
+      |)
+      |SELECT doc_id, lang, shard, n_tokens, bin AS bin_id, fill AS bin_fill
+      |FROM st""".stripMargin
+
   /** Sequence-packing audit for a fixed context window (64 tokens):
     * per language, the token mass, the padded mass if each document is
     * padded to a whole window (the naive one-doc-per-row training
@@ -1687,6 +1759,7 @@ object ExtQueries {
     "quality_weighted_sample" ->
       ((qualityWeightedSample _, qualityWeightedSampleOracle)),
     "packing_stats" -> ((packingStats _, packingStatsOracle)),
+    "packing_plan" -> ((packingPlan _, packingPlanOracle)),
     "vocab_oov" -> ((vocabOov _, vocabOovOracle)),
     "dedup_exact" -> ((dedupExact _, dedupExactOracle)),
     "text_quality" -> ((textQuality _, textQualityOracle)),

@@ -253,6 +253,16 @@ class PromParserSpec extends AnyFunSuite {
       PromParser.parse("sum by (u) (x)"))
   }
 
+  test("zero-arg time components default to time(); pi() is the literal") {
+    assert(PromParser.parse("hour()") == UnaryFn("hour", TimeFn()))
+    assert(PromParser.parse("day_of_week()") ==
+      UnaryFn("day_of_week", TimeFn()))
+    val NumLit(p) = PromParser.parse("pi()"): @unchecked
+    assert(p == math.Pi)
+    // math fns still require an argument
+    intercept[IllegalArgumentException](PromParser.parse("sqrt()"))
+  }
+
   test("comparison matching modifiers and group_left label-copy parse") {
     val VecCmp(">", _, _, false, Some(Seq("user")), None) =
       PromParser.parse("a > on(user) b"): @unchecked

@@ -81,4 +81,24 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(1).getString(2) == "call <PHONE> or <PHONE>")
     assert(rows(2).getString(2) == "no pii here at all")
   }
+
+  test("packing_plan invariants: budget, dense bins, consistent fills") {
+    val rows = graft.queries.ExtQueries
+      .packingPlan(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val byBin = rows.groupBy(r => (r.getAs[String]("lang"),
+      r.getAs[Long]("shard"), r.getAs[Long]("bin_id")))
+    byBin.foreach { case (_, ds) =>
+      val total = ds.map(_.getAs[Long]("n_tokens")).sum
+      // the bin's final fill equals the token mass it holds, and the
+      // budget holds unless an oversized document owns the bin alone
+      assert(total == ds.map(_.getAs[Long]("bin_fill")).max)
+      assert(total <= 512 || ds.length == 1)
+    }
+    // bin ids are dense from 0 within every (lang, shard) group
+    byBin.keys.groupBy(k => (k._1, k._2)).foreach { case (_, ks) =>
+      val ids = ks.map(_._3).toSeq.sorted
+      assert(ids == (0L until ids.length).map(identity))
+    }
+  }
 }
