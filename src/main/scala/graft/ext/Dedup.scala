@@ -98,7 +98,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    common
+    val result = common
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
@@ -109,6 +109,13 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"),
         col("n_b"), col("jaccard"))
+    // the pipeline ends here: materialize the candidate-sized (tiny)
+    // result so repeated consumption serves from cache instead of
+    // re-running the joins — the same discipline as minhashLsh; released
+    // at the session's next CacheScope.drain()
+    val out = CacheScope.register(result.persist())
+    out.count()
+    out
   }
 
   /** Mersenne-prime modulus and the fixed affine-permutation constants
