@@ -469,6 +469,7 @@ object PromEval {
     case "-" => l - r
     case "%" => l % r // Spark Remainder == Java % == Go math.Mod (fmod)
     case "^" => pow(l, r)
+    case "atan2" => atan2(l, r) // libm → spec-only policy, like ^
   }
 
   /** Evaluate `expr` at every aligned grid point in [g0, g1] (step-aligned):
@@ -764,6 +765,7 @@ object PromEval {
     case "-" => value - v
     case "%" => value % v
     case "^" => pow(value, v)
+    case "atan2" => atan2(value, lit(v))
   }
 
   private def aggColumn(fn: String): Column = fn match {

@@ -345,8 +345,12 @@ object PromParser {
       */
     private def parseArith(): Expr = {
       var e = parsePrimary()
-      while (peek.exists { case TSym(s) => "*/+-%^".contains(s); case _ => false }) {
-        val TSym(op) = pop(): @unchecked
+      while (peek.exists { case TSym(s) => "*/+-%^".contains(s)
+          case TId("atan2") => true; case _ => false }) {
+        val op = (pop(): @unchecked) match {
+          case TSym(s) => s
+          case TId(s) => s // `atan2` — Prometheus's keyword binop
+        }
         peek match {
           case Some(TNum(_)) =>
             val TNum(v) = pop(): @unchecked
@@ -465,6 +469,15 @@ object PromParser {
         // evaluates as identity. Stated deviation: an API layer that
         // must render ordered output re-sorts at the edge.
         expectSym("("); val e = parseSetOp(); expectSym(")"); e
+      case TId("sort_by_label") | TId("sort_by_label_desc") =>
+        // same presentation-order identity as sort/sort_desc (the label
+        // list orders rows, never changes the sample set); the labels are
+        // parsed and validated as string literals, then discarded.
+        expectSym("(")
+        val e = parseSetOp()
+        val labs = strArgs()
+        if (labs.isEmpty) fail("sort_by_label needs at least one label")
+        e
       case TId("vector") =>
         expectSym("(")
         val v = pop() match {
@@ -831,6 +844,7 @@ object PromParser {
     case "-" => l - r
     case "%" => l % r // fmod, dividend's sign — Go math.Mod semantics
     case "^" => math.pow(l, r)
+    case "atan2" => math.atan2(l, r) // libm → spec-only policy, like ^
   }
 
   /** Extractor form of [[constFold]] for parse-time collapsing. */

@@ -1749,7 +1749,183 @@ object ExtQueries {
       |  FROM scored
       |) WHERE rank <= 3""".stripMargin
 
+  // ------------------------------------------------- SemDeDup prune
+
+  /** The full SemDeDup prune step (Abbas et al. 2023, public method):
+    * after the k-means assignment ([[embKmeansStep]]), compare pairs
+    * ONLY within a cell and prune, from every pair above the cosine
+    * threshold, the member closer to its centroid (SemDeDup keeps the
+    * edge examples; tie → prune the higher vec_id). The within-cell
+    * self-join is the method's design point — #cells grows with the
+    * corpus so cells stay small and the quadratic step never sees the
+    * whole corpus; the cell id is the shuffle key. Centroid cosines and
+    * pair cosines are single divisions over exact integer dots →
+    * bit-identical cross-engine.
+    */
+  def semdedupPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    val cents = Similarity.centroids(emb, "label")
+    val assigned = Similarity.assignCells(emb, cents)
+    val av = assigned.join(
+      Similarity.prepared(emb, "vec_id", "qv", "qn"), "vec_id")
+    val pairs = av.as("a").join(av.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine",
+        Similarity.cosineQN(col("a.qv"), col("b.qv"), col("a.qn"), col("b.qn")))
+      .filter(col("cosine") >= 0.35)
+    val pruned = pairs.select(
+        when(col("a.cell_cos") > col("b.cell_cos"), col("a.vec_id"))
+          .when(col("b.cell_cos") > col("a.cell_cos"), col("b.vec_id"))
+          .otherwise(greatest(col("a.vec_id"), col("b.vec_id"))).as("vec_id"))
+      .distinct()
+      .withColumn("pruned", lit(true))
+    assigned.join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("cell_cos"),
+        coalesce(!col("pruned"), lit(true)).as("keep"))
+  }
+
+  val semdedupPruneOracle: String =
+    s"""WITH v AS (SELECT vec_id, label, $qvSql AS qv FROM embeddings),
+       |comp AS (
+       |  SELECT label, i.i AS pos, qv[i.i] AS q
+       |  FROM v, unnest(generate_series(1, 64)) AS i(i)
+       |), cent AS (
+       |  SELECT label AS cell, list(c ORDER BY pos) AS centroid
+       |  FROM (SELECT label, pos,
+       |               CAST(trunc(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS c
+       |        FROM comp GROUP BY label, pos)
+       |  GROUP BY label
+       |), assigned AS (
+       |  SELECT vec_id, cell, sim FROM (
+       |    SELECT v.vec_id, c.cell,
+       |           ${cosSql("v.qv", "c.centroid")} AS sim,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${cosSql("v.qv", "c.centroid")} DESC, c.cell ASC) AS rr
+       |    FROM v, cent c
+       |  ) WHERE rr = 1
+       |), av AS (
+       |  SELECT a.vec_id, a.cell, a.sim, v.qv
+       |  FROM assigned a JOIN v USING (vec_id)
+       |), pruned AS (
+       |  SELECT DISTINCT CASE WHEN a.sim > b.sim THEN a.vec_id
+       |              WHEN b.sim > a.sim THEN b.vec_id
+       |              ELSE greatest(a.vec_id, b.vec_id) END AS vec_id
+       |  FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.qv", "b.qv")} >= 0.35
+       |)
+       |SELECT a.vec_id, a.cell, a.sim AS cell_cos,
+       |       a.vec_id NOT IN (SELECT vec_id FROM pruned) AS keep
+       |FROM assigned a""".stripMargin
+
+  // -------------------------------------------- duplicate n-gram mass
+
+  /** Corpus-level duplicate text mass per document (the Lee et al. 2022
+    * "Deduplicating Training Data" signal, public method): the fraction
+    * of a document's distinct 8-gram shingles whose corpus document
+    * frequency is ≥ 2. Unlike the pairwise near-dup queries this never
+    * joins document pairs — the document frequency is one map-side-
+    * combinable groupBy on the shingle hash and one equi-join back, so
+    * cost stays LINEAR in corpus shingle count at any scale (a
+    * crawl-scale stop-shingle inflates one df counter, not a join
+    * fan-out). Basis points keep the ratio integer-exact.
+    */
+  def dupNgramMass(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shingleSets(
+        docs(spark, sfDir).withColumn("toks", TextOps.tokens(col("text"))),
+        n = 8, lit(0))
+      .select(col("doc_id"), col("h"))
+    val df8 = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(df8, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum((col("df") >= 2).cast("long")).as("n_dup_sh"))
+      .select(col("doc_id"), col("n_sh"), col("n_dup_sh"),
+        expr("(n_dup_sh * 10000) div n_sh").as("dup_mass_bp"))
+  }
+
+  val dupNgramMassOracle: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+      |  FROM (
+      |    SELECT doc_id,
+      |           array_to_string(list_slice(string_split(lower(text), ' '),
+      |                                      i.i + 1, i.i + 8), ' ') AS shingle
+      |    FROM documents,
+      |         unnest(generate_series(0, len(string_split(lower(text), ' ')) - 8)) AS i(i)
+      |  )
+      |), df AS (SELECT h, count(*) AS df FROM sh GROUP BY h)
+      |SELECT doc_id, count(*) AS n_sh,
+      |       CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_sh,
+      |       CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 10000
+      |            // count(*) AS BIGINT) AS dup_mass_bp
+      |FROM sh JOIN df USING (h)
+      |GROUP BY doc_id""".stripMargin
+
+  // ----------------------------------------------- data-mixing plan
+
+  /** Sampling-weight plan for training-data mixing: per (lang, source)
+    * bucket, the natural token share versus an α=0.5 temperature-scaled
+    * target share (weight ∝ √tokens — the standard multilingual
+    * upsampling rule, public method), the resulting sampling rate, and
+    * the oversampling epochs a loader needs. √tokens is one correctly-
+    * rounded IEEE op on an exact integer, quantized to 1e-6 fixed point
+    * BEFORE the global sum so both shares are exact-integer basis
+    * points; the rate is a ratio of exactly-representable products.
+    * Scale: one groupBy over the corpus plus a broadcast 1-row totals
+    * frame — no second shuffle.
+    */
+  def mixPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = docs(spark, sfDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("tokens"))
+      .withColumn("wq",
+        floor(sqrt(col("tokens").cast("double")) * 1000000d + 0.5d)
+          .cast("long"))
+    val tot = b.agg(sum(col("tokens")).as("total"), sum(col("wq")).as("wsum"))
+    b.crossJoin(broadcast(tot))
+      .withColumn("rate",
+        (col("wq").cast("double") * col("total").cast("double")) /
+          (col("wsum").cast("double") * col("tokens").cast("double")))
+      .select(col("lang"), col("source"), col("n_docs"), col("tokens"),
+        expr("(tokens * 10000) div total").as("natural_bp"),
+        expr("(wq * 10000) div wsum").as("target_bp"),
+        col("rate"),
+        when(col("rate") > 1d, ceil(col("rate")).cast("long"))
+          .otherwise(lit(1L)).as("epochs"))
+  }
+
+  val mixPlanOracle: String =
+    """WITH b AS (
+      |  SELECT lang, source, count(*) AS n_docs,
+      |         CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1, 2
+      |), w AS (
+      |  SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000 + 0.5)
+      |                 AS BIGINT) AS wq
+      |  FROM b
+      |), t AS (
+      |  SELECT CAST(sum(tokens) AS BIGINT) AS total,
+      |         CAST(sum(wq) AS BIGINT) AS wsum
+      |  FROM w
+      |), r AS (
+      |  SELECT lang, source, n_docs, tokens,
+      |         tokens * 10000 // total AS natural_bp,
+      |         wq * 10000 // wsum AS target_bp,
+      |         (CAST(wq AS DOUBLE) * CAST(total AS DOUBLE)) /
+      |           (CAST(wsum AS DOUBLE) * CAST(tokens AS DOUBLE)) AS rate
+      |  FROM w, t
+      |)
+      |SELECT lang, source, n_docs, tokens, natural_bp, target_bp, rate,
+      |       CAST(CASE WHEN rate > 1 THEN ceil(rate) ELSE 1 END AS BIGINT)
+      |         AS epochs
+      |FROM r""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "semdedup_prune" -> ((semdedupPrune _, semdedupPruneOracle)),
+    "dup_ngram_mass" -> ((dupNgramMass _, dupNgramMassOracle)),
+    "mix_plan" -> ((mixPlan _, mixPlanOracle)),
     "curation_pipeline" -> ((curationPipeline _, curationPipelineOracle)),
     "emb_int8_recall" -> ((embInt8Recall _, embInt8RecallOracle)),
     "emb_kmeans_step" -> ((embKmeansStep _, embKmeansStepOracle)),

@@ -165,4 +165,34 @@ class PlanShapeSpec extends SparkSpec {
       SparkEntry.queries("multimodal_features")(spark, sf))
     assert(shuffles(plan) == 0, plan.take(1200))
   }
+
+  test("semdedup prune: broadcast centroids, pair join is an equi-join on cell") {
+    val plan = finalPlan(
+      SparkEntry.queries("semdedup_prune")(spark, sf))
+    // the within-cell self-join must shuffle/join on the cell key, never
+    // go cartesian — the cell id IS the scale story
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
+  test("dup_ngram_mass is join-linear: df groupBy + one equi-join, no pair join") {
+    val plan = finalPlan(
+      SparkEntry.queries("dup_ngram_mass")(spark, sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    // exactly one join: shingles ⨝ df(h) — a second join would mean the
+    // pairwise shape crept in
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).length
+    assert(joins == 1, s"want exactly 1 join: $joins\n" + plan.take(1200))
+  }
+
+  test("mix_plan broadcasts the one-row totals frame over one corpus groupBy") {
+    val plan = finalPlan(
+      SparkEntry.queries("mix_plan")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
 }

@@ -253,6 +253,22 @@ class PromParserSpec extends AnyFunSuite {
       PromParser.parse("sum by (u) (x)"))
   }
 
+  test("sort_by_label variants parse as identity; label list required") {
+    assert(PromParser.parse("""sort_by_label(x, "job")""") == Selector("x"))
+    assert(PromParser.parse("""sort_by_label_desc(sum by (u) (x), "a", "b")""") ==
+      PromParser.parse("sum by (u) (x)"))
+    intercept[IllegalArgumentException](PromParser.parse("sort_by_label(x)"))
+  }
+
+  test("atan2 is a keyword binary operator") {
+    val Arith(Selector("m", _, _, _, _, _, _), "atan2", 2.0) =
+      PromParser.parse("m atan2 2"): @unchecked
+    val VecBin("atan2", _, _, None, None, None, _) =
+      PromParser.parse("m atan2 n"): @unchecked
+    val VecBin("atan2", _, _, Some(Seq("job")), None, None, _) =
+      PromParser.parse("m atan2 on(job) n"): @unchecked
+  }
+
   test("zero-arg time components default to time(); pi() is the literal") {
     assert(PromParser.parse("hour()") == UnaryFn("hour", TimeFn()))
     assert(PromParser.parse("day_of_week()") ==
@@ -803,6 +819,9 @@ class PromEvalSpec extends SparkSpec {
     assert(eval("rad(deg(m))") == 0.5)
     // parenthesized: the repo's arithmetic chain is uniform-precedence
     assert(eval("(cosh(m) * cosh(m)) - (sinh(m) * sinh(m))") > 0.999)
+    // atan2: keyword binop, scalar and vector-vector forms (libm rule)
+    assert(eval("m atan2 2") == math.atan2(0.5, 2.0))
+    assert(eval("m atan2 m") == math.atan2(0.5, 0.5))
   }
 
   test("holt_winters reproduces the Prometheus recursion exactly") {
