@@ -113,6 +113,9 @@ object PromEval {
         ignoring)
     case TopK(fn, k, inner, by, without) =>
       topk(evalInstant(metrics, inner, atEpochSec, lookbackSec), fn, k, by, without)
+    case LimitAgg(fn, p, inner, by, without) =>
+      limitAgg(evalInstant(metrics, inner, atEpochSec, lookbackSec), fn, p,
+        by, without)
     case QuantileOverTime(q, sel, w) =>
       PromOps.quantileOverTime(
         PromOps.rangeSelector(matcherFilter(metrics, sel), sel.name,
@@ -453,6 +456,43 @@ object PromEval {
     }
   }
 
+  /** limitk / limit_ratio on an instant vector (deterministic stated
+    * deviations — see [[PromParser.LimitAgg]]). limitk's global form is a
+    * TakeOrderedAndProject (k smallest series keys, never a full sort);
+    * the grouped form is one row_number window. limit_ratio is a pure
+    * filter on the 60-bit-md5 unit-interval hash of the series key —
+    * no shuffle at all, and the same series survive on every evaluation
+    * and every engine.
+    */
+  private def limitAgg(df: DataFrame, fn: String, p: Double,
+      by: Seq[String], without: Seq[String]): DataFrame = fn match {
+    case "limitk" =>
+      import org.apache.spark.sql.expressions.Window
+      (by, without) match {
+        case (Nil, Nil) =>
+          df.orderBy(col("skey").asc).limit(p.toInt)
+            .select(col("skey"), col("value"))
+        case _ =>
+          df.withColumn("gkey", seriesKeyOf(groupLabels(by, without)))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("gkey")).orderBy(col("skey").asc)))
+            .filter(col("rn") <= p.toInt)
+            .select(col("skey"), col("value"))
+      }
+    case "limit_ratio" =>
+      df.filter(ratioKeep(p)).select(col("skey"), col("value"))
+  }
+
+  /** The limit_ratio keep predicate: h(skey) ∈ [0,1) from the repo's
+    * standard 60-bit md5 prefix; r ≥ 0 keeps h < r, r < 0 keeps the
+    * complement h ≥ 1+r — the two partition the vector exactly.
+    */
+  private def ratioKeep(p: Double): Column = {
+    val h = conv(substring(md5(col("skey")), 1, 15), 16, 10)
+      .cast("long").cast("double") / math.pow(2, 60)
+    if (p >= 0) h < lit(p) else h >= lit(1.0 + p)
+  }
+
   /** Set/overwrite one label; an empty or null value REMOVES it
     * (Prometheus's label_replace/label_join contract).
     */
@@ -688,6 +728,26 @@ object PromEval {
           row_number().over(Window.partitionBy(parts: _*).orderBy(ord: _*)))
         .filter(col("rn") <= k)
         .select(col("skey"), col("g"), col("value"))
+    case LimitAgg(fn, p, inner, by, without) =>
+      // per grid point, same deterministic rules as the instant form;
+      // limit_ratio's hash ignores g, so a series is kept or dropped
+      // uniformly across the whole range — Prometheus's documented
+      // "consistent sampling across steps" property for free
+      import org.apache.spark.sql.expressions.Window
+      val df = evalGrid(metrics, inner, g0, g1, stepSec, lookbackSec)
+      fn match {
+        case "limitk" =>
+          val parts: Seq[Column] = (by, without) match {
+            case (Nil, Nil) => Seq(col("g"))
+            case _ => Seq(seriesKeyOf(groupLabels(by, without)), col("g"))
+          }
+          df.withColumn("rn", row_number().over(
+              Window.partitionBy(parts: _*).orderBy(col("skey").asc)))
+            .filter(col("rn") <= p.toInt)
+            .select(col("skey"), col("g"), col("value"))
+        case "limit_ratio" =>
+          df.filter(ratioKeep(p)).select(col("skey"), col("g"), col("value"))
+      }
     case other =>
       throw new IllegalArgumentException(s"unsupported grid expr: $other")
   }

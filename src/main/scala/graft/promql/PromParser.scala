@@ -100,6 +100,17 @@ object PromParser {
     */
   final case class TopK(fn: String, k: Int, inner: Expr,
       by: Seq[String] = Nil, without: Seq[String] = Nil) extends Expr
+  /** `limitk(k, expr)` / `limit_ratio(r, expr)` — Prometheus's
+    * experimental sampling aggregators, deterministic here (stated
+    * deviations, README): limitk keeps the k lexicographically-smallest
+    * canonical series keys per group (Prometheus: an arbitrary k);
+    * limit_ratio keeps series whose 60-bit-md5 unit-interval hash of the
+    * series key is < r — negative r keeps the complement, so
+    * `limit_ratio(r)` ∪ `limit_ratio(r−1)` is exactly the input vector,
+    * mirroring the documented Prometheus pairing.
+    */
+  final case class LimitAgg(fn: String, param: Double, inner: Expr,
+      by: Seq[String] = Nil, without: Seq[String] = Nil) extends Expr
   /** `quantile_over_time(q, sel[w])` — φ-quantile per series with linear
     * interpolation (Prometheus's rank = q·(n−1) rule).
     */
@@ -375,6 +386,7 @@ object PromParser {
     private def parsePrimary(): Expr = pop() match {
       case TId(fn) if aggFns(fn) => parseAgg(fn)
       case TId(fn) if topkFns(fn) => parseTopK(fn)
+      case TId(fn @ ("limitk" | "limit_ratio")) => parseLimit(fn)
       case TId(fn) if overTimeFns(fn) => parseOverTime(fn)
       case TId(fn) if rateFns(fn) => parseRate(fn)
       case TId("quantile_over_time") => parseQuantileOverTime()
@@ -626,6 +638,34 @@ object PromParser {
       TopK(fn, k, inner, by, without)
     }
 
+    /** limitk [by|without] (k, expr) / limit_ratio (r, expr); r may be
+      * negative (complement selection) and must sit in [-1, 1].
+      */
+    private def parseLimit(fn: String): Expr = {
+      var by = Seq.empty[String]; var without = Seq.empty[String]
+      def clause(): Boolean = peek match {
+        case Some(TId("by")) => pop(); by = labelList(); true
+        case Some(TId("without")) => pop(); without = labelList(); true
+        case _ => false
+      }
+      clause()
+      expectSym("(")
+      val p = (fn, pop()) match {
+        case ("limitk", TNum(v)) if v == v.toInt && v.toInt > 0 => v
+        case ("limit_ratio", TNum(v)) if v >= -1 && v <= 1 => v
+        case ("limit_ratio", TSym("-")) => pop() match {
+          case TNum(v) if v <= 1 => -v
+          case other => fail(s"$fn needs r in [-1,1], got -$other")
+        }
+        case (_, other) => fail(s"$fn parameter out of range: $other")
+      }
+      expectSym(",")
+      val inner = parseSetOp()
+      expectSym(")")
+      clause()
+      LimitAgg(fn, p, inner, by, without)
+    }
+
     /** quantile [by|without (l,..)] (q, expr) [by|without (l,..)] */
     private def parseAggQuantile(): Expr = {
       var by = Seq.empty[String]; var without = Seq.empty[String]
@@ -869,6 +909,7 @@ object PromParser {
     case RateSubquery(_, i, _, _) => containsPlaceholder(i)
     case VecBin(_, l, r, _, _, _, _) => containsPlaceholder(l) || containsPlaceholder(r)
     case TopK(_, _, i, _, _) => containsPlaceholder(i)
+    case LimitAgg(_, _, i, _, _) => containsPlaceholder(i)
     case HistQuantile(_, i) => containsPlaceholder(i)
     case UnaryFn(_, i) => containsPlaceholder(i)
     case Clamp(i, _, _) => containsPlaceholder(i)

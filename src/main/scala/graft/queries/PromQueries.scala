@@ -883,6 +883,62 @@ object PromQueries {
         |)
         |SELECT u AS user, k, cl AS cluster_name, value FROM r WHERE rn <= 2""".stripMargin
 
+  /** Parsed `limitk by (cluster_name) (2, ...)` — Prometheus's
+    * experimental sampling aggregator, deterministic here: the 2
+    * lexicographically-smallest canonical series keys per group survive
+    * (stated deviation; Prometheus keeps an arbitrary 2). The oracle
+    * rebuilds the canonical JSON key byte-for-byte, as the topk_by
+    * oracle does.
+    */
+  def parsedLimitk(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "limitk by (cluster_name) (2, count_over_time(view[720h]))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"),
+        clusterLbl.as("cluster_name"), col("value"))
+  }
+
+  val parsedLimitkOracle: String =
+    sampleCte("view", Te - 2592000 + 1, Te) +
+      """
+        |, c AS (
+        |  SELECT u, k, cl, CAST(count(*) AS DOUBLE) AS value
+        |  FROM s GROUP BY u, k, cl
+        |), r AS (
+        |  SELECT u, k, cl, value,
+        |         row_number() OVER (PARTITION BY cl ORDER BY
+        |           '{"cluster_name":"' || cl || '","k":"' || k || '","user":"' || u || '"}'
+        |         ) AS rn
+        |  FROM c
+        |)
+        |SELECT u AS user, k, cl AS cluster_name, value FROM r WHERE rn <= 2""".stripMargin
+
+  /** Parsed `limit_ratio(0.5, ...)` — deterministic ratio sampling on
+    * the 60-bit-md5 unit-interval hash of the canonical series key: a
+    * pure filter (no shuffle), the same series surviving on every
+    * engine and every evaluation; negative r keeps the exact
+    * complement (spec-tested union property).
+    */
+  def parsedLimitRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "limit_ratio(0.5, count_over_time(error[720h]))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"),
+        clusterLbl.as("cluster_name"), col("value"))
+  }
+
+  val parsedLimitRatioOracle: String =
+    sampleCte("error", Te - 2592000 + 1, Te) +
+      """
+        |, c AS (
+        |  SELECT u, k, cl, CAST(count(*) AS DOUBLE) AS value
+        |  FROM s GROUP BY u, k, cl
+        |)
+        |SELECT u AS user, k, cl AS cluster_name, value FROM c
+        |WHERE CAST(('0x' || substr(md5(
+        |        '{"cluster_name":"' || cl || '","k":"' || k || '","user":"' || u || '"}'
+        |      ), 1, 15)) AS BIGINT) / CAST(1152921504606846976 AS DOUBLE) < 0.5""".stripMargin
+
   /** Parsed `quantile_over_time(0.9, purchase[720h])` — per-series
     * φ-quantile with Prometheus's linear interpolation. The engine and
     * the oracle both compute rank = q·(n−1) with explicit floor/ceil
@@ -1752,6 +1808,9 @@ object PromQueries {
     "promql_parsed_topk" -> ((parsedTopk _, parsedTopkOracle)),
     "promql_parsed_bottomk" -> ((parsedBottomk _, parsedBottomkOracle)),
     "promql_parsed_topk_by" -> ((parsedTopkBy _, parsedTopkByOracle)),
+    "promql_parsed_limitk" -> ((parsedLimitk _, parsedLimitkOracle)),
+    "promql_parsed_limitratio" ->
+      ((parsedLimitRatio _, parsedLimitRatioOracle)),
     "promql_parsed_rate" -> ((parsedRate _, parsedRateOracle)),
     "promql_parsed_increase" -> ((parsedIncrease _, parsedIncreaseOracle)),
     "promql_parsed_flagship" -> ((parsedFlagship _, flagshipOracle)),

@@ -260,6 +260,20 @@ class PromParserSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](PromParser.parse("sort_by_label(x)"))
   }
 
+  test("limitk/limit_ratio parse with grouping; parameters are validated") {
+    val LimitAgg("limitk", 3.0, Selector("x", _, _, _, _, _, _), Nil, Nil) =
+      PromParser.parse("limitk(3, x)"): @unchecked
+    val LimitAgg("limitk", 2.0, _, Seq("job"), Nil) =
+      PromParser.parse("limitk by (job) (2, x)"): @unchecked
+    val LimitAgg("limit_ratio", 0.5, _, Nil, Nil) =
+      PromParser.parse("limit_ratio(0.5, x)"): @unchecked
+    val LimitAgg("limit_ratio", -0.5, _, Nil, Nil) =
+      PromParser.parse("limit_ratio(-0.5, x)"): @unchecked
+    intercept[IllegalArgumentException](PromParser.parse("limitk(0, x)"))
+    intercept[IllegalArgumentException](PromParser.parse("limitk(1.5, x)"))
+    intercept[IllegalArgumentException](PromParser.parse("limit_ratio(1.5, x)"))
+  }
+
   test("atan2 is a keyword binary operator") {
     val Arith(Selector("m", _, _, _, _, _, _), "atan2", 2.0) =
       PromParser.parse("m atan2 2"): @unchecked
@@ -822,6 +836,36 @@ class PromEvalSpec extends SparkSpec {
     // atan2: keyword binop, scalar and vector-vector forms (libm rule)
     assert(eval("m atan2 2") == math.atan2(0.5, 2.0))
     assert(eval("m atan2 m") == math.atan2(0.5, 0.5))
+  }
+
+  test("limit_ratio(r) and limit_ratio(r-1) partition the vector exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = (1 to 40).map(i => ("m", Map("i" -> i.toString), i.toDouble, 990L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def keys(q: String): Set[String] = graft.promql.PromEval
+      .evalInstant(m, graft.promql.PromParser.parse(q), 1000L)
+      .collect().map(_.getAs[String]("skey")).toSet
+    val all = keys("m")
+    val kept = keys("limit_ratio(0.3, m)")
+    val rest = keys("limit_ratio(-0.7, m)")
+    assert(kept.intersect(rest).isEmpty)
+    assert(kept.union(rest) == all)
+    assert(kept.nonEmpty && rest.nonEmpty) // 40 series: both sides populated
+    // limitk: the k smallest canonical keys, whole-series selection
+    val lk = keys("limitk(5, m)")
+    assert(lk == all.toSeq.sorted.take(5).toSet)
+    // grid forms agree with the instant rule at every point
+    val gkept = graft.promql.PromEval
+      .evalGrid(m, graft.promql.PromParser.parse("limit_ratio(0.3, m)"),
+        1020L, 1080L, 60L, 300L)
+      .collect().map(_.getAs[String]("skey")).toSet
+    assert(gkept == kept)
+    val glk = graft.promql.PromEval
+      .evalGrid(m, graft.promql.PromParser.parse("limitk by (i) (1, m)"),
+        1020L, 1080L, 60L, 300L)
+    assert(glk.count() == all.size * 2) // own group × grid points {1020, 1080}
   }
 
   test("holt_winters reproduces the Prometheus recursion exactly") {
