@@ -120,6 +120,10 @@ object PromEval {
       PromOps.quantileOverTime(
         PromOps.rangeSelector(matcherFilter(metrics, sel), sel.name,
           sel.evalAt(atEpochSec), w), q)
+    case MadOverTime(sel, w) =>
+      PromOps.madOverTime(
+        PromOps.rangeSelector(matcherFilter(metrics, sel), sel.name,
+          sel.evalAt(atEpochSec), w))
     case HistQuantile(q, inner) =>
       PromOps.histogramQuantile(
         evalInstant(metrics, inner, atEpochSec, lookbackSec), q)
@@ -653,6 +657,16 @@ object PromEval {
         PromOps.windowGrid(matcherFilter(metrics, sel), sel.name,
           g0 - off, g1 - off, stepSec, w),
         q, extraKeys = Seq("g"))
+      if (off == 0) base else base.withColumn("g", col("g") + off)
+    case MadOverTime(sel, _) if sel.atSec.nonEmpty =>
+      pinnedGrid(metrics, expr, g0, g1, stepSec, lookbackSec)
+    case MadOverTime(sel, w) =>
+      require(sel.offsetSec % stepSec == 0,
+        s"offset ${sel.offsetSec}s must be a multiple of the ${stepSec}s step")
+      val off = sel.offsetSec
+      val base = PromOps.madOverTime(
+        PromOps.windowGrid(matcherFilter(metrics, sel), sel.name,
+          g0 - off, g1 - off, stepSec, w), extraKeys = Seq("g"))
       if (off == 0) base else base.withColumn("g", col("g") + off)
     case Absent(sel) if sel.atSec.nonEmpty =>
       pinnedGrid(metrics, expr, g0, g1, stepSec, lookbackSec)

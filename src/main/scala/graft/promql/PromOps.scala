@@ -518,6 +518,27 @@ object PromOps {
         (col("lo") + (col("hi") - col("lo")) * col("frac")).as("value"): _*)
   }
 
+  /** `mad_over_time(sel[w])` — median absolute deviation around the
+    * median (Prometheus's experimental function). Both medians run the
+    * explicit rank-interpolation of [[quantileOverTime]] (bit-exact
+    * cross-engine; ties carry equal values, so tie order cannot change
+    * the interpolated result); the per-series median joins back to the
+    * window's samples on the series key (plus the grid point at range
+    * evaluation). Cost: two rank windows plus one equi-join, all
+    * partitioned on the same key — no extra distribution.
+    */
+  def madOverTime(rangeSel: DataFrame,
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    val keys = col("skey") +: extraKeys.map(col)
+    val med = quantileOverTime(rangeSel, 0.5, extraKeys)
+      .withColumnRenamed("value", "med")
+    val dev = rangeSel
+      .select(keys :+ col("value"): _*)
+      .join(med, "skey" +: extraKeys)
+      .select(keys :+ abs(col("value") - col("med")).as("value"): _*)
+    quantileOverTime(dev, 0.5, extraKeys)
+  }
+
   /** `histogram_quantile(q, buckets)` over an instant vector of
     * cumulative `le`-labeled bucket series (the classic-histogram
     * contract): group by labels-minus-le, rank = q·total (the +Inf

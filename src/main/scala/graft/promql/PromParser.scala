@@ -116,6 +116,10 @@ object PromParser {
     */
   final case class QuantileOverTime(q: Double, sel: Selector,
       windowSec: Long) extends Expr
+  /** `mad_over_time(sel[w])` — median absolute deviation around the
+    * median, both via the quantile rank-interpolation machinery.
+    */
+  final case class MadOverTime(sel: Selector, windowSec: Long) extends Expr
   /** `histogram_quantile(q, expr)` over cumulative le-labeled buckets. */
   final case class HistQuantile(q: Double, inner: Expr) extends Expr
   /** Pointwise math: abs/ceil/floor/sqrt/exp/ln (PromQL returns floats;
@@ -390,6 +394,14 @@ object PromParser {
       case TId(fn) if overTimeFns(fn) => parseOverTime(fn)
       case TId(fn) if rateFns(fn) => parseRate(fn)
       case TId("quantile_over_time") => parseQuantileOverTime()
+      case TId("mad_over_time") =>
+        expectSym("(")
+        val e = parseArith() match {
+          case RangePlaceholder(sel, w) => MadOverTime(sel, w)
+          case _ => fail("mad_over_time requires a plain range selector")
+        }
+        expectSym(")")
+        e
       case TId("histogram_quantile") => parseHistQuantile()
       case TId("deriv") =>
         expectSym("(")
@@ -433,7 +445,8 @@ object PromParser {
         }
         expectSym(")")
         e
-      case TId("holt_winters") =>
+      case TId("holt_winters") | TId("double_exponential_smoothing") =>
+        // Prometheus 3.x renamed holt_winters; both names accepted
         expectSym("(")
         val inner = parseArith()
         def factor(what: String): Double = { expectSym(","); pop() match {

@@ -972,6 +972,54 @@ object PromQueries {
         |)
         |SELECT u AS user, k, lo + (hi - lo) * frac AS value FROM p""".stripMargin
 
+  /** Parsed `mad_over_time(purchase[720h])` — median absolute deviation
+    * around the median, both medians via the explicit rank-interpolation
+    * (bit-exact; the oracle repeats the identical two passes). The
+    * deviation pass joins the per-series median back on the series key —
+    * same shuffle key as the rank windows, no extra distribution.
+    */
+  def parsedMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "mad_over_time(purchase[720h])")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedMadOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      """
+        |, o AS (
+        |  SELECT u, k, v,
+        |         row_number() OVER (PARTITION BY u, k ORDER BY v) - 1 AS rn,
+        |         0.5 * (count(*) OVER (PARTITION BY u, k) - 1) AS rank
+        |  FROM s
+        |), p AS (
+        |  SELECT u, k,
+        |         max(CASE WHEN rn = floor(rank) THEN v END) AS lo,
+        |         max(CASE WHEN rn = ceil(rank) THEN v END) AS hi,
+        |         any_value(rank - floor(rank)) AS frac
+        |  FROM o WHERE rn = floor(rank) OR rn = ceil(rank)
+        |  GROUP BY u, k
+        |), med AS (
+        |  SELECT u, k, lo + (hi - lo) * frac AS med FROM p
+        |), d AS (
+        |  SELECT s.u, s.k, abs(s.v - med.med) AS v
+        |  FROM s JOIN med USING (u, k)
+        |), o2 AS (
+        |  SELECT u, k, v,
+        |         row_number() OVER (PARTITION BY u, k ORDER BY v) - 1 AS rn,
+        |         0.5 * (count(*) OVER (PARTITION BY u, k) - 1) AS rank
+        |  FROM d
+        |), p2 AS (
+        |  SELECT u, k,
+        |         max(CASE WHEN rn = floor(rank) THEN v END) AS lo,
+        |         max(CASE WHEN rn = ceil(rank) THEN v END) AS hi,
+        |         any_value(rank - floor(rank)) AS frac
+        |  FROM o2 WHERE rn = floor(rank) OR rn = ceil(rank)
+        |  GROUP BY u, k
+        |)
+        |SELECT u AS user, k, lo + (hi - lo) * frac AS value FROM p2""".stripMargin
+
   /** Parsed `histogram_quantile(0.9, purchase_bucket)` END-TO-END: the
     * query builds a classic cumulative le-labeled bucket vector from the
     * purchase samples (explode each sample into every bucket it falls
@@ -1783,6 +1831,7 @@ object PromQueries {
     "promql_parsed_mathfn" -> ((parsedMathFn _, parsedMathFnOracle)),
     "promql_parsed_delta" -> ((parsedDelta _, parsedDeltaOracle)),
     "promql_parsed_quantile" -> ((parsedQuantile _, parsedQuantileOracle)),
+    "promql_parsed_mad" -> ((parsedMad _, parsedMadOracle)),
     "promql_parsed_histq" -> ((parsedHistQuantile _, parsedHistQuantileOracle)),
     "promql_parsed_offset" -> ((parsedOffset _, parsedOffsetOracle)),
     "promql_parsed_binop" -> ((parsedBinop _, parsedBinopOracle)),

@@ -260,6 +260,15 @@ class PromParserSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](PromParser.parse("sort_by_label(x)"))
   }
 
+  test("mad_over_time parses; double_exponential_smoothing aliases holt_winters") {
+    val MadOverTime(sel, 3600L) =
+      PromParser.parse("mad_over_time(m[1h])"): @unchecked
+    assert(sel.name == "m")
+    assert(PromParser.parse("double_exponential_smoothing(m[1h], 0.5, 0.5)") ==
+      PromParser.parse("holt_winters(m[1h], 0.5, 0.5)"))
+    intercept[IllegalArgumentException](PromParser.parse("mad_over_time(m)"))
+  }
+
   test("limitk/limit_ratio parse with grouping; parameters are validated") {
     val LimitAgg("limitk", 3.0, Selector("x", _, _, _, _, _, _), Nil, Nil) =
       PromParser.parse("limitk(3, x)"): @unchecked
@@ -836,6 +845,25 @@ class PromEvalSpec extends SparkSpec {
     // atan2: keyword binop, scalar and vector-vector forms (libm rule)
     assert(eval("m atan2 2") == math.atan2(0.5, 2.0))
     assert(eval("m atan2 m") == math.atan2(0.5, 0.5))
+  }
+
+  test("mad_over_time: median of absolute deviations around the median") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // values 1..5 → median 3, deviations {2,1,0,1,2} → MAD 1
+    val m = (1 to 5).map(i => ("m", Map("i" -> "a"), i.toDouble, 900L + i))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    val out = graft.promql.PromEval
+      .evalInstant(m, graft.promql.PromParser.parse("mad_over_time(m[5m])"), 1000L)
+      .collect()
+    assert(out.length == 1 && out.head.getAs[Double]("value") == 1.0)
+    // grid form: same value at every aligned point while the window holds
+    val g = graft.promql.PromEval
+      .evalGrid(m, graft.promql.PromParser.parse("mad_over_time(m[5m])"),
+        1020L, 1080L, 60L, 300L)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(g == Seq(1.0, 1.0))
   }
 
   test("limit_ratio(r) and limit_ratio(r-1) partition the vector exactly") {
