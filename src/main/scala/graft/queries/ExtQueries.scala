@@ -1766,8 +1766,10 @@ object ExtQueries {
     val emb = embeddings(spark, sfDir)
     val cents = Similarity.centroids(emb, "label")
     val assigned = Similarity.assignCells(emb, cents)
-    val av = assigned.join(
-      Similarity.prepared(emb, "vec_id", "qv", "qn"), "vec_id")
+    // three consumers (both pair-join sides + the final flag projection):
+    // materialize the centroid-assignment pipeline once; CacheScope drains
+    val av = graft.ext.CacheScope.register(assigned.join(
+      Similarity.prepared(emb, "vec_id", "qv", "qn"), "vec_id").persist())
     val pairs = av.as("a").join(av.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cosine",
@@ -1779,7 +1781,8 @@ object ExtQueries {
           .otherwise(greatest(col("a.vec_id"), col("b.vec_id"))).as("vec_id"))
       .distinct()
       .withColumn("pruned", lit(true))
-    assigned.join(pruned, Seq("vec_id"), "left")
+    av.select(col("vec_id"), col("cell"), col("cell_cos"))
+      .join(pruned, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("cell_cos"),
         coalesce(!col("pruned"), lit(true)).as("keep"))
   }
@@ -1830,10 +1833,12 @@ object ExtQueries {
     * fan-out). Basis points keep the ratio integer-exact.
     */
   def dupNgramMass(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = Dedup.shingleSets(
+    // two consumers (the df groupBy and the join back) — persist the
+    // tokenize+explode+md5 pipeline once; drained by CacheScope
+    val sh = graft.ext.CacheScope.register(Dedup.shingleSets(
         docs(spark, sfDir).withColumn("toks", TextOps.tokens(col("text"))),
         n = 8, lit(0))
-      .select(col("doc_id"), col("h"))
+      .select(col("doc_id"), col("h")).persist())
     val df8 = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     sh.join(df8, "h")
       .groupBy(col("doc_id"))

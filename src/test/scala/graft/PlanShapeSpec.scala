@@ -166,14 +166,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(plan) == 0, plan.take(1200))
   }
 
-  test("semdedup prune: broadcast centroids, pair join is an equi-join on cell") {
+  test("semdedup prune: assignment cached once, pair join never cartesian") {
     val plan = finalPlan(
       SparkEntry.queries("semdedup_prune")(spark, sf))
     // the within-cell self-join must shuffle/join on the cell key, never
-    // go cartesian — the cell id IS the scale story
+    // go cartesian — the cell id IS the scale story; the centroid
+    // broadcast lives inside the cached assignment's materialization,
+    // which every consumer (both pair sides + the flag projection) reads
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
-    assert(plan.contains("BroadcastHashJoin") ||
-      plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert(plan.contains("InMemoryTableScan"), plan.take(1200))
   }
 
   test("dup_ngram_mass is join-linear: df groupBy + one equi-join, no pair join") {
