@@ -1741,6 +1741,59 @@ object PromQueries {
          |)
          |SELECT u AS user, k, g, s1 AS value FROM st WHERE i = n""".stripMargin
 
+  /** Range-evaluated `mad_over_time(purchase[24h])` on the 5-minute
+    * grid — the same two exact rank-interpolation passes as the instant
+    * form ([[parsedMad]]), with the grid point joining the series key in
+    * every window partition and in the median join-back. The oracle
+    * replays both passes per (series, point).
+    */
+  def rangeMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse("mad_over_time(purchase[24h])")
+    graft.promql.PromEval.evalGrid(metrics(spark, sfDir), expr, Gm0, Gm1,
+      stepSec = 300, lookbackSec = PromOps.DefaultLookbackSec)
+      .select(user.as("user"), kLbl.as("k"), col("g"), col("value"))
+  }
+
+  val rangeMadOracle: String =
+    sampleCte("purchase", Gm0 - 86400 + 1, Gm1) +
+      s"""
+         |, ex AS (
+         |  SELECT u, k, v,
+         |         unnest(generate_series(greatest($Gm0, ((e + 299) // 300) * 300),
+         |                                least($Gm1, ((e + 86399) // 300) * 300), 300)) AS g
+         |  FROM s
+         |), o AS (
+         |  SELECT u, k, g, v,
+         |         row_number() OVER (PARTITION BY u, k, g ORDER BY v) - 1 AS rn,
+         |         0.5 * (count(*) OVER (PARTITION BY u, k, g) - 1) AS rank
+         |  FROM ex
+         |), p AS (
+         |  SELECT u, k, g,
+         |         max(CASE WHEN rn = floor(rank) THEN v END) AS lo,
+         |         max(CASE WHEN rn = ceil(rank) THEN v END) AS hi,
+         |         any_value(rank - floor(rank)) AS frac
+         |  FROM o WHERE rn = floor(rank) OR rn = ceil(rank)
+         |  GROUP BY u, k, g
+         |), med AS (
+         |  SELECT u, k, g, lo + (hi - lo) * frac AS med FROM p
+         |), d AS (
+         |  SELECT ex.u, ex.k, ex.g, abs(ex.v - med.med) AS v
+         |  FROM ex JOIN med USING (u, k, g)
+         |), o2 AS (
+         |  SELECT u, k, g, v,
+         |         row_number() OVER (PARTITION BY u, k, g ORDER BY v) - 1 AS rn,
+         |         0.5 * (count(*) OVER (PARTITION BY u, k, g) - 1) AS rank
+         |  FROM d
+         |), p2 AS (
+         |  SELECT u, k, g,
+         |         max(CASE WHEN rn = floor(rank) THEN v END) AS lo,
+         |         max(CASE WHEN rn = ceil(rank) THEN v END) AS hi,
+         |         any_value(rank - floor(rank)) AS frac
+         |  FROM o2 WHERE rn = floor(rank) OR rn = ceil(rank)
+         |  GROUP BY u, k, g
+         |)
+         |SELECT u AS user, k, g, lo + (hi - lo) * frac AS value FROM p2""".stripMargin
+
   /** Parsed `%` — float mod with the dividend's sign (Go math.Mod, Java
     * remainder, DuckDB integer %): per-user purchase count mod 7. Exact
     * for integer-valued doubles, so fully oracle-checkable (`^` is libm
@@ -1872,6 +1925,7 @@ object PromQueries {
     "pq_range_matrix" -> ((rangeMatrix _, rangeMatrixOracle)),
     "pq_range_overtime" -> ((rangeOverTime _, rangeOverTimeOracle)),
     "pq_range_holtwinters" -> ((rangeHoltWinters _, rangeHoltWintersOracle)),
+    "pq_range_mad" -> ((rangeMad _, rangeMadOracle)),
     "pq_range_rate" -> ((rangeRate _, rangeRateOracle)),
     "pq_range_binop" -> ((rangeBinop _, rangeBinopOracle)),
     "promql_parsed_timestamp" -> ((parsedTimestamp _, parsedTimestampOracle)),
