@@ -547,6 +547,54 @@ object AnalyticsQueries {
         (col("vsum").cast("double") / col("n")).as("avg_value"))
   }
 
+  /** Streaming twin of [[ExtQueries.dedupExact]] — exact-fingerprint
+    * dedup as a stateful stream under the SAME DuckDB oracle, the third
+    * stream≡batch equivalence gate (after sessionize and hourly_avg) and
+    * the one that matters for a crawl-ingest pipeline: dedup at ingest
+    * time, not as a nightly batch. State is one (count, min doc_id) pair
+    * per distinct fingerprint, sharded across the state store by
+    * fingerprint — the canonical streaming-dedup shape; at corpus scale
+    * the state size is bounded by distinct content, not by throughput.
+    * Harness: (fp, doc_id) rows all carry one synthetic event time, a
+    * single flush sentinel past it advances the 0s watermark so append
+    * mode closes the window and emits every group exactly once.
+    */
+  def dedupExactStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("dedup_e2e").toString
+    val t0 = 1000000L
+    val inDir = cachedStreamInput(spark, s"dedup#$sfDir") { path =>
+      val in = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(graft.ext.TextOps.fingerprint(col("text")).as("fp"),
+          col("doc_id"), lit(t0).as("e"))
+      in.unionByName(
+        spark.range(1).select(lit("__flush__").as("fp"),
+          lit(-1L).as("doc_id"), lit(t0 + 7200L).as("e")))
+        .coalesce(1) // one file -> one deterministic micro-batch
+        .write.parquet(path)
+    }
+    withStreamSession(spark) { ss =>
+      ss.readStream
+        .schema("fp STRING, doc_id LONG, e LONG")
+        .parquet(inDir)
+        .withColumn("ts", timestamp_seconds(col("e")))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour").as("win"), col("fp"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc"))
+        .select(col("fp"), col("n_copies"), col("keep_doc"))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/cp")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    spark.read.parquet(s"$work/out")
+      .filter(col("fp") =!= "__flush__")
+      .select(col("fp"), col("n_copies"), col("keep_doc"))
+  }
+
   /** The streaming sessionizer run END-TO-END over the fixture events,
     * registered under the SAME DuckDB oracle as the batch [[sessionize]]
     * — the stream == batch equivalence gate (the reference is itself a
@@ -663,6 +711,7 @@ object AnalyticsQueries {
     "sessionize" -> ((sessionize _, sessionizeOracle)),
     "sessionize_stream" -> ((sessionizeStream _, sessionizeOracle)),
     "hourly_avg_stream" -> ((hourlyAvgStream _, hourlyAvgOracle)),
+    "dedup_exact_stream" -> ((dedupExactStream _, ExtQueries.dedupExactOracle)),
     "rollup_report" -> ((rollupReport _, rollupReportOracle)),
     "metric_quantiles" -> ((metricQuantiles _, metricQuantilesOracle)),
     "asof_join" -> ((asofJoin _, asofJoinOracle)),
