@@ -99,6 +99,10 @@ class PromParserPropertySpec extends AnyFunSuite {
       s"""label_join((${render(i)}), "$dst", "$sep", ${srcs.map(s => s""""$s"""").mkString(", ")})"""
     case LabelReplace(i, dst, rep, src, re) =>
       s"""label_replace((${render(i)}), "$dst", "$rep", "$src", "$re")"""
+    case LimitAgg(fn, p, i, by, wo) =>
+      s"$fn${clause(by, wo)}(${renderScalar(p)}, ${render(i)})"
+    case MadOverTime(sel, w) =>
+      s"mad_over_time(${renderSel(sel)}[${w}s]${mods(sel)})"
     case other => fail(s"renderer missing case: $other")
   }
 
@@ -138,7 +142,7 @@ class PromParserPropertySpec extends AnyFunSuite {
 
   private def gen(r: Rand, depth: Int): Expr =
     if (depth <= 0) genSel(r, withMods = true)
-    else r.int(22) match {
+    else r.int(24) match {
       case 0 => genSel(r, withMods = true)
       case 1 => BoolCmp(gen(r, depth - 1), r.oneOf(cmps), r.oneOf(scalars))
       case 2 => FilterCmp(gen(r, depth - 1), r.oneOf(cmps), r.oneOf(scalars))
@@ -150,7 +154,8 @@ class PromParserPropertySpec extends AnyFunSuite {
         }
         VecCmp(r.oneOf(cmps), gen(r, depth - 1), gen(r, depth - 1), r.bool,
           on, ig)
-      case 4 => Arith(gen(r, depth - 1), r.oneOf(Seq("*", "/", "+", "-", "%", "^")),
+      case 4 => Arith(gen(r, depth - 1),
+        r.oneOf(Seq("*", "/", "+", "-", "%", "^", "atan2")),
         r.oneOf(scalars))
       case 5 =>
         val (on, ig) = r.int(3) match {
@@ -162,8 +167,8 @@ class PromParserPropertySpec extends AnyFunSuite {
           Some(r.oneOf(Seq("left", "right"))) else None
         val gl = if (gs.nonEmpty && r.int(2) == 0)
           labelNames.drop(2).take(1 + r.int(2)) else Nil
-        VecBin(r.oneOf(Seq("*", "/", "+", "-", "%", "^")), gen(r, depth - 1),
-          gen(r, depth - 1), on, ig, gs, gl)
+        VecBin(r.oneOf(Seq("*", "/", "+", "-", "%", "^", "atan2")),
+          gen(r, depth - 1), gen(r, depth - 1), on, ig, gs, gl)
       case 6 => SetOp(r.oneOf(Seq("and", "or", "unless")),
         gen(r, depth - 1), gen(r, depth - 1))
       case 7 =>
@@ -225,6 +230,12 @@ class PromParserPropertySpec extends AnyFunSuite {
         case _ => LabelJoin(gen(r, depth - 1), "dst", "-",
           labelNames.take(1 + r.int(2)))
       }
+      case 22 =>
+        val (by, wo) = genLabels(r)
+        if (r.bool) LimitAgg("limitk", 1 + r.int(9), gen(r, depth - 1), by, wo)
+        else LimitAgg("limit_ratio",
+          r.oneOf(Seq(0.25, 0.5, -0.5, 1.0, -1.0)), gen(r, depth - 1), by, wo)
+      case 23 => MadOverTime(genSel(r, withMods = true), 60L * (1 + r.int(10)))
     }
 
   test("parse(render(ast)) == ast for 600 seeded random trees") {
