@@ -124,6 +124,18 @@ object PromEval {
       PromOps.madOverTime(
         PromOps.rangeSelector(matcherFilter(metrics, sel), sel.name,
           sel.evalAt(atEpochSec), w))
+    case QuantileSubquery(q, inner, w, step) =>
+      // the SLO idiom: the subquery grid's per-point values ARE the
+      // range samples; the rank machinery only sees (skey, value)
+      val sg0 = ((atEpochSec - w) / step + 1) * step
+      val sg1 = (atEpochSec / step) * step
+      PromOps.quantileOverTime(
+        evalGrid(metrics, inner, sg0, sg1, step, lookbackSec), q)
+    case MadSubquery(inner, w, step) =>
+      val sg0 = ((atEpochSec - w) / step + 1) * step
+      val sg1 = (atEpochSec / step) * step
+      PromOps.madOverTime(
+        evalGrid(metrics, inner, sg0, sg1, step, lookbackSec))
     case HistQuantile(q, inner) =>
       PromOps.histogramQuantile(
         evalInstant(metrics, inner, atEpochSec, lookbackSec), q)

@@ -120,6 +120,15 @@ object PromParser {
     * median, both via the quantile rank-interpolation machinery.
     */
   final case class MadOverTime(sel: Selector, windowSec: Long) extends Expr
+  /** `quantile_over_time(q, (expr)[w:s])` — the SLO idiom: φ-quantile
+    * over an arbitrary expression evaluated at subquery steps (e.g.
+    * `quantile_over_time(0.99, (rate(x[5m]))[1h:5m])`).
+    */
+  final case class QuantileSubquery(q: Double, inner: Expr,
+      windowSec: Long, stepSec: Long) extends Expr
+  /** `mad_over_time((expr)[w:s])` — MAD over a subquery grid. */
+  final case class MadSubquery(inner: Expr, windowSec: Long,
+      stepSec: Long) extends Expr
   /** `histogram_quantile(q, expr)` over cumulative le-labeled buckets. */
   final case class HistQuantile(q: Double, inner: Expr) extends Expr
   /** Pointwise math: abs/ceil/floor/sqrt/exp/ln (PromQL returns floats;
@@ -398,7 +407,13 @@ object PromParser {
         expectSym("(")
         val e = parseArith() match {
           case RangePlaceholder(sel, w) => MadOverTime(sel, w)
-          case _ => fail("mad_over_time requires a plain range selector")
+          case inner => peek match {
+            case Some(TSym("[")) => rangeSuffix() match {
+              case (w, Some(s)) => MadSubquery(inner, w, s)
+              case _ => fail("mad_over_time over an expression needs (expr)[w:s]")
+            }
+            case _ => fail("mad_over_time requires a range selector or subquery")
+          }
         }
         expectSym(")")
         e
@@ -591,7 +606,15 @@ object PromParser {
       expectSym(",")
       val e = parseArith() match {
         case RangePlaceholder(sel, w) => QuantileOverTime(q, sel, w)
-        case _ => fail("quantile_over_time requires a plain range selector")
+        case inner => peek match {
+          case Some(TSym("[")) => rangeSuffix() match {
+            case (w, Some(s)) => QuantileSubquery(q, inner, w, s)
+            case _ =>
+              fail("quantile_over_time over an expression needs (expr)[w:s]")
+          }
+          case _ =>
+            fail("quantile_over_time requires a range selector or subquery")
+        }
       }
       expectSym(")")
       e
@@ -923,6 +946,8 @@ object PromParser {
     case VecBin(_, l, r, _, _, _, _) => containsPlaceholder(l) || containsPlaceholder(r)
     case TopK(_, _, i, _, _) => containsPlaceholder(i)
     case LimitAgg(_, _, i, _, _) => containsPlaceholder(i)
+    case QuantileSubquery(_, i, _, _) => containsPlaceholder(i)
+    case MadSubquery(i, _, _) => containsPlaceholder(i)
     case HistQuantile(_, i) => containsPlaceholder(i)
     case UnaryFn(_, i) => containsPlaceholder(i)
     case Clamp(i, _, _) => containsPlaceholder(i)

@@ -754,7 +754,7 @@ object PromQueries {
          |, o AS (
          |  SELECT cl, v,
          |         row_number() OVER (PARTITION BY cl ORDER BY v) - 1 AS rn,
-         |         0.5 * (count(*) OVER (PARTITION BY cl) - 1) AS rank
+         |         0.5 * CAST(count(*) OVER (PARTITION BY cl) - 1 AS DOUBLE) AS rank
          |  FROM latest
          |), p AS (
          |  SELECT cl,
@@ -960,7 +960,7 @@ object PromQueries {
         |, o AS (
         |  SELECT u, k, v,
         |         row_number() OVER (PARTITION BY u, k ORDER BY v) - 1 AS rn,
-        |         0.9 * (count(*) OVER (PARTITION BY u, k) - 1) AS rank
+        |         0.9 * CAST(count(*) OVER (PARTITION BY u, k) - 1 AS DOUBLE) AS rank
         |  FROM s
         |), p AS (
         |  SELECT u, k,
@@ -991,7 +991,7 @@ object PromQueries {
         |, o AS (
         |  SELECT u, k, v,
         |         row_number() OVER (PARTITION BY u, k ORDER BY v) - 1 AS rn,
-        |         0.5 * (count(*) OVER (PARTITION BY u, k) - 1) AS rank
+        |         0.5 * CAST(count(*) OVER (PARTITION BY u, k) - 1 AS DOUBLE) AS rank
         |  FROM s
         |), p AS (
         |  SELECT u, k,
@@ -1008,7 +1008,7 @@ object PromQueries {
         |), o2 AS (
         |  SELECT u, k, v,
         |         row_number() OVER (PARTITION BY u, k ORDER BY v) - 1 AS rn,
-        |         0.5 * (count(*) OVER (PARTITION BY u, k) - 1) AS rank
+        |         0.5 * CAST(count(*) OVER (PARTITION BY u, k) - 1 AS DOUBLE) AS rank
         |  FROM d
         |), p2 AS (
         |  SELECT u, k,
@@ -1765,7 +1765,7 @@ object PromQueries {
          |), o AS (
          |  SELECT u, k, g, v,
          |         row_number() OVER (PARTITION BY u, k, g ORDER BY v) - 1 AS rn,
-         |         0.5 * (count(*) OVER (PARTITION BY u, k, g) - 1) AS rank
+         |         0.5 * CAST(count(*) OVER (PARTITION BY u, k, g) - 1 AS DOUBLE) AS rank
          |  FROM ex
          |), p AS (
          |  SELECT u, k, g,
@@ -1782,7 +1782,7 @@ object PromQueries {
          |), o2 AS (
          |  SELECT u, k, g, v,
          |         row_number() OVER (PARTITION BY u, k, g ORDER BY v) - 1 AS rn,
-         |         0.5 * (count(*) OVER (PARTITION BY u, k, g) - 1) AS rank
+         |         0.5 * CAST(count(*) OVER (PARTITION BY u, k, g) - 1 AS DOUBLE) AS rank
          |  FROM d
          |), p2 AS (
          |  SELECT u, k, g,
@@ -1855,6 +1855,54 @@ object PromQueries {
        |FROM d GROUP BY u HAVING max(g) - min(g) > 0""".stripMargin
   }
 
+  /** The SLO idiom — `quantile_over_time(q, (expr)[w:s])`: the φ-quantile
+    * of an arbitrary expression evaluated at subquery steps. Here the
+    * inner expression is the per-user 24h count re-evaluated every 6h
+    * over 72h (12 grid points); the quantile runs the explicit
+    * rank-interpolation over those 12 exact integers, so the result is
+    * bit-identical cross-engine. The real-world instance of this shape is
+    * `quantile_over_time(0.99, (rate(errors[5m]))[1h:5m])`.
+    */
+  def parsedQuantileSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "quantile_over_time(0.9, (sum by (user) (count_over_time(purchase[24h])))[72h:6h])")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), col("value"))
+  }
+
+  val parsedQuantileSubqueryOracle: String = {
+    val step = 21600L
+    val g1 = (Te / step) * step
+    val g0 = ((Te - 259200L) / step + 1) * step
+    s"""WITH ev AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS u,
+       |         CAST(floor(epoch(ts)) AS BIGINT) AS e
+       |  FROM events
+       |  WHERE event_type = 'purchase'
+       |    AND CAST(floor(epoch(ts)) AS BIGINT)
+       |        BETWEEN ${g0 - 86400 + 1} AND $g1
+       |), gr AS (
+       |  SELECT unnest(generate_series($g0, $g1, $step)) AS g
+       |), c AS (
+       |  SELECT u, g, CAST(count(*) AS DOUBLE) AS v
+       |  FROM ev JOIN gr ON ev.e > g - 86400 AND ev.e <= g
+       |  GROUP BY u, g
+       |), o AS (
+       |  SELECT u, v,
+       |         row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rn,
+       |         0.9 * CAST(count(*) OVER (PARTITION BY u) - 1 AS DOUBLE) AS rank
+       |  FROM c
+       |), p AS (
+       |  SELECT u,
+       |         max(CASE WHEN rn = floor(rank) THEN v END) AS lo,
+       |         max(CASE WHEN rn = ceil(rank) THEN v END) AS hi,
+       |         any_value(rank - floor(rank)) AS frac
+       |  FROM o WHERE rn = floor(rank) OR rn = ceil(rank)
+       |  GROUP BY u
+       |)
+       |SELECT u AS user, lo + (hi - lo) * frac AS value FROM p""".stripMargin
+  }
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "promql_parsed_filtercmp" -> ((parsedFilterCmp _, parsedFilterCmpOracle)),
@@ -1885,6 +1933,8 @@ object PromQueries {
     "promql_parsed_delta" -> ((parsedDelta _, parsedDeltaOracle)),
     "promql_parsed_quantile" -> ((parsedQuantile _, parsedQuantileOracle)),
     "promql_parsed_mad" -> ((parsedMad _, parsedMadOracle)),
+    "promql_parsed_slo_quantile" ->
+      ((parsedQuantileSubquery _, parsedQuantileSubqueryOracle)),
     "promql_parsed_histq" -> ((parsedHistQuantile _, parsedHistQuantileOracle)),
     "promql_parsed_offset" -> ((parsedOffset _, parsedOffsetOracle)),
     "promql_parsed_binop" -> ((parsedBinop _, parsedBinopOracle)),

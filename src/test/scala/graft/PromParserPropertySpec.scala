@@ -103,6 +103,10 @@ class PromParserPropertySpec extends AnyFunSuite {
       s"$fn${clause(by, wo)}(${renderScalar(p)}, ${render(i)})"
     case MadOverTime(sel, w) =>
       s"mad_over_time(${renderSel(sel)}[${w}s]${mods(sel)})"
+    case QuantileSubquery(q, i, w, st) =>
+      s"quantile_over_time(${renderScalar(q)}, (${render(i)})[${w}s:${st}s])"
+    case MadSubquery(i, w, st) =>
+      s"mad_over_time((${render(i)})[${w}s:${st}s])"
     case other => fail(s"renderer missing case: $other")
   }
 
@@ -182,13 +186,16 @@ class PromParserPropertySpec extends AnyFunSuite {
         r.oneOf(Seq("sum", "avg", "min", "max", "count", "last",
           "stddev", "stdvar", "present")),
         genSel(r, withMods = true), 60L * (1 + r.int(10)))
-      case 10 =>
-        if (r.bool) OverTimeSubquery(
+      case 10 => r.int(4) match {
+        case 0 => OverTimeSubquery(
           r.oneOf(Seq("sum", "avg", "min", "max", "count", "last")),
           gen(r, depth - 1), 3600L, 60L)
-        else RateSubquery(
+        case 1 => RateSubquery(
           r.oneOf(Seq("rate", "increase", "delta", "resets", "changes")),
           gen(r, depth - 1), 3600L, 60L)
+        case 2 => QuantileSubquery(r.oneOf(qs), gen(r, depth - 1), 3600L, 60L)
+        case _ => MadSubquery(gen(r, depth - 1), 3600L, 60L)
+      }
       case 11 => Rate(
         r.oneOf(Seq("rate", "increase", "delta", "irate", "idelta",
           "resets", "changes")),
