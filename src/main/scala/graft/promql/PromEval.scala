@@ -754,6 +754,32 @@ object PromEval {
           row_number().over(Window.partitionBy(parts: _*).orderBy(ord: _*)))
         .filter(col("rn") <= k)
         .select(col("skey"), col("g"), col("value"))
+    case OverTimeSubquery(fn, inner, w, sstep) =>
+      subqueryPoints(metrics, inner, w, sstep, g0, g1, stepSec, lookbackSec)
+        .groupBy(col("skey"), col("og"))
+        .agg(overTimeAgg(fn, col("ig")).as("value"))
+        .select(col("skey"), col("og").as("g"), col("value"))
+    case RateSubquery(kind, inner, w, sstep) =>
+      val pts = subqueryPoints(metrics, inner, w, sstep, g0, g1, stepSec,
+          lookbackSec)
+        .select(col("skey"), col("og").as("g"), col("ig").as("e"),
+          col("value"))
+      if (kind == "resets" || kind == "changes")
+        PromOps.resetsFromSamples(pts, kind, extraKeys = Seq("g"))
+          .select(col("skey"), col("g"), col("value"))
+      else
+        PromOps.rateFromSamples(pts, kind, extraKeys = Seq("g"))
+          .select(col("skey"), col("g"), col("value"))
+    case QuantileSubquery(q, inner, w, sstep) =>
+      PromOps.quantileOverTime(
+        subqueryPoints(metrics, inner, w, sstep, g0, g1, stepSec, lookbackSec)
+          .select(col("skey"), col("og").as("g"), col("value")),
+        q, extraKeys = Seq("g"))
+    case MadSubquery(inner, w, sstep) =>
+      PromOps.madOverTime(
+        subqueryPoints(metrics, inner, w, sstep, g0, g1, stepSec, lookbackSec)
+          .select(col("skey"), col("og").as("g"), col("value")),
+        extraKeys = Seq("g"))
     case LimitAgg(fn, p, inner, by, without) =>
       // per grid point, same deterministic rules as the instant form;
       // limit_ratio's hash ignores g, so a series is kept or dropped
@@ -776,6 +802,31 @@ object PromEval {
       }
     case other =>
       throw new IllegalArgumentException(s"unsupported grid expr: $other")
+  }
+
+  /** Subquery points exploded to the outer grid — range evaluation of
+    * `fn((expr)[w:s])`: the inner expression evaluates ONCE on its own
+    * aligned grid spanning every outer window, then each inner point
+    * (skey, ig, value) maps to the outer points og whose window
+    * (og−w, og] contains it — the same sample→grid explode
+    * [[PromOps.rangeEval]] uses, applied to evaluated values instead of
+    * raw samples. Cost is linear in inner points × (w/step) fan-out;
+    * nothing is re-evaluated per outer point, and the shuffle key gains
+    * og so a hot series spreads across reducers.
+    */
+  private def subqueryPoints(metrics: DataFrame, inner: Expr, w: Long,
+      sstep: Long, g0: Long, g1: Long, stepSec: Long,
+      lookbackSec: Long): DataFrame = {
+    val ig1 = (g1 / sstep) * sstep
+    val ig0 = ((g0 - w) / sstep + 1) * sstep
+    evalGrid(metrics, inner, ig0, ig1, sstep, lookbackSec)
+      .withColumn("lo", greatest(lit(g0),
+        expr(s"((g + ${stepSec - 1}) div $stepSec) * $stepSec")))
+      .withColumn("hi", least(lit(g1),
+        expr(s"((g + ${w - 1}) div $stepSec) * $stepSec")))
+      .filter(col("lo") <= col("hi"))
+      .select(col("skey"), col("g").as("ig"), col("value"),
+        explode(sequence(col("lo"), col("hi"), lit(stepSec))).as("og"))
   }
 
   /** An `@`-pinned expression on a grid: the @ timestamp replaces "now"

@@ -260,10 +260,16 @@ object PromOps {
     * points (`rate(expr[w:s])`). Same shapes as documented on
     * [[rateOverRange]].
     */
-  def rateFromSamples(samples: DataFrame, kind: String): DataFrame = {
+  def rateFromSamples(samples: DataFrame, kind: String,
+      extraKeys: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // `extraKeys` (the outer grid point at range evaluation of a
+    // subquery) join the series key in every partition/group, exactly
+    // like quantileOverTime's
+    val keys = col("skey") +: extraKeys.map(col)
     val rs = samples
-      .select(col("skey"), col("e"), col("value").cast("decimal(20,6)").as("vd"))
+      .select(keys :+ col("e") :+
+        col("value").cast("decimal(20,6)").as("vd"): _*)
     if (kind == "irate" || kind == "idelta") {
       // instant-rate family: only the last two DISTINCT-TIMESTAMP samples
       // per series matter. Second-truncated timestamps can collide
@@ -275,11 +281,11 @@ object PromOps {
       // rank pass then sees at most one row per (series, second).
       // (A 100 TB deployment would push a per-series tail prune into the
       // scan; on the fact layout that is the (metric, day) partition.)
-      val dedup = rs.groupBy(col("skey"), col("e")).agg(max(col("vd")).as("vd"))
-      val byDesc = Window.partitionBy(col("skey")).orderBy(col("e").desc)
+      val dedup = rs.groupBy(keys :+ col("e"): _*).agg(max(col("vd")).as("vd"))
+      val byDesc = Window.partitionBy(keys: _*).orderBy(col("e").desc)
       val agg = dedup.withColumn("rn", row_number().over(byDesc))
         .filter(col("rn") <= 2)
-        .groupBy(col("skey"))
+        .groupBy(keys: _*)
         .agg(max(when(col("rn") === 1, struct(col("e"), col("vd")))).as("lastS"),
           max(when(col("rn") === 2, struct(col("e"), col("vd")))).as("prevS"))
         .filter(col("prevS").isNotNull) // e's are distinct by construction
@@ -289,34 +295,34 @@ object PromOps {
           when(col("lastS.vd") >= col("prevS.vd"),
             col("lastS.vd") - col("prevS.vd")).otherwise(col("lastS.vd"))
             .cast("double") / (col("lastS.e") - col("prevS.e"))
-      return agg.select(col("skey"), value.as("value"))
+      return agg.select(keys :+ value.as("value"): _*)
     }
     if (kind == "delta") {
       // gauge semantics: last observed − first observed, no counter-reset
       // logic, no span division (observed-boundary deviation stated on
       // rate/increase applies here identically); one map-side-combinable
       // aggregation, no window pass at all
-      return rs.groupBy(col("skey"))
+      return rs.groupBy(keys: _*)
         .agg(min(struct(col("e"), col("vd"))).as("first"),
           max(struct(col("e"), col("vd"))).as("last"))
         .filter(col("last.e") > col("first.e"))
-        .select(col("skey"),
-          (col("last.vd") - col("first.vd")).cast("double").as("value"))
+        .select(keys :+
+          (col("last.vd") - col("first.vd")).cast("double").as("value"): _*)
     }
-    val w = Window.partitionBy(col("skey")).orderBy(col("e"), col("vd"))
+    val w = Window.partitionBy(keys: _*).orderBy(col("e"), col("vd"))
     val agg = rs.withColumn("prev", lag(col("vd"), 1).over(w))
       .withColumn("delta",
         when(col("prev").isNull, lit(null))
           .when(col("vd") >= col("prev"), col("vd") - col("prev"))
           .otherwise(col("vd")))
-      .groupBy(col("skey"))
+      .groupBy(keys: _*)
       .agg(sum(col("delta")).as("incd"),
         (max(col("e")) - min(col("e"))).as("span"))
       .filter(col("span") > 0)
     val value =
       if (kind == "increase") col("incd").cast("double")
       else col("incd").cast("double") / col("span")
-    agg.select(col("skey"), value.as("value"))
+    agg.select(keys :+ value.as("value"): _*)
   }
 
   /** `resets(x[w])` / `changes(x[w])`: per series, the number of counter
@@ -333,16 +339,19 @@ object PromOps {
   /** resets/changes over an arbitrary (skey, e, value) sample frame
     * (see [[rateFromSamples]]).
     */
-  def resetsFromSamples(samples: DataFrame, kind: String): DataFrame = {
+  def resetsFromSamples(samples: DataFrame, kind: String,
+      extraKeys: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val keys = col("skey") +: extraKeys.map(col)
     val rs = samples
-      .select(col("skey"), col("e"), col("value").cast("decimal(20,6)").as("vd"))
-    val w = Window.partitionBy(col("skey")).orderBy(col("e"), col("vd"))
+      .select(keys :+ col("e") :+
+        col("value").cast("decimal(20,6)").as("vd"): _*)
+    val w = Window.partitionBy(keys: _*).orderBy(col("e"), col("vd"))
     val flag =
       if (kind == "resets") col("vd") < col("prev")
       else col("vd") =!= col("prev")
     rs.withColumn("prev", lag(col("vd"), 1).over(w))
-      .groupBy(col("skey"))
+      .groupBy(keys: _*)
       .agg(sum(when(col("prev").isNotNull && flag, 1).otherwise(0))
         .cast("double").as("value"))
   }

@@ -1903,6 +1903,49 @@ object PromQueries {
        |SELECT u AS user, lo + (hi - lo) * frac AS value FROM p""".stripMargin
   }
 
+  /** Range evaluation of a SUBQUERY — the dashboard form of the
+    * flagship's shape: `sum_over_time((sum by (user)
+    * (count_over_time(purchase[6h])))[24h:6h])` graphed on the 5-minute
+    * grid. The inner expression evaluates ONCE on its own 6h-aligned
+    * grid; each inner point explodes to the outer points whose 24h
+    * window contains it (the sample→grid pattern over evaluated values
+    * — nothing re-evaluates per outer point). The summed values are
+    * small exact integers, so the double sum is order-independent.
+    */
+  def rangeSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "sum_over_time((sum by (user) (count_over_time(purchase[6h])))[24h:6h])")
+    graft.promql.PromEval.evalGrid(metrics(spark, sfDir), expr, Gm0, Gm1,
+      stepSec = 300, lookbackSec = PromOps.DefaultLookbackSec)
+      .select(user.as("user"), col("g"), col("value"))
+  }
+
+  val rangeSubqueryOracle: String = {
+    val ig1 = (Gm1 / 21600L) * 21600L
+    val ig0 = ((Gm0 - 86400L) / 21600L + 1) * 21600L
+    s"""WITH ev AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS u,
+       |         CAST(floor(epoch(ts)) AS BIGINT) AS e
+       |  FROM events
+       |  WHERE event_type = 'purchase'
+       |    AND CAST(floor(epoch(ts)) AS BIGINT)
+       |        BETWEEN ${ig0 - 21600 + 1} AND $ig1
+       |), gr AS (
+       |  SELECT unnest(generate_series($ig0, $ig1, 21600)) AS ig
+       |), c AS (
+       |  SELECT u, ig, CAST(count(*) AS DOUBLE) AS v
+       |  FROM ev JOIN gr ON ev.e > ig - 21600 AND ev.e <= ig
+       |  GROUP BY u, ig
+       |), ex AS (
+       |  SELECT u, v,
+       |         unnest(generate_series(greatest($Gm0, ((ig + 299) // 300) * 300),
+       |                                least($Gm1, ((ig + 86399) // 300) * 300), 300)) AS g
+       |  FROM c
+       |)
+       |SELECT u AS user, g, CAST(sum(v) AS DOUBLE) AS value
+       |FROM ex GROUP BY u, g""".stripMargin
+  }
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "promql_parsed_filtercmp" -> ((parsedFilterCmp _, parsedFilterCmpOracle)),
@@ -1976,6 +2019,7 @@ object PromQueries {
     "pq_range_overtime" -> ((rangeOverTime _, rangeOverTimeOracle)),
     "pq_range_holtwinters" -> ((rangeHoltWinters _, rangeHoltWintersOracle)),
     "pq_range_mad" -> ((rangeMad _, rangeMadOracle)),
+    "pq_range_subquery" -> ((rangeSubquery _, rangeSubqueryOracle)),
     "pq_range_rate" -> ((rangeRate _, rangeRateOracle)),
     "pq_range_binop" -> ((rangeBinop _, rangeBinopOracle)),
     "promql_parsed_timestamp" -> ((parsedTimestamp _, parsedTimestampOracle)),
