@@ -136,6 +136,19 @@ object PromEval {
       val sg1 = (atEpochSec / step) * step
       PromOps.madOverTime(
         evalGrid(metrics, inner, sg0, sg1, step, lookbackSec))
+    case HoltWintersSubquery(inner, w, step, sf, tf) =>
+      val sg0 = ((atEpochSec - w) / step + 1) * step
+      val sg1 = (atEpochSec / step) * step
+      PromOps.holtWintersFromSamples(
+        evalGrid(metrics, inner, sg0, sg1, step, lookbackSec)
+          .select(col("skey"), col("g").as("e"), col("value")), sf, tf)
+    case DerivSubquery(inner, w, step, predict) =>
+      val sg0 = ((atEpochSec - w) / step + 1) * step
+      val sg1 = (atEpochSec / step) * step
+      PromOps.derivFromSamples(
+        evalGrid(metrics, inner, sg0, sg1, step, lookbackSec)
+          .select(col("skey"), col("g").as("e"), col("value")),
+        lit(atEpochSec - w), w, predict)
     case HistQuantile(q, inner) =>
       PromOps.histogramQuantile(
         evalInstant(metrics, inner, atEpochSec, lookbackSec), q)
@@ -780,6 +793,18 @@ object PromEval {
         subqueryPoints(metrics, inner, w, sstep, g0, g1, stepSec, lookbackSec)
           .select(col("skey"), col("og").as("g"), col("value")),
         extraKeys = Seq("g"))
+    case HoltWintersSubquery(inner, w, sstep, sf, tf) =>
+      PromOps.holtWintersFromSamples(
+        subqueryPoints(metrics, inner, w, sstep, g0, g1, stepSec, lookbackSec)
+          .select(col("skey"), col("og").as("g"), col("ig").as("e"),
+            col("value")),
+        sf, tf, extraKeys = Seq("g"))
+    case DerivSubquery(inner, w, sstep, predict) =>
+      PromOps.derivFromSamples(
+        subqueryPoints(metrics, inner, w, sstep, g0, g1, stepSec, lookbackSec)
+          .select(col("skey"), col("og").as("g"), col("ig").as("e"),
+            col("value")),
+        col("g") - w, w, predict, extraKeys = Seq("g"))
     case LimitAgg(fn, p, inner, by, without) =>
       // per grid point, same deterministic rules as the instant form;
       // limit_ratio's hash ignores g, so a series is kept or dropped

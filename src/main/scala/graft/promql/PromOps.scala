@@ -368,12 +368,24 @@ object PromOps {
     * Σxv term stays below 10³² for any n·w·|v| a real window holds.
     */
   def derivOverRange(metrics: DataFrame, metricName: String, atEpochSec: Long,
-      windowSec: Long, predictSec: Option[Double]): DataFrame = {
-    val x0 = atEpochSec - windowSec
-    val rs = rangeSelector(metrics, metricName, atEpochSec, windowSec)
-      .select(col("skey"), (col("e") - x0).as("x"),
-        col("value").cast("decimal(20,6)").as("vd"))
-    val agg = rs.groupBy(col("skey")).agg(
+      windowSec: Long, predictSec: Option[Double]): DataFrame =
+    derivFromSamples(rangeSelector(metrics, metricName, atEpochSec, windowSec),
+      lit(atEpochSec - windowSec), windowSec, predictSec)
+
+  /** deriv/predict_linear over an arbitrary (skey[, extras], e, value)
+    * sample frame — shared by plain range selectors and SUBQUERY ranges.
+    * `x0` is the window-start column the sample times are centered on
+    * (a constant for the instant form, g − w at range evaluation); the
+    * decimal-sum regression and the mirrored double affine step are
+    * documented on the instant form above.
+    */
+  def derivFromSamples(samples: DataFrame, x0: Column, windowSec: Long,
+      predictSec: Option[Double], extraKeys: Seq[String] = Nil): DataFrame = {
+    val keys = col("skey") +: extraKeys.map(col)
+    val rs = samples
+      .select(keys :+ (col("e") - x0).as("x") :+
+        col("value").cast("decimal(20,6)").as("vd"): _*)
+    val agg = rs.groupBy(keys: _*).agg(
       count(lit(1)).as("n"),
       sum(col("x").cast("decimal(38,0)")).as("sx"),
       sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
@@ -386,15 +398,15 @@ object PromOps {
       .filter(col("n") * col("sxx") - col("sx") * col("sx") > 0)
       .withColumn("slope", slope)
     predictSec match {
-      case None => withSlope.select(col("skey"), col("slope").as("value"))
+      case None => withSlope.select(keys :+ col("slope").as("value"): _*)
       case Some(d) =>
         // intercept at x0, then extrapolate to (window end + horizon);
         // the oracle reproduces this exact double expression
         val intercept =
           (col("sv").cast("double") - col("slope") * col("sx").cast("double")) /
             col("n")
-        withSlope.select(col("skey"),
-          (intercept + col("slope") * lit(windowSec + d)).as("value"))
+        withSlope.select(keys :+
+          (intercept + col("slope") * lit(windowSec + d)).as("value"): _*)
     }
   }
 
@@ -463,6 +475,18 @@ object PromOps {
     holtWintersOver(windowGrid(metrics, metricName, g0, g1, stepSec, windowSec),
       Seq(col("skey"), col("g")), sf, tf)
       .select(col("skey"), col("g"), col("value"))
+
+  /** holt_winters over an arbitrary (skey[, extras], e, value) sample
+    * frame — the SUBQUERY form, where the samples are the inner
+    * expression's values at aligned grid points (see
+    * [[rateFromSamples]]); same total-order fold.
+    */
+  def holtWintersFromSamples(samples: DataFrame, sf: Double, tf: Double,
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    val keys = col("skey") +: extraKeys.map(col)
+    holtWintersOver(samples, keys, sf, tf)
+      .select(keys :+ col("value"): _*)
+  }
 
   /** The shared smoothing fold over (e, value) rows grouped by `keys`:
     * collect-sort by the repo-wide (e, value) tie rule, then the

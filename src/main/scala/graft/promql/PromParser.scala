@@ -129,6 +129,16 @@ object PromParser {
   /** `mad_over_time((expr)[w:s])` — MAD over a subquery grid. */
   final case class MadSubquery(inner: Expr, windowSec: Long,
       stepSec: Long) extends Expr
+  /** `holt_winters((expr)[w:s], sf, tf)` — smoothing a derived series
+    * (e.g. a rate) over its subquery grid.
+    */
+  final case class HoltWintersSubquery(inner: Expr, windowSec: Long,
+      stepSec: Long, sf: Double, tf: Double) extends Expr
+  /** `deriv((expr)[w:s])` / `predict_linear((expr)[w:s], t)` — the
+    * least-squares slope of a derived series over its subquery grid.
+    */
+  final case class DerivSubquery(inner: Expr, windowSec: Long,
+      stepSec: Long, predictSec: Option[Double]) extends Expr
   /** `histogram_quantile(q, expr)` over cumulative le-labeled buckets. */
   final case class HistQuantile(q: Double, inner: Expr) extends Expr
   /** Pointwise math: abs/ceil/floor/sqrt/exp/ln (PromQL returns floats;
@@ -422,22 +432,34 @@ object PromParser {
         expectSym("(")
         val e = parseArith() match {
           case RangePlaceholder(sel, w) => Deriv(sel, w, None)
-          case _ => fail("deriv requires a plain range selector")
+          case inner => peek match {
+            case Some(TSym("[")) => rangeSuffix() match {
+              case (w, Some(s)) => DerivSubquery(inner, w, s, None)
+              case _ => fail("deriv over an expression needs (expr)[w:s]")
+            }
+            case _ => fail("deriv requires a range selector or subquery")
+          }
         }
         expectSym(")")
         e
       case TId("predict_linear") =>
         expectSym("(")
         val inner = parseArith()
+        val sub = inner match {
+          case RangePlaceholder(_, _) => None
+          case _ if peek.contains(TSym("[")) => Some(rangeSuffix())
+          case _ => None
+        }
         expectSym(",")
         val t = pop() match {
           case TNum(v) => v
           case other => fail(s"predict_linear needs a scalar horizon, got $other")
         }
         expectSym(")")
-        inner match {
-          case RangePlaceholder(sel, w) => Deriv(sel, w, Some(t))
-          case _ => fail("predict_linear requires a plain range selector")
+        (inner, sub) match {
+          case (RangePlaceholder(sel, w), _) => Deriv(sel, w, Some(t))
+          case (i, Some((w, Some(s)))) => DerivSubquery(i, w, s, Some(t))
+          case _ => fail("predict_linear requires a range selector or subquery")
         }
       case TId(fn) if unaryFns(fn) =>
         expectSym("(")
@@ -464,15 +486,22 @@ object PromParser {
         // Prometheus 3.x renamed holt_winters; both names accepted
         expectSym("(")
         val inner = parseArith()
+        val sub = inner match {
+          case RangePlaceholder(_, _) => None
+          case _ if peek.contains(TSym("[")) => Some(rangeSuffix())
+          case _ => None
+        }
         def factor(what: String): Double = { expectSym(","); pop() match {
           case TNum(v) if v > 0 && v < 1 => v
           case other => fail(s"holt_winters $what factor must be in (0,1), got $other")
         } }
         val sf = factor("smoothing"); val tf = factor("trend")
         expectSym(")")
-        inner match {
-          case RangePlaceholder(sel, w) => HoltWinters(sel, w, sf, tf)
-          case other => fail(s"holt_winters needs a range selector, got $other")
+        (inner, sub) match {
+          case (RangePlaceholder(sel, w), _) => HoltWinters(sel, w, sf, tf)
+          case (i, Some((w, Some(s)))) => HoltWintersSubquery(i, w, s, sf, tf)
+          case other =>
+            fail(s"holt_winters needs a range selector or subquery, got $other")
         }
       case TId("absent_over_time") =>
         expectSym("(")
@@ -948,6 +977,8 @@ object PromParser {
     case LimitAgg(_, _, i, _, _) => containsPlaceholder(i)
     case QuantileSubquery(_, i, _, _) => containsPlaceholder(i)
     case MadSubquery(i, _, _) => containsPlaceholder(i)
+    case HoltWintersSubquery(i, _, _, _, _) => containsPlaceholder(i)
+    case DerivSubquery(i, _, _, _) => containsPlaceholder(i)
     case HistQuantile(_, i) => containsPlaceholder(i)
     case UnaryFn(_, i) => containsPlaceholder(i)
     case Clamp(i, _, _) => containsPlaceholder(i)

@@ -1946,6 +1946,100 @@ object PromQueries {
        |FROM ex GROUP BY u, g""".stripMargin
   }
 
+  /** The per-user 24h-count series at 6h subquery steps over 72h — the
+    * shared inner grid for the smoothing/regression subquery oracles
+    * (same construction the subquery-rate oracle uses).
+    */
+  private def subqueryCountsCte(recursive: Boolean): String = {
+    val step = 21600L
+    val g1 = (Te / step) * step
+    val g0 = ((Te - 259200L) / step + 1) * step
+    val kw = if (recursive) "WITH RECURSIVE" else "WITH"
+    s"""$kw ev AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS u,
+       |         CAST(floor(epoch(ts)) AS BIGINT) AS e
+       |  FROM events
+       |  WHERE event_type = 'purchase'
+       |    AND CAST(floor(epoch(ts)) AS BIGINT)
+       |        BETWEEN ${g0 - 86400 + 1} AND $g1
+       |), gr AS (
+       |  SELECT unnest(generate_series($g0, $g1, $step)) AS g
+       |), c AS (
+       |  SELECT u, g, CAST(count(*) AS DOUBLE) AS v
+       |  FROM ev JOIN gr ON ev.e > g - 86400 AND ev.e <= g
+       |  GROUP BY u, g
+       |)""".stripMargin
+  }
+
+  /** `holt_winters` over a SUBQUERY — smoothing a derived series (here
+    * the per-user 24h count at 6h steps): the inner grid values play the
+    * window samples in the same total-order fold; the oracle replays the
+    * recursion per user as a recursive CTE over exact integer counts.
+    */
+  def parsedHoltSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "holt_winters((sum by (user) (count_over_time(purchase[24h])))[72h:6h], 0.3, 0.5)")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), col("value"))
+  }
+
+  val parsedHoltSubqueryOracle: String =
+    subqueryCountsCte(recursive = true) +
+      """
+        |, arr AS (
+        |  SELECT u, list(v ORDER BY g, v) AS vs, count(*) AS n
+        |  FROM c GROUP BY u
+        |), st AS (
+        |  SELECT u, 1 AS i, 0.0::DOUBLE AS s0, vs[1] AS s1,
+        |         NULL::DOUBLE AS b, vs, n
+        |  FROM arr WHERE n >= 2
+        |  UNION ALL
+        |  SELECT u, i + 1,
+        |         s1 AS s0,
+        |         0.3 * vs[i + 1] + (1 - 0.3) * (s1 + b0) AS s1,
+        |         b0 AS b, vs, n
+        |  FROM (SELECT *, CASE WHEN b IS NULL THEN vs[i + 1] - s1
+        |                       ELSE 0.5 * (s1 - s0) + (1 - 0.5) * b END AS b0
+        |        FROM st)
+        |  WHERE i < n
+        |)
+        |SELECT u AS user, s1 AS value FROM st WHERE i = n""".stripMargin
+
+  /** `predict_linear` over a SUBQUERY — the capacity-planning idiom:
+    * least-squares slope of the derived count series, extrapolated one
+    * hour past the evaluation time; identical decimal regression sums
+    * and the mirrored double affine step.
+    */
+  def parsedPredictSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "predict_linear((sum by (user) (count_over_time(purchase[24h])))[72h:6h], 3600)")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), col("value"))
+  }
+
+  val parsedPredictSubqueryOracle: String = {
+    val x0 = Te - 259200L
+    subqueryCountsCte(recursive = false) +
+      s"""
+         |, a AS (
+         |  SELECT u, count(*) AS n,
+         |         CAST(sum(g - $x0) AS DECIMAL(38,0)) AS sx,
+         |         CAST(sum((g - $x0) * (g - $x0)) AS DECIMAL(38,0)) AS sxx,
+         |         sum(CAST(v AS DECIMAL(20,6))) AS sv,
+         |         sum(CAST(v AS DECIMAL(20,6)) * (g - $x0)) AS sxv
+         |  FROM c GROUP BY u
+         |), sl AS (
+         |  SELECT u, n, sx, sv,
+         |         CAST(n * sxv - sx * sv AS DOUBLE)
+         |           / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+         |  FROM a WHERE n * sxx - sx * sx > 0
+         |)
+         |SELECT u AS user,
+         |       (CAST(sv AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / n
+         |         + slope * 262800.0 AS value
+         |FROM sl""".stripMargin
+  }
+
   /** name → (query fn, oracle SQL) */
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "promql_parsed_filtercmp" -> ((parsedFilterCmp _, parsedFilterCmpOracle)),
@@ -2020,6 +2114,10 @@ object PromQueries {
     "pq_range_holtwinters" -> ((rangeHoltWinters _, rangeHoltWintersOracle)),
     "pq_range_mad" -> ((rangeMad _, rangeMadOracle)),
     "pq_range_subquery" -> ((rangeSubquery _, rangeSubqueryOracle)),
+    "promql_parsed_holt_subquery" ->
+      ((parsedHoltSubquery _, parsedHoltSubqueryOracle)),
+    "promql_parsed_predict_subquery" ->
+      ((parsedPredictSubquery _, parsedPredictSubqueryOracle)),
     "pq_range_rate" -> ((rangeRate _, rangeRateOracle)),
     "pq_range_binop" -> ((rangeBinop _, rangeBinopOracle)),
     "promql_parsed_timestamp" -> ((parsedTimestamp _, parsedTimestampOracle)),

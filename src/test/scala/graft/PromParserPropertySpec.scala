@@ -107,6 +107,12 @@ class PromParserPropertySpec extends AnyFunSuite {
       s"quantile_over_time(${renderScalar(q)}, (${render(i)})[${w}s:${st}s])"
     case MadSubquery(i, w, st) =>
       s"mad_over_time((${render(i)})[${w}s:${st}s])"
+    case HoltWintersSubquery(i, w, st, sf, tf) =>
+      s"holt_winters((${render(i)})[${w}s:${st}s], $sf, $tf)"
+    case DerivSubquery(i, w, st, None) =>
+      s"deriv((${render(i)})[${w}s:${st}s])"
+    case DerivSubquery(i, w, st, Some(t)) =>
+      s"predict_linear((${render(i)})[${w}s:${st}s], ${renderScalar(t)})"
     case other => fail(s"renderer missing case: $other")
   }
 
@@ -194,7 +200,12 @@ class PromParserPropertySpec extends AnyFunSuite {
           r.oneOf(Seq("rate", "increase", "delta", "resets", "changes")),
           gen(r, depth - 1), 3600L, 60L)
         case 2 => QuantileSubquery(r.oneOf(qs), gen(r, depth - 1), 3600L, 60L)
-        case _ => MadSubquery(gen(r, depth - 1), 3600L, 60L)
+        case _ => r.int(3) match {
+          case 0 => MadSubquery(gen(r, depth - 1), 3600L, 60L)
+          case 1 => HoltWintersSubquery(gen(r, depth - 1), 3600L, 60L, 0.3, 0.5)
+          case _ => DerivSubquery(gen(r, depth - 1), 3600L, 60L,
+            if (r.bool) Some(600.0) else None)
+        }
       }
       case 11 => Rate(
         r.oneOf(Seq("rate", "increase", "delta", "irate", "idelta",
