@@ -124,6 +124,25 @@ object Similarity {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("centroid"))
 
+  /** Route each vector to its `nProbe` nearest centroids by cosine —
+    * IVF MULTI-PROBE, the recall lever at scale: neighbors that straddle
+    * a cell boundary are recovered by probing the runner-up cells, at
+    * ~nProbe× the single-probe candidate cost (still a tiny fraction of
+    * brute force). Ties break on the cell id; the centroid set stays a
+    * broadcast.
+    */
+  def routeCells(vectors: DataFrame, cents: DataFrame,
+      nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = prepared(vectors, "vec_id", "qv", "qn")
+    v.join(broadcast(cents.withColumn("cn", normSqQ(col("centroid")))))
+      .withColumn("sim", cosineQN(col("qv"), col("centroid"), col("qn"), col("cn")))
+      .withColumn("rr", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("cell").asc)))
+      .filter(col("rr") <= nProbe)
+      .select(col("vec_id"), col("cell"), col("rr").cast("long").as("probe"))
+  }
+
   /** Assign each vector to its nearest centroid by cosine (tie → lowest
     * cell id). The centroid set is tiny → broadcast join, no shuffle of
     * the big side.

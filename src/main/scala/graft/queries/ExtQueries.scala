@@ -894,6 +894,65 @@ object ExtQueries {
        |  FROM scored
        |) WHERE rk <= 5""".stripMargin
 
+  /** IVF MULTI-PROBE top-k: each query searches its TWO nearest cells
+    * instead of one — the standard recall lever when a true neighbor
+    * straddles a cell boundary. Candidate cost is ~2× single-probe
+    * ([[annIvf]]), still a tiny fraction of brute force; cells are
+    * disjoint so no candidate dedup is needed, and the routed frame
+    * rides the same broadcast as the query vectors.
+    */
+  def annIvfMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(spark, sfDir)
+    val cents = Similarity.centroids(emb, "label")
+    val queries = emb.filter(col("vec_id") < 5)
+    val routed = Similarity.routeCells(queries, cents, nProbe = 2)
+      .withColumnRenamed("vec_id", "qid")
+    val q = Similarity.prepared(queries, "qid", "qv", "qn")
+    val cand = emb.select(col("vec_id"), col("label"),
+      Similarity.quantize(col("embedding")).as("cv"))
+      .withColumn("cn", Similarity.normSqQ(col("cv")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    broadcast(q.join(routed, "qid"))
+      .join(cand, col("label") === col("cell") && col("vec_id") =!= col("qid"))
+      .withColumn("cosine",
+        Similarity.cosineQN(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
+  }
+
+  val annIvfMultiprobeOracle: String =
+    s"""WITH v AS (SELECT vec_id, label, $qvSql AS qv FROM embeddings),
+       |comp AS (
+       |  SELECT label, i.i AS pos, qv[i.i] AS q
+       |  FROM v, unnest(generate_series(1, 64)) AS i(i)
+       |), cent AS (
+       |  SELECT label AS cell, list(c ORDER BY pos) AS centroid
+       |  FROM (SELECT label, pos,
+       |               CAST(trunc(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS c
+       |        FROM comp GROUP BY label, pos)
+       |  GROUP BY label
+       |), q AS (
+       |  SELECT vec_id AS qid, qv FROM v WHERE vec_id < 5
+       |), routed AS (
+       |  SELECT qid, cell, qv FROM (
+       |    SELECT q.qid, c.cell, q.qv,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY ${cosSql("q.qv", "c.centroid")} DESC, c.cell ASC) AS rr
+       |    FROM q, cent c
+       |  ) WHERE rr <= 2
+       |), scored AS (
+       |  SELECT r.qid, c.vec_id, ${cosSql("r.qv", "c.qv")} AS cosine
+       |  FROM routed r JOIN v c ON c.label = r.cell AND c.vec_id <> r.qid
+       |)
+       |SELECT qid, vec_id, cosine, rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |            ORDER BY cosine DESC, vec_id ASC) AS rk
+       |  FROM scored
+       |) WHERE rk <= 5""".stripMargin
+
   /** Sign-LSH bucketed ANN: hash every vector to an 8-bit hyperplane
     * bucket, search only the query's bucket. The bucket id is the shuffle
     * key that replaces the all-pairs join at scale.
@@ -1963,6 +2022,7 @@ object ExtQueries {
     "dedup_minhash_lsh" -> ((minhashLsh _, minhashLshOracle)),
     "ann_brute_topk" -> ((annBrute _, annBruteOracle)),
     "ann_ivf_topk" -> ((annIvf _, annIvfOracle)),
+    "ann_ivf_multiprobe" -> ((annIvfMultiprobe _, annIvfMultiprobeOracle)),
     "ann_lsh_topk" -> ((annLsh _, annLshOracle)),
     "approx_distinct_users" -> ((approxDistinct _, "")),
     "kmv_distinct_users" -> ((kmvDistinct _, kmvDistinctOracle)),
