@@ -205,9 +205,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Connected components by iterative min-label propagation — the step
-    * that turns near-dup PAIRS into dedup GROUPS (one canonical doc per
-    * transitive cluster). Each iteration is one distributed join+agg
+  /** Connected components — the step that turns near-dup PAIRS into
+    * dedup GROUPS (one canonical doc per transitive cluster). Strategy
+    * is size-adaptive on the MEASURED symmetric edge count (the edge
+    * set is the candidate-pair output, orders of magnitude smaller than
+    * the corpus): a small graph is solved by single-task union-find
+    * (executor-side `mapPartitions`, nodes never coalesced), a large one
+    * by iterative min-label propagation. Each iteration of the large
+    * path is one distributed join+agg
     * (every label becomes the min over itself and its neighbors); labels
     * are monotonically non-increasing, so an unchanged label sum is a
     * fixpoint and the loop ends after O(max component diameter)
@@ -224,7 +229,75 @@ object Dedup {
     * Returns (doc_id, component) where component = min doc_id reachable.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50,
+      smallGraphEdgeCutoff: Long = 4000000L): DataFrame = {
+    // Size-adaptive strategy choice, the same philosophy AQE applies to
+    // joins: the EDGE set after candidate generation is orders of
+    // magnitude smaller than the corpus (it holds near-dup pairs, not
+    // documents), and when its measured size fits one task comfortably
+    // (≤ `smallGraphEdgeCutoff` symmetric edges ≈ 64 MB of long pairs),
+    // a single-task union-find replaces ~6 iterative rounds × 4 stages
+    // of scheduler round-trips — two orders of magnitude cheaper at
+    // small scale. The NODE frame never collapses: it stays distributed
+    // and picks up its labels with one equi-join (isolated nodes keep
+    // their own id via the left join). Above the cutoff the iterative
+    // distributed loop below runs unchanged — that is the 100 TB path.
+    val sym0 = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().localCheckpoint(true)
+    val nEdges = sym0.count()
+    if (nEdges <= smallGraphEdgeCutoff) {
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      // one task: union-find with path compression over the edge list,
+      // emitting (node, min doc_id of its set) — executor-side, not a
+      // driver collect; determinism comes from the min-root relabel.
+      val edgeComp = sym0.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)]
+        .coalesce(1)
+        .mapPartitions { it =>
+          val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) {
+              val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+            }
+            r
+          }
+          it.foreach { case (a, b) =>
+            val ra = find(a); val rb = find(b)
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          val members = parent.keySet ++ parent.values
+          val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+          members.foreach { n =>
+            val r = find(n)
+            minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), math.min(n, r))
+          }
+          members.iterator.map(n => (n, minOfRoot(find(n))))
+        }
+        .toDF("doc_id", "component")
+      val out = nodes.select(col("doc_id"))
+        .join(edgeComp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id").cast("long")).as("component"))
+      // materialize BEFORE releasing sym0: a localCheckpoint's blocks are
+      // its only copy (lineage is truncated), so the checkpoint job must
+      // finish while they still exist
+      val ck = out.localCheckpoint(true)
+      sym0.unpersist(false)
+      return ck
+    }
+    connectedComponentsIterative(nodes, sym0, maxIters)
+  }
+
+  /** The distributed iterative path (min-label propagation + path
+    * halving); `sym` must already be the symmetric, distinct edge list.
+    */
+  private def connectedComponentsIterative(nodes: DataFrame, sym: DataFrame,
+      maxIters: Int): DataFrame = {
     // Eager localCheckpoint per iteration is load-bearing, not a cache:
     // `comp` appears twice in each step's plan (the label join and the
     // neighbor aggregation), so without lineage truncation the logical
@@ -244,9 +317,6 @@ object Dedup {
     def sumLabels(df: DataFrame): Long =
       Option(df.agg(sum(col("component"))).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val sym = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().localCheckpoint(true)
     var comp = nodes.select(col("doc_id"),
       col("doc_id").cast("long").as("component")).localCheckpoint(true)
     var sumBefore = sumLabels(comp)

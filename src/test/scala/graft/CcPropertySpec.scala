@@ -30,12 +30,19 @@ class CcPropertySpec extends SparkSpec {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val want = (0 until n).map(i => i.toLong -> find(i).toLong)
-      val got = Dedup.connectedComponents(
-          (0L until n.toLong).toDF("doc_id"),
-          edges.toDF("doc_a", "doc_b"))
-        .orderBy("doc_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSeq
-      got == want
+      // both strategy arms must agree with the sequential answer: cutoff
+      // high → single-task union-find path; cutoff 0 → iterative
+      // min-label-propagation path (otherwise small test graphs would
+      // never exercise the 100 TB path)
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val edgeDf = edges.toDF("doc_a", "doc_b")
+      Seq(Long.MaxValue, 0L).forall { cutoff =>
+        val got = Dedup.connectedComponents(
+            nodes, edgeDf, smallGraphEdgeCutoff = cutoff)
+          .orderBy("doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        got == want
+      }
     }
     val res = SCTest.check(SCTest.Parameters.default
       .withMinSuccessfulTests(8).withWorkers(1), prop)
