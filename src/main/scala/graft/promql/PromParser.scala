@@ -48,7 +48,11 @@ object PromParser {
     * key as its label set (the one-to-one output-label rule). Unmatched
     * series drop, as in Prometheus. Stated deviation (same as
     * [[VecBin]]'s): duplicate match keys are not detected-and-errored —
-    * the join simply pairs every match.
+    * the join simply pairs every match. A consequence worth naming:
+    * `group_left`/`group_right` are NOT supported on comparisons, and a
+    * many-to-one match that upstream Prometheus would reject with
+    * "many-to-one matching must be explicit" passes unvalidated here —
+    * every pairing is filtered/valued as if one-to-one.
     */
   final case class VecCmp(op: String, left: Expr, right: Expr,
       bool: Boolean, on: Option[Seq[String]] = None,
@@ -68,6 +72,12 @@ object PromParser {
     * expression's values at the aligned grid points play the samples —
     * the "rate of a derived series" idiom recording rules otherwise
     * cover. Same counter-reset/observed-span semantics as [[Rate]].
+    * Stated deviation: the shared rate kernel quantizes samples to
+    * DECIMAL(20,6) for deterministic cross-engine sums — exact for raw
+    * integer counters, but a subquery feeds DERIVED doubles through it,
+    * so values are rounded to 6 decimal places and magnitudes ≥1e14
+    * overflow to NULL, where Prometheus would keep full float64
+    * precision.
     */
   final case class RateSubquery(kind: String, inner: Expr,
       windowSec: Long, stepSec: Long) extends Expr

@@ -454,9 +454,9 @@ object AnalyticsQueries {
     * lowered for a streaming query: the stateful operators create (and
     * checkpoint) one state store per shuffle partition PER MICRO-BATCH,
     * so a keyed stream whose state is small pays pure file-I/O overhead
-    * for every extra partition. 8 is sized to the fixture's key
-    * cardinality; a production deployment sizes it to throughput, not to
-    * the session default. `newSession` shares the SparkContext and cache
+    * for every extra partition. 2 is sized to the fixtures' tiny state;
+    * a production deployment sizes it to throughput, not to the session
+    * default. `newSession` shares the SparkContext and cache
     * but owns its conf, so concurrent batch queries in the parent session
     * can never observe the temporary value (the old set/restore on the
     * shared conf was not thread-safe).
@@ -502,7 +502,7 @@ object AnalyticsQueries {
       var s = streamSessionMemo.get(spark)
       if (s == null) {
         s = spark.newSession()
-        s.conf.set("spark.sql.shuffle.partitions", "8")
+        s.conf.set("spark.sql.shuffle.partitions", "2")
         streamSessionMemo.put(spark, s)
       }
       s

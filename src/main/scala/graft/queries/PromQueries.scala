@@ -1697,7 +1697,7 @@ object PromQueries {
         |)
         |SELECT u AS user, k, s1 AS value FROM st WHERE i = n""".stripMargin
 
-  /** Range-evaluated `holt_winters(purchase[24h], 0.3, 0.5)` on the
+  /** Range-evaluated `holt_winters(purchase[168h], 0.3, 0.5)` on the
     * 5-minute grid — the smoothed dashboard panel through the parsed
     * range path (PromEval.evalGrid → PromOps.holtWintersGrid): the
     * windowGrid explode keyed by (series, point), then the same
