@@ -15,9 +15,64 @@ import PromParser._
   */
 object PromEval {
 
+  /** Rewrite every [[Selector]] in `expr` through `f` — structural
+    * recursion over the case-class tree by primary-constructor
+    * reflection, the same mechanism Catalyst's `TreeNode.makeCopy`
+    * uses. Driver-side, parse-time only; never touches a plan.
+    */
+  private def mapSelectors(expr: Expr)(f: Selector => Selector): Expr = {
+    def go(x: Any): Any = x match {
+      case s: Selector => f(s)
+      case o: Option[_] => o.map(go)
+      case xs: Seq[_] => xs.map(go)
+      case p: Product if p.isInstanceOf[Expr] =>
+        val args = p.productIterator.map(go)
+          .map(_.asInstanceOf[AnyRef]).toArray
+        p.getClass.getConstructors.head.newInstance(args: _*)
+      case other => other
+    }
+    go(expr).asInstanceOf[Expr]
+  }
+
+  /** Prometheus's `@ start()` / `@ end()` preprocessing: resolve every
+    * edge-pinned selector to a literal `@` timestamp given the QUERY's
+    * evaluation bounds. Runs once at each public entry point — instant
+    * evaluation passes start = end = the eval time, grid evaluation its
+    * range bounds — so selectors inside subqueries pin to the outer
+    * query's bounds, never to the subquery's derived grid (which is how
+    * Prometheus itself scopes the modifier). Idempotent: a resolved
+    * tree has no `atEdge` left and recursion rewrites nothing.
+    */
+  def resolveAtEdges(expr: Expr, startSec: Long, endSec: Long): Expr =
+    mapSelectors(expr) { s =>
+      s.atEdge match {
+        case Some(AtStart) => s.copy(atSec = Some(startSec), atEdge = None)
+        case Some(AtEnd) => s.copy(atSec = Some(endSec), atEdge = None)
+        case None => s
+      }
+    }
+
+  private def hasAtEdge(x: Any): Boolean = x match {
+    case s: Selector => s.atEdge.nonEmpty
+    case o: Option[_] => o.exists(hasAtEdge)
+    case xs: Seq[_] => xs.exists(hasAtEdge)
+    case p: Product if p.isInstanceOf[Expr] =>
+      p.productIterator.exists(hasAtEdge)
+    case _ => false
+  }
+
   /** Evaluate `expr` as an instant query at `atEpochSec`. */
-  def evalInstant(metrics: DataFrame, expr: Expr, atEpochSec: Long,
-      lookbackSec: Long = PromOps.DefaultLookbackSec): DataFrame = expr match {
+  def evalInstant(metrics: DataFrame, expr0: Expr, atEpochSec: Long,
+      lookbackSec: Long = PromOps.DefaultLookbackSec): DataFrame = {
+    // instant query: start() = end() = the evaluation time
+    val expr =
+      if (hasAtEdge(expr0)) resolveAtEdges(expr0, atEpochSec, atEpochSec)
+      else expr0
+    evalInstantResolved(metrics, expr, atEpochSec, lookbackSec)
+  }
+
+  private def evalInstantResolved(metrics: DataFrame, expr: Expr,
+      atEpochSec: Long, lookbackSec: Long): DataFrame = expr match {
     case s: Selector =>
       applyMatchers(
         PromOps.instantVector(matcherFilter(metrics, s), s.name,
@@ -544,8 +599,19 @@ object PromEval {
   /** Evaluate `expr` at every aligned grid point in [g0, g1] (step-aligned):
     * (skey, g, value).
     */
-  def evalGrid(metrics: DataFrame, expr: Expr, g0: Long, g1: Long,
-      stepSec: Long, lookbackSec: Long): DataFrame = expr match {
+  def evalGrid(metrics: DataFrame, expr0: Expr, g0: Long, g1: Long,
+      stepSec: Long, lookbackSec: Long): DataFrame = {
+    // range query: start()/end() pin to the range's own bounds. By the
+    // time a subquery recursion re-enters here the top-level resolve has
+    // already run (hasAtEdge is false), so inner selectors can never pin
+    // to a subquery's derived grid.
+    val expr =
+      if (hasAtEdge(expr0)) resolveAtEdges(expr0, g0, g1) else expr0
+    evalGridResolved(metrics, expr, g0, g1, stepSec, lookbackSec)
+  }
+
+  private def evalGridResolved(metrics: DataFrame, expr: Expr, g0: Long,
+      g1: Long, stepSec: Long, lookbackSec: Long): DataFrame = expr match {
     case s: Selector if s.atSec.nonEmpty =>
       pinnedGrid(metrics, s, g0, g1, stepSec, lookbackSec)
     case s: Selector =>

@@ -17,18 +17,38 @@ object PromParser {
 
   // ------------------------------------------------------------------ AST
   sealed trait Expr
+  /** `@ start()` / `@ end()` — the preprocessor forms of the `@`
+    * modifier. They resolve to the QUERY's evaluation bounds (for an
+    * instant query start = end = the eval time; for a range query the
+    * range's first/last grid point), exactly Prometheus's preprocessing
+    * semantics: the engine rewrites them to literal timestamps before
+    * evaluation begins, so a selector inside a subquery still pins to
+    * the OUTER query's bounds, never the subquery's. The rewrite is
+    * [[PromEval.resolveAtEdges]].
+    */
+  sealed trait AtEdge
+  case object AtStart extends AtEdge
+  case object AtEnd extends AtEdge
+
   /** `offsetSec` is the PromQL `offset` modifier: the selector evaluates
     * as if "now" were `t - offsetSec` (parsed from `m{..}[w] offset 1d`).
     * `atSec` is the `@` modifier — an absolute evaluation timestamp that
     * replaces "now" entirely (offset then applies relative to it, as in
     * Prometheus). Both parse after the range suffix in either order.
+    * `atEdge` holds a not-yet-resolved `@ start()`/`@ end()`; evaluation
+    * entry points resolve it into `atSec` before any plan is built.
     */
   final case class Selector(name: String,
       eq: Seq[(String, String)] = Nil, ne: Seq[(String, String)] = Nil,
       offsetSec: Long = 0L, atSec: Option[Long] = None,
       re: Seq[(String, String)] = Nil,
-      nre: Seq[(String, String)] = Nil) extends Expr {
-    /** The effective evaluation instant given the query's eval time. */
+      nre: Seq[(String, String)] = Nil,
+      atEdge: Option[AtEdge] = None) extends Expr {
+    /** The effective evaluation instant given the query's eval time.
+      * An unresolved `@ start()`/`@ end()` equals the eval time here by
+      * construction: instant evaluation has start = end = eval time, and
+      * grid evaluation resolves edges before this is consulted.
+      */
     def evalAt(default: Long): Long = atSec.getOrElse(default) - offsetSec
   }
   final case class BoolCmp(inner: Expr, op: String, scalar: Double) extends Expr
@@ -913,7 +933,12 @@ object PromParser {
           pop()
           pop() match {
             case TNum(v) => s = s.copy(atSec = Some(v.toLong))
-            case other => fail(s"expected unix timestamp after @, got $other")
+            case TId(edge @ ("start" | "end")) =>
+              expectSym("("); expectSym(")")
+              s = s.copy(atEdge =
+                Some(if (edge == "start") AtStart else AtEnd))
+            case other =>
+              fail(s"expected unix timestamp, start() or end() after @, got $other")
           }
         case _ => go = false
       }

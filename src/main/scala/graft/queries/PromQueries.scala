@@ -1475,6 +1475,53 @@ object PromQueries {
       "\nSELECT u AS user, k, (max(struct_pack(e := e, v := v))).v AS value " +
       "FROM s GROUP BY u, k"
 
+  /** `@ start()` / `@ end()` — the preprocessor edge-pin forms, both
+    * query shapes in one gate:
+    *
+    *  - GRID form: `last_over_time(purchase[48h] @ start())` range-
+    *    evaluated on the 5-minute grid — every grid point carries the
+    *    value pinned at the range START (the "compare now against the
+    *    window's opening value" dashboard idiom); rows tagged g.
+    *  - INSTANT form: the same selector `@ end()` at Te — for an
+    *    instant query start() = end() = the eval time, so the pin
+    *    equals plain evaluation; rows tagged g = -1.
+    *
+    * Resolution is [[graft.promql.PromEval.resolveAtEdges]] — the edges
+    * become literal `@` timestamps BEFORE evaluation, so the grid form
+    * reuses the pinnedGrid replicate path unchanged.
+    */
+  def parsedAtEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = metrics(spark, sfDir)
+    val gridExpr = graft.promql.PromParser.parse(
+      "last_over_time(purchase[48h] @ start())")
+    val grid = graft.promql.PromEval.evalGrid(m, gridExpr, Gm0, Gm1,
+      stepSec = 300, lookbackSec = PromOps.DefaultLookbackSec)
+      .select(user.as("user"), kLbl.as("k"), col("g"), col("value"))
+    val instExpr = graft.promql.PromParser.parse(
+      "last_over_time(purchase[48h] @ end())")
+    val inst = graft.promql.PromEval.evalInstant(m, instExpr, Te)
+      .select(user.as("user"), kLbl.as("k"), lit(-1L).as("g"), col("value"))
+    grid.unionByName(inst)
+  }
+
+  val parsedAtEdgesOracle: String =
+    sampleCte("purchase", Gm0 - 172800 + 1, Te) +
+      s"""
+         |, pinned AS (
+         |  SELECT u, k, (max(struct_pack(e := e, v := v))).v AS v
+         |  FROM s WHERE e <= $Gm0 GROUP BY u, k
+         |), grid AS (
+         |  SELECT u, k, g, v FROM pinned,
+         |       unnest(generate_series($Gm0, $Gm1, 300)) AS t(g)
+         |), inst AS (
+         |  SELECT u, k, CAST(-1 AS BIGINT) AS g,
+         |         (max(struct_pack(e := e, v := v))).v AS v
+         |  FROM s WHERE e > ${Te - 172800} GROUP BY u, k
+         |)
+         |SELECT u AS user, k, g, v AS value FROM grid
+         |UNION ALL
+         |SELECT u AS user, k, g, v AS value FROM inst""".stripMargin
+
   /** Parsed `last_over_time(purchase[720h]) > 50` — the filtering
     * comparison (no `bool`): only series whose value satisfies the
     * threshold survive, values unchanged. The alert-threshold idiom.
@@ -2044,6 +2091,7 @@ object PromQueries {
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "promql_parsed_filtercmp" -> ((parsedFilterCmp _, parsedFilterCmpOracle)),
     "promql_parsed_at" -> ((parsedAt _, parsedAtOracle)),
+    "promql_parsed_at_edges" -> ((parsedAtEdges _, parsedAtEdgesOracle)),
     "promql_parsed_labeljoin" -> ((parsedLabelJoin _, parsedLabelJoinOracle)),
     "promql_parsed_groupleft" -> ((parsedGroupLeft _, parsedGroupLeftOracle)),
     "promql_parsed_veccmp_on" -> ((parsedVecCmpOn _, parsedVecCmpOnOracle)),

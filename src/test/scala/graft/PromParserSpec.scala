@@ -23,16 +23,16 @@ class PromParserSpec extends AnyFunSuite {
 
   test("simple selectors and doc examples") {
     assert(PromParser.parse("up") == Selector("up"))
-    val Agg("avg", Selector("node_cpu_usage", Nil, Nil, 0L, None, _, _), Seq("instance"), Nil) =
+    val Agg("avg", Selector("node_cpu_usage", Nil, Nil, 0L, None, _, _, _), Seq("instance"), Nil) =
       PromParser.parse("avg(node_cpu_usage) by (instance)"): @unchecked
   }
 
   test("label matchers") {
-    val Selector("m", eq, ne, _, _, _, _) =
+    val Selector("m", eq, ne, _, _, _, _, _) =
       PromParser.parse("""m{a="1", b!="2"}"""): @unchecked
     assert(eq == Seq("a" -> "1") && ne == Seq("b" -> "2"))
     // regex matchers, mixed with equality forms
-    val Selector("m", eq2, _, _, _, re, nre) =
+    val Selector("m", eq2, _, _, _, re, nre, _) =
       PromParser.parse("""m{a="1", b=~"x.*|y", c!~"[0-9]+"}"""): @unchecked
     assert(eq2 == Seq("a" -> "1") && re == Seq("b" -> "x.*|y") &&
       nre == Seq("c" -> "[0-9]+"))
@@ -44,25 +44,25 @@ class PromParserSpec extends AnyFunSuite {
   }
 
   test("range selector with *_over_time") {
-    val OverTime("count", Selector("x", _, _, _, _, _, _), 3600L) =
+    val OverTime("count", Selector("x", _, _, _, _, _, _, _), 3600L) =
       PromParser.parse("count_over_time(x[1h])"): @unchecked
   }
 
   test("rate/increase parse over a plain range selector only") {
-    val Rate("rate", Selector("x", _, _, _, _, _, _), 300L) =
+    val Rate("rate", Selector("x", _, _, _, _, _, _, _), 300L) =
       PromParser.parse("rate(x[5m])"): @unchecked
-    val Rate("increase", Selector("y", eq, _, _, _, _, _), 86400L) =
+    val Rate("increase", Selector("y", eq, _, _, _, _, _, _), 86400L) =
       PromParser.parse("increase(y{cl=\"a\"}[24h])"): @unchecked
     assert(eq == Seq("cl" -> "a"))
     // subquery rate: the inner expr's grid values play the samples
-    val RateSubquery("rate", Selector("x", _, _, _, _, _, _), 300L, 60L) =
+    val RateSubquery("rate", Selector("x", _, _, _, _, _, _, _), 300L, 60L) =
       PromParser.parse("rate((x)[5m:1m])"): @unchecked
     val RateSubquery("increase", Agg("sum", _, Seq("u"), Nil), 3600L, 300L) =
       PromParser.parse("increase((sum by (u) (m))[1h:5m])"): @unchecked
     // a bare [w] suffix on a non-selector is still rejected
     intercept[IllegalArgumentException](PromParser.parse("rate((x + 1)[5m])"))
     // % and ^ parse in the uniform arithmetic tier
-    val Arith(Selector("m", _, _, _, _, _, _), "%", 7.0) =
+    val Arith(Selector("m", _, _, _, _, _, _, _), "%", 7.0) =
       PromParser.parse("m % 7"): @unchecked
     val Arith(_, "^", 2.0) = PromParser.parse("m ^ 2"): @unchecked
     val VecBin("%", _, _, None, None, None, _) =
@@ -70,18 +70,18 @@ class PromParserSpec extends AnyFunSuite {
   }
 
   test("offset modifier on plain and range selectors") {
-    val Selector("up", Nil, Nil, 300L, None, _, _) =
+    val Selector("up", Nil, Nil, 300L, None, _, _, _) =
       PromParser.parse("up offset 5m"): @unchecked
-    val OverTime("last", Selector("p", _, _, 86400L, _, _, _), 604800L) =
+    val OverTime("last", Selector("p", _, _, 86400L, _, _, _, _), 604800L) =
       PromParser.parse("last_over_time(p[1w] offset 1d)"): @unchecked
-    val Rate("rate", Selector("c", _, _, 3600L, _, _, _), 300L) =
+    val Rate("rate", Selector("c", _, _, 3600L, _, _, _, _), 300L) =
       PromParser.parse("rate(c[5m] offset 1h)"): @unchecked
     intercept[IllegalArgumentException](PromParser.parse("up offset"))
     // negative offset looks forward (promql-negative-offset semantics)
-    val Selector("up", Nil, Nil, -3600L, None, _, _) =
+    val Selector("up", Nil, Nil, -3600L, None, _, _, _) =
       PromParser.parse("up offset -1h"): @unchecked
     // @ modifier, alone and composed with offset in either order
-    val Selector("up", Nil, Nil, 0L, Some(1000L), _, _) =
+    val Selector("up", Nil, Nil, 0L, Some(1000L), _, _, _) =
       PromParser.parse("up @ 1000"): @unchecked
     val OverTime("last", s1: Selector, 3600L) =
       PromParser.parse("last_over_time(p[1h] @ 1000 offset 5m)"): @unchecked
@@ -92,16 +92,16 @@ class PromParserSpec extends AnyFunSuite {
   }
 
   test("vector-vector binops with on/ignoring and bare matching") {
-    val VecBin("/", Selector("a", _, _, _, _, _, _), Selector("b", _, _, _, _, _, _), Some(on), None, None, _) =
+    val VecBin("/", Selector("a", _, _, _, _, _, _, _), Selector("b", _, _, _, _, _, _, _), Some(on), None, None, _) =
       PromParser.parse("a / on(user) b"): @unchecked
     assert(on == Seq("user"))
     val VecBin("+", _, _, None, Some(ig), None, _) =
       PromParser.parse("a + ignoring(k, cl) b"): @unchecked
     assert(ig == Seq("k", "cl"))
-    val VecBin("-", Selector("a", _, _, _, _, _, _), Selector("b", _, _, _, _, _, _), None, None, None, _) =
+    val VecBin("-", Selector("a", _, _, _, _, _, _, _), Selector("b", _, _, _, _, _, _, _), None, None, None, _) =
       PromParser.parse("a - b"): @unchecked
     // scalar arithmetic still parses as Arith, not VecBin
-    val Arith(Selector("a", _, _, _, _, _, _), "*", 2.0) =
+    val Arith(Selector("a", _, _, _, _, _, _, _), "*", 2.0) =
       PromParser.parse("a * 2"): @unchecked
     // left-assoc chain: (a / b) * 100
     val Arith(VecBin("/", _, _, _, _, _, _), "*", 100.0) =
@@ -114,7 +114,7 @@ class PromParserSpec extends AnyFunSuite {
   }
 
   test("topk/bottomk with optional grouping") {
-    val TopK("topk", 5, Selector("m", _, _, _, _, _, _), Nil, Nil) =
+    val TopK("topk", 5, Selector("m", _, _, _, _, _, _, _), Nil, Nil) =
       PromParser.parse("topk(5, m)"): @unchecked
     val TopK("bottomk", 3, _, Seq("cl"), Nil) =
       PromParser.parse("bottomk by (cl) (3, m)"): @unchecked
@@ -125,9 +125,9 @@ class PromParserSpec extends AnyFunSuite {
   }
 
   test("quantile_over_time and histogram_quantile parse") {
-    val QuantileOverTime(0.9, Selector("m", _, _, _, _, _, _), 3600L) =
+    val QuantileOverTime(0.9, Selector("m", _, _, _, _, _, _, _), 3600L) =
       PromParser.parse("quantile_over_time(0.9, m[1h])"): @unchecked
-    val HistQuantile(0.5, Selector("b", _, _, _, _, _, _)) =
+    val HistQuantile(0.5, Selector("b", _, _, _, _, _, _, _)) =
       PromParser.parse("histogram_quantile(0.5, b)"): @unchecked
     intercept[IllegalArgumentException](
       PromParser.parse("quantile_over_time(1.5, m[1h])")) // q out of range
@@ -136,7 +136,7 @@ class PromParserSpec extends AnyFunSuite {
   }
 
   test("math fns, clamp family, delta, absent parse") {
-    val UnaryFn("abs", Selector("m", _, _, _, _, _, _)) =
+    val UnaryFn("abs", Selector("m", _, _, _, _, _, _, _)) =
       PromParser.parse("abs(m)"): @unchecked
     val Clamp(UnaryFn("ceil", _), Some(1.0), Some(9.0)) =
       PromParser.parse("clamp(ceil(m), 1, 9)"): @unchecked
@@ -144,15 +144,15 @@ class PromParserSpec extends AnyFunSuite {
       PromParser.parse("clamp_min(m, 2)"): @unchecked
     val Clamp(_, None, Some(3.0)) =
       PromParser.parse("clamp_max(m, 3)"): @unchecked
-    val Rate("delta", Selector("g", _, _, _, _, _, _), 3600L) =
+    val Rate("delta", Selector("g", _, _, _, _, _, _, _), 3600L) =
       PromParser.parse("delta(g[1h])"): @unchecked
-    val Absent(Selector("up", _, _, _, _, _, _)) =
+    val Absent(Selector("up", _, _, _, _, _, _, _)) =
       PromParser.parse("absent(up)"): @unchecked
     intercept[IllegalArgumentException](PromParser.parse("absent(rate(x[5m]))"))
   }
 
   test("set operators bind loosest, left-assoc; irate/idelta parse") {
-    val SetOp("and", Selector("a", _, _, _, _, _, _), Selector("b", _, _, _, _, _, _)) =
+    val SetOp("and", Selector("a", _, _, _, _, _, _, _), Selector("b", _, _, _, _, _, _, _)) =
       PromParser.parse("a and b"): @unchecked
     // arithmetic binds tighter than set ops
     val SetOp("or", Arith(_, "*", 2.0), _) =
@@ -162,13 +162,13 @@ class PromParserSpec extends AnyFunSuite {
     // parenthesized set op under an aggregation
     val Agg("sum", SetOp("or", _, _), Seq("user"), Nil) =
       PromParser.parse("sum by (user) (a or b)"): @unchecked
-    val Rate("irate", Selector("c", _, _, _, _, _, _), 300L) =
+    val Rate("irate", Selector("c", _, _, _, _, _, _, _), 300L) =
       PromParser.parse("irate(c[5m])"): @unchecked
-    val Rate("idelta", Selector("g", _, _, _, _, _, _), 600L) =
+    val Rate("idelta", Selector("g", _, _, _, _, _, _, _), 600L) =
       PromParser.parse("idelta(g[10m])"): @unchecked
-    val Deriv(Selector("g", _, _, _, _, _, _), 3600L, None) =
+    val Deriv(Selector("g", _, _, _, _, _, _, _), 3600L, None) =
       PromParser.parse("deriv(g[1h])"): @unchecked
-    val Deriv(Selector("g", _, _, _, _, _, _), 3600L, Some(600.0)) =
+    val Deriv(Selector("g", _, _, _, _, _, _, _), 3600L, Some(600.0)) =
       PromParser.parse("predict_linear(g[1h], 600)"): @unchecked
     val Rate("resets", _, 3600L) = PromParser.parse("resets(c[1h])"): @unchecked
     val Rate("changes", _, 3600L) = PromParser.parse("changes(g[1h])"): @unchecked
@@ -178,48 +178,48 @@ class PromParserSpec extends AnyFunSuite {
   }
 
   test("filtering comparisons keep series, bool returns 0/1") {
-    val FilterCmp(Selector("x", _, _, _, _, _, _), ">", 5.0) =
+    val FilterCmp(Selector("x", _, _, _, _, _, _, _), ">", 5.0) =
       PromParser.parse("x > 5"): @unchecked
-    val BoolCmp(Selector("x", _, _, _, _, _, _), ">", 5.0) =
+    val BoolCmp(Selector("x", _, _, _, _, _, _, _), ">", 5.0) =
       PromParser.parse("x > bool 5"): @unchecked
   }
 
   test("comparison binds looser than arithmetic (Prometheus precedence)") {
     // the error-ratio alert idiom: (a / b) > 0.5, NOT a / (b > 0.5)
-    val FilterCmp(VecBin("/", Selector("a", _, _, _, _, _, _),        Selector("b", _, _, _, _, _, _), _, _, _, _), ">", 0.5) =
+    val FilterCmp(VecBin("/", Selector("a", _, _, _, _, _, _, _),        Selector("b", _, _, _, _, _, _, _), _, _, _, _), ">", 0.5) =
       PromParser.parse("a / b > 0.5"): @unchecked
     // a trailing comparison after an arith chain parses
-    val FilterCmp(Arith(Selector("x", _, _, _, _, _, _), "*", 100.0), ">", 5.0) =
+    val FilterCmp(Arith(Selector("x", _, _, _, _, _, _, _), "*", 100.0), ">", 5.0) =
       PromParser.parse("x * 100 > 5"): @unchecked
     val BoolCmp(VecBin("/", _, _, Some(Seq("u")), _, _, _), ">=", 0.9) =
       PromParser.parse("a / on(u) b >= bool 0.9"): @unchecked
     // but comparison stays looser than set ops' operands:
     // `a > 5 and b` is (a > 5) and b
-    val SetOp("and", FilterCmp(_, ">", 5.0), Selector("b", _, _, _, _, _, _)) =
+    val SetOp("and", FilterCmp(_, ">", 5.0), Selector("b", _, _, _, _, _, _, _)) =
       PromParser.parse("a > 5 and b"): @unchecked
   }
 
   test("vector-vector comparisons parse, filter and bool forms") {
-    val VecCmp(">", Selector("x", _, _, _, _, _, _), Selector("y", _, _, _, _, _, _), false, None, None) =
+    val VecCmp(">", Selector("x", _, _, _, _, _, _, _), Selector("y", _, _, _, _, _, _, _), false, None, None) =
       PromParser.parse("x > y"): @unchecked
     val VecCmp("<=", _, _, true, None, None) =
       PromParser.parse("x <= bool y"): @unchecked
     // RHS binds the arithmetic chain: x > (y * 2)
-    val VecCmp(">", _, Arith(Selector("y", _, _, _, _, _, _), "*", 2.0), false, None, None) =
+    val VecCmp(">", _, Arith(Selector("y", _, _, _, _, _, _, _), "*", 2.0), false, None, None) =
       PromParser.parse("x > y * 2"): @unchecked
   }
 
   test("round, quantile agg, count_values, group, sgn/log parse") {
-    val RoundFn(Selector("m", _, _, _, _, _, _), 1.0) =
+    val RoundFn(Selector("m", _, _, _, _, _, _, _), 1.0) =
       PromParser.parse("round(m)"): @unchecked
     val RoundFn(_, 0.5) = PromParser.parse("round(m, 0.5)"): @unchecked
     intercept[IllegalArgumentException](PromParser.parse("round(m, 0)"))
-    val AggQuantile(0.9, Selector("m", _, _, _, _, _, _), Seq("cl"), Nil) =
+    val AggQuantile(0.9, Selector("m", _, _, _, _, _, _, _), Seq("cl"), Nil) =
       PromParser.parse("quantile by (cl) (0.9, m)"): @unchecked
     val AggQuantile(0.5, _, Nil, Nil) =
       PromParser.parse("quantile(0.5, m)"): @unchecked
     intercept[IllegalArgumentException](PromParser.parse("quantile(1.5, m)"))
-    val CountValues("v", Selector("m", _, _, _, _, _, _), Nil, Nil) =
+    val CountValues("v", Selector("m", _, _, _, _, _, _, _), Nil, Nil) =
       PromParser.parse("""count_values("v", m)"""): @unchecked
     val CountValues("v", _, Seq("k"), Nil) =
       PromParser.parse("""count_values by (k) ("v", m)"""): @unchecked
@@ -270,7 +270,7 @@ class PromParserSpec extends AnyFunSuite {
   }
 
   test("limitk/limit_ratio parse with grouping; parameters are validated") {
-    val LimitAgg("limitk", 3.0, Selector("x", _, _, _, _, _, _), Nil, Nil) =
+    val LimitAgg("limitk", 3.0, Selector("x", _, _, _, _, _, _, _), Nil, Nil) =
       PromParser.parse("limitk(3, x)"): @unchecked
     val LimitAgg("limitk", 2.0, _, Seq("job"), Nil) =
       PromParser.parse("limitk by (job) (2, x)"): @unchecked
@@ -284,7 +284,7 @@ class PromParserSpec extends AnyFunSuite {
   }
 
   test("atan2 is a keyword binary operator") {
-    val Arith(Selector("m", _, _, _, _, _, _), "atan2", 2.0) =
+    val Arith(Selector("m", _, _, _, _, _, _, _), "atan2", 2.0) =
       PromParser.parse("m atan2 2"): @unchecked
     val VecBin("atan2", _, _, None, None, None, _) =
       PromParser.parse("m atan2 n"): @unchecked
@@ -977,6 +977,42 @@ class PromEvalSpec extends SparkSpec {
     // absent_over_time @ a window with no samples: 1.0 at every point
     assert(grid("absent_over_time(m[100s] @ 800)") ==
       Map(400L -> 1.0, 500L -> 1.0, 600L -> 1.0))
+    // @ start() pins to the range's first point (window (300,400]),
+    // @ end() to its last (window (500,600] holds only the 9.0)
+    assert(grid("sum_over_time(m[100s] @ start())") ==
+      Map(400L -> 6.0, 500L -> 6.0, 600L -> 6.0))
+    assert(grid("sum_over_time(m[100s] @ end())") ==
+      Map(400L -> 9.0, 500L -> 9.0, 600L -> 9.0))
+  }
+
+  test("@ start()/end() resolve to the OUTER query's bounds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.promql.{PromParser, PromEval}
+    // parse shapes
+    val s = PromParser.parse("up @ start()").asInstanceOf[PromParser.Selector]
+    assert(s.atEdge.contains(PromParser.AtStart) && s.atSec.isEmpty)
+    val e = PromParser.parse("up @ end()").asInstanceOf[PromParser.Selector]
+    assert(e.atEdge.contains(PromParser.AtEnd))
+    intercept[IllegalArgumentException](PromParser.parse("up @ mid()"))
+    // instant query: start() = end() = eval time, so the edge pin is a
+    // no-op even INSIDE a subquery (Prometheus scopes @ to the query,
+    // never to the subquery's derived grid)
+    val m = Seq(
+      ("m", Map("i" -> "a"), 1.0, 350L),
+      ("m", Map("i" -> "a"), 5.0, 380L),
+      ("m", Map("i" -> "a"), 9.0, 550L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def inst(q: String): Seq[Double] = PromEval
+      .evalInstant(m, PromParser.parse(q), 600L)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(inst("sum_over_time(m[300s] @ end())") ==
+      inst("sum_over_time(m[300s])"))
+    // subquery whose inner selector pins to the outer instant (600):
+    // every inner grid point sees the @600 instant value 9.0
+    assert(inst("max_over_time((m @ end())[200s:100s])") == Seq(9.0))
+    assert(inst("max_over_time((m @ start())[200s:100s])") == Seq(9.0))
   }
 
   test("grid offset on quantile_over_time and deriv shifts the window") {
