@@ -207,6 +207,9 @@ object PromEval {
     case HistQuantile(q, inner) =>
       PromOps.histogramQuantile(
         evalInstant(metrics, inner, atEpochSec, lookbackSec), q)
+    case HistFraction(lo, hi, inner) =>
+      PromOps.histogramFraction(
+        evalInstant(metrics, inner, atEpochSec, lookbackSec), lo, hi)
     case UnaryFn(fn, inner) =>
       evalInstant(metrics, inner, atEpochSec, lookbackSec)
         .withColumn("value", unary(fn, col("value")))
@@ -786,6 +789,10 @@ object PromEval {
       PromOps.histogramQuantile(
         evalGrid(metrics, inner, g0, g1, stepSec, lookbackSec),
         q, extraKeys = Seq("g"))
+    case HistFraction(lo, hi, inner) =>
+      PromOps.histogramFraction(
+        evalGrid(metrics, inner, g0, g1, stepSec, lookbackSec),
+        lo, hi, extraKeys = Seq("g"))
     case NumLit(v) =>
       gridFrame(metrics, g0, g1, stepSec)
         .withColumn("value", lit(v).cast("double"))

@@ -621,6 +621,64 @@ object PromOps {
         coalesce(col("winner.qv"), col("fallback")).as("value"): _*)
   }
 
+  /** `histogram_fraction(lo, hi, buckets)` over classic cumulative
+    * `le`-labeled buckets — the estimated fraction of observations in
+    * (lo, hi], Prometheus 3.x's companion to histogram_quantile (the
+    * only member of the histogram_* family defined for the CLASSIC
+    * representation; see README for the native-histogram scope note).
+    * Interpolated cumulative count at a bound x, per group:
+    *
+    *  - x ≤ 0 → 0 (positive-bound domain, as histogramQuantile);
+    *  - x inside finite bucket (prev_le, le] → linear:
+    *    `prev_cum + (x − prev_le)·(cum − prev_cum)/(le − prev_le)`;
+    *  - x beyond the last finite le → that bucket's cumulative count
+    *    (stated deviation: no interpolation into the unbounded +Inf
+    *    bucket — its mass only counts when the bound IS +Inf);
+    *  - x = +Inf → the +Inf bucket's total.
+    *
+    * fraction = (cumAt(hi) − cumAt(lo)) / total, NaN on an empty
+    * histogram (total 0), exactly the arithmetic the oracle replays.
+    * Same single sort-window + one aggregation shape as
+    * [[histogramQuantile]]; bucket counts per group are tiny.
+    */
+  def histogramFraction(buckets: DataFrame, lo: Double, hi: Double,
+      extraKeys: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = labelsOf(col("skey"))
+    val led = when(labels.getItem("le").isin("+Inf", "Inf", "inf"),
+      lit(Double.PositiveInfinity))
+      .otherwise(labels.getItem("le").cast("double"))
+    val gkey = seriesKey(map_filter(labels, (k, _) => k =!= "le"))
+    val extras = extraKeys.map(col)
+    val gkeys = col("gkey") +: extras
+    val base = buckets.select(gkey.as("gkey") +: extras :+ led.as("le") :+
+      col("value"): _*)
+    val ordered = Window.partitionBy(gkeys: _*).orderBy(col("le"))
+    val enriched = base
+      .withColumn("prev_cum", coalesce(lag(col("value"), 1).over(ordered), lit(0.0)))
+      .withColumn("prev_le", coalesce(lag(col("le"), 1).over(ordered), lit(0.0)))
+    val finite = col("le") =!= Double.PositiveInfinity
+    def interp(x: Double): Column =
+      col("prev_cum") + (lit(x) - col("prev_le")) *
+        (col("value") - col("prev_cum")) / (col("le") - col("prev_le"))
+    // winner bucket for bound x = LOWEST finite le ≥ x (struct-min on
+    // the unique-per-group le, as histogramQuantile's winner)
+    def winner(x: Double): Column =
+      min(when(finite && col("le") >= x, struct(col("le"), interp(x).as("iv"))))
+    val agg = enriched.groupBy(gkeys: _*)
+      .agg(
+        winner(lo).as("wlo"), winner(hi).as("whi"),
+        max(when(finite, struct(col("le"), col("value")))).as("lastFin"),
+        max(when(!finite, col("value"))).as("total"))
+    def cumAt(x: Double, w: Column): Column =
+      if (x <= 0) lit(0.0)
+      else if (x == Double.PositiveInfinity) col("total")
+      else coalesce(w.getField("iv"), col("lastFin.value"), lit(0.0))
+    agg.select(col("gkey").as("skey") +: extras :+
+      ((cumAt(hi, col("whi")) - cumAt(lo, col("wlo"))) / col("total"))
+        .as("value"): _*)
+  }
+
   /** P2: comparison with the `bool` modifier — returns 1.0/0.0 instead of
     * filtering (reference flagship: `!= bool 999999`, migrate.sql:105).
     */

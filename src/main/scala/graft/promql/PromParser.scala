@@ -171,6 +171,11 @@ object PromParser {
       stepSec: Long, predictSec: Option[Double]) extends Expr
   /** `histogram_quantile(q, expr)` over cumulative le-labeled buckets. */
   final case class HistQuantile(q: Double, inner: Expr) extends Expr
+  /** `histogram_fraction(lo, hi, expr)` over cumulative le-labeled
+    * buckets — fraction of observations in (lo, hi]; the only
+    * histogram_* family member defined for classic histograms.
+    */
+  final case class HistFraction(lo: Double, hi: Double, inner: Expr) extends Expr
   /** Pointwise math: abs/ceil/floor/sqrt/exp/ln (PromQL returns floats;
     * ceil/floor are re-cast to double accordingly).
     */
@@ -458,6 +463,7 @@ object PromParser {
         expectSym(")")
         e
       case TId("histogram_quantile") => parseHistQuantile()
+      case TId("histogram_fraction") => parseHistFraction()
       case TId("deriv") =>
         expectSym("(")
         val e = parseArith() match {
@@ -693,6 +699,30 @@ object PromParser {
       val inner = parseSetOp()
       expectSym(")")
       HistQuantile(q, inner)
+    }
+
+    /** histogram_fraction( lo, hi, expr ); bounds are numeric literals
+      * or Inf/+Inf (upper) / -Inf (lower).
+      */
+    private def parseHistFraction(): Expr = {
+      expectSym("(")
+      def bound(): Double = peek match {
+        case Some(TSym("+")) => pop(); bound()
+        case Some(TSym("-")) => pop(); -bound()
+        case _ => pop() match {
+          case TNum(v) => v
+          case TId("Inf") | TId("inf") => Double.PositiveInfinity
+          case other => fail(s"histogram_fraction needs a numeric bound, got $other")
+        }
+      }
+      val lo = bound()
+      expectSym(",")
+      val hi = bound()
+      require(lo < hi, s"histogram_fraction needs lo < hi, got $lo, $hi")
+      expectSym(",")
+      val inner = parseSetOp()
+      expectSym(")")
+      HistFraction(lo, hi, inner)
     }
 
     /** clamp(v, lo, hi) | clamp_min(v, lo) | clamp_max(v, hi) */
@@ -1015,6 +1045,7 @@ object PromParser {
     case HoltWintersSubquery(i, _, _, _, _) => containsPlaceholder(i)
     case DerivSubquery(i, _, _, _) => containsPlaceholder(i)
     case HistQuantile(_, i) => containsPlaceholder(i)
+    case HistFraction(_, _, i) => containsPlaceholder(i)
     case UnaryFn(_, i) => containsPlaceholder(i)
     case Clamp(i, _, _) => containsPlaceholder(i)
     case RoundFn(i, _) => containsPlaceholder(i)

@@ -1081,6 +1081,54 @@ object PromQueries {
         |       END AS value
         |FROM r""".stripMargin
 
+  /** Parsed `histogram_fraction(7.5, 30, purchase_bucket)` over the
+    * same dense classic bucket vector as [[parsedHistQuantile]] — the
+    * estimated fraction of purchases in (7.5, 30]. Both bounds fall
+    * strictly INSIDE buckets ((5,10] and (20,50]), so the linear
+    * interpolation arithmetic is exercised on both ends; the oracle
+    * replays `prev_cum + (x − prev_le)·(cum − prev_cum)/(le − prev_le)`
+    * in the same operation order, then the single trailing division by
+    * the +Inf total.
+    */
+  def parsedHistFraction(spark: SparkSession, sfDir: String): DataFrame = {
+    val bounds = Seq(5.0, 10.0, 20.0, 50.0)
+    val bArr = array(bounds.map(b =>
+      struct(lit(b.toString).as("les"), lit(b).as("led"))) :+
+      struct(lit("+Inf").as("les"), lit(Double.PositiveInfinity).as("led")): _*)
+    val s = graft.promql.PromOps.rangeSelector(
+      metrics(spark, sfDir), "purchase", Te, 2592000L)
+    val buckets = s
+      .select(user.as("u"), col("value"))
+      .select(col("u"), col("value"), explode(bArr).as("b"))
+      .groupBy(col("u"), col("b.les").as("le"))
+      .agg(sum(when(col("value") <= col("b.led"), 1).otherwise(0))
+        .cast("double").as("value"))
+      .select(lit("purchase_bucket").as("metric_name"),
+        map(lit("user"), col("u"), lit("le"), col("le")).as("labels"),
+        col("value"), timestamp_seconds(lit(Te)).as("timestamp"))
+    val expr = graft.promql.PromParser.parse(
+      "histogram_fraction(7.5, 30, purchase_bucket)")
+    graft.promql.PromEval.evalInstant(buckets, expr, Te)
+      .select(user.as("user"), col("value"))
+  }
+
+  val parsedHistFractionOracle: String =
+    sampleCte("purchase", Te - 2592000 + 1, Te) +
+      """
+        |, c AS (
+        |  SELECT u,
+        |         CAST(count(*) FILTER (v <= 5.0) AS DOUBLE) AS c5,
+        |         CAST(count(*) FILTER (v <= 10.0) AS DOUBLE) AS c10,
+        |         CAST(count(*) FILTER (v <= 20.0) AS DOUBLE) AS c20,
+        |         CAST(count(*) FILTER (v <= 50.0) AS DOUBLE) AS c50,
+        |         CAST(count(v) AS DOUBLE) AS cinf
+        |  FROM s GROUP BY u
+        |)
+        |SELECT u AS user,
+        |       ((c20 + (30.0 - 20.0) * (c50 - c20) / (50.0 - 20.0))
+        |        - (c5 + (7.5 - 5.0) * (c10 - c5) / (10.0 - 5.0))) / cinf AS value
+        |FROM c""".stripMargin
+
   /** Parsed `clamp(ceil(max_over_time(purchase[720h])), 5, 40)` — the
     * pointwise-math family end-to-end. Only EXACT functions appear in
     * oracle-checked entries (ceil/abs/clamp are integer-exact on these
@@ -2121,6 +2169,8 @@ object PromQueries {
     "promql_parsed_slo_quantile" ->
       ((parsedQuantileSubquery _, parsedQuantileSubqueryOracle)),
     "promql_parsed_histq" -> ((parsedHistQuantile _, parsedHistQuantileOracle)),
+    "promql_parsed_histfraction" ->
+      ((parsedHistFraction _, parsedHistFractionOracle)),
     "promql_parsed_offset" -> ((parsedOffset _, parsedOffsetOracle)),
     "promql_parsed_binop" -> ((parsedBinop _, parsedBinopOracle)),
     "promql_parsed_ratio" -> ((parsedRatio _, parsedRatioOracle)),

@@ -985,6 +985,38 @@ class PromEvalSpec extends SparkSpec {
       Map(400L -> 9.0, 500L -> 9.0, 600L -> 9.0))
   }
 
+  test("histogram_fraction over classic buckets: interpolation and edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // cumulative buckets le=1:10, le=2:30, le=4:60, +Inf:100 (40 in the
+    // unbounded bucket)
+    val m = Seq("1" -> 10.0, "2" -> 30.0, "4" -> 60.0, "+Inf" -> 100.0)
+      .map { case (le, c) => ("hb", Map("le" -> le), c, 500L) }
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def frac(q: String): Double = graft.promql.PromEval
+      .evalInstant(m, graft.promql.PromParser.parse(q), 500L)
+      .collect().map(_.getAs[Double]("value")).head
+    // bucket-boundary bounds are exact cumulative counts
+    assert(frac("histogram_fraction(1, 2, hb)") == (30.0 - 10.0) / 100.0)
+    // interior bounds interpolate linearly: cum(1.5)=20, cum(3)=45
+    assert(frac("histogram_fraction(1.5, 3, hb)") == (45.0 - 20.0) / 100.0)
+    // lo <= 0 anchors at zero; first-bucket interpolation from 0
+    assert(frac("histogram_fraction(0, 0.5, hb)") == 5.0 / 100.0)
+    // finite bound beyond the last finite le clamps to its cumulative
+    // (stated: no interpolation into +Inf)
+    assert(frac("histogram_fraction(4, 99, hb)") == 0.0)
+    // +Inf upper bound counts the unbounded bucket's mass
+    assert(frac("histogram_fraction(4, Inf, hb)") == 40.0 / 100.0)
+    assert(frac("histogram_fraction(-Inf, Inf, hb)") == 1.0)
+    // malformed bounds reject at parse
+    intercept[IllegalArgumentException](
+      graft.promql.PromParser.parse("histogram_fraction(2, 1, hb)"))
+    // native-only family members reject loudly (README deviation 13)
+    intercept[IllegalArgumentException](
+      graft.promql.PromParser.parse("histogram_count(hb)"))
+  }
+
   test("@ start()/end() resolve to the OUTER query's bounds") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
