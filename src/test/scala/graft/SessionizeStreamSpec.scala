@@ -42,4 +42,59 @@ class SessionizeStreamSpec extends SparkSpec {
     // user 8's session is still open (no timeout passed) — not emitted
     assert(!all.exists(_.user_id == 8))
   }
+
+  test("crash recovery: stop mid-stream, resume from checkpoint, exactly-once output") {
+    // the recovery contract a production pipeline relies on: kill the
+    // query between micro-batches, restart against the SAME checkpoint
+    // and sink, and (a) state survives — a session spanning the restart
+    // keeps accumulating, (b) output is exactly-once — a session closed
+    // before the crash is not re-emitted, (c) the final output equals
+    // the batch answer over the full event set.
+    val dir = Files.createTempDirectory("sessrec")
+    val in = s"$dir/in"; val outP = s"$dir/out"; val cp = s"$dir/cp"
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    val t0 = 1706572800L
+    def feed(evs: SessionEvent*): Unit =
+      evs.toDS().repartition(1).write.mode("append").parquet(in)
+    def startQ() = spark.readStream
+      .schema("user_id LONG, event_type STRING, ts TIMESTAMP")
+      .parquet(in).as[SessionEvent]
+      .transform((ds: org.apache.spark.sql.Dataset[SessionEvent]) =>
+        SessionizeStream.sessions(ds, gapSec = 1800))
+      .writeStream.format("parquet").option("path", outP)
+      .option("checkpointLocation", cp).outputMode("append").start()
+
+    // run 1: user 7's session opens; user 9 closes one session in-batch
+    // (gap 2000 > 1800) and leaves a second open. Watermark after the
+    // batch = t0+2000-1800 = t0+200.
+    feed(ev(7, t0), ev(7, t0 + 60, "purchase"), ev(9, t0), ev(9, t0 + 2000))
+    val q1 = startQ()
+    q1.processAllAvailable()
+    q1.stop() // "crash" between micro-batches
+    val afterRun1 = spark.read.parquet(outP).as[ClosedSession].collect().toSeq
+    assert(afterRun1 == Seq(ClosedSession(9, t0, 1, 0, 1)))
+
+    // run 2, same checkpoint: user 7 continues the pre-crash session
+    // (t0+300 is within the gap AND above the recovered watermark), and
+    // user 8 pushes the watermark far past every open timeout
+    feed(ev(7, t0 + 300), ev(8, t0 + 40000))
+    val q2 = startQ()
+    q2.processAllAvailable()
+    // timeouts fire on the trigger AFTER the watermark moved
+    feed(ev(8, t0 + 40010))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val all = spark.read.parquet(outP).as[ClosedSession].collect().toSeq
+    // exactly-once: the pre-crash closed session appears exactly once
+    assert(all.count(_ == ClosedSession(9, t0, 1, 0, 1)) == 1)
+    // state recovery: user 7's single session spans the restart (n = 3
+    // only if the pre-crash OpenSession was restored from the state store)
+    assert(all.toSet == Set(
+      ClosedSession(9, t0, 1, 0, 1),
+      ClosedSession(9, t0 + 2000, 1, 0, 1),
+      ClosedSession(7, t0, 3, 300, 2)))
+    // user 8's session is still open — never emitted
+    assert(!all.exists(_.user_id == 8))
+  }
 }
