@@ -82,6 +82,14 @@ object ScaleProbe {
       time("simhash_neardup", dir, tag)(graft.queries.ExtQueries.simhashNeardup)
       time("ngram_jaccard", dir, tag)(graft.queries.ExtQueries.ngramJaccard)
       time("contamination", dir, tag)(graft.queries.ExtQueries.contaminationCheck)
+      // the subquery-range family: inner grid evaluated once, points
+      // exploded to outer windows (PromEval.subqueryPoints) — cost is
+      // inner points × (w/step), and amplified events mean N× more
+      // series at unchanged per-series history, so the growth class
+      // must be linear in series count
+      time("pq_range_subq", dir, tag)(graft.queries.PromQueries.rangeSubquery)
+      time("holt_subquery", dir, tag)(graft.queries.PromQueries.parsedHoltSubquery)
+      time("predict_subq", dir, tag)(graft.queries.PromQueries.parsedPredictSubquery)
       if (!heavy) {
         time("sessionize", dir, tag)(graft.queries.AnalyticsQueries.sessionize)
         time("asof_join", dir, tag)(graft.queries.AnalyticsQueries.asofJoin)
