@@ -86,7 +86,12 @@ object DotProductQ {
   * expressions at session build time.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_dotq"),
       DotProductQ.info, DotProductQ.builder))
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      BloomFunctions.aggInfo, BloomFunctions.aggBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_might_contain"),
+      BloomFunctions.containInfo, BloomFunctions.containBuilder))
+  }
 }

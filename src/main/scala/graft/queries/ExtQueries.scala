@@ -130,6 +130,57 @@ object ExtQueries {
         countDistinct(col("eval_doc")).as("n_eval_docs"))
   }
 
+  /** Same answer as [[contaminationCheck]] via the plan a 100 TB corpus
+    * needs: a Bloom filter over the benchmark side's shingle hashes
+    * prefilters the TRAINING side before the exact inverted-index join.
+    * A Bloom filter has no false negatives, so prefilter + exact join
+    * provably returns the unfiltered join's exact rows — the registered
+    * oracle is contamination_check's own SQL, making the equivalence a
+    * hash-checked gate rather than a claim; false positives only cost
+    * extra join probes. Scale shape: the filter is built by Spark's own
+    * `BloomFilterAggregate` (the runtime join-filtering machinery,
+    * surfaced via [[graft.functions.BloomFunctions]] — codegen'd
+    * expression, no UDF) and lands in the plan as a LITERAL binary, the
+    * same build-once-broadcast-everywhere discipline as a broadcast
+    * join build side: ~1 MiB for a million benchmark shingles at ~2%
+    * fpp, shipped once per executor, probed per row BEFORE any shuffle
+    * of the (vastly larger) training shingle frame. The benchmark side
+    * of a decontamination run is small by construction (benchmarks are
+    * thousands of documents, the corpus is billions), so the one-row
+    * aggregate collect here is the broadcast-build pattern, not a
+    * driver-side loop.
+    */
+  def contaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = Dedup.shingleSets(
+      docs(spark, sfDir).withColumn("toks", TextOps.tokens(col("text"))),
+      n = 8, lit("all"))
+    val isEval = col("source") === "src0"
+    val ids = docs(spark, sfDir).select(col("doc_id"), col("source"))
+    val tagged = graft.ext.CacheScope.register(sh.join(ids, "doc_id").persist())
+    val keep = tagged.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 64).select(col("h"))
+    val capped = tagged.join(keep, "h")
+    val evalSh = capped.filter(isEval)
+      .select(col("h"), col("doc_id").as("eval_doc")).distinct()
+    // build the bloom over the benchmark's distinct hashes: one tiny
+    // aggregate job whose single binary result embeds in the plan
+    val bloomBytes = Option(evalSh
+      .agg(call_function("graft_bloom_agg", col("h"),
+        lit(1000000L), lit(8000000L)).as("bf"))
+      .head.getAs[Array[Byte]]("bf"))
+    val train = capped.filter(!isEval)
+    val prefiltered = bloomBytes match {
+      case Some(bytes) =>
+        train.filter(call_function("graft_might_contain", lit(bytes), col("h")))
+      case None => train.filter(lit(false)) // empty benchmark: nothing matches
+    }
+    prefiltered
+      .join(evalSh, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"))
+  }
+
   val contaminationCheckOracle: String =
     """WITH sh AS (
       |  SELECT DISTINCT doc_id,
@@ -2010,6 +2061,9 @@ object ExtQueries {
     "stratified_sample" -> ((stratifiedSample _, stratifiedSampleOracle)),
     "dataset_split" -> ((datasetSplit _, datasetSplitOracle)),
     "contamination_check" -> ((contaminationCheck _, contaminationCheckOracle)),
+    // same oracle SQL by design: bloom prefilter + exact join must equal
+    // the exact join (no false negatives)
+    "contamination_bloom" -> ((contaminationBloom _, contaminationCheckOracle)),
     "doc_rolling_hash" -> ((docRollingHash _, docRollingHashOracle)),
     "dedup_simhash" -> ((dedupSimhash _, dedupSimhashOracle)),
     "simhash_neardup" -> ((simhashNeardup _, simhashNeardupOracle)),
