@@ -196,4 +196,36 @@ class PlanShapeSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), plan.take(1200))
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
+
+  test("histogram_fraction is one aggregation: no join, like histogram_quantile") {
+    // both bound interpolations must resolve inside ONE group-by
+    // (struct-min winners); a Join node means a per-bound scan crept in
+    val plan = finalPlan(
+      SparkEntry.queries("promql_parsed_histfraction")(spark, sf))
+    assert(!plan.contains("Join"), plan.take(1200))
+  }
+
+  test("contamination_bloom probes the filter before the exact join") {
+    // the graft_might_contain literal-bloom probe must appear as a plain
+    // Filter (no extra join or shuffle to consult the filter), and the
+    // exact equi-join must still be present after it
+    val plan = finalPlan(
+      SparkEntry.queries("contamination_bloom")(spark, sf))
+    assert(plan.contains("might_contain"), plan.take(1200))
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).length
+    // tagged⨝ids, capped⨝keep, train⨝evalSh — the bloom adds NO join
+    assert(joins <= 4, s"bloom probe added a join: $joins\n" + plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("@ start()/end() grid form pins once and replicates: no per-point re-eval") {
+    // pinnedGrid = instant eval cross-joined with the broadcast
+    // |grid|-row frame; a hash-partitioned exchange keyed by g would
+    // mean the selector re-evaluated per grid point
+    val plan = finalPlan(
+      SparkEntry.queries("promql_parsed_at_edges")(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
 }
