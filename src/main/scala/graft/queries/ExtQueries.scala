@@ -168,7 +168,13 @@ object ExtQueries {
       .agg(call_function("graft_bloom_agg", col("h"),
         lit(1000000L), lit(8000000L)).as("bf"))
       .head.getAs[Array[Byte]]("bf"))
-    val train = capped.filter(!isEval)
+    // the TRAIN side skips the df-cap join entirely: evalSh holds only
+    // capped hashes, so the final equi-join enforces the cap for free,
+    // and the skew role the probe-side cap played (a stop-shingle
+    // flooding the shuffle) is played by the bloom — a stop-shingle not
+    // in the benchmark dies at the scan-side filter, before any
+    // exchange. One fewer join + shuffle than the exact query.
+    val train = tagged.filter(!isEval)
     val prefiltered = bloomBytes match {
       case Some(bytes) =>
         train.filter(call_function("graft_might_contain", lit(bytes), col("h")))
