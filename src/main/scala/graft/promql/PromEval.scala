@@ -20,9 +20,13 @@ object PromEval {
     * reflection, the same mechanism Catalyst's `TreeNode.makeCopy`
     * uses. Driver-side, parse-time only; never touches a plan.
     */
-  private def mapSelectors(expr: Expr)(f: Selector => Selector): Expr = {
+  private def mapSelectors(expr: Expr)(f: Selector => Selector,
+      g: TimeShift => TimeShift = identity): Expr = {
     def go(x: Any): Any = x match {
       case s: Selector => f(s)
+      case ts: TimeShift => // rewrite the carrier, then recurse inside
+        val applied = g(ts)
+        applied.copy(inner = go(applied.inner).asInstanceOf[Expr])
       case o: Option[_] => o.map(go)
       case xs: Seq[_] => xs.map(go)
       case p: Product if p.isInstanceOf[Expr] =>
@@ -44,16 +48,21 @@ object PromEval {
     * tree has no `atEdge` left and recursion rewrites nothing.
     */
   def resolveAtEdges(expr: Expr, startSec: Long, endSec: Long): Expr =
-    mapSelectors(expr) { s =>
-      s.atEdge match {
+    mapSelectors(expr)(
+      s => s.atEdge match {
         case Some(AtStart) => s.copy(atSec = Some(startSec), atEdge = None)
         case Some(AtEnd) => s.copy(atSec = Some(endSec), atEdge = None)
         case None => s
-      }
-    }
+      },
+      ts => ts.atEdge match {
+        case Some(AtStart) => ts.copy(atSec = Some(startSec), atEdge = None)
+        case Some(AtEnd) => ts.copy(atSec = Some(endSec), atEdge = None)
+        case None => ts
+      })
 
   private def hasAtEdge(x: Any): Boolean = x match {
     case s: Selector => s.atEdge.nonEmpty
+    case ts: TimeShift => ts.atEdge.nonEmpty || hasAtEdge(ts.inner)
     case o: Option[_] => o.exists(hasAtEdge)
     case xs: Seq[_] => xs.exists(hasAtEdge)
     case p: Product if p.isInstanceOf[Expr] =>
@@ -73,6 +82,10 @@ object PromEval {
 
   private def evalInstantResolved(metrics: DataFrame, expr: Expr,
       atEpochSec: Long, lookbackSec: Long): DataFrame = expr match {
+    case TimeShift(inner, off, at, _) =>
+      // subquery offset/@: rebase the subtree's evaluation instant —
+      // `@` replaces it, offset then applies relative to it
+      evalInstant(metrics, inner, at.getOrElse(atEpochSec) - off, lookbackSec)
     case s: Selector =>
       applyMatchers(
         PromOps.instantVector(matcherFilter(metrics, s), s.name,
@@ -615,6 +628,17 @@ object PromEval {
 
   private def evalGridResolved(metrics: DataFrame, expr: Expr, g0: Long,
       g1: Long, stepSec: Long, lookbackSec: Long): DataFrame = expr match {
+    case ts: TimeShift if ts.atSec.nonEmpty =>
+      // @-pinned subquery on a grid: one instant evaluation, replicated
+      // across the grid points (the selector pinnedGrid discipline)
+      pinnedGrid(metrics, ts, g0, g1, stepSec, lookbackSec)
+    case TimeShift(inner, off, None, _) =>
+      // offset subquery per grid point: evaluate the shifted grid and
+      // relabel, exactly the selector-offset rule
+      require(off % stepSec == 0,
+        s"subquery offset ${off}s must be a multiple of the ${stepSec}s step")
+      val base = evalGrid(metrics, inner, g0 - off, g1 - off, stepSec, lookbackSec)
+      if (off == 0) base else base.withColumn("g", col("g") + off)
     case s: Selector if s.atSec.nonEmpty =>
       pinnedGrid(metrics, s, g0, g1, stepSec, lookbackSec)
     case s: Selector =>

@@ -171,6 +171,18 @@ object PromParser {
       stepSec: Long, predictSec: Option[Double]) extends Expr
   /** `histogram_quantile(q, expr)` over cumulative le-labeled buckets. */
   final case class HistQuantile(q: Double, inner: Expr) extends Expr
+  /** Evaluation-time rebase — the `offset`/`@` modifiers attached to a
+    * SUBQUERY (`(expr)[w:s] offset 1h @ ...`), which in Prometheus shift
+    * or pin the whole subquery's evaluation instant. Wrapping the
+    * enclosing subquery node (rather than growing modifier fields on
+    * every subquery AST class) gives the exact semantics: instant
+    * evaluation of the subtree happens at `(atSec | t) − offsetSec`;
+    * range evaluation shifts the grid and relabels, or pins and
+    * replicates when `@` is present. `atEdge` carries an unresolved
+    * `@ start()`/`@ end()` exactly as on [[Selector]].
+    */
+  final case class TimeShift(inner: Expr, offsetSec: Long,
+      atSec: Option[Long], atEdge: Option[AtEdge] = None) extends Expr
   /** `histogram_fraction(lo, hi, expr)` over cumulative le-labeled
     * buckets — fraction of observations in (lo, hi]; the only
     * histogram_* family member defined for classic histograms.
@@ -454,7 +466,7 @@ object PromParser {
           case RangePlaceholder(sel, w) => MadOverTime(sel, w)
           case inner => peek match {
             case Some(TSym("[")) => rangeSuffix() match {
-              case (w, Some(s)) => MadSubquery(inner, w, s)
+              case (w, Some(s)) => subqueryModifiers(MadSubquery(inner, w, s))
               case _ => fail("mad_over_time over an expression needs (expr)[w:s]")
             }
             case _ => fail("mad_over_time requires a range selector or subquery")
@@ -470,7 +482,7 @@ object PromParser {
           case RangePlaceholder(sel, w) => Deriv(sel, w, None)
           case inner => peek match {
             case Some(TSym("[")) => rangeSuffix() match {
-              case (w, Some(s)) => DerivSubquery(inner, w, s, None)
+              case (w, Some(s)) => subqueryModifiers(DerivSubquery(inner, w, s, None))
               case _ => fail("deriv over an expression needs (expr)[w:s]")
             }
             case _ => fail("deriv requires a range selector or subquery")
@@ -494,7 +506,7 @@ object PromParser {
         expectSym(")")
         (inner, sub) match {
           case (RangePlaceholder(sel, w), _) => Deriv(sel, w, Some(t))
-          case (i, Some((w, Some(s)))) => DerivSubquery(i, w, s, Some(t))
+          case (i, Some((w, Some(s)))) => subqueryModifiers(DerivSubquery(i, w, s, Some(t)))
           case _ => fail("predict_linear requires a range selector or subquery")
         }
       case TId(fn) if unaryFns(fn) =>
@@ -535,7 +547,7 @@ object PromParser {
         expectSym(")")
         (inner, sub) match {
           case (RangePlaceholder(sel, w), _) => HoltWinters(sel, w, sf, tf)
-          case (i, Some((w, Some(s)))) => HoltWintersSubquery(i, w, s, sf, tf)
+          case (i, Some((w, Some(s)))) => subqueryModifiers(HoltWintersSubquery(i, w, s, sf, tf))
           case other =>
             fail(s"holt_winters needs a range selector or subquery, got $other")
         }
@@ -632,7 +644,7 @@ object PromParser {
         case Some(TSym("[")) =>
           val (w, sOpt) = rangeSuffix()
           sOpt match {
-            case Some(s) => RateSubquery(fn, inner, w, s)
+            case Some(s) => subqueryModifiers(RateSubquery(fn, inner, w, s))
             case None =>
               fail(s"$fn over a non-selector needs a subquery: (expr)[w:s]")
           }
@@ -673,7 +685,7 @@ object PromParser {
         case RangePlaceholder(sel, w) => QuantileOverTime(q, sel, w)
         case inner => peek match {
           case Some(TSym("[")) => rangeSuffix() match {
-            case (w, Some(s)) => QuantileSubquery(q, inner, w, s)
+            case (w, Some(s)) => subqueryModifiers(QuantileSubquery(q, inner, w, s))
             case _ =>
               fail("quantile_over_time over an expression needs (expr)[w:s]")
           }
@@ -856,7 +868,8 @@ object PromParser {
         case Some(TSym("[")) =>
           val (w, sOpt) = rangeSuffix()
           sOpt match {
-            case Some(s) => OverTimeSubquery(fn.stripSuffix("_over_time"), inner, w, s)
+            case Some(s) => subqueryModifiers(
+              OverTimeSubquery(fn.stripSuffix("_over_time"), inner, w, s))
             case None => inner match {
               case sel: Selector => OverTime(fn.stripSuffix("_over_time"), sel, w)
               case _ => fail("plain range selector only valid on a metric selector")
@@ -938,6 +951,42 @@ object PromParser {
     private def maybeLabelList(): Seq[String] = peek match {
       case Some(TSym("(")) => labelList()
       case _ => Nil
+    }
+
+    /** Subquery modifiers `offset <dur>` / `@ <ts|start()|end()>` parsed
+      * right after a subquery's `]` (any order, as on selectors); wraps
+      * `node` in [[TimeShift]] only when a modifier is present.
+      */
+    private def subqueryModifiers(node: Expr): Expr = {
+      var off = 0L
+      var at: Option[Long] = None
+      var edge: Option[AtEdge] = None
+      var go = true
+      while (go) peek match {
+        case Some(TId("offset")) =>
+          pop()
+          val sign = peek match {
+            case Some(TSym("-")) => pop(); -1L
+            case _ => 1L
+          }
+          pop() match {
+            case TId(d) => off = sign * TimeResolver.parseDuration(d).getSeconds
+            case other => fail(s"expected duration after offset, got $other")
+          }
+        case Some(TSym("@")) =>
+          pop()
+          pop() match {
+            case TNum(v) => at = Some(v.toLong)
+            case TId(e @ ("start" | "end")) =>
+              expectSym("("); expectSym(")")
+              edge = Some(if (e == "start") AtStart else AtEnd)
+            case other =>
+              fail(s"expected unix timestamp, start() or end() after @, got $other")
+          }
+        case _ => go = false
+      }
+      if (off == 0 && at.isEmpty && edge.isEmpty) node
+      else TimeShift(node, off, at, edge)
     }
 
     /** `offset <duration>` and/or `@ <unix_ts>`, any order, else as-is */
@@ -1037,6 +1086,7 @@ object PromParser {
     case Arith(i, _, _) => containsPlaceholder(i)
     case OverTimeSubquery(_, i, _, _) => containsPlaceholder(i)
     case RateSubquery(_, i, _, _) => containsPlaceholder(i)
+    case TimeShift(i, _, _, _) => containsPlaceholder(i)
     case VecBin(_, l, r, _, _, _, _) => containsPlaceholder(l) || containsPlaceholder(r)
     case TopK(_, _, i, _, _) => containsPlaceholder(i)
     case LimitAgg(_, _, i, _, _) => containsPlaceholder(i)

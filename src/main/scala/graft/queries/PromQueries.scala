@@ -1482,6 +1482,49 @@ object PromQueries {
          |FROM b GROUP BY u, k""".stripMargin
   }
 
+  /** Modifiers on the SUBQUERY itself (`(expr)[w:s] offset d` /
+    * `(expr)[w:s] @ ts`) — the Prometheus forms that rebase the whole
+    * subquery's evaluation instant, parsed into the [[graft.promql
+    * .PromParser.TimeShift]] wrapper. Both shapes in one gate over the
+    * [[parsedSubqueryStep]] base expression: the `offset 7h` form (one
+    * step back) and the `@`-pinned form (seven days back), each
+    * equivalent to evaluating the unmodified subquery at the rebased
+    * instant — which is exactly what the oracle replays.
+    */
+  def parsedSubqueryMods(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = metrics(spark, sfDir)
+    val exprOff = graft.promql.PromParser.parse(
+      "max_over_time(count_over_time(view[7h])[720h:7h] offset 7h)")
+    val exprAt = graft.promql.PromParser.parse(
+      s"max_over_time(count_over_time(view[7h])[720h:7h] @ ${Te - 604800})")
+    graft.promql.PromEval.evalInstant(m, exprOff, Te)
+      .select(lit("offset").as("form"), user.as("user"), kLbl.as("k"),
+        col("value"))
+      .unionByName(graft.promql.PromEval.evalInstant(m, exprAt, Te)
+        .select(lit("at").as("form"), user.as("user"), kLbl.as("k"),
+          col("value")))
+  }
+
+  val parsedSubqueryModsOracle: String = {
+    val step = 25200L
+    def bounds(t: Long): (Long, Long) =
+      (((t - 2592000L) / step + 1) * step, (t / step) * step)
+    val (g0Off, g1Off) = bounds(Te - 25200L)
+    val (g0At, g1At) = bounds(Te - 604800L)
+    sampleCte("view", g0At - step + 1, g1Off) +
+      s"""
+         |, b AS (
+         |  SELECT u, k, ((e + ${step - 1}) // $step) * $step AS gb,
+         |         count(*) AS c
+         |  FROM s GROUP BY u, k, gb
+         |)
+         |SELECT 'offset' AS form, u AS user, k, CAST(max(c) AS DOUBLE) AS value
+         |FROM b WHERE gb BETWEEN $g0Off AND $g1Off GROUP BY u, k
+         |UNION ALL
+         |SELECT 'at' AS form, u AS user, k, CAST(max(c) AS DOUBLE) AS value
+         |FROM b WHERE gb BETWEEN $g0At AND $g1At GROUP BY u, k""".stripMargin
+  }
+
   /** Parsed `max by (uk) (label_join(last_over_time(purchase[720h]),
     * "uk", "|", "user", "k"))` — label manipulation end-to-end: the
     * synthesized uk label becomes the grouping key. Pure string
@@ -2151,6 +2194,8 @@ object PromQueries {
       ((parsedSubqueryRate _, parsedSubqueryRateOracle)),
     "promql_parsed_subquery_step" ->
       ((parsedSubqueryStep _, parsedSubqueryStepOracle)),
+    "promql_parsed_subquery_mods" ->
+      ((parsedSubqueryMods _, parsedSubqueryModsOracle)),
     "promql_parsed_stddev" -> ((parsedStddev _, parsedStddevOracle)),
     "promql_parsed_resets" ->
       ((parsedResets("resets", "purchase") _, resetsOracle("purchase", "<"))),

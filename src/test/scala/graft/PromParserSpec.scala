@@ -1047,6 +1047,43 @@ class PromEvalSpec extends SparkSpec {
     assert(inst("max_over_time((m @ start())[200s:100s])") == Seq(9.0))
   }
 
+  test("subquery-level offset/@ modifiers rebase the whole subquery") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.promql.{PromParser, PromEval}
+    val m = Seq(
+      ("m", Map("i" -> "a"), 1.0, 350L),
+      ("m", Map("i" -> "a"), 5.0, 380L),
+      ("m", Map("i" -> "a"), 9.0, 550L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def inst(q: String): Seq[Double] = PromEval
+      .evalInstant(m, PromParser.parse(q), 600L)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    // offset: the subquery evaluates as if now were 400 — its grid
+    // points (300, 400] see only the first two samples
+    assert(inst("max_over_time(last_over_time(m[100s])[200s:100s] offset 200s)")
+      == inst("max_over_time(last_over_time(m[100s])[200s:100s] @ 400)"))
+    assert(inst("max_over_time(last_over_time(m[100s])[200s:100s] @ 400)")
+      == Seq(5.0))
+    // @ end() on the subquery == unmodified (instant query bounds)
+    assert(inst("max_over_time(last_over_time(m[100s])[200s:100s] @ end())")
+      == inst("max_over_time(last_over_time(m[100s])[200s:100s])"))
+    def grid(q: String) = PromEval.evalGrid(m,
+      PromParser.parse(q), 400L, 600L, 100L, 300L)
+      .collect().map(r => r.getAs[Long]("g") -> r.getAs[Double]("value"))
+      .toMap
+    // grid + subquery offset: each point g answers as of g - 200
+    assert(grid("max_over_time(last_over_time(m[100s])[100s:100s] offset 200s)")
+      == Map(400L -> 5.0, 500L -> 5.0, 600L -> 5.0))
+    // grid + @-pinned subquery: one evaluation replicated
+    assert(grid("max_over_time(last_over_time(m[100s])[100s:100s] @ 400)")
+      == Map(400L -> 5.0, 500L -> 5.0, 600L -> 5.0))
+    // misaligned grid offset rejects loudly
+    intercept[IllegalArgumentException](
+      grid("max_over_time(last_over_time(m[100s])[100s:100s] offset 250s)"))
+  }
+
   test("grid offset on quantile_over_time and deriv shifts the window") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
