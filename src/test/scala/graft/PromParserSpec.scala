@@ -1073,9 +1073,11 @@ class PromEvalSpec extends SparkSpec {
       PromParser.parse(q), 400L, 600L, 100L, 300L)
       .collect().map(r => r.getAs[Long]("g") -> r.getAs[Double]("value"))
       .toMap
-    // grid + subquery offset: each point g answers as of g - 200
+    // grid + subquery offset: each point g answers as of g - 200 — at
+    // g=400/500 the rebased instants (200/300) predate every sample's
+    // 100s last_over_time window, so only g=600 (as of 400) emits
     assert(grid("max_over_time(last_over_time(m[100s])[100s:100s] offset 200s)")
-      == Map(400L -> 5.0, 500L -> 5.0, 600L -> 5.0))
+      == Map(600L -> 5.0))
     // grid + @-pinned subquery: one evaluation replicated
     assert(grid("max_over_time(last_over_time(m[100s])[100s:100s] @ 400)")
       == Map(400L -> 5.0, 500L -> 5.0, 600L -> 5.0))
