@@ -82,6 +82,25 @@ object TextOps {
   def matchCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  /** Sliding-window token chunks — the retrieval/packing primitive: windows
+    * of `size` tokens starting every `size - overlap` tokens, so adjacent
+    * chunks share exactly `overlap` tokens (the final tail window may be
+    * shorter, never empty). A document with ≤ `size` tokens is one chunk.
+    * Pure per-row HOFs (sequence → transform → slice): the chunk stage is
+    * map-only, so at 100 TB it pipelines inside the scan with no shuffle —
+    * chunk counts per doc obey Σ n_tokens = n + overlap·(n_chunks − 1),
+    * which the spec asserts as the coverage identity.
+    */
+  def chunkWindows(toksCol: String, size: Int, overlap: Int): Column = {
+    require(size > overlap && overlap >= 0, s"bad chunk window $size/$overlap")
+    val s = size - overlap
+    expr(s"""transform(
+            |  sequence(0, CASE WHEN size($toksCol) <= $size THEN 0
+            |                   ELSE ((size($toksCol) - $size + ${s - 1}) div $s)
+            |              END),
+            |  k -> slice($toksCol, k * $s + 1, $size))""".stripMargin)
+  }
+
   /** Content fingerprint: md5 of the whitespace-normalized lowercase text.
     * Equal fingerprints ⇒ byte-identical normalized content (exact dedup
     * key).

@@ -46,6 +46,41 @@ object ExtQueries {
       |         / len(string_split(lower(text), ' ')) AS uniq_ratio
       |FROM documents""".stripMargin
 
+  /** Retrieval/packing chunker: 32-token windows every 24 tokens (8-token
+    * overlap) over every document — the step that turns a curated corpus
+    * into retrieval units or fixed-budget training segments. Map-only
+    * (tokenize → sequence → slice → explode): at 100 TB the whole stage
+    * pipelines inside the parquet scan, no shuffle, output linear in
+    * corpus tokens. Each chunk carries its token count and a 64-bit md5
+    * content hash, the join key for downstream chunk-level dedup.
+    */
+  def docChunk(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("chunks", TextOps.chunkWindows("toks", 32, 8))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_id", "chunk")))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        substring(md5(array_join(col("chunk"), " ")), 1, 16).as("chunk_hash"))
+
+  val docChunkOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+      |         len(string_split(lower(text), ' ')) AS n
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, toks, n,
+      |         CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END AS n_chunks
+      |  FROM t
+      |)
+      |SELECT doc_id, i.k AS chunk_id,
+      |       len(list_slice(toks, k * 24 + 1, k * 24 + 32)) AS n_tokens,
+      |       substr(md5(array_to_string(list_slice(toks, k * 24 + 1, k * 24 + 32), ' ')),
+      |              1, 16) AS chunk_hash
+      |FROM c, unnest(generate_series(0, n_chunks - 1)) AS i(k)""".stripMargin
+
   // ---------------------------------------- sampling / splits / decontam
 
   /** Deterministic stratified sampling — the training-data-mixing
@@ -98,6 +133,40 @@ object ExtQueries {
       |            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 95
       |            THEN 'val' ELSE 'test' END AS split
       |FROM documents""".stripMargin
+
+  /** Deterministic global shuffle — the "randomize the corpus before
+    * training" step, without the global sort that would serialize 100 TB
+    * through one range exchange. The md5 of a seeded key gives every doc
+    * a pseudorandom rank; docs hash-shard on its top bits (embarrassingly
+    * parallel, one equi-exchange) and each shard orders independently by
+    * the full hash (a per-shard window sort — shards are sized to fit an
+    * executor, and the shard count is the only thing that grows at 100 TB).
+    * Reading shards in (shard, pos) order replays one deterministic
+    * global permutation: same seed ⇒ same order on any cluster size, and
+    * a re-run after appending docs leaves every old doc's shard stable.
+    */
+  def datasetShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("hk"), col("doc_id"))
+    docs(spark, sfDir)
+      .withColumn("hk", md5(concat(lit("s42:"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        conv(substring(col("hk"), 1, 15), 16, 10).cast("long") % 8)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  val datasetShuffleOracle: String =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |         md5('s42:' || CAST(doc_id AS VARCHAR)) AS hk,
+      |         ('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |           % 8 AS shard
+      |  FROM documents
+      |)
+      |SELECT doc_id, shard,
+      |       row_number() OVER (PARTITION BY shard ORDER BY hk, doc_id) AS pos
+      |FROM k""".stripMargin
 
   /** Benchmark decontamination — the check every training pipeline runs
     * before a model sees the corpus: training documents sharing any
@@ -2060,12 +2129,14 @@ object ExtQueries {
     "vocab_oov" -> ((vocabOov _, vocabOovOracle)),
     "dedup_exact" -> ((dedupExact _, dedupExactOracle)),
     "text_quality" -> ((textQuality _, textQualityOracle)),
+    "doc_chunk" -> ((docChunk _, docChunkOracle)),
     "token_stats" -> ((tokenStats _, tokenStatsOracle)),
     "lang_id" -> ((langId _, langIdOracle)),
     "doc_fingerprint" -> ((docFingerprint _, docFingerprintOracle)),
     "doc_repetition" -> ((docRepetition _, docRepetitionOracle)),
     "stratified_sample" -> ((stratifiedSample _, stratifiedSampleOracle)),
     "dataset_split" -> ((datasetSplit _, datasetSplitOracle)),
+    "dataset_shuffle" -> ((datasetShuffle _, datasetShuffleOracle)),
     "contamination_check" -> ((contaminationCheck _, contaminationCheckOracle)),
     // same oracle SQL by design: bloom prefilter + exact join must equal
     // the exact join (no false negatives)

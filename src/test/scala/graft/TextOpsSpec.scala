@@ -31,6 +31,64 @@ class TextOpsSpec extends SparkSpec {
     assert(sizes == Seq(0, 2))
   }
 
+  test("chunk windows: counts, strides, and the coverage identity") {
+    // synthetic docs at the edge cases of the 32/8 window: below, at, and
+    // just past the window size, plus mid-corpus lengths
+    val texts = Seq(5, 32, 33, 56, 57, 99).map(n => (1 to n).mkString(" "))
+    val df = texts.toDF("text")
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("chunks", TextOps.chunkWindows("toks", 32, 8))
+    val rows = df.select(size(col("toks")), col("chunks")).collect()
+    val expectedCounts = Seq(1, 1, 2, 2, 3, 4)
+    assert(rows.map(_.getSeq[scala.collection.Seq[String]](1).size).toSeq == expectedCounts)
+    rows.foreach { r =>
+      val n = r.getInt(0)
+      val chunks = r.getSeq[scala.collection.Seq[String]](1)
+      // every chunk but the last is full; window k starts at token k*24
+      chunks.init.foreach(c => assert(c.size == 32))
+      chunks.zipWithIndex.foreach { case (c, k) =>
+        assert(c.head == (k * 24 + 1).toString)
+      }
+      // the tail window ends exactly at the last token
+      assert(chunks.last.last == n.toString)
+      // coverage identity: sum of chunk sizes = n + overlap*(n_chunks-1)
+      assert(chunks.map(_.size).sum == n + 8 * (chunks.size - 1))
+    }
+    // the registered query on the real fixture obeys the same identity
+    val agg = graft.queries.ExtQueries.docChunk(spark, "/root/testdata/sf0.001")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_tokens")).as("s"), count(lit(1)).as("nc"))
+    val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n"))
+    val bad = agg.join(toks, "doc_id")
+      .filter(col("s") =!= col("n") + lit(8L) * (col("nc") - 1L)).count()
+    assert(bad == 0L)
+  }
+
+  test("dataset_shuffle: a permutation with dense per-shard positions, stable shards") {
+    val out = graft.queries.ExtQueries
+      .datasetShuffle(spark, "/root/testdata/sf0.001").collect()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val nDocs = docs.count()
+    // exactly one row per doc (it is a permutation, not a sample)
+    assert(out.length == nDocs && out.map(_.getLong(0)).distinct.length == nDocs)
+    // positions are dense 1..n within every shard
+    out.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      val pos = rows.map(_.getLong(2)).sorted.toSeq
+      assert(pos == (1L to rows.length.toLong))
+    }
+    // shard assignment is per-doc stable: recomputing over any subset of
+    // the corpus (here: half of it) cannot move a doc between shards
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val hk = md5(concat(lit("s42:"), col("doc_id").cast("string")))
+    val subsetShards = half
+      .select(col("doc_id"),
+        (conv(substring(hk, 1, 15), 16, 10).cast("long") % 8).as("shard"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fullShards = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    subsetShards.foreach { case (id, s) => assert(fullShards(id) == s) }
+  }
+
   test("int8 quantization round-trips rank order on well-spread vectors") {
     import graft.ext.Similarity
     // a vector whose max |x| is 1: int8 code of 1.0 is exactly 127
