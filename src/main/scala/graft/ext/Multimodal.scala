@@ -56,50 +56,95 @@ object Multimodal {
     s"P6\n$w $h\n255\n".getBytes(US_ASCII) ++ rgb
   }
 
-  /** Real PPM P6 parser: whitespace-and-comment-tolerant ASCII header
-    * (magic, width, height, maxval, then exactly one whitespace byte),
-    * then the raw RGB triplets. Features: [width, height, sum_r, sum_g,
-    * sum_b] — integer-exact, so an oracle can reproduce them from the
-    * generation parameters without decoding.
+  /** Parsed PPM header: dimensions plus the offset of the raw RGB data. */
+  private final case class PpmHeader(w: Int, h: Int, dataPos: Int)
+
+  /** Whitespace-and-comment-tolerant PPM P6 ASCII header parse (magic,
+    * width, height, maxval, then exactly one whitespace byte), validating
+    * that exactly 3·w·h pixel bytes follow.
+    */
+  private def parsePpmHeader(payload: Array[Byte]): PpmHeader = {
+    var pos = 0
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def skipWs(): Unit = {
+      var go = true
+      while (go && pos < payload.length) {
+        if (isWs(payload(pos))) pos += 1
+        else if (payload(pos) == '#') { // comment runs to end-of-line
+          while (pos < payload.length && payload(pos) != '\n') pos += 1
+        } else go = false
+      }
+    }
+    def token(): String = {
+      skipWs()
+      val start = pos
+      while (pos < payload.length && !isWs(payload(pos))) pos += 1
+      new String(payload, start, pos - start, US_ASCII)
+    }
+    require(token() == "P6", "not a PPM P6 payload")
+    val w = token().toInt
+    val h = token().toInt
+    val maxval = token().toInt
+    require(maxval > 0 && maxval < 256, s"unsupported maxval $maxval")
+    pos += 1 // exactly ONE whitespace byte after maxval, per the spec
+    require(payload.length - pos == 3 * w * h,
+      s"pixel data is ${payload.length - pos} bytes, want ${3 * w * h}")
+    PpmHeader(w, h, pos)
+  }
+
+  /** Real PPM P6 parser: header via [[parsePpmHeader]], then the raw RGB
+    * triplets. Features: [width, height, sum_r, sum_g, sum_b] —
+    * integer-exact, so an oracle can reproduce them from the generation
+    * parameters without decoding.
     */
   object PpmDecoder extends Decoder {
     def decode(payload: Array[Byte], mediaType: String): Array[Double] = {
-      var pos = 0
-      def isWs(b: Byte): Boolean =
-        b == ' ' || b == '\n' || b == '\r' || b == '\t'
-      def skipWs(): Unit = {
-        var go = true
-        while (go && pos < payload.length) {
-          if (isWs(payload(pos))) pos += 1
-          else if (payload(pos) == '#') { // comment runs to end-of-line
-            while (pos < payload.length && payload(pos) != '\n') pos += 1
-          } else go = false
-        }
-      }
-      def token(): String = {
-        skipWs()
-        val start = pos
-        while (pos < payload.length && !isWs(payload(pos))) pos += 1
-        new String(payload, start, pos - start, US_ASCII)
-      }
-      require(token() == "P6", "not a PPM P6 payload")
-      val w = token().toInt
-      val h = token().toInt
-      val maxval = token().toInt
-      require(maxval > 0 && maxval < 256, s"unsupported maxval $maxval")
-      pos += 1 // exactly ONE whitespace byte after maxval, per the spec
-      val n = w * h
-      require(payload.length - pos == 3 * n,
-        s"pixel data is ${payload.length - pos} bytes, want ${3 * n}")
+      val hd = parsePpmHeader(payload)
+      val n = hd.w * hd.h
       var sr = 0L; var sg = 0L; var sb = 0L
       var i = 0
       while (i < n) {
-        sr += payload(pos + 3 * i) & 0xff
-        sg += payload(pos + 3 * i + 1) & 0xff
-        sb += payload(pos + 3 * i + 2) & 0xff
+        sr += payload(hd.dataPos + 3 * i) & 0xff
+        sg += payload(hd.dataPos + 3 * i + 1) & 0xff
+        sb += payload(hd.dataPos + 3 * i + 2) & 0xff
         i += 1
       }
-      Array(w.toDouble, h.toDouble, sr.toDouble, sg.toDouble, sb.toDouble)
+      Array(hd.w.toDouble, hd.h.toDouble, sr.toDouble, sg.toDouble, sb.toDouble)
+    }
+  }
+
+  /** Perceptual average-hash over decoded pixels — the image near-dup
+    * fingerprint: nearest-neighbor downsample to a 4×4 grid (sample
+    * (gx, gy) reads pixel (⌊gx·w/4⌋, ⌊gy·h/4⌋)), per-sample gray = r+g+b
+    * (integer, no luma weights — keeps every engine bit-identical), bit
+    * i = gy·4+gx set iff 16·gray_i > Σgray (strict, cross-multiplied so
+    * the mean is never materialized as a float). 16 bits keeps the
+    * closed-form oracle tractable; a production 64-bit dHash is the same
+    * loop over an 8×8 grid. Feature: [phash].
+    */
+  object PhashDecoder extends Decoder {
+    def decode(payload: Array[Byte], mediaType: String): Array[Double] = {
+      val hd = parsePpmHeader(payload)
+      val gray = new Array[Long](16)
+      var total = 0L
+      var i = 0
+      while (i < 16) {
+        val x = (i % 4) * hd.w / 4
+        val y = (i / 4) * hd.h / 4
+        val p = hd.dataPos + 3 * (y * hd.w + x)
+        gray(i) = (payload(p) & 0xff).toLong + (payload(p + 1) & 0xff) +
+          (payload(p + 2) & 0xff)
+        total += gray(i)
+        i += 1
+      }
+      var phash = 0L
+      i = 0
+      while (i < 16) {
+        if (16L * gray(i) > total) phash |= 1L << i
+        i += 1
+      }
+      Array(phash.toDouble)
     }
   }
 

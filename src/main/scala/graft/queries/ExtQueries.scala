@@ -1351,6 +1351,89 @@ object ExtQueries {
     * real RIFF chunk walker. Sample sums/extrema are integer-exact;
     * byte_len pins the 44-byte canonical header + 2 bytes per sample.
     */
+  /** Perceptual near-dup over DECODED image pixels — multimodal dedup,
+    * the visual twin of simhash_neardup: every PPM payload is parsed by
+    * the real decoder into a 16-bit average-hash ([[Multimodal.PhashDecoder]]),
+    * exact-hash clusters collapse to one representative FIRST (the same
+    * collapse-then-band discipline as the simhash oracle — k identical
+    * images must not band k times), and representatives meet through a
+    * 4-band pigeonhole equi-join: a hamming-≤2 pair differs in at most 2
+    * of 4 bands, so ≥1 band matches and banding is exhaustive, never
+    * approximate. Output: representative pairs with their hamming
+    * distance and both exact-cluster sizes. At 100 TB the decode is
+    * map-only, the collapse is one groupBy on a 16-bit key, and the band
+    * join is candidate-bounded — no all-pairs stage anywhere. The oracle
+    * reproduces the hash closed-form from the fixture generator and
+    * brute-forces the pairs (the oracle may be quadratic; the engine may
+    * not).
+    */
+  def multimodalPhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = Multimodal.extractFeatures(
+      Multimodal.asMedia(
+        Multimodal.synthPpm(docs(spark, sfDir), "doc_id"),
+        "media_id", "payload", "image"),
+      Multimodal.PhashDecoder)
+    val reps = graft.ext.CacheScope.register(
+      feats.select(col("media_id"),
+          element_at(col("feature"), 1).cast("long").as("phash"))
+        .groupBy(col("phash"))
+        .agg(min(col("media_id")).as("rep"), count(lit(1)).as("n_copies"))
+        .persist())
+    val bands = reps
+      .select(col("phash"), col("rep"), col("n_copies"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bv",
+        expr("shiftright(phash, band * 4)").bitwiseAND(lit(15L)))
+    val a = bands.select(col("band"), col("bv"), col("phash").as("phash_a"),
+      col("rep").as("id_a"), col("n_copies").as("n_a"))
+    val b = bands.select(col("band"), col("bv"), col("phash").as("phash_b"),
+      col("rep").as("id_b"), col("n_copies").as("n_b"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("phash_a"), col("phash_b"),
+        col("n_a"), col("n_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(phash_a ^ phash_b)").cast("long"))
+      .filter(col("hamming") <= 2)
+      .select(col("id_a"), col("id_b"), col("hamming"), col("n_a"), col("n_b"))
+  }
+
+  /** Closed form over the fixture generator: byte j of image id is
+    * (id·31 + 7j) mod 256, so gray at pixel p is the sum of three
+    * consecutive residues; the 4×4 grid samples pixel
+    * (⌊gx·w/4⌋, ⌊gy·h/4⌋). Pairs brute-forced over representatives.
+    */
+  val multimodalPhashOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, 2 + doc_id % 7 AS w, 2 + doc_id % 5 AS h
+      |  FROM documents
+      |), samp AS (
+      |  SELECT media_id, i.i AS i,
+      |         ((i.i % 4) * w) // 4 + (((i.i // 4) * h) // 4) * w AS p
+      |  FROM m, unnest(generate_series(0, 15)) AS i(i)
+      |), g AS (
+      |  SELECT media_id, i,
+      |         (media_id * 31 + 21 * p) % 256
+      |         + (media_id * 31 + 21 * p + 7) % 256
+      |         + (media_id * 31 + 21 * p + 14) % 256 AS gray
+      |  FROM samp
+      |), tot AS (
+      |  SELECT media_id, SUM(gray) AS total FROM g GROUP BY media_id
+      |), bits AS (
+      |  SELECT g.media_id,
+      |         CAST(SUM(CASE WHEN 16 * gray > total THEN 1 << i ELSE 0 END)
+      |              AS BIGINT) AS phash
+      |  FROM g JOIN tot USING (media_id) GROUP BY g.media_id
+      |), reps AS (
+      |  SELECT phash, min(media_id) AS rep, count(*) AS n_copies
+      |  FROM bits GROUP BY phash
+      |)
+      |SELECT a.rep AS id_a, b.rep AS id_b,
+      |       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming,
+      |       a.n_copies AS n_a, b.n_copies AS n_b
+      |FROM reps a JOIN reps b ON a.rep < b.rep
+      |WHERE bit_count(xor(a.phash, b.phash)) <= 2""".stripMargin
+
   def multimodalWav(spark: SparkSession, sfDir: String): DataFrame =
     Multimodal.extractFeatures(
       Multimodal.asMedia(
@@ -2162,5 +2245,6 @@ object ExtQueries {
     "emb_neardup" -> ((embNeardup _, embNeardupOracle)),
     "multimodal_meta" -> ((multimodalMeta _, multimodalMetaOracle)),
     "multimodal_features" -> ((multimodalFeatures _, multimodalFeaturesOracle)),
-    "multimodal_wav" -> ((multimodalWav _, multimodalWavOracle)))
+    "multimodal_wav" -> ((multimodalWav _, multimodalWavOracle)),
+    "multimodal_phash" -> ((multimodalPhash _, multimodalPhashOracle)))
 }

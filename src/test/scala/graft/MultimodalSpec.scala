@@ -30,6 +30,26 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.PpmDecoder.decode("P6\n2 2\n255\n123".getBytes(US_ASCII), "image"))
   }
 
+  test("perceptual aHash: known image, strict-mean threshold, grid sampling") {
+    // 4x4 image, gray rises with pixel index: pixel p has channels
+    // (3p, 3p, 3p) -> gray = 9p, total = 9*120 = 1080, mean = 67.5.
+    // Grid == pixels at w=h=4. Bit i set iff 16*9i > 1080 <=> i >= 8.
+    val rgb = Array.tabulate(48)(j => (3 * (j / 3)).toByte)
+    val f = Multimodal.PhashDecoder.decode(Multimodal.encodePpm(4, 4, rgb), "image")
+    assert(f.toSeq == Seq(0xff00.toDouble)) // top 8 grid cells set
+    // constant image: no gray is strictly above the mean -> hash 0
+    val flat = Array.fill[Byte](12)(42)
+    assert(Multimodal.PhashDecoder.decode(
+      Multimodal.encodePpm(2, 2, flat), "image").toSeq == Seq(0.0))
+    // non-square image exercises the floor grid map: 2x1, left pixel
+    // dark, right pixel bright -> samples gx<2 read pixel 0, gx>=2 read
+    // pixel 1, all four rows identical
+    val lr = Array[Byte](0, 0, 0, 100, 100, 100)
+    val g = Multimodal.PhashDecoder.decode(Multimodal.encodePpm(2, 1, lr), "image")
+    val expected = (0 until 16).filter(i => i % 4 >= 2).map(1L << _).sum.toDouble
+    assert(g.toSeq == Seq(expected))
+  }
+
   test("WAV PCM16 round trip, negative samples, unknown chunk skip") {
     val samples = Array[Short](100, -200, 32767, -32768, 0)
     val f = Multimodal.WavDecoder.decode(

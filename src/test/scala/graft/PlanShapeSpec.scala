@@ -177,6 +177,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("InMemoryTableScan"), plan.take(1200))
   }
 
+  test("multimodal_phash: collapse cached once, band join equi not cartesian") {
+    val plan = finalPlan(SparkEntry.queries("multimodal_phash")(spark, sf))
+    // representatives meet through the (band, bv) equi-join — a cartesian
+    // here would be all-pairs over images, the exact thing banding exists
+    // to avoid; the collapsed rep frame is cached and read by both sides
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert(plan.contains("InMemoryTableScan"), plan.take(1200))
+  }
+
   test("dup_ngram_mass is join-linear: df groupBy + one equi-join, no pair join") {
     val plan = finalPlan(
       SparkEntry.queries("dup_ngram_mass")(spark, sf))

@@ -89,6 +89,29 @@ class TextOpsSpec extends SparkSpec {
     subsetShards.foreach { case (id, s) => assert(fullShards(id) == s) }
   }
 
+  test("multimodal_phash banding finds exactly the brute-force hamming<=2 pairs") {
+    import graft.ext.Multimodal
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val hashed = Multimodal.extractFeatures(
+      Multimodal.asMedia(Multimodal.synthPpm(docs, "doc_id"),
+        "media_id", "payload", "image"),
+      Multimodal.PhashDecoder)
+      .select(col("media_id"), element_at(col("feature"), 1).cast("long").as("ph"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val reps = hashed.groupBy(_._2).map { case (ph, xs) =>
+      (xs.map(_._1).min, ph)
+    }.toSeq
+    val brute = (for {
+      a <- reps; b <- reps
+      if a._1 < b._1 && java.lang.Long.bitCount(a._2 ^ b._2) <= 2
+    } yield (a._1, b._1)).toSet
+    val got = graft.queries.ExtQueries.multimodalPhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length) // distinct killed band dups
+    assert(got.toSet == brute) // pigeonhole banding is exhaustive
+  }
+
   test("int8 quantization round-trips rank order on well-spread vectors") {
     import graft.ext.Similarity
     // a vector whose max |x| is 1: int8 code of 1.0 is exactly 127
