@@ -27,4 +27,29 @@ object FactLayout {
   def colocatedJoin(spark: SparkSession, left: String, right: String,
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** The metrics fact frame in its hottest query shape — (metric_name,
+    * skey, e, value) — written bucketed on the canonical series key.
+    * Every per-series operation (instant eval, range-grid agg, as-of
+    * lookup) clusters on skey; with the table bucketed on it, those
+    * aggregations read pre-clustered data and plan with ZERO exchanges
+    * (HashPartitioning(skey) satisfies any grouping whose keys include
+    * skey — metric_name rides along since skey embeds the full label
+    * set). At 100 TB this is the difference between re-shuffling the
+    * fact table on every dashboard refresh and a pure scan-side
+    * pipeline: the one shuffle happens at WRITE time, once.
+    */
+  def writeSeriesBucketed(spark: SparkSession, sfDir: String, table: String,
+      numBuckets: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val m = graft.ingest.EventsIngest.cachedMetrics(spark, sfDir)
+      .select(col("metric_name"),
+        graft.promql.PromOps.seriesKey(col("labels")).as("skey"),
+        col("e"), col("value"))
+    m.write
+      .bucketBy(numBuckets, "skey")
+      .sortBy("skey", "e")
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
 }

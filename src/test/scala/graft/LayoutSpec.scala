@@ -27,6 +27,32 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("series-bucketed metrics aggregate with zero exchanges") {
+    FactLayout.writeSeriesBucketed(spark, "/root/testdata/sf0.001",
+      "metrics_bucketed", 8)
+    try {
+      // the per-series aggregation shape every grid eval starts from:
+      // grouping keys include the bucket column, so the bucketed scan's
+      // HashPartitioning(skey) already satisfies the distribution and no
+      // Exchange is planned — the write-time shuffle is the only one
+      val agg = spark.table("metrics_bucketed")
+        .groupBy(col("metric_name"), col("skey"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("v"),
+          max(col("e")).as("last_e"))
+      assert(agg.count() > 0)
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected shuffle-free agg:\n${plan.take(1500)}")
+      // sanity: the same agg over the unbucketed frame DOES shuffle —
+      // the zero above is the bucketing, not AQE coalescing tricks
+      val unbucketed = graft.ingest.EventsIngest
+        .cachedMetrics(spark, "/root/testdata/sf0.001")
+        .groupBy(col("metric_name"), graft.promql.PromOps.seriesKey(col("labels")))
+        .agg(count(lit(1)).as("n"))
+      unbucketed.count()
+      assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally spark.sql("DROP TABLE IF EXISTS metrics_bucketed")
+  }
+
   test("O10: QueryExecutionListener records per-action metrics") {
     val listener = MetricsListener.install(spark)
     try {
