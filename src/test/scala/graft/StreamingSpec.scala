@@ -51,6 +51,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows((d30, "click")) == ((1L, 8.0)))
   }
 
+  test("events older than the watermark are dropped, never re-aggregated") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    val d30 = 1706572800L
+    val stream = mem.toDF().toDF("es", "metric", "value")
+      .withColumn("ts", timestamp_seconds(col("es")))
+    val agg = graft.streaming.StreamingIngest.windowedCounts(
+      stream, "ts", "metric", "1 hour", "10 minutes")
+    val dir = Files.createTempDirectory("late").toString
+    val q = agg.writeStream.format("memory").queryName("late_counts")
+      .outputMode("update").option("checkpointLocation", s"$dir/cp").start()
+    mem.addData((d30 + 60, "view", 1.0))
+    q.processAllAvailable() // max event time d30+60
+    mem.addData((d30 + 7260, "view", 5.0))
+    q.processAllAvailable() // watermark advances to d30+6660, window W0 closed
+    // a straggler 2h inside the closed window: the engine must filter it
+    // BEFORE aggregation (the reference design hands this case to repair)
+    mem.addData((d30 + 120, "view", 100.0))
+    q.processAllAvailable()
+    q.stop()
+    val w0 = spark.table("late_counts")
+      .select(unix_timestamp(col("window_start")).as("w"), col("n"), col("vsum"))
+      .filter(col("w") === d30).collect()
+    assert(w0.nonEmpty)
+    // every emitted update for W0 reflects only the on-time event
+    assert(w0.forall(r => r.getLong(1) == 1L && r.getDouble(2) == 1.0))
+  }
+
   test("watermarked dropDuplicates removes replayed events exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Double)]
