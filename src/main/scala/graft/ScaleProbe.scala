@@ -90,7 +90,15 @@ object ScaleProbe {
       time("pq_range_subq", dir, tag)(graft.queries.PromQueries.rangeSubquery)
       time("holt_subquery", dir, tag)(graft.queries.PromQueries.parsedHoltSubquery)
       time("predict_subq", dir, tag)(graft.queries.PromQueries.parsedPredictSubquery)
+      // perceptual near-dup: amplified ids draw DIFFERENT fixture images
+      // (the pattern is id-derived), so the rep count grows with the
+      // corpus while the 16-bit hash space stays fixed — the probe
+      // watches the collapse-then-band design keep pair generation
+      // candidate-bounded as rep density rises
+      time("multimodal_phash", dir, tag)(graft.queries.ExtQueries.multimodalPhash)
       if (!heavy) {
+        time("doc_chunk", dir, tag)(graft.queries.ExtQueries.docChunk)
+        time("dataset_shuffle", dir, tag)(graft.queries.ExtQueries.datasetShuffle)
         time("sessionize", dir, tag)(graft.queries.AnalyticsQueries.sessionize)
         time("asof_join", dir, tag)(graft.queries.AnalyticsQueries.asofJoin)
         time("vocab_oov", dir, tag)(graft.queries.ExtQueries.vocabOov)

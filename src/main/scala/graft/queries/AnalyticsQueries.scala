@@ -685,6 +685,53 @@ object AnalyticsQueries {
         (col("e") - col("last_err_e")).as("err_age_sec"))
   }
 
+  /** Bucketed range (interval) join — the keyless relational cousin of
+    * [[asofJoin]]: events matched to global time intervals (incident /
+    * maintenance / deploy windows: 90-minute windows every 6 h across the
+    * fixture month). A bare range predicate carries no equi-key, so Spark
+    * would plan BroadcastNestedLoopJoin — |events| × |intervals|
+    * comparisons, quadratic at scale. Instead both sides map onto fixed
+    * 30-minute granules: an interval explodes to the granules it covers
+    * (span/granule rows — 3 here), an event to exactly one, and the join
+    * becomes a granule equi-join refined by the exact bounds. Candidate
+    * volume is |events| × interval-overlap-degree, never
+    * |events| × |intervals|, and both sides shuffle on a key whose
+    * cardinality grows with the time span — no hot key, no broadcast
+    * needed when the interval side is large. Plan-gated: never BNLJ.
+    */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val t0Epoch = 1704067200L // 2024-01-01T00:00:00Z, fixture time origin
+    val granule = 1800L
+    val ivg = spark.range(0, 120)
+      .select(col("id").as("interval_id"),
+        (lit(t0Epoch) + col("id") * 21600L).as("t0"))
+      .withColumn("t1", col("t0") + 5400L)
+      .withColumn("gb", explode(expr(s"sequence(t0 div $granule, (t1 - 1) div $granule)")))
+    val ev = EventsIngest.readEvents(spark, sfDir)
+      .select(col("user_id"), col("value"), col("ts").cast("long").as("e"))
+      .withColumn("gb", expr(s"e div $granule"))
+    ivg.join(ev, "gb")
+      .filter(col("e") >= col("t0") && col("e") < col("t1"))
+      .groupBy(col("interval_id"), col("t0"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        decSum(col("value")).cast("double").as("vsum"))
+  }
+
+  val rangeJoinOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS e
+      |  FROM events
+      |), iv AS (
+      |  SELECT g.k AS interval_id, 1704067200 + g.k * 21600 AS t0
+      |  FROM unnest(generate_series(0, 119)) AS g(k)
+      |)
+      |SELECT interval_id, t0, count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users,
+      |       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS vsum
+      |FROM iv JOIN ev ON ev.e >= iv.t0 AND ev.e < iv.t0 + 5400
+      |GROUP BY interval_id, t0""".stripMargin
+
   val asofJoinOracle: String =
     rawCte +
       """
@@ -715,6 +762,7 @@ object AnalyticsQueries {
     "rollup_report" -> ((rollupReport _, rollupReportOracle)),
     "metric_quantiles" -> ((metricQuantiles _, metricQuantilesOracle)),
     "asof_join" -> ((asofJoin _, asofJoinOracle)),
+    "range_join" -> ((rangeJoin _, rangeJoinOracle)),
     "value_histogram" -> ((valueHistogram _, valueHistogramOracle)),
     "gpu_daily_report" -> (((s: SparkSession, d: String) => gpuDailyReport(s, d), gpuDailyReportOracle)),
     "hourly_avg" -> ((hourlyAvg _, hourlyAvgOracle)),

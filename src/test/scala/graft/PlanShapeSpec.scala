@@ -177,6 +177,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("InMemoryTableScan"), plan.take(1200))
   }
 
+  test("range_join buckets the interval predicate into an equi-join, never BNLJ") {
+    val plan = finalPlan(SparkEntry.queries("range_join")(spark, sf))
+    // a bare range predicate would plan BroadcastNestedLoopJoin —
+    // |events| × |intervals|; the granule bucketing must turn it into a
+    // hash/merge equi-join on gb with the bounds as a post-join filter
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(1200))
+  }
+
   test("multimodal_phash: collapse cached once, band join equi not cartesian") {
     val plan = finalPlan(SparkEntry.queries("multimodal_phash")(spark, sf))
     // representatives meet through the (band, bv) equi-join — a cartesian
