@@ -718,6 +718,58 @@ object AnalyticsQueries {
         decSum(col("value")).cast("double").as("vsum"))
   }
 
+  /** Ordered-funnel conversion — the product-analytics staple: users who
+    * viewed, then clicked AT OR AFTER their first view, then purchased at
+    * or after that first qualifying click. Each step is a per-user min
+    * over an equi-join on user_id — the same shuffle key every step, so
+    * under the series/user-bucketed layout ([[graft.sources.FactLayout]])
+    * the whole funnel plans shuffle-free; nothing here is quadratic (no
+    * self-join on time, the ordering constraint rides the join filter).
+    * Conversion is reported in exact basis points off the step-1 count
+    * (integer division — deterministic across engines).
+    */
+  def funnelSteps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = EventsIngest.readEvents(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("e"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("e")).as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("e") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("e")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("e") >= col("t2"))
+      .groupBy(col("user_id")).agg(min(col("e")).as("t3"))
+    val steps =
+      v.agg(count(lit(1)).as("n_users")).withColumn("step", lit("1_view"))
+        .union(c.agg(count(lit(1)).as("n_users")).withColumn("step", lit("2_click")))
+        .union(p.agg(count(lit(1)).as("n_users")).withColumn("step", lit("3_purchase")))
+    steps.crossJoin(broadcast(v.agg(count(lit(1)).as("n_first"))))
+      .select(col("step"), col("n_users"),
+        expr("n_users * 10000 div n_first").as("conv_bp"))
+  }
+
+  val funnelStepsOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS e
+      |  FROM events
+      |), v AS (
+      |  SELECT user_id, min(e) AS t1 FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT ev.user_id, min(e) AS t2 FROM ev JOIN v USING (user_id)
+      |  WHERE event_type = 'click' AND e >= t1 GROUP BY ev.user_id
+      |), p AS (
+      |  SELECT ev.user_id, min(e) AS t3 FROM ev JOIN c USING (user_id)
+      |  WHERE event_type = 'purchase' AND e >= t2 GROUP BY ev.user_id
+      |), n AS (
+      |  SELECT '1_view' AS step, count(*) AS n_users FROM v
+      |  UNION ALL SELECT '2_click', count(*) FROM c
+      |  UNION ALL SELECT '3_purchase', count(*) FROM p
+      |)
+      |SELECT step, n_users,
+      |       n_users * 10000 // (SELECT count(*) FROM v) AS conv_bp
+      |FROM n""".stripMargin
+
   val rangeJoinOracle: String =
     """WITH ev AS (
       |  SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS e
@@ -763,6 +815,7 @@ object AnalyticsQueries {
     "metric_quantiles" -> ((metricQuantiles _, metricQuantilesOracle)),
     "asof_join" -> ((asofJoin _, asofJoinOracle)),
     "range_join" -> ((rangeJoin _, rangeJoinOracle)),
+    "funnel_steps" -> ((funnelSteps _, funnelStepsOracle)),
     "value_histogram" -> ((valueHistogram _, valueHistogramOracle)),
     "gpu_daily_report" -> (((s: SparkSession, d: String) => gpuDailyReport(s, d), gpuDailyReportOracle)),
     "hourly_avg" -> ((hourlyAvg _, hourlyAvgOracle)),
