@@ -595,6 +595,84 @@ object AnalyticsQueries {
       .select(col("fp"), col("n_copies"), col("keep_doc"))
   }
 
+  /** Streaming twin of [[rangeJoin]] — the STREAM-STATIC-join gate (the
+    * fourth stream≡batch equivalence, and the first over a join): the
+    * events stream granule-joins the static interval table exactly as in
+    * batch, so an ingest-time pipeline can tag events with their
+    * incident/deploy window as they arrive. The static side builds once
+    * per micro-batch on the executors (no state store involvement — only
+    * the downstream aggregation holds state), which is precisely why the
+    * granule design matters here too: a range-predicate join against a
+    * stream is unsupported/nested-loop territory, while the granule key
+    * makes it a plain equi-join. Aggregation drops `n_users` relative to
+    * the batch twin: streaming aggregations cannot take COUNT(DISTINCT),
+    * so the twin's oracle states the honest subset it matches.
+    * Harness: the dedup_exact_stream shape — rows carry a constant
+    * synthetic event time, one flush sentinel past it advances the 0 s
+    * watermark (the watermark node sits BEFORE the join, so the sentinel
+    * advances it even though it matches no interval), append mode emits
+    * every group exactly once.
+    */
+  def rangeJoinStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("rjoin_e2e").toString
+    val wt0 = 1000000L
+    val inDir = cachedStreamInput(spark, s"rjoin#$sfDir") { path =>
+      val in = EventsIngest.readEvents(spark, sfDir)
+        .select(col("user_id"), col("value"), col("ts").cast("long").as("e"))
+        .withColumn("we", lit(wt0))
+      in.unionByName(
+        spark.range(1).select(lit(-1L).as("user_id"), lit(0.0).as("value"),
+          lit(-1L).as("e"), lit(wt0 + 7200L).as("we")))
+        .coalesce(1) // one file -> one deterministic micro-batch
+        .write.parquet(path)
+    }
+    withStreamSession(spark) { ss =>
+      val granule = 1800L
+      val ivg = ss.range(0, 120)
+        .select(col("id").as("interval_id"),
+          (lit(1704067200L) + col("id") * 21600L).as("t0"))
+        .withColumn("t1", col("t0") + 5400L)
+        .withColumn("gb",
+          explode(expr(s"sequence(t0 div $granule, (t1 - 1) div $granule)")))
+      ss.readStream
+        .schema("user_id LONG, value DOUBLE, e LONG, we LONG")
+        .parquet(inDir)
+        .withColumn("wts", timestamp_seconds(col("we")))
+        .withWatermark("wts", "0 seconds")
+        .withColumn("gb", expr(s"e div $granule"))
+        .join(ivg, Seq("gb"))
+        .filter(col("e") >= col("t0") && col("e") < col("t1"))
+        .groupBy(window(col("wts"), "1 hour").as("win"),
+          col("interval_id"), col("t0"))
+        .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("dsum"))
+        .select(col("interval_id"), col("t0"), col("n_events"),
+          col("dsum").cast("double").as("vsum"))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/cp")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    spark.read.parquet(s"$work/out")
+      .select(col("interval_id"), col("t0"), col("n_events"), col("vsum"))
+  }
+
+  val rangeJoinStreamOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS e
+      |  FROM events
+      |), iv AS (
+      |  SELECT g.k AS interval_id, 1704067200 + g.k * 21600 AS t0
+      |  FROM unnest(generate_series(0, 119)) AS g(k)
+      |)
+      |SELECT interval_id, t0, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS vsum
+      |FROM iv JOIN ev ON ev.e >= iv.t0 AND ev.e < iv.t0 + 5400
+      |GROUP BY interval_id, t0""".stripMargin
+
   /** The streaming sessionizer run END-TO-END over the fixture events,
     * registered under the SAME DuckDB oracle as the batch [[sessionize]]
     * — the stream == batch equivalence gate (the reference is itself a
@@ -816,6 +894,7 @@ object AnalyticsQueries {
     "asof_join" -> ((asofJoin _, asofJoinOracle)),
     "range_join" -> ((rangeJoin _, rangeJoinOracle)),
     "funnel_steps" -> ((funnelSteps _, funnelStepsOracle)),
+    "range_join_stream" -> ((rangeJoinStream _, rangeJoinStreamOracle)),
     "value_histogram" -> ((valueHistogram _, valueHistogramOracle)),
     "gpu_daily_report" -> (((s: SparkSession, d: String) => gpuDailyReport(s, d), gpuDailyReportOracle)),
     "hourly_avg" -> ((hourlyAvg _, hourlyAvgOracle)),
