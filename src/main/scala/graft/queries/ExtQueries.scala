@@ -1252,6 +1252,48 @@ object ExtQueries {
       |       CAST(sum(s * s) AS BIGINT) / CAST((max(cnt) * CAST(sum(sq) AS BIGINT)) AS DOUBLE) AS cohesion
       |FROM perdim GROUP BY label""".stripMargin
 
+  /** One distributed power-iteration step y = Aᵀ(A·w₀) over the embedding
+    * matrix — the tall-skinny linear-algebra shape every spectral /
+    * PCA-style curation pass reduces to (top principal direction for
+    * whitening, spectral dedup, outlier pruning). Per vector: one fused
+    * integer dot with the broadcast direction (s = q·w₀, the codegen'd
+    * [[graft.ext.Similarity.dotQ]]); then each dimension accumulates
+    * q_j·s via posexplode + groupBy(dim) — map-side partial sums into a
+    * 64-group reduce, the matvec that scales to any row count because
+    * the shuffle carries exactly dims × partitions rows. All integer
+    * (1e-6 fixed point, w₀ = ±1 alternating): bit-exact across engines.
+    * Magnitudes: |q|≤2e6, |s|≤64·2e6 ⇒ per-term <3e14, safely inside
+    * BIGINT for ~10⁴ vectors; a 100 TB corpus routes the final sum
+    * through DECIMAL(38,0) — stated, not silent.
+    */
+  def embPowerIter(spark: SparkSession, sfDir: String): DataFrame = {
+    val w0 = array((0 until 64).map(k => lit(if (k % 2 == 0) 1L else -1L)): _*)
+    embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      .withColumn("s", Similarity.dotQ(col("qv"), w0))
+      .select(posexplode(col("qv")).as(Seq("dim", "q")), col("s"))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(sum(col("q") * col("s")).as("y"))
+  }
+
+  val embPowerIterOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id, CAST(t.p[1] AS BIGINT) AS pos,
+      |         CAST(floor(t.p[2] * 1000000 + 0.5) AS BIGINT) AS q
+      |  FROM (SELECT vec_id,
+      |               unnest(list_transform(embedding::DOUBLE[],
+      |                      (x, i) -> [CAST(i AS DOUBLE), x])) AS p
+      |        FROM embeddings) t
+      |), s AS (
+      |  SELECT vec_id,
+      |         CAST(sum(CASE WHEN (pos - 1) % 2 = 0 THEN q ELSE -q END)
+      |              AS BIGINT) AS s
+      |  FROM q GROUP BY vec_id
+      |)
+      |SELECT q.pos - 1 AS dim, CAST(sum(q.q * s.s) AS BIGINT) AS y
+      |FROM q JOIN s USING (vec_id)
+      |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------- DSv2 range source
 
   /** One day of the DataSource-V2 Prometheus range source (24 hourly
@@ -2202,6 +2244,7 @@ object ExtQueries {
     "curation_pipeline" -> ((curationPipeline _, curationPipelineOracle)),
     "emb_int8_recall" -> ((embInt8Recall _, embInt8RecallOracle)),
     "emb_kmeans_step" -> ((embKmeansStep _, embKmeansStepOracle)),
+    "emb_power_iter" -> ((embPowerIter _, embPowerIterOracle)),
     "tfidf_topk" -> ((tfidfTopk _, tfidfTopkOracle)),
     "pii_scrub" -> ((piiScrub _, piiScrubOracle)),
     "url_domain_stats" -> ((urlDomainStats _, urlDomainStatsOracle)),
