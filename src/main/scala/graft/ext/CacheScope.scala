@@ -19,6 +19,21 @@ object CacheScope {
   /** Track `df` (already persisted) for the next [[drain]]. Returns it. */
   def register(df: DataFrame): DataFrame = synchronized { frames += df; df }
 
+  /** Persist `df` unless an identical canonical plan is already in the
+    * CacheManager (two queries sharing a sub-pipeline — e.g. the exact
+    * and Bloom decontamination variants build the same tagged-shingle
+    * frame — would otherwise double-persist and warn), then track it for
+    * the next [[drain]]. `storageLevel` resolves through the
+    * CacheManager by PLAN, not by Dataset instance, so the guard holds
+    * across separately-built identical frames.
+    */
+  def persistTracked(df: DataFrame): DataFrame = synchronized {
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    frames += df
+    df
+  }
+
   /** Unpersist every registered frame. Safe to call repeatedly; frames
     * already evicted unpersist as a no-op.
     */

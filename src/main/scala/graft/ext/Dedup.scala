@@ -114,7 +114,7 @@ object Dedup {
     // consumers read it, and plan-only callers (explain, plan-shape
     // specs) pay nothing; released at the session's next
     // CacheScope.drain()
-    CacheScope.register(result.persist())
+    CacheScope.persistTracked(result)
   }
 
   /** Mersenne-prime modulus and the fixed affine-permutation constants

@@ -186,7 +186,7 @@ object ExtQueries {
     // the 8-token shingle explode feeds the df cap and both join sides —
     // persist it once (same pattern as jaccardPairs/minhashLsh); released
     // at the session's next CacheScope.drain()
-    val tagged = graft.ext.CacheScope.register(sh.join(ids, "doc_id").persist())
+    val tagged = graft.ext.CacheScope.persistTracked(sh.join(ids, "doc_id"))
     val keep = tagged.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 64).select(col("h"))
     val capped = tagged.join(keep, "h")
@@ -225,7 +225,7 @@ object ExtQueries {
       n = 8, lit("all"))
     val isEval = col("source") === "src0"
     val ids = docs(spark, sfDir).select(col("doc_id"), col("source"))
-    val tagged = graft.ext.CacheScope.register(sh.join(ids, "doc_id").persist())
+    val tagged = graft.ext.CacheScope.persistTracked(sh.join(ids, "doc_id"))
     val keep = tagged.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 64).select(col("h"))
     val capped = tagged.join(keep, "h")
@@ -889,7 +889,7 @@ object ExtQueries {
     // result and RELEASE the shingle/signature caches — a long-lived
     // session running many queries must not accumulate per-query blocks
     // (at 100 TB a leaked shingle cache is executor-memory death)
-    val out = graft.ext.CacheScope.register(result.persist())
+    val out = graft.ext.CacheScope.persistTracked(result)
     out.count()
     // sh belongs to the session-scoped shingle cache — its lifecycle is
     // the session's; only the per-query signature cache releases here
@@ -1415,12 +1415,11 @@ object ExtQueries {
         Multimodal.synthPpm(docs(spark, sfDir), "doc_id"),
         "media_id", "payload", "image"),
       Multimodal.PhashDecoder)
-    val reps = graft.ext.CacheScope.register(
+    val reps = graft.ext.CacheScope.persistTracked(
       feats.select(col("media_id"),
           element_at(col("feature"), 1).cast("long").as("phash"))
         .groupBy(col("phash"))
-        .agg(min(col("media_id")).as("rep"), count(lit(1)).as("n_copies"))
-        .persist())
+        .agg(min(col("media_id")).as("rep"), count(lit(1)).as("n_copies")))
     val bands = reps
       .select(col("phash"), col("rep"), col("n_copies"),
         explode(sequence(lit(0), lit(3))).as("band"))
@@ -2078,8 +2077,8 @@ object ExtQueries {
     val assigned = Similarity.assignCells(emb, cents)
     // three consumers (both pair-join sides + the final flag projection):
     // materialize the centroid-assignment pipeline once; CacheScope drains
-    val av = graft.ext.CacheScope.register(assigned.join(
-      Similarity.prepared(emb, "vec_id", "qv", "qn"), "vec_id").persist())
+    val av = graft.ext.CacheScope.persistTracked(assigned.join(
+      Similarity.prepared(emb, "vec_id", "qv", "qn"), "vec_id"))
     val pairs = av.as("a").join(av.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cosine",
