@@ -278,16 +278,17 @@ object Dedup {
           members.iterator.map(n => (n, minOfRoot(find(n))))
         }
         .toDF("doc_id", "component")
-      val out = nodes.select(col("doc_id"))
+      // no eager checkpoint and no sym0 release here: the caller's first
+      // action materializes this frame while sym0's checkpoint blocks are
+      // still referenced by its lineage, and once the caller drops the
+      // frame the ContextCleaner reclaims the dereferenced checkpoint RDD
+      // (df.unpersist could not free it anyway — the CacheManager does
+      // not own a localCheckpoint's blocks). Saves one full
+      // materialization job per call.
+      return nodes.select(col("doc_id"))
         .join(edgeComp, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id").cast("long")).as("component"))
-      // materialize BEFORE releasing sym0: a localCheckpoint's blocks are
-      // its only copy (lineage is truncated), so the checkpoint job must
-      // finish while they still exist
-      val ck = out.localCheckpoint(true)
-      sym0.unpersist(false)
-      return ck
     }
     connectedComponentsIterative(nodes, sym0, maxIters)
   }
