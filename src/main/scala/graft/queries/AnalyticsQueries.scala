@@ -301,6 +301,49 @@ object AnalyticsQueries {
         |  FROM m
         |) WHERE rk = (n + 1) // 2""".stripMargin
 
+  /** Per-series 2σ outlier detection — the alerting/data-quality staple
+    * (flag samples more than two standard deviations from their
+    * metric's mean). The test is evaluated in EXACT integer arithmetic:
+    * values quantize to q = floor(v·1e6 + 0.5) (the repo's stddev
+    * quantization), and |q − μ| > 2σ is algebraically cleared of
+    * divisions to (q·n − S)² > 4·(n·SS − S²) with S = Σq, SS = Σq² —
+    * every operand an exact integer (DECIMAL(38,0) here, HUGEINT in the
+    * oracle; magnitudes peak ~1e26 at sf0.1, far under both ceilings),
+    * so both engines flag bit-identical row sets with no float-epsilon
+    * coin flips. Scale shape: one aggregate over the series key builds
+    * a per-metric stats table (rows = |metrics|, tiny), broadcast back
+    * against the scan — two passes over the data, zero wide shuffles of
+    * the samples themselves.
+    */
+  def metricOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = metrics(spark, sfDir).select(
+      col("metric_name"), col("e"), col("value"),
+      floor(col("value") * 1e6 + 0.5).cast("decimal(38,0)").as("q"))
+    val stats = m.groupBy(col("metric_name")).agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("q")).as("s"),
+      sum(col("q") * col("q")).as("ss"))
+    val dev = col("q") * col("n") - col("s")
+    m.join(broadcast(stats), "metric_name")
+      .filter(dev * dev > lit(4) * (col("n") * col("ss") - col("s") * col("s")))
+      .select(col("metric_name").as("metric"), col("e"), col("value"))
+  }
+
+  val metricOutliersOracle: String =
+    baseCte +
+      """
+        |, qz AS (
+        |  SELECT metric, e, v, CAST(floor(v * 1e6 + 0.5) AS HUGEINT) AS q
+        |  FROM m
+        |), st AS (
+        |  SELECT metric, CAST(count(*) AS HUGEINT) AS n,
+        |         sum(q) AS s, sum(q * q) AS ss
+        |  FROM qz GROUP BY metric
+        |)
+        |SELECT metric, e, v AS value
+        |FROM qz JOIN st USING (metric)
+        |WHERE (q*n - s)*(q*n - s) > 4*(n*ss - s*s)""".stripMargin
+
   /** Hierarchical totals in one pass: ROLLUP over (metric, cluster) gives
     * per-cluster rows, per-metric subtotals, and the grand total without
     * three scans; `gid` encodes the grouping level the way both engines
@@ -673,6 +716,80 @@ object AnalyticsQueries {
       |FROM iv JOIN ev ON ev.e >= iv.t0 AND ev.e < iv.t0 + 5400
       |GROUP BY interval_id, t0""".stripMargin
 
+  /** Stream-STREAM interval join — the fifth stream≡batch equivalence
+    * gate and the first with join state on BOTH sides: every purchase
+    * within 30 minutes after a view by the same user, where views and
+    * purchases arrive as two independent watermarked event streams (the
+    * attribution/conversion join every clickstream pipeline runs at
+    * ingest). Unlike the stream-static [[rangeJoinStream]], neither side
+    * is a table: Spark buffers each side in the state store keyed by
+    * user and purges buffered rows once the opposite stream's watermark
+    * passes the interval bound — the state-watermark machinery derives
+    * "a view can stop waiting once purchases are 30 min past it" from
+    * the join's own time-range predicate. That purge rule is the 100 TB
+    * story: state is bounded by watermark-horizon × arrival-rate (a
+    * 30-minute sliding window of each stream, sharded by user across
+    * the cluster), never by history. Event time here is the REAL event
+    * timestamp (no synthetic-sentinel harness): inner stream-stream
+    * joins emit a pair in the micro-batch where both sides are present,
+    * so one AvailableNow batch emits exactly the batch join's rows; the
+    * watermarks exist for state cleanup, not emission. Raw purchase
+    * values pass through unaggregated, so the oracle match is exact
+    * with no decimal routing.
+    */
+  def conversionPairsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("conv_e2e").toString
+    val inDir = cachedStreamInput(spark, s"conv#$sfDir") { path =>
+      EventsIngest.readEvents(spark, sfDir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          col("ts").cast("long").as("e"), col("value"))
+        .coalesce(1) // one file -> one deterministic micro-batch
+        .write.parquet(path)
+    }
+    withStreamSession(spark) { ss =>
+      def side = ss.readStream
+        .schema("user_id LONG, event_type STRING, e LONG, value DOUBLE")
+        .parquet(inDir)
+      val views = side.filter(col("event_type") === "view")
+        .select(col("user_id").as("uid_v"), col("e").as("e_v"),
+          timestamp_seconds(col("e")).as("ts_v"))
+        .withWatermark("ts_v", "30 minutes")
+      val purchases = side.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("uid_p"), col("e").as("e_p"),
+          col("value").as("v_p"), timestamp_seconds(col("e")).as("ts_p"))
+        .withWatermark("ts_p", "30 minutes")
+      views.join(purchases,
+          col("uid_v") === col("uid_p") &&
+          col("ts_p") >= col("ts_v") &&
+          col("ts_p") < col("ts_v") + expr("INTERVAL 30 MINUTES"))
+        .select(col("uid_v").as("user_id"), col("e_v"), col("e_p"),
+          col("v_p"))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/cp")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    spark.read.parquet(s"$work/out")
+      .select(col("user_id"), col("e_v"), col("e_p"), col("v_p"))
+  }
+
+  val conversionPairsStreamOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+      |         value
+      |  FROM events
+      |)
+      |SELECT v.user_id AS user_id, v.e AS e_v, p.e AS e_p, p.value AS v_p
+      |FROM ev v JOIN ev p
+      |  ON v.user_id = p.user_id
+      | AND v.event_type = 'view' AND p.event_type = 'purchase'
+      | AND p.e >= v.e AND p.e < v.e + 1800""".stripMargin
+
   /** The streaming sessionizer run END-TO-END over the fixture events,
     * registered under the SAME DuckDB oracle as the batch [[sessionize]]
     * — the stream == batch equivalence gate (the reference is itself a
@@ -885,6 +1002,7 @@ object AnalyticsQueries {
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "metric_median" -> ((metricMedian _, metricMedianOracle)),
+    "metric_outliers" -> ((metricOutliers _, metricOutliersOracle)),
     "sessionize" -> ((sessionize _, sessionizeOracle)),
     "sessionize_stream" -> ((sessionizeStream _, sessionizeOracle)),
     "hourly_avg_stream" -> ((hourlyAvgStream _, hourlyAvgOracle)),
@@ -895,6 +1013,7 @@ object AnalyticsQueries {
     "range_join" -> ((rangeJoin _, rangeJoinOracle)),
     "funnel_steps" -> ((funnelSteps _, funnelStepsOracle)),
     "range_join_stream" -> ((rangeJoinStream _, rangeJoinStreamOracle)),
+    "conversion_pairs_stream" -> ((conversionPairsStream _, conversionPairsStreamOracle)),
     "value_histogram" -> ((valueHistogram _, valueHistogramOracle)),
     "gpu_daily_report" -> (((s: SparkSession, d: String) => gpuDailyReport(s, d), gpuDailyReportOracle)),
     "hourly_avg" -> ((hourlyAvg _, hourlyAvgOracle)),

@@ -1926,6 +1926,62 @@ object ExtQueries {
       |       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
       |FROM u GROUP BY domain""".stripMargin
 
+  /** Per-domain quota cap — the RefinedWeb/C4-style curation rule "keep
+    * at most N documents per domain, highest quality first" (a crawl is
+    * dominated by a few mega-domains; the cap is what keeps any one of
+    * them from owning the corpus). Quality here is the distinct-token
+    * count with doc_id as the total-order tiebreak, domains derived as
+    * in [[urlDomainStats]]. Executed as EXACT two-phase top-N: phase 1
+    * ranks within (domain, shard-of-8) partitions and keeps N per
+    * shard, phase 2 ranks the ≤ 8·N survivors per domain — the salted
+    * top-k shape, correct because a global top-N row is necessarily a
+    * top-N row of its own shard. At 100 TB this is the difference
+    * between a mega-domain funnelling its entire crawl through one
+    * window task (the naive plan dies on exactly the domain the cap
+    * exists for) and per-shard heaps that bound every task at N rows
+    * kept, with the final per-domain window seeing at most 8·N rows no
+    * matter how large the domain. The oracle is the naive single-window
+    * SQL — the equivalence is hash-checked, not claimed.
+    */
+  def domainCap(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val capN = 20
+    val d = docs(spark, sfDir).select(
+      col("doc_id"),
+      concat(lit("site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org")).as("domain"),
+      size(array_distinct(TextOps.tokens(col("text")))).cast("long")
+        .as("n_uniq"))
+    val sharded = d
+      .withColumn("shard", pmod(col("doc_id"), lit(8)))
+      .withColumn("lr", row_number().over(
+        Window.partitionBy(col("domain"), col("shard"))
+          .orderBy(col("n_uniq").desc, col("doc_id"))))
+      .filter(col("lr") <= capN)
+    sharded
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("domain"))
+          .orderBy(col("n_uniq").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= capN)
+      .select(col("domain"), col("rank"), col("doc_id"), col("n_uniq"))
+  }
+
+  val domainCapOracle: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |         'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org'
+      |           AS domain,
+      |         len(list_distinct(string_split(lower(text), ' ')))
+      |           AS n_uniq
+      |  FROM documents
+      |), r AS (
+      |  SELECT domain, doc_id, n_uniq,
+      |         row_number() OVER (PARTITION BY domain
+      |                            ORDER BY n_uniq DESC, doc_id) AS rank
+      |  FROM q
+      |)
+      |SELECT domain, rank, doc_id, n_uniq FROM r WHERE rank <= 20""".stripMargin
+
   // ------------------------------------- int8 quantization / clustering
 
   /** Int8 embedding quantization with a top-k recall audit — the check a
@@ -2296,6 +2352,7 @@ object ExtQueries {
     "tfidf_topk" -> ((tfidfTopk _, tfidfTopkOracle)),
     "pii_scrub" -> ((piiScrub _, piiScrubOracle)),
     "url_domain_stats" -> ((urlDomainStats _, urlDomainStatsOracle)),
+    "domain_cap" -> ((domainCap _, domainCapOracle)),
     "quality_weighted_sample" ->
       ((qualityWeightedSample _, qualityWeightedSampleOracle)),
     "packing_stats" -> ((packingStats _, packingStatsOracle)),

@@ -240,6 +240,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("domain_cap is two-phase top-N: shard window then domain window, no join") {
+    val plan = finalPlan(SparkEntry.queries("domain_cap")(spark, sf))
+    // phase 1 ranks within (domain, shard), phase 2 within domain over
+    // the ≤ 8·N survivors — exactly two Window operators, and the salted
+    // shape must not smuggle in a join or cartesian
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows == 2, s"want exactly 2 Window ops: $windows\n" + plan.take(1200))
+    assert(!plan.contains("Join"), plan.take(1200))
+  }
+
+  test("metric_outliers broadcasts the per-metric stats, never sorts the scan") {
+    val plan = finalPlan(SparkEntry.queries("metric_outliers")(spark, sf))
+    // the stats table is |metrics| rows — it must come back as a
+    // broadcast hash join; a SortMergeJoin would shuffle+sort the full
+    // sample scan just to consult five rows of statistics
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("@ start()/end() grid form pins once and replicates: no per-point re-eval") {
     // pinnedGrid = instant eval cross-joined with the broadcast
     // |grid|-row frame; a hash-partitioned exchange keyed by g would

@@ -101,6 +101,46 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L)) // each event exactly once
   }
 
+  test("stream-stream interval join buffers one side in state across batches") {
+    // the conversion_pairs_stream gate runs both sides in ONE AvailableNow
+    // batch; this spec proves the property that gate cannot: a view whose
+    // purchase arrives in a LATER micro-batch still pairs, because the
+    // symmetric hash join buffers the unmatched side in the state store
+    implicit val sqlCtx = spark.sqlContext
+    val vm = MemoryStream[(Long, Long)]
+    val pm = MemoryStream[(Long, Long, Double)]
+    val views = vm.toDF().toDF("uid_v", "e_v")
+      .withColumn("ts_v", timestamp_seconds(col("e_v")))
+      .withWatermark("ts_v", "30 minutes")
+    val purchases = pm.toDF().toDF("uid_p", "e_p", "v_p")
+      .withColumn("ts_p", timestamp_seconds(col("e_p")))
+      .withWatermark("ts_p", "30 minutes")
+    val joined = views.join(purchases,
+        col("uid_v") === col("uid_p") &&
+        col("ts_p") >= col("ts_v") &&
+        col("ts_p") < col("ts_v") + expr("INTERVAL 30 MINUTES"))
+      .select(col("uid_v").as("user_id"), col("e_v"), col("e_p"), col("v_p"))
+    val dir = Files.createTempDirectory("convjoin").toString
+    val q = joined.writeStream.format("memory").queryName("conv_pairs")
+      .outputMode("append").option("checkpointLocation", s"$dir/cp").start()
+    val t0 = 1706572800L
+    vm.addData((1L, t0), (2L, t0 + 60))
+    q.processAllAvailable()
+    // no purchases yet: nothing emits, the views sit in join state
+    assert(spark.table("conv_pairs").count() == 0)
+    // batch 2: user 1 converts inside the window, user 2 outside it
+    pm.addData((1L, t0 + 600, 9.5), (2L, t0 + 7200, 1.0))
+    q.processAllAvailable()
+    val got = spark.table("conv_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, t0, t0 + 600)))
+    // the pairing engine is the stateful symmetric hash join, not a
+    // batch join that happened to see both sides
+    assert(q.lastProgress.stateOperators.exists(op =>
+      op.operatorName.contains("symmetricHashJoin") && op.numRowsTotal > 0))
+    q.stop()
+  }
+
   test("foreachBatch lands micro-batches idempotently in the fact table") {
     val base = Files.createTempDirectory("stream").toString
     val path = s"$base/fact"
