@@ -2163,6 +2163,99 @@ object ExtQueries {
       |  FROM scored
       |) WHERE rank <= 3""".stripMargin
 
+  /** Unigram-rarity document scoring — the integer-exact stand-in for
+    * the CCNet/RefinedWeb LM-perplexity quality signal (rank documents
+    * by how surprising their tokens are under a corpus unigram model).
+    * A real LM score is Σ −log p(tok), which is libm territory and
+    * cross-engine-nondeterministic in the last ulp; rarity(tok) =
+    * total_tokens div count(tok) is its order-preserving integer
+    * cousin (−log p up to the log's monotonicity, floored), so the
+    * score — per-doc mean rarity — is bit-identical everywhere. Scale
+    * shape: one token-count aggregate (the tfidf df shuffle), the
+    * vocabulary + grand total broadcast back (vocab ≪ corpus — the
+    * distinct-token frame is millions of rows when the corpus is
+    * billions of documents), then a map-side per-doc fold; the corpus
+    * is never shuffled.
+    */
+  def docRarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val cnt = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val tot = cnt.agg(sum(col("cnt")).as("total"))
+    toks.join(broadcast(cnt.crossJoin(broadcast(tot))), "tok")
+      .withColumn("rarity", expr("total div cnt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("rarity")).as("rsum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("rsum div n_tokens").as("rarity_score"))
+  }
+
+  val docRarityOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents
+      |), c AS (
+      |  SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+      |), n AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c
+      |)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       CAST(sum(total // cnt) // count(*) AS BIGINT) AS rarity_score
+      |FROM t JOIN c USING (tok), n
+      |GROUP BY doc_id""".stripMargin
+
+  /** Exact quality-decile census — the curation diagnostic "what does
+    * each quality band look like" with deciles that are EXACT global
+    * ranks, computed the way 100 TB requires: never a global sort or a
+    * single-partition window over the corpus. Quality here is the
+    * distinct-token count — an integer with a small domain — so the
+    * decile boundaries come from a value HISTOGRAM: group by value
+    * (shuffle of |distinct values| rows), running count over that tiny
+    * frame, decile(v) = (first_global_rank(v)·10) div n (ties share
+    * the decile of their first rank — the deterministic tie rule both
+    * engines spell identically), broadcast the value→decile map back.
+    * The corpus-sized frame is touched by one group-by histogram and
+    * one broadcast join — the single-partition window runs over the
+    * histogram, never the data.
+    */
+  def qualityDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = docs(spark, sfDir).select(col("doc_id"), col("n_chars"),
+      size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("v"))
+    val h = q.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val cum = h.withColumn("cc", sum(col("c")).over(
+      Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = h.agg(sum(col("c")).as("total"))
+    val dec = cum.crossJoin(broadcast(tot))
+      .select(col("v"), expr("((cc - c) * 10) div total").as("decile"))
+    q.join(broadcast(dec), "v")
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), min(col("v")).as("min_uniq"),
+        max(col("v")).as("max_uniq"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  val qualityDecilesOracle: String =
+    """WITH q AS (
+      |  SELECT doc_id, n_chars,
+      |         CAST(len(list_distinct(string_split(lower(text), ' ')))
+      |              AS BIGINT) AS v
+      |  FROM documents
+      |), h AS (
+      |  SELECT v, count(*) AS c FROM q GROUP BY v
+      |), cum AS (
+      |  SELECT v, c, sum(c) OVER (ORDER BY v) AS cc FROM h
+      |), t AS (
+      |  SELECT count(*) AS total FROM q
+      |), d AS (
+      |  SELECT v, CAST(((cc - c) * 10) // total AS BIGINT) AS decile
+      |  FROM cum, t
+      |)
+      |SELECT decile, count(*) AS n_docs, min(v) AS min_uniq,
+      |       max(v) AS max_uniq, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM q JOIN d USING (v)
+      |GROUP BY decile""".stripMargin
+
   // ------------------------------------------------- SemDeDup prune
 
   /** The full SemDeDup prune step (Abbas et al. 2023, public method):
@@ -2350,6 +2443,8 @@ object ExtQueries {
     "emb_kmeans_step" -> ((embKmeansStep _, embKmeansStepOracle)),
     "emb_power_iter" -> ((embPowerIter _, embPowerIterOracle)),
     "tfidf_topk" -> ((tfidfTopk _, tfidfTopkOracle)),
+    "doc_rarity" -> ((docRarity _, docRarityOracle)),
+    "quality_deciles" -> ((qualityDeciles _, qualityDecilesOracle)),
     "pii_scrub" -> ((piiScrub _, piiScrubOracle)),
     "url_domain_stats" -> ((urlDomainStats _, urlDomainStatsOracle)),
     "domain_cap" -> ((domainCap _, domainCapOracle)),

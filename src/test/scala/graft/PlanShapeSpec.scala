@@ -260,6 +260,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("doc_rarity broadcasts the vocabulary back: corpus tokens shuffle once") {
+    val plan = finalPlan(SparkEntry.queries("doc_rarity")(spark, sf))
+    // the token-count aggregate is the one wide shuffle; the vocab+total
+    // must return as a broadcast — a SortMergeJoin here would re-shuffle
+    // the exploded corpus just to look up per-token counts
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+  }
+
+  test("quality_deciles windows the histogram, never the corpus") {
+    val plan = finalPlan(SparkEntry.queries("quality_deciles")(spark, sf))
+    // the single-partition running count must run over the value
+    // histogram (|distinct v| rows); the corpus joins the value→decile
+    // map as a broadcast
+    assert(plan.contains("Window"), plan.take(1200))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+  }
+
   test("@ start()/end() grid form pins once and replicates: no per-point re-eval") {
     // pinnedGrid = instant eval cross-joined with the broadcast
     // |grid|-row frame; a hash-partitioned exchange keyed by g would
