@@ -77,7 +77,21 @@ object ScaleProbe {
     // runs take minutes on the full list, and the deep-amplification
     // question is specifically about candidate generation and CC
     val heavy = args.length > 2 && args(2) == "heavy"
+    // `r8` (arg 3) restricts to the round-8 additions, so their decade
+    // can be recorded without re-running the whole table
+    val r8only = args.length > 2 && args(2) == "r8"
     for ((dir, tag) <- Seq((sfDir, "1x"), (probeDir, s"${copies}x"))) {
+      if (r8only) {
+        // two-phase top-N: output fixed at cap·|domains| while input
+        // grows N× — per-shard heaps keep every window task bounded
+        time("domain_cap", dir, tag)(graft.queries.ExtQueries.domainCap)
+        // one token-count shuffle + broadcast-back: linear in tokens
+        time("doc_rarity", dir, tag)(graft.queries.ExtQueries.docRarity)
+        // histogram window only: corpus pays a group-by + broadcast join
+        time("quality_deciles", dir, tag)(graft.queries.ExtQueries.qualityDeciles)
+        // per-metric stats broadcast: linear in samples, output ~2σ tail
+        time("metric_outliers", dir, tag)(graft.queries.AnalyticsQueries.metricOutliers)
+      } else {
       time("dedup_groups", dir, tag)(graft.queries.ExtQueries.dedupGroups)
       time("simhash_neardup", dir, tag)(graft.queries.ExtQueries.simhashNeardup)
       time("ngram_jaccard", dir, tag)(graft.queries.ExtQueries.ngramJaccard)
@@ -107,11 +121,14 @@ object ScaleProbe {
         time("emb_kmeans_step", dir, tag)(graft.queries.ExtQueries.embKmeansStep)
         time("tfidf_topk", dir, tag)(graft.queries.ExtQueries.tfidfTopk)
       }
+      }
     }
+    if (!r8only) {
     time("ngram_jaccard", s"$probeDir/hot", s"hot${copies}x")(
       graft.queries.ExtQueries.ngramJaccard)
     time("dedup_groups", s"$probeDir/mega", s"mega${copies}x")(
       graft.queries.ExtQueries.dedupGroups)
+    }
     spark.stop()
   }
 }
