@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
 
@@ -993,6 +993,125 @@ object ExtQueries {
     val emb = embeddings(spark, sfDir)
     Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 10)
   }
+
+  /** Product-quantization ADC top-k (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search" — the public method
+    * behind most billion-scale ANN indexes): the 64-dim space splits
+    * into M=8 subspaces of 8 dims, each vector compresses to 8 one-byte
+    * codes (its nearest codebook centroid per subspace), and a query
+    * scores a candidate WITHOUT touching its floats — it precomputes a
+    * K×M lookup table of subspace distances to every centroid, and the
+    * asymmetric distance is M table lookups summed. The codebook here
+    * is the K=16 lowest-id vectors subspace-sliced (real PQ runs
+    * k-means per subspace; the fixed deterministic codebook keeps the
+    * oracle SQL-expressible while the runtime shape — encode, LUT,
+    * ADC scan, top-k — is exactly the real one), and every distance is
+    * an exact integer over the 1e-6-quantized grid, so encode and
+    * ranking are bit-identical cross-engine (ties → lowest centroid /
+    * lowest vec_id). Scale shape: the codebook is M·K·8 longs
+    * (~8 KiB) collected once — the broadcast-build pattern — and lands
+    * in the plan as a LITERAL, so ENCODING IS MAP-ONLY over the corpus
+    * scan (at 100 TB the codes are what you'd persist: 8 bytes/vector
+    * vs 256); queries ride a broadcast with their LUTs attached, the
+    * candidate side pays M integer lookups per row instead of a 64-dim
+    * fold, and the per-query top-k is the same bounded window as the
+    * other ANN entries. array_min over (dist, k) structs is the
+    * argmin-with-tiebreak; lexicographic struct ordering makes the tie
+    * rule explicit in both engines.
+    */
+  def pqAdcTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val M = 8; val SUB = 8; val K = 16
+    val emb = embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val cb: Seq[Seq[Seq[Long]]] = {
+      val rows = emb.filter(col("vec_id") < K).orderBy(col("vec_id"))
+        .select(col("qv")).collect()
+      (0 until M).map(m => rows.toSeq.map(
+        _.getSeq[Long](0).slice(m * SUB, m * SUB + SUB)))
+    }
+    // Two measured performance rules shape the expression build:
+    // (1) each centroid lands as its OWN 8-long literal at the exact
+    // spot it is used (Scala-level unrolling) — a nested codebook
+    // literal indexed with get(get(...)) re-materializes the whole
+    // 1024-long array per access and the expression tree explodes
+    // ~100×; (2) the squared distance expands to ‖a‖² − 2a·c + ‖c‖²
+    // so the per-(m,k) work is ONE native fused-loop dot product
+    // ([[graft.functions.DotProductQ]], codegen'd) plus two constants —
+    // the zip_with/aggregate HOF formulation runs interpreted lambdas
+    // per row and measured ~7× slower across the 128 (m,k) pairs
+    def subDist(sub: Column, subNormSq: Column, cent: Seq[Long]): Column =
+      subNormSq - lit(2L) * Similarity.dotQ(sub, typedlit(cent)) +
+        lit(cent.map(x => x * x).sum)
+    val codes = array((0 until M).map { m =>
+      val sub = slice(col("qv"), m * SUB + 1, SUB)
+      val nsq = Similarity.normSqQ(sub)
+      array_min(array((0 until K).map { k =>
+        struct(subDist(sub, nsq, cb(m)(k)).as("d"), lit(k.toLong).as("k"))
+      }: _*)).getField("k")
+    }: _*)
+    // materialize the codes: without the barrier CollapseProject inlines
+    // the 128-dot encode expression into the post-join projection — once
+    // per get(codes, m) reference, so 8× per JOINED row instead of 1×
+    // per vector (measured 2.4 s → 0.4 s). It is also the semantic
+    // artifact: at 100 TB the code table IS the persisted PQ index.
+    val cand = graft.ext.CacheScope.persistTracked(
+      emb.select(col("vec_id"), codes.as("codes")))
+    val lut = array((0 until M).map { m =>
+      val sub = slice(col("qv"), m * SUB + 1, SUB)
+      val nsq = Similarity.normSqQ(sub)
+      array((0 until K).map(k => subDist(sub, nsq, cb(m)(k))): _*)
+    }: _*)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), lut.as("lut"))
+    val adc = aggregate(sequence(lit(0), lit(M - 1)), lit(0L), (acc, m) =>
+      acc + get(get(col("lut"), m), get(col("codes"), m).cast("int")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    cand.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("adc_dist", adc)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("vec_id"), col("adc_dist"), col("rk"))
+  }
+
+  val pqAdcTopkOracle: String =
+    """WITH v AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding::DOUBLE[],
+      |           x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings
+      |), cb AS (
+      |  SELECT m.m, c.vec_id AS k,
+      |         list_slice(c.qv, m.m * 8 + 1, m.m * 8 + 8) AS cent
+      |  FROM v c, unnest(generate_series(0, 7)) AS m(m)
+      |  WHERE c.vec_id < 16
+      |), encd AS (
+      |  SELECT v.vec_id, cb.m, cb.k,
+      |         list_sum(list_transform(
+      |           list_zip(list_slice(v.qv, cb.m * 8 + 1, cb.m * 8 + 8),
+      |                    cb.cent),
+      |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+      |  FROM v, cb
+      |), enc AS (
+      |  SELECT vec_id, m, k AS code FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+      |              ORDER BY d ASC, k ASC) AS r
+      |    FROM encd) WHERE r = 1
+      |), qd AS (
+      |  SELECT e.vec_id AS qid, e.m, e.k, e.d
+      |  FROM encd e WHERE e.vec_id < 5
+      |), adc AS (
+      |  SELECT qd.qid, enc.vec_id, CAST(sum(qd.d) AS BIGINT) AS adc_dist
+      |  FROM enc JOIN qd ON enc.m = qd.m AND enc.code = qd.k
+      |  WHERE enc.vec_id <> qd.qid
+      |  GROUP BY qd.qid, enc.vec_id
+      |)
+      |SELECT qid, vec_id, adc_dist, rk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |            ORDER BY adc_dist ASC, vec_id ASC) AS rk
+      |  FROM adc) WHERE rk <= 10""".stripMargin
 
   private val qvSql =
     "list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"
@@ -2478,6 +2597,7 @@ object ExtQueries {
     "ngram_containment" -> ((ngramContainment _, ngramContainmentOracle)),
     "dedup_minhash_lsh" -> ((minhashLsh _, minhashLshOracle)),
     "ann_brute_topk" -> ((annBrute _, annBruteOracle)),
+    "pq_adc_topk" -> ((pqAdcTopk _, pqAdcTopkOracle)),
     "ann_ivf_topk" -> ((annIvf _, annIvfOracle)),
     "ann_ivf_multiprobe" -> ((annIvfMultiprobe _, annIvfMultiprobeOracle)),
     "ann_lsh_topk" -> ((annLsh _, annLshOracle)),

@@ -279,6 +279,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(1200))
   }
 
+  test("pq_adc_topk: codebook is a literal, queries broadcast, no corpus re-shuffle") {
+    val plan = finalPlan(SparkEntry.queries("pq_adc_topk")(spark, sf))
+    // the 5 queries (with their LUTs) must ride a broadcast over the
+    // encoded scan; encoding itself is a projection over the codebook
+    // LITERAL — any SortMergeJoin/Cartesian means the corpus shuffled
+    // just to meet an 8 KiB codebook or 5 query rows
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("@ start()/end() grid form pins once and replicates: no per-point re-eval") {
     // pinnedGrid = instant eval cross-joined with the broadcast
     // |grid|-row frame; a hash-partitioned exchange keyed by g would
