@@ -141,6 +141,64 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream join state survives a restart: recovered views still pair") {
+    // the crash-recovery contract for the two-sided join: kill the query
+    // after one side is buffered but unmatched, restart on the SAME
+    // checkpoint, and the other side arriving post-restart must still
+    // pair — possible only if the symmetric hash join's state store was
+    // recovered; and the pre-crash emission must not repeat
+    val dir = Files.createTempDirectory("convrec")
+    val vIn = s"$dir/vin"; val pIn = s"$dir/pin"
+    val outP = s"$dir/out"; val cp = s"$dir/cp"
+    Files.createDirectories(java.nio.file.Paths.get(vIn))
+    Files.createDirectories(java.nio.file.Paths.get(pIn))
+    val t0 = 1706572800L
+    def feedV(rows: (Long, Long)*): Unit =
+      rows.toSeq.toDF("user_id", "e").repartition(1)
+        .write.mode("append").parquet(vIn)
+    def feedP(rows: (Long, Long, Double)*): Unit =
+      rows.toSeq.toDF("user_id", "e", "value").repartition(1)
+        .write.mode("append").parquet(pIn)
+    def startQ() = {
+      val views = spark.readStream.schema("user_id LONG, e LONG")
+        .parquet(vIn)
+        .select(col("user_id").as("uid_v"), col("e").as("e_v"),
+          timestamp_seconds(col("e")).as("ts_v"))
+        .withWatermark("ts_v", "30 minutes")
+      val purchases = spark.readStream
+        .schema("user_id LONG, e LONG, value DOUBLE").parquet(pIn)
+        .select(col("user_id").as("uid_p"), col("e").as("e_p"),
+          col("value").as("v_p"), timestamp_seconds(col("e")).as("ts_p"))
+        .withWatermark("ts_p", "30 minutes")
+      views.join(purchases,
+          col("uid_v") === col("uid_p") &&
+          col("ts_p") >= col("ts_v") &&
+          col("ts_p") < col("ts_v") + expr("INTERVAL 30 MINUTES"))
+        .select(col("uid_v").as("user_id"), col("e_v"), col("e_p"),
+          col("v_p"))
+        .writeStream.format("parquet").option("path", outP)
+        .option("checkpointLocation", cp).outputMode("append").start()
+    }
+    // run 1: two views, one purchase — user 1 pairs, user 2's view is
+    // buffered unmatched
+    feedV((1L, t0), (2L, t0 + 60))
+    feedP((1L, t0 + 600, 9.5))
+    val q1 = startQ(); q1.processAllAvailable(); q1.stop() // "crash"
+    val r1 = spark.read.parquet(outP).select("user_id", "e_v", "e_p")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(r1 == Seq((1L, t0, t0 + 600)), s"run 1: $r1")
+    // run 2, same checkpoint: user 2's purchase arrives only now — it
+    // can pair only against the RECOVERED view state
+    feedP((2L, t0 + 900, 4.0))
+    val q2 = startQ(); q2.processAllAvailable(); q2.stop()
+    val all = spark.read.parquet(outP).select("user_id", "e_v", "e_p")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(all.count(_ == ((1L, t0, t0 + 600))) == 1,
+      s"pre-crash pair re-emitted: $all") // exactly-once
+    assert(all.toSet == Set((1L, t0, t0 + 600), (2L, t0 + 60, t0 + 900)),
+      s"recovered-state pair missing: $all")
+  }
+
   test("foreachBatch lands micro-batches idempotently in the fact table") {
     val base = Files.createTempDirectory("stream").toString
     val path = s"$base/fact"
