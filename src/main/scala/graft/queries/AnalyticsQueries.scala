@@ -545,7 +545,13 @@ object AnalyticsQueries {
       var s = streamSessionMemo.get(spark)
       if (s == null) {
         s = spark.newSession()
-        s.conf.set("spark.sql.shuffle.partitions", "2")
+        // 1, not 32 (or even 2): fixture micro-batches are small enough
+        // that per-partition state-store commit overhead dominates — the
+        // stream-stream join keeps 4 stores PER partition, so partition
+        // count multiplies checkpoint fsyncs, not throughput. Production
+        // sizing is the opposite (partitions ≈ cores); results are
+        // partition-count-independent either way (every gate hash-matches)
+        s.conf.set("spark.sql.shuffle.partitions", "1")
         streamSessionMemo.put(spark, s)
       }
       s
@@ -739,23 +745,33 @@ object AnalyticsQueries {
     */
   def conversionPairsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("conv_e2e").toString
+    // each side gets its OWN input dir: two sources scanning one mixed
+    // file would each list + read + filter the full event set per
+    // micro-batch — pre-splitting halves the source work and drops the
+    // per-batch filter entirely
     val inDir = cachedStreamInput(spark, s"conv#$sfDir") { path =>
-      EventsIngest.readEvents(spark, sfDir)
-        .filter(col("event_type").isin("view", "purchase"))
+      val ev = EventsIngest.readEvents(spark, sfDir)
         .select(col("user_id"), col("event_type"),
           col("ts").cast("long").as("e"), col("value"))
+      ev.filter(col("event_type") === "view")
+        .drop("event_type", "value")
         .coalesce(1) // one file -> one deterministic micro-batch
-        .write.parquet(path)
+        .write.parquet(s"$path/views")
+      ev.filter(col("event_type") === "purchase")
+        .drop("event_type")
+        .coalesce(1)
+        .write.parquet(s"$path/purchases")
     }
     withStreamSession(spark) { ss =>
-      def side = ss.readStream
-        .schema("user_id LONG, event_type STRING, e LONG, value DOUBLE")
-        .parquet(inDir)
-      val views = side.filter(col("event_type") === "view")
+      val views = ss.readStream
+        .schema("user_id LONG, e LONG")
+        .parquet(s"$inDir/views")
         .select(col("user_id").as("uid_v"), col("e").as("e_v"),
           timestamp_seconds(col("e")).as("ts_v"))
         .withWatermark("ts_v", "30 minutes")
-      val purchases = side.filter(col("event_type") === "purchase")
+      val purchases = ss.readStream
+        .schema("user_id LONG, e LONG, value DOUBLE")
+        .parquet(s"$inDir/purchases")
         .select(col("user_id").as("uid_p"), col("e").as("e_p"),
           col("value").as("v_p"), timestamp_seconds(col("e")).as("ts_p"))
         .withWatermark("ts_p", "30 minutes")
