@@ -146,20 +146,32 @@ object Dedup {
       .agg(sigAggs.head, sigAggs.tail: _*)
   }
 
+  /** The exploded LSH band table `(doc_id, bucket, band, bh)` — the
+    * shared index both the self-join candidate generator
+    * ([[lshCandidates]]) and the incremental new-vs-corpus join consume.
+    * At 100 TB this is the frame a production pipeline PERSISTS as the
+    * corpus dedup index (bucketed by `(bucket, band, bh)`), so each
+    * arriving batch joins against it without recomputing corpus
+    * signatures.
+    */
+  def lshBands(sigs: DataFrame, numSigs: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numSigs / rowsPerBand
+    val bands = (0 until numBands).map { bnd =>
+      val parts = (0 until rowsPerBand).map(r => col(s"sig${bnd * rowsPerBand + r}"))
+      struct(lit(bnd).as("band"), md5(concat_ws(",", parts: _*)).as("bh"))
+    }
+    sigs
+      .select(col("doc_id"), col("bucket"), explode(array(bands: _*)).as("b"))
+      .select(col("doc_id"), col("bucket"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
   /** LSH banding: concatenate `rowsPerBand` signatures per band and hash;
     * docs sharing any band hash (within a bucket) become candidate pairs.
     * Collision probability per band is jaccard^rowsPerBand — the knob that
     * trades recall for candidate-set size at scale.
     */
   def lshCandidates(sigs: DataFrame, numSigs: Int, rowsPerBand: Int): DataFrame = {
-    val numBands = numSigs / rowsPerBand
-    val bands = (0 until numBands).map { bnd =>
-      val parts = (0 until rowsPerBand).map(r => col(s"sig${bnd * rowsPerBand + r}"))
-      struct(lit(bnd).as("band"), md5(concat_ws(",", parts: _*)).as("bh"))
-    }
-    val exploded = sigs
-      .select(col("doc_id"), col("bucket"), explode(array(bands: _*)).as("b"))
-      .select(col("doc_id"), col("bucket"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val exploded = lshBands(sigs, numSigs, rowsPerBand)
     exploded.as("x")
       .join(exploded.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.band") === col("y.band") &&

@@ -26,6 +26,44 @@ object TextOps {
             |                i -> array_join(slice($toksCol, i + 1, $n), ' '))
             | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
 
+  /** Misra–Gries frequent-items summary over one partition's item
+    * stream: at most `k` counters; every item whose count in the stream
+    * exceeds streamLength/k is guaranteed to hold a counter at the end
+    * (classic MG bound — each decrement event removes k+1 occurrences,
+    * so an item with more than n/k occurrences cannot be decremented to
+    * zero every time it appears). Returns the surviving keys only: the
+    * summary is a CANDIDATE set, deliberately partition-dependent, and
+    * every consumer must re-count candidates exactly before filtering —
+    * which is what makes the downstream result partition-independent.
+    * Per-partition summaries compose by the averaging argument: an item
+    * with global count > n/k has count > n_p/k in at least one
+    * partition, so the union of partition summaries is a superset of
+    * the global heavy hitters for the same k.
+    *
+    * This is one of the two sanctioned `mapPartitions` seams (the other
+    * is the multimodal codec): a bounded-memory streaming summary has
+    * no relational form — expressing it as groupBy would be the exact
+    * full-shuffle aggregation the summary exists to avoid.
+    */
+  def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    while (it.hasNext) {
+      val t = it.next()
+      m.get(t) match {
+        case Some(c) => m.update(t, c + 1L)
+        case None if m.size < k => m.update(t, 1L)
+        case None =>
+          // decrement-all: one occurrence of each of the k held items
+          // plus the arriving item vanish together (k+1 per event)
+          for (key <- m.keys.toArray) {
+            val c = m(key)
+            if (c == 1L) m.remove(key) else m.update(key, c - 1L)
+          }
+      }
+    }
+    m.keysIterator
+  }
+
   /** 16-bit SimHash over a token stream: per-bit ±1 votes weighted by
     * token multiplicity, bit set where the vote is positive. 16 bits keeps
     * the oracle SQL tractable; widening to 64 is the same expression ×4.

@@ -946,9 +946,13 @@ object ExtQueries {
     out
   }
 
-  val minhashLshOracle: String = {
-    // the affine coefficients come from the SAME generator the engine
-    // uses (Dedup.minhashCoeffs) — one source of truth for both sides
+  /** The MinHash-signature and LSH-band CTEs shared by the self-join
+    * oracle ([[minhashLshOracle]]) and the incremental one
+    * ([[dedupIncrementalOracle]]). The affine coefficients come from the
+    * SAME generator the engine uses (Dedup.minhashCoeffs) — one source
+    * of truth for both sides.
+    */
+  private def sigBandCtes: String = {
     val p = Dedup.MinhashP
     val sigExprs = Dedup.minhashCoeffs(NumSigs).zipWithIndex.map {
       case ((a, b), i) => s"min(((h % $p) * $a + $b) % $p) AS sig$i"
@@ -959,15 +963,20 @@ object ExtQueries {
         .mkString(" || ',' || ")
       s"SELECT doc_id, bucket, $b AS band, md5($parts) AS bh FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    shingleCte("lang") +
+    s"""
+       |, sigs AS (
+       |  SELECT doc_id, bucket,
+       |         $sigExprs
+       |  FROM sh GROUP BY doc_id, bucket
+       |), bands AS (
+       |  $bandExprs
+       |)""".stripMargin
+  }
+
+  val minhashLshOracle: String = {
+    shingleCte("lang") + sigBandCtes +
       s"""
-         |, sigs AS (
-         |  SELECT doc_id, bucket,
-         |         $sigExprs
-         |  FROM sh GROUP BY doc_id, bucket
-         |), bands AS (
-         |  $bandExprs
-         |), cands AS (
+         |, cands AS (
          |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM bands x JOIN bands y
          |    ON x.bucket = y.bucket AND x.band = y.band AND x.bh = y.bh
@@ -2553,6 +2562,162 @@ object ExtQueries {
       |         AS epochs
       |FROM r""".stripMargin
 
+  // ------------------------------------------------------ heavy hitters
+
+  /** Counter budget for the Misra–Gries candidate pass and, by the MG
+    * bound, the heavy-hitter threshold: report every bigram whose count
+    * strictly exceeds n/HhK of all bigram occurrences. 2 000 counters
+    * per partition is kilobytes of executor memory at any corpus size.
+    */
+  private val HhK = 2000
+
+  /** Frequent bigrams ("heavy hitters") over the corpus WITHOUT a full
+    * vocabulary shuffle — the canonical mergeable-summary shape for
+    * trillion-token streams, where grouping every distinct n-gram is the
+    * scale killer but the interesting output is only the few items above
+    * a frequency threshold. Two passes: (1) a per-partition Misra–Gries
+    * summary ([[TextOps.misraGries]], k = [[HhK]] counters) whose union
+    * across partitions is a guaranteed superset of every bigram with
+    * global count > n/k — candidates, partition-dependent, tiny;
+    * (2) exact counts of the candidates only, via a broadcast semi-join
+    * that prunes the stream before the groupBy, then the exact
+    * `cnt · k > n` filter. The final filter makes the result
+    * partition-independent (the summary can only over-generate), so the
+    * op is deterministic and oracle-checkable even though the
+    * intermediate candidate set is not. The fixture corpus is
+    * deliberately near-uniform, so the fixture threshold sits below the
+    * uniform mean (output ≈ the realized vocabulary); the pruning
+    * behavior on skewed streams is property-checked in
+    * HeavyHittersSpec against brute-force counts.
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val grams = docs(spark, sfDir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(explode(TextOps.shingles("toks", 2)).as("gram"))
+    val cands = grams.as[String]
+      .mapPartitions(it => TextOps.misraGries(it, HhK))
+      .toDF("gram").distinct()
+    // total bigram occurrences from per-doc token counts — no explode,
+    // map-side-combined sum over the doc scan
+    val tot = docs(spark, sfDir)
+      .select(greatest(size(TextOps.tokens(col("text"))) - 1, lit(0))
+        .cast("long").as("ng"))
+      .agg(sum(col("ng")).as("n"))
+    grams.join(broadcast(cands), Seq("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") * lit(HhK.toLong) > col("n"))
+      .select(col("gram"), col("cnt"),
+        expr("cnt * 10000 div n").as("share_bp"))
+  }
+
+  val heavyHittersOracle: String =
+    s"""WITH g AS (
+       |  SELECT array_to_string(list_slice(string_split(lower(text), ' '),
+       |                                    i.i + 1, i.i + 2), ' ') AS gram
+       |  FROM documents,
+       |       unnest(generate_series(0, len(string_split(lower(text), ' ')) - 2)) AS i(i)
+       |), t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g),
+       |c AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1)
+       |SELECT gram, cnt, cnt * 10000 // n AS share_bp
+       |FROM c, t WHERE cnt * $HhK > n""".stripMargin
+
+  // -------------------------------------------------- incremental dedup
+
+  /** md5-bucket membership split: docs hashing into the top 20 buckets
+    * play the "arriving batch", the rest the standing corpus — the same
+    * deterministic hash-bucket idiom as [[datasetSplit]], so membership
+    * is stable across engines and runs.
+    */
+  private val NewBucketLo = 80
+  private def isNewDoc: Column =
+    conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100 >= NewBucketLo
+
+  /** Incremental dedup — the production shape for a continuously-growing
+    * corpus: dedup the ARRIVING batch against the standing corpus
+    * without ever re-pairing the corpus with itself. MinHash signatures
+    * and LSH bands are computed per doc (linear); the candidate join is
+    * new-side bands against corpus-side bands only ([[Dedup.lshBands]]
+    * is the shared index — at 100 TB the corpus side is a persisted
+    * table bucketed by (bucket, band, bh) and each day's batch joins
+    * against it), and only band-colliding pairs pay the exact-Jaccard
+    * verification. Output: every batch doc with its verdict and, for
+    * dups, the smallest matching corpus doc (`dup_of`, −1 when kept) at
+    * Jaccard ≥ 0.5. Within-batch duplicates are deliberately out of
+    * scope here — that is [[minhashLsh]]'s self-join run on the batch
+    * alone, composed upstream.
+    */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = cachedShingleFrame(spark, sfDir, "lang")
+    val sigs = Dedup.minhashSignatures(sh, NumSigs)
+    val bands = Dedup.lshBands(sigs, NumSigs, RowsPerBand)
+      .withColumn("is_new", isNewDoc)
+    val newB = bands.filter(col("is_new"))
+    val oldB = bands.filter(!col("is_new"))
+    val cands = newB.as("nb")
+      .join(oldB.as("ob"),
+        col("nb.bucket") === col("ob.bucket") &&
+          col("nb.band") === col("ob.band") && col("nb.bh") === col("ob.bh"))
+      .select(col("nb.doc_id").as("new_id"), col("ob.doc_id").as("old_id"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = cands
+      .join(sh.select(col("doc_id").as("new_id"), col("h")), "new_id")
+      .join(sh.select(col("doc_id").as("old_id"), col("h")), Seq("old_id", "h"))
+      .groupBy(col("new_id"), col("old_id"))
+      .agg(count(lit(1)).as("n_common"))
+    val verified = common
+      .join(sizes.withColumnRenamed("doc_id", "new_id")
+        .withColumnRenamed("n_sh", "n_n"), "new_id")
+      .join(sizes.withColumnRenamed("doc_id", "old_id")
+        .withColumnRenamed("n_sh", "n_o"), "old_id")
+      .filter(col("n_common").cast("double") /
+        (col("n_n") + col("n_o") - col("n_common")) >= 0.5)
+      .groupBy(col("new_id")).agg(min(col("old_id")).as("dup_of"))
+    docs(spark, sfDir).select(col("doc_id")).filter(isNewDoc)
+      .join(verified.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("dup_of").isNotNull.as("is_dup"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+  }
+
+  val dedupIncrementalOracle: String =
+    shingleCte("lang") + sigBandCtes +
+      """
+        |, flag AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |           % 100 >= 80 AS is_new
+        |  FROM documents
+        |), cands AS (
+        |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+        |  FROM bands x
+        |  JOIN flag fx ON fx.doc_id = x.doc_id AND fx.is_new
+        |  JOIN bands y ON x.bucket = y.bucket AND x.band = y.band
+        |              AND x.bh = y.bh
+        |  JOIN flag fy ON fy.doc_id = y.doc_id AND NOT fy.is_new
+        |), common AS (
+        |  SELECT c.new_id, c.old_id, count(b.h) AS n_common
+        |  FROM cands c
+        |  LEFT JOIN sh a ON a.doc_id = c.new_id
+        |  LEFT JOIN sh b ON b.doc_id = c.old_id AND b.h = a.h
+        |  GROUP BY 1, 2
+        |), ver AS (
+        |  SELECT new_id, CAST(min(old_id) AS BIGINT) AS dup_of
+        |  FROM common
+        |  JOIN sizes sn ON sn.doc_id = new_id
+        |  JOIN sizes so ON so.doc_id = old_id
+        |  WHERE CAST(n_common AS DOUBLE) / (sn.n_sh + so.n_sh - n_common) >= 0.5
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id, v.dup_of IS NOT NULL AS is_dup,
+        |       coalesce(v.dup_of, -1) AS dup_of
+        |FROM documents d
+        |JOIN flag f ON f.doc_id = d.doc_id AND f.is_new
+        |LEFT JOIN ver v ON v.new_id = d.doc_id""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "semdedup_prune" -> ((semdedupPrune _, semdedupPruneOracle)),
     "dup_ngram_mass" -> ((dupNgramMass _, dupNgramMassOracle)),
@@ -2596,6 +2761,8 @@ object ExtQueries {
     "ngram_jaccard" -> ((ngramJaccard _, ngramJaccardOracle)),
     "ngram_containment" -> ((ngramContainment _, ngramContainmentOracle)),
     "dedup_minhash_lsh" -> ((minhashLsh _, minhashLshOracle)),
+    "dedup_incremental" -> ((dedupIncremental _, dedupIncrementalOracle)),
+    "heavy_hitters" -> ((heavyHitters _, heavyHittersOracle)),
     "ann_brute_topk" -> ((annBrute _, annBruteOracle)),
     "pq_adc_topk" -> ((pqAdcTopk _, pqAdcTopkOracle)),
     "ann_ivf_topk" -> ((annIvf _, annIvfOracle)),

@@ -300,4 +300,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
+
+  test("heavy_hitters: candidate set broadcasts, stream is never sort-merge-joined") {
+    // the MG candidate frame is ≤ k·partitions rows — it must reach the
+    // token stream as a broadcast semi/inner join; a SortMergeJoin here
+    // means the full stream shuffled by gram, the exact full-vocabulary
+    // aggregation the summary exists to avoid
+    val plan = finalPlan(SparkEntry.queries("heavy_hitters")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("dedup_incremental: band index meets the batch by equi-join, no all-pairs") {
+    // new-side bands join corpus-side bands on (bucket, band, bh) — the
+    // candidate generator must stay an equi-join (hash or sort-merge);
+    // a nested-loop/cartesian would be batch×corpus all-pairs
+    val plan = finalPlan(SparkEntry.queries("dedup_incremental")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(1200))
+  }
 }
