@@ -80,8 +80,21 @@ object ScaleProbe {
     // `r8` (arg 3) restricts to the round-8 additions, so their decade
     // can be recorded without re-running the whole table
     val r8only = args.length > 2 && args(2) == "r8"
+    // `r8b` (arg 3): the round-8 third batch (mergeable-summary heavy
+    // hitters, incremental batch-vs-corpus dedup). Exact-copy
+    // amplification is adversarial for BOTH: heavy_hitters sees N× the
+    // token stream over an unchanged vocabulary (candidate set must stay
+    // flat while counts scale), and dedup_incremental sees every
+    // amplified copy become a genuine cross dup — band-collision groups
+    // of size N, so candidate pairs grow with the real output, the one
+    // growth a dedup can't avoid (upstream exact-dedup is the documented
+    // production answer, as for the hot-shingle jaccard corpus).
+    val r8bOnly = args.length > 2 && args(2) == "r8b"
     for ((dir, tag) <- Seq((sfDir, "1x"), (probeDir, s"${copies}x"))) {
-      if (r8only) {
+      if (r8bOnly) {
+        time("heavy_hitters", dir, tag)(graft.queries.ExtQueries.heavyHitters)
+        time("dedup_incr", dir, tag)(graft.queries.ExtQueries.dedupIncremental)
+      } else if (r8only) {
         // two-phase top-N: output fixed at cap·|domains| while input
         // grows N× — per-shard heaps keep every window task bounded
         time("domain_cap", dir, tag)(graft.queries.ExtQueries.domainCap)
@@ -123,7 +136,7 @@ object ScaleProbe {
       }
       }
     }
-    if (!r8only) {
+    if (!r8only && !r8bOnly) {
     time("ngram_jaccard", s"$probeDir/hot", s"hot${copies}x")(
       graft.queries.ExtQueries.ngramJaccard)
     time("dedup_groups", s"$probeDir/mega", s"mega${copies}x")(
