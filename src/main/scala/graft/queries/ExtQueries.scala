@@ -2623,6 +2623,79 @@ object ExtQueries {
        |SELECT gram, cnt, cnt * 10000 // n AS share_bp
        |FROM c, t WHERE cnt * $HhK > n""".stripMargin
 
+  // ------------------------------------------------- count-min sketch
+
+  /** Count-Min geometry: d hash rows × w buckets = 4096 counters —
+    * kilobytes of state regardless of corpus size, and the summary is
+    * mergeable (counters add), so partial aggregation composes across
+    * executors/days for free.
+    */
+  private val CmsD = 4
+  private val CmsW = 1024
+
+  /** Row-j CMS bucket for a token: md5("j:tok") folded to [0, w). The
+    * row index is IN the hashed string, so the d rows are independent
+    * hash functions derived from the one md5 primitive both engines
+    * share — the estimate is bit-deterministic, not merely bounded.
+    */
+  private def cmsBucket(j: Int, tok: Column): Column =
+    conv(substring(md5(concat(lit(s"$j:"), tok)), 1, 15), 16, 10)
+      .cast("long") % CmsW
+
+  /** Count-Min sketch point estimates vs exact counts — the OTHER
+    * mergeable frequency summary ([[heavyHitters]] is the comparison-
+    * based one): counts folded into a fixed d×w counter grid, estimate =
+    * min over rows of the token's counter, guaranteed ≥ the true count.
+    * The sketch build is a groupBy with only d·w = 4096 distinct keys,
+    * so partial aggregation collapses every partition's contribution to
+    * ≤4096 rows before the (trivial) shuffle — the corpus is scanned
+    * once and never shuffled by token. Estimates for the top-20 tokens
+    * join the broadcast sketch; `overcount = est − cnt` materializes the
+    * CMS error for audit (≥0 by construction — the oracle proves the
+    * inequality bit-exactly rather than statistically).
+    */
+  def cmsCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docs(spark, sfDir)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+    val sketch = toks
+      .select(posexplode(array((0 until CmsD).map(j =>
+        cmsBucket(j, col("tok"))): _*)).as(Seq("row", "bucket")))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val qs = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(20)
+    qs.select(col("tok"), col("cnt"),
+        posexplode(array((0 until CmsD).map(j =>
+          cmsBucket(j, col("tok"))): _*)).as(Seq("row", "bucket")))
+      .join(broadcast(sketch), Seq("row", "bucket"))
+      .groupBy(col("tok"), col("cnt"))
+      .agg(min(col("c")).as("est"))
+      .select(col("tok"), col("cnt"), col("est"),
+        (col("est") - col("cnt")).as("overcount"))
+  }
+
+  val cmsCountsOracle: String =
+    s"""WITH t AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+       |), js AS (SELECT unnest(generate_series(0, ${CmsD - 1})) AS j),
+       |r AS (
+       |  SELECT j, ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || tok), 1, 15))::BIGINT
+       |           % $CmsW AS bucket
+       |  FROM t, js
+       |), sketch AS (
+       |  SELECT j, bucket, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2
+       |), qs AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t
+       |  GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 20
+       |)
+       |SELECT q.tok, q.cnt, min(s.c) AS est, min(s.c) - q.cnt AS overcount
+       |FROM qs q
+       |CROSS JOIN js
+       |JOIN sketch s ON s.j = js.j
+       | AND s.bucket = ('0x' || substr(md5(CAST(js.j AS VARCHAR) || ':' || q.tok), 1, 15))::BIGINT
+       |                % $CmsW
+       |GROUP BY q.tok, q.cnt""".stripMargin
+
   // -------------------------------------------------- incremental dedup
 
   /** md5-bucket membership split: docs hashing into the top 20 buckets
@@ -2763,6 +2836,7 @@ object ExtQueries {
     "dedup_minhash_lsh" -> ((minhashLsh _, minhashLshOracle)),
     "dedup_incremental" -> ((dedupIncremental _, dedupIncrementalOracle)),
     "heavy_hitters" -> ((heavyHitters _, heavyHittersOracle)),
+    "cms_counts" -> ((cmsCounts _, cmsCountsOracle)),
     "ann_brute_topk" -> ((annBrute _, annBruteOracle)),
     "pq_adc_topk" -> ((pqAdcTopk _, pqAdcTopkOracle)),
     "ann_ivf_topk" -> ((annIvf _, annIvfOracle)),

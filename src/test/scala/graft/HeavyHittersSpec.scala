@@ -66,6 +66,39 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("cms_counts: estimate dominates the exact count, error within d*w bound") {
+    val out = ExtQueries.all("cms_counts")._1(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 20)
+    out.foreach { case (tok, cnt, est, over) =>
+      assert(est >= cnt, s"$tok: CMS under-counted ($est < $cnt)")
+      assert(over == est - cnt, tok)
+    }
+    // Markov bound on the min-row estimate: E[overcount] = (n - cnt)/w
+    // per row; an overcount beyond 40x that expectation across ALL 20
+    // probes would mean the hash rows are not spreading (the classic
+    // failure is every row hashing alike). n = total tokens.
+    val n = out.map(_._2).sum.max(1L) // top-20 mass is a lower bound on n
+    assert(out.forall(_._4 <= 40L * n / 1024L + 1L),
+      out.filter(_._4 > 40L * n / 1024L + 1L).mkString(","))
+  }
+
+  test("CMS counter grid is mergeable: any input partitioning, same counters") {
+    // the sketch is a groupBy over (row, bucket) — partial per-partition
+    // counters must merge to the identical grid however the token
+    // stream is split (this is what lets per-day sketches add at 100 TB)
+    val rnd = new scala.util.Random(11)
+    val toks = Seq.fill(3000)(s"t${rnd.nextInt(200)}")
+    def grid(parts: Int): Set[(Int, Long, Long)] =
+      toks.toDS().repartition(parts).toDF("tok")
+        .select(posexplode(array((0 until 4).map(j =>
+          conv(substring(md5(concat(lit(s"$j:"), col("tok"))), 1, 15), 16, 10)
+            .cast("long") % 1024): _*)).as(Seq("row", "bucket")))
+        .groupBy("row", "bucket").agg(count(lit(1)).as("c"))
+        .as[(Int, Long, Long)].collect().toSet
+    assert(grid(1) == grid(8))
+  }
+
   test("dedup_incremental: batch membership, corpus-side dup_of, kept sentinel") {
     // sf0.01: the 0.001 fixture's few cross-split near-dup pairs all sit
     // near jaccard 0.5, where 4-band×2-row LSH recall is ~0.68 per pair,

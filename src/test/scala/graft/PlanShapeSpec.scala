@@ -312,6 +312,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("cms_counts: 4096-counter sketch broadcasts, corpus never shuffled by token") {
+    // the sketch side is d*w = 4096 rows max — it must reach the 20-row
+    // probe side as a broadcast; a SortMergeJoin would mean a real
+    // exchange on a frame whose whole point is bounded size
+    val plan = finalPlan(SparkEntry.queries("cms_counts")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("dedup_incremental: band index meets the batch by equi-join, no all-pairs") {
     // new-side bands join corpus-side bands on (bucket, band, bh) — the
     // candidate generator must stay an equi-join (hash or sort-merge);
