@@ -26,6 +26,17 @@ object TextOps {
             |                i -> array_join(slice($toksCol, i + 1, $n), ' '))
             | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
 
+  /** Row-j Count-Min bucket for a token: md5("j:tok") folded to [0, w).
+    * The row index is IN the hashed string, so the d rows are independent
+    * hash functions derived from the one md5 primitive every engine we
+    * oracle against shares — sketch counters are bit-deterministic.
+    * Shared by the batch sketch (ExtQueries.cmsCounts) and its streaming
+    * twin, which must land tokens in the SAME buckets.
+    */
+  def cmsBucket(j: Int, w: Int, tok: Column): Column =
+    conv(substring(md5(concat(lit(s"$j:"), tok)), 1, 15), 16, 10)
+      .cast("long") % w
+
   /** Misra–Gries frequent-items summary over one partition's item
     * stream: at most `k` counters; every item whose count in the stream
     * exceeds streamLength/k is guaranteed to hold a counter at the end

@@ -644,6 +644,76 @@ object AnalyticsQueries {
       .select(col("fp"), col("n_copies"), col("keep_doc"))
   }
 
+  /** Streaming twin of [[ExtQueries.cmsCounts]] — the sixth stream≡batch
+    * gate and the first over a SKETCH. Tokens arrive split across three
+    * micro-batches (two token files then the flush sentinel,
+    * `maxFilesPerTrigger=1`), each batch folds its tokens into the d×w
+    * counter grid, and the state store merges the partial grids across
+    * batches — the streaming form of the sketch's mergeability (batch
+    * form: partial aggregation, spec'd in HeavyHittersSpec; production
+    * form: persisted per-day grids that add). The sentinel's own window
+    * never closes, so its rows never surface in append output. The final
+    * streamed grid then answers the same top-20 point estimates as the
+    * batch query and hash-matches the same DuckDB oracle.
+    */
+  def cmsCountsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("cms_e2e").toString
+    val t0 = 1000000L
+    val d = ExtQueries.CmsD
+    val w = ExtQueries.CmsW
+    def buckets(tok: Column): Column =
+      posexplode(array((0 until d).map(j =>
+        graft.ext.TextOps.cmsBucket(j, w, tok)): _*))
+    val inDir = cachedStreamInput(spark, s"cms#$sfDir") { path =>
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(explode(graft.ext.TextOps.tokens(col("text"))).as("tok"),
+          lit(t0).as("e"))
+        .repartition(2) // two token files -> two real merge batches
+        .write.parquet(path)
+      // the flush sentinel is its OWN file, stamped a minute newer, so
+      // the file source (ordered by modification time) schedules it as
+      // the LAST micro-batch — only after it does the watermark pass
+      // the token window and release the merged grid
+      val before = new java.io.File(path).listFiles.map(_.getName).toSet
+      spark.range(1).select(lit("__flush__").as("tok"), lit(t0 + 7200L).as("e"))
+        .coalesce(1).write.mode("append").parquet(path)
+      new java.io.File(path).listFiles
+        .filter(f => !before(f.getName) && f.getName.endsWith(".parquet"))
+        .foreach(f => f.setLastModified(f.lastModified + 60000L))
+    }
+    withStreamSession(spark) { ss =>
+      ss.readStream
+        .schema("tok STRING, e LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .withColumn("ts", timestamp_seconds(col("e")))
+        .withWatermark("ts", "0 seconds")
+        .select(col("ts"), buckets(col("tok")).as(Seq("row", "bucket")))
+        .groupBy(window(col("ts"), "1 hour"), col("row"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("row"), col("bucket"), col("c"))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/cp")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    val grid = spark.read.parquet(s"$work/out")
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(graft.ext.TextOps.tokens(col("text"))).as("tok"))
+    toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(20)
+      .select(col("tok"), col("cnt"), buckets(col("tok")).as(Seq("row", "bucket")))
+      .join(broadcast(grid), Seq("row", "bucket"))
+      .groupBy(col("tok"), col("cnt"))
+      .agg(min(col("c")).as("est"))
+      .select(col("tok"), col("cnt"), col("est"),
+        (col("est") - col("cnt")).as("overcount"))
+  }
+
   /** Streaming twin of [[rangeJoin]] — the STREAM-STATIC-join gate (the
     * fourth stream≡batch equivalence, and the first over a join): the
     * events stream granule-joins the static interval table exactly as in
@@ -1023,6 +1093,7 @@ object AnalyticsQueries {
     "sessionize_stream" -> ((sessionizeStream _, sessionizeOracle)),
     "hourly_avg_stream" -> ((hourlyAvgStream _, hourlyAvgOracle)),
     "dedup_exact_stream" -> ((dedupExactStream _, ExtQueries.dedupExactOracle)),
+    "cms_counts_stream" -> ((cmsCountsStream _, ExtQueries.cmsCountsOracle)),
     "rollup_report" -> ((rollupReport _, rollupReportOracle)),
     "metric_quantiles" -> ((metricQuantiles _, metricQuantilesOracle)),
     "asof_join" -> ((asofJoin _, asofJoinOracle)),

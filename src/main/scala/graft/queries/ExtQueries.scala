@@ -2630,17 +2630,11 @@ object ExtQueries {
     * mergeable (counters add), so partial aggregation composes across
     * executors/days for free.
     */
-  private val CmsD = 4
-  private val CmsW = 1024
+  private[graft] val CmsD = 4
+  private[graft] val CmsW = 1024
 
-  /** Row-j CMS bucket for a token: md5("j:tok") folded to [0, w). The
-    * row index is IN the hashed string, so the d rows are independent
-    * hash functions derived from the one md5 primitive both engines
-    * share — the estimate is bit-deterministic, not merely bounded.
-    */
   private def cmsBucket(j: Int, tok: Column): Column =
-    conv(substring(md5(concat(lit(s"$j:"), tok)), 1, 15), 16, 10)
-      .cast("long") % CmsW
+    TextOps.cmsBucket(j, CmsW, tok)
 
   /** Count-Min sketch point estimates vs exact counts — the OTHER
     * mergeable frequency summary ([[heavyHitters]] is the comparison-

@@ -99,6 +99,20 @@ class HeavyHittersSpec extends SparkSpec {
     assert(grid(1) == grid(8))
   }
 
+  test("streamed CMS grid answers the same estimates as the batch sketch") {
+    // the stream splits the token files across micro-batches
+    // (maxFilesPerTrigger=1), so equality here means the state store
+    // merged partial counter grids across batches into the exact batch
+    // grid — the streaming form of mergeability
+    val sf = "/root/testdata/sf0.001"
+    val batch = ExtQueries.all("cms_counts")._1(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val streamed = graft.queries.AnalyticsQueries.cmsCountsStream(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.size == 20)
+  }
+
   test("dedup_incremental: batch membership, corpus-side dup_of, kept sentinel") {
     // sf0.01: the 0.001 fixture's few cross-split near-dup pairs all sit
     // near jaccard 0.5, where 4-band×2-row LSH recall is ~0.68 per pair,
