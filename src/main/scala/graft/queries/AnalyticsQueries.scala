@@ -421,6 +421,103 @@ object AnalyticsQueries {
         |       count(*) AS n
         |FROM m GROUP BY 1, 2""".stripMargin
 
+  // --------------------------------------------------- z-order layout
+
+  /** Bit-interleave (Morton) SQL for two 16-bit dims, with the integer-
+    * division operator parameterized so the identical arithmetic runs in
+    * Spark (`div`) and DuckDB (`//`) — the z-value is exact integer math,
+    * no bit intrinsics needed.
+    */
+  private def zExpr(u: String, t: String, div: String): String =
+    (0 until 16).map { i =>
+      s"((($u $div ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+        s"(($t $div ${1L << i}) % 2) * ${1L << (2 * i + 1)})"
+    }.mkString("(", " + ", ")")
+
+  private val ZFiles = 32
+
+  /** Z-order layout planner — the multi-dimensional data-skipping layout
+    * for a 100 TB fact table: interleave the bits of two query dimensions
+    * (user bucket, event minute) into a Morton z-value, split the
+    * z-range into [[ZFiles]] files of balanced row count, and report each
+    * file's min/max per dimension — the footer stats a scan would prune
+    * on. Because z-order interleaves bits, BOTH dimensions' ranges
+    * narrow simultaneously, so predicates on EITHER dimension skip most
+    * files (a single-column sort narrows only its own column).
+    *
+    * Scale shape: file boundaries come from a cumulative count over the
+    * z-PREFIX histogram (top 10 bits → ≤1024 buckets), so the
+    * single-partition window orders ≤1024 rows, never the corpus — the
+    * [[ExtQueries.qualityDeciles]] pattern; the assignment then joins
+    * back as a broadcast. The corpus itself is scanned twice and never
+    * globally sorted (production writes range-partition on z with these
+    * same boundaries; the plan here is the boundary computation + stats
+    * audit, which is the deterministic part).
+    */
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val raw = EventsIngest.readEvents(spark, sfDir)
+      .select(col("user_id").as("u"),
+        expr("(unix_timestamp(ts) - 1704067200) div 60").as("t"))
+    // normalize each dimension to the full 16-bit scale from its global
+    // min/max (one tiny agg, broadcast) — WITHOUT this the dimension
+    // with the wider raw range owns all the high bits and the z-value
+    // degenerates to a single-column sort (production z-order does the
+    // same from table column stats)
+    val bounds = raw.agg(min(col("u")).as("ulo"), max(col("u")).as("uhi"),
+      min(col("t")).as("tlo"), max(col("t")).as("thi"))
+    val ev = raw.crossJoin(broadcast(bounds))
+      .select(expr("((u - ulo) * 65535) div greatest(uhi - ulo, 1)").as("u16"),
+        expr("((t - tlo) * 65535) div greatest(thi - tlo, 1)").as("t16"))
+      .withColumn("z", expr(zExpr("u16", "t16", "div")))
+      .withColumn("zb", expr(s"z div ${1L << 22}"))
+    val hist = ev.groupBy(col("zb")).agg(count(lit(1)).as("c"))
+    val win = Window.orderBy("zb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("cum0", coalesce(sum(col("c")).over(win), lit(0L)))
+    val tot = hist.agg(sum(col("c")).as("n"))
+    val fileOf = cum.crossJoin(broadcast(tot))
+      .select(col("zb"), expr(s"(cum0 * $ZFiles) div n").as("file_id"))
+    ev.join(broadcast(fileOf), "zb")
+      .groupBy(col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("u16")).as("u_min"), max(col("u16")).as("u_max"),
+        min(col("t16")).as("t_min"), max(col("t16")).as("t_max"))
+  }
+
+  val zorderLayoutOracle: String =
+    s"""WITH raw AS (
+       |  SELECT user_id AS u,
+       |         (CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) // 60 AS t
+       |  FROM events
+       |), b AS (
+       |  SELECT min(u) AS ulo, max(u) AS uhi, min(t) AS tlo, max(t) AS thi
+       |  FROM raw
+       |), ev AS (
+       |  SELECT CAST(((u - ulo) * 65535) // greatest(uhi - ulo, 1) AS BIGINT) AS u16,
+       |         CAST(((t - tlo) * 65535) // greatest(thi - tlo, 1) AS BIGINT) AS t16
+       |  FROM raw, b
+       |), zt AS (
+       |  SELECT u16, t16, ${zExpr("u16", "t16", "//")} // ${1L << 22} AS zb
+       |  FROM ev
+       |), hist AS (
+       |  SELECT zb, CAST(count(*) AS BIGINT) AS c FROM zt GROUP BY 1
+       |), cum AS (
+       |  SELECT zb, c,
+       |         COALESCE(SUM(c) OVER (ORDER BY zb ROWS BETWEEN UNBOUNDED
+       |           PRECEDING AND 1 PRECEDING), 0) AS cum0
+       |  FROM hist
+       |), t AS (SELECT SUM(c) AS n FROM hist),
+       |f AS (
+       |  SELECT zb, CAST((cum0 * $ZFiles) // n AS BIGINT) AS file_id
+       |  FROM cum, t
+       |)
+       |SELECT f.file_id, CAST(count(*) AS BIGINT) AS n_rows,
+       |       min(u16) AS u_min, max(u16) AS u_max,
+       |       min(t16) AS t_min, max(t16) AS t_max
+       |FROM zt b JOIN f ON f.zb = b.zb
+       |GROUP BY 1""".stripMargin
+
   // ------------------------------------- sessionization & as-of join
 
   /** Raw-event oracle prelude: epoch seconds exactly as
@@ -1099,6 +1196,7 @@ object AnalyticsQueries {
     "asof_join" -> ((asofJoin _, asofJoinOracle)),
     "range_join" -> ((rangeJoin _, rangeJoinOracle)),
     "funnel_steps" -> ((funnelSteps _, funnelStepsOracle)),
+    "zorder_layout" -> ((zorderLayout _, zorderLayoutOracle)),
     "range_join_stream" -> ((rangeJoinStream _, rangeJoinStreamOracle)),
     "conversion_pairs_stream" -> ((conversionPairsStream _, conversionPairsStreamOracle)),
     "value_histogram" -> ((valueHistogram _, valueHistogramOracle)),

@@ -53,6 +53,29 @@ class LayoutSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS metrics_bucketed")
   }
 
+  test("zorder_layout: every file's box narrows in BOTH dimensions") {
+    // the property a single-column sort cannot give: sorting by time
+    // leaves EVERY file's user-span at the full domain. Z-order bounds
+    // both spans for all but the quadrant-straddling files (a
+    // contiguous z-interval crossing a top-bit boundary legitimately
+    // wraps one dimension — the classic Z-curve jump), so the gate is:
+    // at most 4 of the 32 boxes may exceed ~half the domain per dim.
+    val rows = graft.queries.AnalyticsQueries
+      .zorderLayout(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length > 16)
+    val lim = (65535 * 0.55).toLong
+    assert(rows.forall(_._1 > 0))
+    assert(rows.count { case (_, ulo, uhi, _, _) => uhi - ulo > lim } <= 4,
+      "too many files span the full user domain")
+    assert(rows.count { case (_, _, _, tlo, thi) => thi - tlo > lim } <= 4,
+      "too many files span the full time domain")
+    // and the balanced-file-count contract: no file more than 3x the mean
+    val mean = rows.map(_._1).sum / rows.length
+    assert(rows.forall(_._1 <= 3 * mean))
+  }
+
   test("O10: QueryExecutionListener records per-action metrics") {
     val listener = MetricsListener.install(spark)
     try {

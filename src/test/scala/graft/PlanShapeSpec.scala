@@ -322,6 +322,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
+  test("zorder_layout: boundaries from the prefix histogram, corpus never sorted") {
+    val plan = finalPlan(SparkEntry.queries("zorder_layout")(spark, sf))
+    // the single-partition window runs over the <=1024-bucket z-prefix
+    // histogram; the file assignment joins back as a broadcast; the
+    // corpus itself must never be globally sorted or shuffle-joined
+    assert(plan.contains("Window"), plan.take(1200))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("dedup_incremental: band index meets the batch by equi-join, no all-pairs") {
     // new-side bands join corpus-side bands on (bucket, band, bh) — the
     // candidate generator must stay an equi-join (hash or sort-merge);
