@@ -2785,6 +2785,306 @@ object ExtQueries {
         |JOIN flag f ON f.doc_id = d.doc_id AND f.is_new
         |LEFT JOIN ver v ON v.new_id = d.doc_id""".stripMargin
 
+  // ------------------------------------------ retrieval / policy census
+
+  /** The fixed query-term set for the BM25 retrieval gate: mid-df fixture
+    * terms so tf and document length — not just term presence — decide
+    * the ranking.
+    */
+  private val Bm25Terms = Seq("batch", "stream", "filter")
+
+  /** BM25 top-k retrieval (Robertson et al., TREC-3; k1 = 6/5, b = 3/4)
+    * over the document corpus for a fixed 3-term query — the relevance
+    * primitive behind RAG retrieval and query-targeted curation. One
+    * stated deviation: the idf factor is the raw Robertson–Sparck-Jones
+    * odds (N − df + ½)/(df + ½) WITHOUT the log — log is libm territory
+    * (cross-engine-nondeterministic in the last ulp), the odds ratio is
+    * rational and order-preserving in df. With that, each per-term score
+    * is exactly rational: multiplying numerator and denominator by
+    * 10·Σdl clears every fractional constant (k1 = 6/5, b = 3/4,
+    * avgdl = Σdl/N), and one integral division floors the score to basis
+    * points — so per-doc totals are exact integer sums, order-free
+    * across terms, and the oracle matches bit-for-bit. Every product
+    * stays < 2⁶³ through ~sf1; past that the same expression routes
+    * through DECIMAL(38,0) (Spark) / HUGEINT (DuckDB).
+    * Scale shape: the corpus is token-aggregated ONCE (per-doc dl; tf
+    * only for the query terms); df and the (N, Σdl) totals are broadcast
+    * 3-row/1-row frames; the final top-10 is TakeOrderedAndProject —
+    * never a global sort, and the corpus is never re-shuffled.
+    */
+  def bm25Topk(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docs(spark, sfDir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sumdl"))
+    val qt = toks.filter(col("term").isin(Bm25Terms: _*))
+    val tf = qt.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = qt.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(dfq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .withColumn("s", expr(
+        """((2*n_docs - 2*df + 1) * 22 * tf * sumdl * 10000) div
+          |((2*df + 1) * (10*sumdl*tf + 3*sumdl + 9*dl*n_docs))""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("s")).as("score_bp"))
+      .orderBy(col("score_bp").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val bm25TopkOracle: String =
+    """WITH q AS (SELECT unnest(['batch','stream','filter']) AS term
+      |), toks AS (
+      |  SELECT doc_id, t.term AS term
+      |  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+      |), dl AS (
+      |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+      |), st AS (
+      |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM toks JOIN q USING (term)
+      |  GROUP BY 1, 2
+      |), dfq AS (
+      |  SELECT term, count(DISTINCT doc_id) AS df FROM toks JOIN q USING (term)
+      |  GROUP BY 1
+      |), sc AS (
+      |  SELECT tf.doc_id,
+      |         ((2*n_docs - 2*df + 1) * 22 * tf * sumdl * 10000)
+      |           // ((2*df + 1) * (10*sumdl*tf + 3*sumdl + 9*dl.dl*n_docs)) AS s
+      |  FROM tf JOIN dfq USING (term) JOIN dl ON dl.doc_id = tf.doc_id, st
+      |)
+      |SELECT doc_id, count(*) AS n_terms, CAST(sum(s) AS BIGINT) AS score_bp
+      |FROM sc GROUP BY 1
+      |ORDER BY score_bp DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Epoch cap for [[unimaxAlloc]]: 1 = never upsample any language
+    * past one full pass over its data (the UniMax paper sweeps this).
+    */
+  private val UnimaxEpochs = 1
+
+  /** UniMax language-budget allocation (Chung et al. 2023): split a
+    * token budget across languages with a per-language epoch cap, the
+    * leftover spreading uniformly over the uncapped (larger) languages.
+    * Closed form instead of the paper's sequential loop: with languages
+    * sorted by cap ascending, the capped set is a PREFIX (if a
+    * language's full cap fits under the equal share of what remains, so
+    * does every smaller one's), so two window passes over the
+    * per-language histogram — cumulative cap, then the prefix boundary —
+    * give every allocation exactly. Budget = ¾ of corpus tokens,
+    * epoch cap [[UnimaxEpochs]]; floors via integral division (stated
+    * deviation: real UniMax spreads the sub-integer remainder).
+    * Scale shape: the corpus is touched by ONE groupBy(lang) histogram;
+    * the water-fill windows run over the |languages|-row frame (5 here,
+    * thousands at worst) — the single-partition window runs over the
+    * histogram, never the data, same discipline as [[qualityDeciles]].
+    */
+  def unimaxAlloc(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = docs(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast("long")).as("tokens"))
+    val tot = h.agg(sum(col("tokens")).as("total"))
+    val asc = Window.orderBy(col("cap"), col("lang"))
+    val cum = asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all5 = Window.partitionBy(lit(0))
+    h.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("(3 * total) div 4"))
+      .withColumn("cap", expr(s"tokens * $UnimaxEpochs"))
+      .withColumn("cum", sum(col("cap")).over(cum))
+      .withColumn("nl", count(lit(1)).over(all5))
+      .withColumn("capped",
+        col("cap") * (col("nl") - row_number().over(asc) + 1) <=
+          col("budget") - (col("cum") - col("cap")))
+      .withColumn("k", sum(when(col("capped"), 1L).otherwise(0L)).over(all5))
+      .withColumn("cumk", max(when(col("capped"), col("cum"))).over(all5))
+      .withColumn("alloc", when(col("capped"), col("cap"))
+        .otherwise(expr("(budget - coalesce(cumk, 0)) div (nl - k)")))
+      .select(col("lang"), col("n_docs"), col("tokens"), col("alloc"),
+        expr("(alloc * 10000) div tokens").as("epochs_bp"),
+        expr("(alloc * 10000) div budget").as("share_bp"))
+  }
+
+  val unimaxAllocOracle: String =
+    s"""WITH h AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |         CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1
+      |), t AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM h
+      |), w AS (
+      |  SELECT lang, n_docs, tokens,
+      |         (3 * total) // 4 AS budget,
+      |         tokens * $UnimaxEpochs AS cap,
+      |         CAST(sum(tokens * $UnimaxEpochs) OVER (ORDER BY tokens * $UnimaxEpochs, lang
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |         count(*) OVER () AS nl,
+      |         row_number() OVER (ORDER BY tokens * $UnimaxEpochs, lang) AS i
+      |  FROM h, t
+      |), f AS (
+      |  SELECT *, (cap * (nl - i + 1) <= budget - (cum - cap)) AS capped FROM w
+      |), g AS (
+      |  SELECT *, sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,
+      |         max(CASE WHEN capped THEN cum END) OVER () AS cumk
+      |  FROM f
+      |), a AS (
+      |  SELECT lang, n_docs, tokens, budget,
+      |         CAST(CASE WHEN capped THEN cap
+      |              ELSE (budget - coalesce(cumk, 0)) // (nl - k) END AS BIGINT) AS alloc
+      |  FROM g
+      |)
+      |SELECT lang, n_docs, tokens, alloc,
+      |       CAST((alloc * 10000) // tokens AS BIGINT) AS epochs_bp,
+      |       CAST((alloc * 10000) // budget AS BIGINT) AS share_bp
+      |FROM a""".stripMargin
+
+  /** The ersatz stopword list for the Gopher stop-word rule: the
+    * fixture corpus's highest-df terms (its "the/and/of").
+    */
+  private val GopherStop = Seq("join", "hash", "row", "batch", "scan")
+
+  /** Gopher-style quality-rule census (Rae et al. 2021, app. A1.1 filter
+    * family, bounds adapted to the fixture corpus): five structural
+    * document rules, reported as a per-rule failure census plus the
+    * any-rule row — the "which filter bites how hard" diagnostic every
+    * curation run prints before committing to a filter set. Rules (all
+    * integer comparisons; the ratio rules are cross-multiplied so no
+    * division happens anywhere): word count in [20, 80]; mean word
+    * length in [3, 5] (3n ≤ Σlen ≤ 5n); type-token ratio ≥ ½ (2u ≥ n);
+    * ≥ 2 distinct stopwords present; max word length ≤ 7.
+    * Scale shape: one map-only projection computes the five booleans
+    * per doc, ONE 1-group aggregate (partial-merge, no shuffle of data
+    * rows) folds them into counters, and stack() unpivots the single
+    * result row into the census — the corpus is scanned exactly once.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = docs(spark, sfDir).select(
+      size(TextOps.tokens(col("text"))).cast("long").as("n"),
+      length(regexp_replace(lower(col("text")), " ", "")).cast("long")
+        .as("sumlen"),
+      size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("u"),
+      size(array_intersect(array_distinct(TextOps.tokens(col("text"))),
+        array(GopherStop.map(lit): _*))).cast("long").as("nstop"),
+      array_max(transform(TextOps.tokens(col("text")), w => length(w)))
+        .cast("long").as("maxlen"))
+    val f = t.select(
+      (col("n") >= 20 && col("n") <= 80).as("r1"),
+      (col("sumlen") >= col("n") * 3 && col("sumlen") <= col("n") * 5).as("r2"),
+      (col("u") * 2 >= col("n")).as("r3"),
+      (col("nstop") >= 2).as("r4"),
+      (col("maxlen") <= 7).as("r5"))
+    f.agg(
+        count(lit(1)).as("n_total"),
+        sum(when(!col("r1"), 1L).otherwise(0L)).as("f1"),
+        sum(when(!col("r2"), 1L).otherwise(0L)).as("f2"),
+        sum(when(!col("r3"), 1L).otherwise(0L)).as("f3"),
+        sum(when(!col("r4"), 1L).otherwise(0L)).as("f4"),
+        sum(when(!col("r5"), 1L).otherwise(0L)).as("f5"),
+        sum(when(!(col("r1") && col("r2") && col("r3") && col("r4") &&
+          col("r5")), 1L).otherwise(0L)).as("fall"))
+      .select(expr(
+        """stack(6,
+          |  'word_count', f1, 'mean_word_len', f2, 'type_token_ratio', f3,
+          |  'stopwords', f4, 'max_word_len', f5, 'any_rule', fall)
+          |AS (rule, n_fail)""".stripMargin), col("n_total"))
+      .select(col("rule"), col("n_fail"),
+        expr("(n_fail * 10000) div n_total").as("fail_bp"))
+  }
+
+  val gopherRulesOracle: String = {
+    val stop = GopherStop.map(s => s"'$s'").mkString("[", ",", "]")
+    s"""WITH d AS (
+      |  SELECT string_split(lower(text), ' ') AS a, lower(text) AS lt
+      |  FROM documents
+      |), m AS (
+      |  SELECT len(a) AS n, len(replace(lt, ' ', '')) AS sumlen,
+      |         len(list_distinct(a)) AS u,
+      |         len(list_intersect(list_distinct(a), $stop)) AS nstop,
+      |         list_aggregate(list_transform(a, w -> len(w)), 'max') AS maxlen
+      |  FROM d
+      |), f AS (
+      |  SELECT (n BETWEEN 20 AND 80) AS r1,
+      |         (sumlen >= 3*n AND sumlen <= 5*n) AS r2,
+      |         (2*u >= n) AS r3, (nstop >= 2) AS r4, (maxlen <= 7) AS r5
+      |  FROM m
+      |), agg AS (
+      |  SELECT count(*) AS n_total,
+      |         sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS f1,
+      |         sum(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS f2,
+      |         sum(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS f3,
+      |         sum(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS f4,
+      |         sum(CASE WHEN NOT r5 THEN 1 ELSE 0 END) AS f5,
+      |         sum(CASE WHEN NOT (r1 AND r2 AND r3 AND r4 AND r5)
+      |             THEN 1 ELSE 0 END) AS fall
+      |  FROM f
+      |)
+      |SELECT rule, CAST(n_fail AS BIGINT) AS n_fail,
+      |       CAST((n_fail * 10000) // n_total AS BIGINT) AS fail_bp
+      |FROM (
+      |  SELECT unnest(['word_count','mean_word_len','type_token_ratio',
+      |                 'stopwords','max_word_len','any_rule']) AS rule,
+      |         unnest([f1, f2, f3, f4, f5, fall]) AS n_fail, n_total
+      |  FROM agg
+      |)""".stripMargin
+  }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03): hash every k-gram (k = 3 tokens), slide a w = 4 window
+    * over the hash sequence, and keep the RIGHTMOST MINIMAL hash of
+    * each window — guaranteeing one fingerprint in every w consecutive
+    * grams, so any shared run of ≥ k + w − 1 tokens between two
+    * documents shares a fingerprint (the local, position-robust
+    * property MinHash signatures lack). The argmin-with-rightmost-tie
+    * is packed into ONE integer key: h·128 + (127 − pos) (h is 48 md5
+    * bits, pos < 128 in the fixture; production widens the pos field),
+    * so a single windowed min() realizes hash-asc-then-pos-desc order
+    * and no self-join or second pass is needed. Scale shape: grams are
+    * a map-side HOF; the only shuffle is the window's
+    * partitionBy(doc_id) — doc-local, embarrassingly parallel; DISTINCT
+    * runs over the selected (≈ n/w per doc) fingerprints, not the grams.
+    */
+  def docWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs(spark, sfDir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"),
+        posexplode(TextOps.shingles("toks", 3)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        (conv(substring(md5(col("gram")), 1, 12), 16, 10).cast("long") * 128L +
+          (lit(127L) - col("pos"))).as("key"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 3)
+    keyed
+      .withColumn("mk", min(col("key")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(col("cnt") === 4)
+      .select(col("doc_id"),
+        expr("127 - (mk % 128)").as("pos"),
+        expr("mk div 128").as("fp"))
+      .distinct()
+  }
+
+  val docWinnowOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents
+      |), grams AS (
+      |  SELECT doc_id, g.i - 1 AS pos,
+      |         CAST(('0x' || substr(md5(a[g.i] || ' ' || a[g.i+1] || ' '
+      |                  || a[g.i+2]), 1, 12)) AS BIGINT)
+      |           * 128 + (127 - (g.i - 1)) AS key
+      |  FROM toks, unnest(generate_series(1, len(a) - 2)) AS g(i)
+      |  WHERE len(a) >= 3
+      |), wins AS (
+      |  SELECT doc_id,
+      |         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mk,
+      |         count(*) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+      |  FROM grams
+      |)
+      |SELECT DISTINCT doc_id, CAST(127 - (mk % 128) AS BIGINT) AS pos,
+      |       CAST(mk // 128 AS BIGINT) AS fp
+      |FROM wins WHERE cnt = 4""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "semdedup_prune" -> ((semdedupPrune _, semdedupPruneOracle)),
     "dup_ngram_mass" -> ((dupNgramMass _, dupNgramMassOracle)),
@@ -2794,6 +3094,10 @@ object ExtQueries {
     "emb_kmeans_step" -> ((embKmeansStep _, embKmeansStepOracle)),
     "emb_power_iter" -> ((embPowerIter _, embPowerIterOracle)),
     "tfidf_topk" -> ((tfidfTopk _, tfidfTopkOracle)),
+    "bm25_topk" -> ((bm25Topk _, bm25TopkOracle)),
+    "unimax_alloc" -> ((unimaxAlloc _, unimaxAllocOracle)),
+    "gopher_rules" -> ((gopherRules _, gopherRulesOracle)),
+    "doc_winnow" -> ((docWinnow _, docWinnowOracle)),
     "doc_rarity" -> ((docRarity _, docRarityOracle)),
     "quality_deciles" -> ((qualityDeciles _, qualityDecilesOracle)),
     "pii_scrub" -> ((piiScrub _, piiScrubOracle)),
