@@ -973,6 +973,105 @@ object AnalyticsQueries {
       | AND v.event_type = 'view' AND p.event_type = 'purchase'
       | AND p.e >= v.e AND p.e < v.e + 1800""".stripMargin
 
+  /** LEFT-OUTER watermarked stream-stream join — the seventh stream≡batch
+    * equivalence gate and the first OUTER one: every view paired with
+    * the purchases that follow it within 30 minutes, AND every view
+    * with no such purchase emitted once with NULL purchase columns (the
+    * "which impressions never converted" side of attribution, which the
+    * inner [[conversionPairsStream]] cannot answer). Outer rows are
+    * where streaming semantics genuinely differ from batch: a NULL pair
+    * can only be emitted once the watermark has passed the view's whole
+    * match window — emit earlier and a late purchase would falsify the
+    * NULL; never emit and the row is lost. Spark derives that horizon
+    * from the join's own time-range predicate and releases each
+    * unmatched view exactly once, which is what this gate pins against
+    * the batch LEFT JOIN oracle. At 100 TB the state story is the same
+    * as the inner join — both sides buffered keyed by user, bounded by
+    * watermark-horizon × arrival-rate — plus the outer side's pending
+    * rows, bounded the same way; nothing is history-sized.
+    * Harness: each side is its own parquet dir; a second file per side
+    * stamped one minute newer (the [[cmsCountsStream]] sentinel
+    * pattern) carries one far-future row, so `maxFilesPerTrigger=1`
+    * schedules data → sentinel, the sentinel batch advances BOTH
+    * sources' watermarks past every view's window, and the trailing
+    * no-data micro-batch flushes the unmatched views. Sentinel rows use
+    * negative user ids, matchable by nothing, filtered on read-back;
+    * the sentinel view itself stays in state forever (its own window
+    * never closes) — exactly the drain-message lifecycle a production
+    * pipeline gives its control rows.
+    */
+  def convOuterStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("convo_e2e").toString
+    val inDir = cachedStreamInput(spark, s"convouter#$sfDir") { path =>
+      val ev = EventsIngest.readEvents(spark, sfDir)
+        .select(col("user_id"), col("event_type"),
+          col("ts").cast("long").as("e"), col("value"))
+      val maxE = ev.agg(max(col("e"))).head().getLong(0)
+      def side(tpe: String, dir: String, sentUid: Long,
+          proj: DataFrame => DataFrame): Unit = {
+        proj(ev.filter(col("event_type") === tpe).drop("event_type"))
+          .coalesce(1).write.parquet(s"$path/$dir")
+        val before = new java.io.File(s"$path/$dir").listFiles
+          .map(_.getName).toSet
+        proj(spark.range(1).select(lit(sentUid).as("user_id"),
+            lit(maxE + 7200L).as("e"), lit(0.0).as("value")))
+          .coalesce(1).write.mode("append").parquet(s"$path/$dir")
+        new java.io.File(s"$path/$dir").listFiles
+          .filter(f => !before(f.getName) && f.getName.endsWith(".parquet"))
+          .foreach(f => f.setLastModified(f.lastModified + 60000L))
+      }
+      side("view", "views", -1L, _.drop("value"))
+      side("purchase", "purchases", -2L, identity)
+    }
+    withStreamSession(spark) { ss =>
+      val views = ss.readStream
+        .schema("user_id LONG, e LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$inDir/views")
+        .select(col("user_id").as("uid_v"), col("e").as("e_v"),
+          timestamp_seconds(col("e")).as("ts_v"))
+        .withWatermark("ts_v", "0 seconds")
+      val purchases = ss.readStream
+        .schema("user_id LONG, e LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$inDir/purchases")
+        .select(col("user_id").as("uid_p"), col("e").as("e_p"),
+          col("value").as("v_p"), timestamp_seconds(col("e")).as("ts_p"))
+        .withWatermark("ts_p", "0 seconds")
+      views.join(purchases,
+          col("uid_v") === col("uid_p") &&
+          col("ts_p") >= col("ts_v") &&
+          col("ts_p") < col("ts_v") + expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+        .select(col("uid_v").as("user_id"), col("e_v"), col("e_p"),
+          col("v_p"))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/cp")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    spark.read.parquet(s"$work/out")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("e_v"), col("e_p"), col("v_p"))
+  }
+
+  val convOuterStreamOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+      |         value
+      |  FROM events
+      |), v AS (SELECT user_id, e FROM ev WHERE event_type = 'view'
+      |), p AS (SELECT user_id, e, value FROM ev WHERE event_type = 'purchase'
+      |)
+      |SELECT v.user_id AS user_id, v.e AS e_v, p.e AS e_p, p.value AS v_p
+      |FROM v LEFT JOIN p
+      |  ON v.user_id = p.user_id
+      | AND p.e >= v.e AND p.e < v.e + 1800""".stripMargin
+
   /** The streaming sessionizer run END-TO-END over the fixture events,
     * registered under the SAME DuckDB oracle as the batch [[sessionize]]
     * — the stream == batch equivalence gate (the reference is itself a
@@ -1199,6 +1298,7 @@ object AnalyticsQueries {
     "zorder_layout" -> ((zorderLayout _, zorderLayoutOracle)),
     "range_join_stream" -> ((rangeJoinStream _, rangeJoinStreamOracle)),
     "conversion_pairs_stream" -> ((conversionPairsStream _, conversionPairsStreamOracle)),
+    "conv_outer_stream" -> ((convOuterStream _, convOuterStreamOracle)),
     "value_histogram" -> ((valueHistogram _, valueHistogramOracle)),
     "gpu_daily_report" -> (((s: SparkSession, d: String) => gpuDailyReport(s, d), gpuDailyReportOracle)),
     "hourly_avg" -> ((hourlyAvg _, hourlyAvgOracle)),
