@@ -1072,6 +1072,83 @@ object AnalyticsQueries {
       |  ON v.user_id = p.user_id
       | AND p.e >= v.e AND p.e < v.e + 1800""".stripMargin
 
+  /** NATIVE session-window streaming aggregation — the eighth
+    * stream≡batch gate, and deliberately the same problem as
+    * [[sessionizeStream]] solved with the operator Spark SHIPS for it:
+    * `session_window(ts, gap)` merges overlapping per-event windows in
+    * the state store, no custom flatMapGroupsWithState needed (the
+    * engine-preference rule: built-in operator > custom state code when
+    * the semantics fit). The two sessionizers differ exactly at a gap of
+    * precisely 1800 s — session_window merges while `gap < 1800` (window
+    * overlap is strict), the custom sessionizer while `gap <= 1800` — so
+    * this gate carries its OWN oracle with the `< 1800` island rule
+    * rather than reusing [[sessionizeOracle]]; both rules are pinned,
+    * each against its own engine. Emission: append mode releases a
+    * session once the watermark passes its end (= last event + gap); one
+    * global far-future sentinel row advances the watermark past every
+    * real session's end — per-user sentinels are a
+    * flatMapGroupsWithState need, a window aggregation closes on the
+    * GLOBAL watermark. At 100 TB: state is one merged window per open
+    * session, sharded by user — bounded by concurrently-open sessions,
+    * never history.
+    */
+  def sessionWindowStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("swin_e2e").toString
+    val inDir = cachedStreamInput(spark, s"swin#$sfDir") { path =>
+      val ev = EventsIngest.readEvents(spark, sfDir)
+        .select(col("user_id"), col("ts").cast("long").as("e"))
+      val maxE = ev.agg(max(col("e"))).head().getLong(0)
+      ev.unionByName(
+        spark.range(1).select(lit(-1L).as("user_id"),
+          lit(maxE + 7200L).as("e")))
+        .coalesce(1) // one file -> one deterministic micro-batch
+        .write.parquet(path)
+    }
+    withStreamSession(spark) { ss =>
+      ss.readStream
+        .schema("user_id LONG, e LONG")
+        .parquet(inDir)
+        .withColumn("ts", timestamp_seconds(col("e")))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("win"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_timestamp(col("win.start")).as("s_start"),
+          unix_timestamp(col("win.end")).as("s_end"),
+          col("n_events"))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/cp")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    spark.read.parquet(s"$work/out")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("s_start"), col("s_end"), col("n_events"))
+  }
+
+  val sessionWindowStreamOracle: String =
+    rawCte +
+      """
+        |, g AS (
+        |  SELECT user_id, e,
+        |         CASE WHEN e - lag(e) OVER (PARTITION BY user_id
+        |                                    ORDER BY e) < 1800
+        |              THEN 0 ELSE 1 END AS is_new
+        |  FROM ev
+        |), s AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |)
+        |SELECT user_id, min(e) AS s_start, max(e) + 1800 AS s_end,
+        |       count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin
+
   /** The streaming sessionizer run END-TO-END over the fixture events,
     * registered under the SAME DuckDB oracle as the batch [[sessionize]]
     * — the stream == batch equivalence gate (the reference is itself a
@@ -1299,6 +1376,8 @@ object AnalyticsQueries {
     "range_join_stream" -> ((rangeJoinStream _, rangeJoinStreamOracle)),
     "conversion_pairs_stream" -> ((conversionPairsStream _, conversionPairsStreamOracle)),
     "conv_outer_stream" -> ((convOuterStream _, convOuterStreamOracle)),
+    "session_window_stream" ->
+      ((sessionWindowStream _, sessionWindowStreamOracle)),
     "value_histogram" -> ((valueHistogram _, valueHistogramOracle)),
     "gpu_daily_report" -> (((s: SparkSession, d: String) => gpuDailyReport(s, d), gpuDailyReportOracle)),
     "hourly_avg" -> ((hourlyAvg _, hourlyAvgOracle)),

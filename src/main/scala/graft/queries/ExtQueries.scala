@@ -3027,6 +3027,83 @@ object ExtQueries {
       |)""".stripMargin
   }
 
+  /** Hashed-feature bucket count for DSIR: md5 of the bigram folded to
+    * [0, 1024) — the "hashed n-gram features" of the paper, sized so
+    * both distributions broadcast as ≤1024-row frames.
+    */
+  private val DsirBuckets = 1024
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more likely its hashed-bigram features are under a
+    * TARGET distribution (here: the corpus's `en` slice, the
+    * high-quality-proxy role the paper gives formal text) than under
+    * the SOURCE (the whole corpus). Two stated deviations, both in the
+    * repo's determinism discipline: (a) the per-feature likelihood
+    * ratio is kept as an integer basis-point ratio with +1 smoothing,
+    * (p_t/p_s ≈ ((c_t+1)·ΣS·10⁴) div ((c_s+1)·ΣT)), log-free; (b) the
+    * document score is the MEAN of per-occurrence ratios rather than
+    * the sum of their logs — the arithmetic surrogate of the paper's
+    * log-likelihood ratio (order-preserving for the decisions the
+    * score drives, exact in integers, bit-identical cross-engine).
+    * Scale shape: the two feature histograms are ≤[[DsirBuckets]]-row
+    * aggregates (partial-merge collapses each partition before a
+    * trivial shuffle); their join + totals broadcast back against the
+    * exploded feature stream (BroadcastHashJoin); the only
+    * corpus-keyed shuffle is the final per-doc sum — the paper's
+    * "score a billion docs against a small target" shape exactly.
+    */
+  def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = docs(spark, sfDir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.shingles("toks", 2)).as("gram"))
+      .withColumn("b",
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
+          % DsirBuckets)
+    val src = feats.groupBy(col("b")).agg(count(lit(1)).as("cs"))
+    val tgt = feats.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val ratios = src.join(tgt, Seq("b"), "left")
+      .select(col("b"), col("cs"), coalesce(col("ct"), lit(0L)).as("ct"))
+      .crossJoin(broadcast(src.agg(sum(col("cs")).as("ss"))))
+      .crossJoin(broadcast(tgt.agg(sum(col("ct")).as("st"))))
+      .select(col("b"),
+        expr("((ct + 1) * ss * 10000) div ((cs + 1) * st)").as("ratio_bp"))
+    feats.join(broadcast(ratios), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("ratio_bp")).as("rsum"))
+      .select(col("doc_id"), col("n_feats"),
+        expr("rsum div n_feats").as("weight_bp"))
+  }
+
+  val dsirWeightsOracle: String =
+    s"""WITH f AS (
+      |  SELECT doc_id, lang,
+      |         CAST(('0x' || substr(md5(a[g.i] || ' ' || a[g.i+1]), 1, 15))
+      |              AS BIGINT) % $DsirBuckets AS b
+      |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS a
+      |        FROM documents),
+      |       unnest(generate_series(1, len(a) - 1)) AS g(i)
+      |  WHERE len(a) >= 2
+      |), src AS (
+      |  SELECT b, count(*) AS cs FROM f GROUP BY 1
+      |), tgt AS (
+      |  SELECT b, count(*) AS ct FROM f WHERE lang = 'en' GROUP BY 1
+      |), tot AS (
+      |  SELECT (SELECT CAST(sum(cs) AS BIGINT) FROM src) AS ss,
+      |         (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS st
+      |), r AS (
+      |  SELECT src.b,
+      |         ((coalesce(ct, 0) + 1) * ss * 10000)
+      |           // ((cs + 1) * st) AS ratio_bp
+      |  FROM src LEFT JOIN tgt USING (b), tot
+      |)
+      |SELECT doc_id, count(*) AS n_feats,
+      |       CAST(sum(ratio_bp) // count(*) AS BIGINT) AS weight_bp
+      |FROM f JOIN r USING (b)
+      |GROUP BY doc_id""".stripMargin
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     * SIGMOD'03): hash every k-gram (k = 3 tokens), slide a w = 4 window
     * over the hash sequence, and keep the RIGHTMOST MINIMAL hash of
@@ -3098,6 +3175,7 @@ object ExtQueries {
     "unimax_alloc" -> ((unimaxAlloc _, unimaxAllocOracle)),
     "gopher_rules" -> ((gopherRules _, gopherRulesOracle)),
     "doc_winnow" -> ((docWinnow _, docWinnowOracle)),
+    "dsir_weights" -> ((dsirWeights _, dsirWeightsOracle)),
     "doc_rarity" -> ((docRarity _, docRarityOracle)),
     "quality_deciles" -> ((qualityDeciles _, qualityDecilesOracle)),
     "pii_scrub" -> ((piiScrub _, piiScrubOracle)),
