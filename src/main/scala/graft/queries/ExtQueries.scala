@@ -1028,58 +1028,78 @@ object ExtQueries {
     * argmin-with-tiebreak; lexicographic struct ordering makes the tie
     * rule explicit in both engines.
     */
-  def pqAdcTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val M = 8; val SUB = 8; val K = 16
-    val emb = embeddings(spark, sfDir)
-      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
-    val cb: Seq[Seq[Seq[Long]]] = {
-      val rows = emb.filter(col("vec_id") < K).orderBy(col("vec_id"))
-        .select(col("qv")).collect()
-      (0 until M).map(m => rows.toSeq.map(
-        _.getSeq[Long](0).slice(m * SUB, m * SUB + SUB)))
-    }
-    // Two measured performance rules shape the expression build:
-    // (1) each centroid lands as its OWN 8-long literal at the exact
-    // spot it is used (Scala-level unrolling) — a nested codebook
-    // literal indexed with get(get(...)) re-materializes the whole
-    // 1024-long array per access and the expression tree explodes
-    // ~100×; (2) the squared distance expands to ‖a‖² − 2a·c + ‖c‖²
-    // so the per-(m,k) work is ONE native fused-loop dot product
-    // ([[graft.functions.DotProductQ]], codegen'd) plus two constants —
-    // the zip_with/aggregate HOF formulation runs interpreted lambdas
-    // per row and measured ~7× slower across the 128 (m,k) pairs
-    def subDist(sub: Column, subNormSq: Column, cent: Seq[Long]): Column =
-      subNormSq - lit(2L) * Similarity.dotQ(sub, typedlit(cent)) +
-        lit(cent.map(x => x * x).sum)
-    val codes = array((0 until M).map { m =>
-      val sub = slice(col("qv"), m * SUB + 1, SUB)
+  private val PqM = 8; private val PqSub = 8; private val PqK = 16
+
+  /** PQ codebook: the first [[PqK]] quantized vectors split into [[PqM]]
+    * subspaces, collected once (8 KiB) so every centroid can land as a
+    * plan literal — shared by [[pqAdcTopk]] and [[annIvfPq]].
+    */
+  private def pqCodebook(emb: DataFrame): Seq[Seq[Seq[Long]]] = {
+    val rows = emb.filter(col("vec_id") < PqK).orderBy(col("vec_id"))
+      .select(col("qv")).collect()
+    (0 until PqM).map(m => rows.toSeq.map(
+      _.getSeq[Long](0).slice(m * PqSub, m * PqSub + PqSub)))
+  }
+
+  // Two measured performance rules shape the PQ expression build:
+  // (1) each centroid lands as its OWN 8-long literal at the exact
+  // spot it is used (Scala-level unrolling) — a nested codebook
+  // literal indexed with get(get(...)) re-materializes the whole
+  // 1024-long array per access and the expression tree explodes
+  // ~100×; (2) the squared distance expands to ‖a‖² − 2a·c + ‖c‖²
+  // so the per-(m,k) work is ONE native fused-loop dot product
+  // ([[graft.functions.DotProductQ]], codegen'd) plus two constants —
+  // the zip_with/aggregate HOF formulation runs interpreted lambdas
+  // per row and measured ~7× slower across the 128 (m,k) pairs
+  private def pqSubDist(sub: Column, subNormSq: Column,
+      cent: Seq[Long]): Column =
+    subNormSq - lit(2L) * Similarity.dotQ(sub, typedlit(cent)) +
+      lit(cent.map(x => x * x).sum)
+
+  /** Per-vector PQ codes over a `qv` column: argmin centroid per
+    * subspace. */
+  private def pqCodes(cb: Seq[Seq[Seq[Long]]]): Column =
+    array((0 until PqM).map { m =>
+      val sub = slice(col("qv"), m * PqSub + 1, PqSub)
       val nsq = Similarity.normSqQ(sub)
-      array_min(array((0 until K).map { k =>
-        struct(subDist(sub, nsq, cb(m)(k)).as("d"), lit(k.toLong).as("k"))
+      array_min(array((0 until PqK).map { k =>
+        struct(pqSubDist(sub, nsq, cb(m)(k)).as("d"), lit(k.toLong).as("k"))
       }: _*)).getField("k")
     }: _*)
+
+  /** Per-query ADC lookup table over a `qv` column: [[PqM]]×[[PqK]]
+    * exact sub-distances. */
+  private def pqLut(cb: Seq[Seq[Seq[Long]]]): Column =
+    array((0 until PqM).map { m =>
+      val sub = slice(col("qv"), m * PqSub + 1, PqSub)
+      val nsq = Similarity.normSqQ(sub)
+      array((0 until PqK).map(k => pqSubDist(sub, nsq, cb(m)(k))): _*)
+    }: _*)
+
+  /** ADC distance: 8 integer table lookups over (`lut`, `codes`). */
+  private def pqAdcDist: Column =
+    aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L), (acc, m) =>
+      acc + get(get(col("lut"), m), get(col("codes"), m).cast("int")))
+
+  def pqAdcTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val cb = pqCodebook(emb)
     // materialize the codes: without the barrier CollapseProject inlines
     // the 128-dot encode expression into the post-join projection — once
     // per get(codes, m) reference, so 8× per JOINED row instead of 1×
     // per vector (measured 2.4 s → 0.4 s). It is also the semantic
     // artifact: at 100 TB the code table IS the persisted PQ index.
     val cand = graft.ext.CacheScope.persistTracked(
-      emb.select(col("vec_id"), codes.as("codes")))
-    val lut = array((0 until M).map { m =>
-      val sub = slice(col("qv"), m * SUB + 1, SUB)
-      val nsq = Similarity.normSqQ(sub)
-      array((0 until K).map(k => subDist(sub, nsq, cb(m)(k))): _*)
-    }: _*)
+      emb.select(col("vec_id"), pqCodes(cb).as("codes")))
     val queries = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), lut.as("lut"))
-    val adc = aggregate(sequence(lit(0), lit(M - 1)), lit(0L), (acc, m) =>
-      acc + get(get(col("lut"), m), get(col("codes"), m).cast("int")))
+      .select(col("vec_id").as("qid"), pqLut(cb).as("lut"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("adc_dist").asc, col("vec_id").asc)
     cand.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("adc_dist", adc)
+      .withColumn("adc_dist", pqAdcDist)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
       .select(col("qid"), col("vec_id"), col("adc_dist"), col("rk"))
@@ -1260,6 +1280,95 @@ object ExtQueries {
     * bucket, search only the query's bucket. The bucket id is the shuffle
     * key that replaces the all-pairs join at scale.
     */
+  /** IVF + PQ composed — the billion-scale ANN architecture (Jégou et
+    * al. 2011's IVFADC, minus residual encoding — stated deviation:
+    * codes are over raw vectors, so one code table serves both flat-PQ
+    * and IVF-PQ; real IVFADC encodes v − centroid(v) for tighter
+    * quantization): the inverted file prunes candidates to each
+    * query's nearest cell, and ADC scores only that cell's PQ codes —
+    * candidate volume drops by the cell count while each distance
+    * stays 8 integer lookups. At 100 TB: the code table is partitioned
+    * BY CELL on disk, a query reads one partition (the inverted-list
+    * read) with the LUT riding the broadcast — scan cost ∝
+    * corpus/cells, not corpus, and 8 bytes/vector instead of 256.
+    */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb0 = embeddings(spark, sfDir)
+    val emb = emb0.select(col("vec_id"), col("label"),
+      Similarity.quantize(col("embedding")).as("qv"))
+    val cb = pqCodebook(emb)
+    val cand = graft.ext.CacheScope.persistTracked(
+      emb.select(col("vec_id"), col("label"), pqCodes(cb).as("codes")))
+    val cents = Similarity.centroids(emb0, "label")
+    val assigned = Similarity.assignCells(emb0.filter(col("vec_id") < 5), cents)
+      .withColumnRenamed("vec_id", "qid").select(col("qid"), col("cell"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), pqLut(cb).as("lut"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    broadcast(queries.join(assigned, "qid"))
+      .join(cand, col("label") === col("cell") && col("vec_id") =!= col("qid"))
+      .withColumn("adc_dist", pqAdcDist)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("cell"), col("vec_id"), col("adc_dist"),
+        col("rk"))
+  }
+
+  val annIvfPqOracle: String =
+    s"""WITH v AS (SELECT vec_id, label, $qvSql AS qv FROM embeddings),
+       |cb AS (
+       |  SELECT m.m, c.vec_id AS k,
+       |         list_slice(c.qv, m.m * 8 + 1, m.m * 8 + 8) AS cent
+       |  FROM v c, unnest(generate_series(0, 7)) AS m(m)
+       |  WHERE c.vec_id < 16
+       |), encd AS (
+       |  SELECT v.vec_id, cb.m, cb.k,
+       |         list_sum(list_transform(
+       |           list_zip(list_slice(v.qv, cb.m * 8 + 1, cb.m * 8 + 8),
+       |                    cb.cent),
+       |           p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+       |  FROM v, cb
+       |), enc AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |              ORDER BY d ASC, k ASC) AS r
+       |    FROM encd) WHERE r = 1
+       |), comp AS (
+       |  SELECT label, i.i AS pos, qv[i.i] AS q
+       |  FROM v, unnest(generate_series(1, 64)) AS i(i)
+       |), cent AS (
+       |  SELECT label AS cell, list(c ORDER BY pos) AS centroid
+       |  FROM (SELECT label, pos,
+       |               CAST(trunc(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS c
+       |        FROM comp GROUP BY label, pos)
+       |  GROUP BY label
+       |), q AS (
+       |  SELECT vec_id AS qid, qv FROM v WHERE vec_id < 5
+       |), routed AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.qid, c.cell,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY ${cosSql("q.qv", "c.centroid")} DESC, c.cell ASC) AS rr
+       |    FROM q, cent c
+       |  ) WHERE rr = 1
+       |), qd AS (
+       |  SELECT e.vec_id AS qid, e.m, e.k, e.d FROM encd e WHERE e.vec_id < 5
+       |), adc AS (
+       |  SELECT qd.qid, r.cell, enc.vec_id, CAST(sum(qd.d) AS BIGINT) AS adc_dist
+       |  FROM enc
+       |  JOIN v cv ON cv.vec_id = enc.vec_id
+       |  JOIN qd ON enc.m = qd.m AND enc.code = qd.k
+       |  JOIN routed r ON r.qid = qd.qid AND cv.label = r.cell
+       |  WHERE enc.vec_id <> qd.qid
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT qid, cell, vec_id, adc_dist, rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |            ORDER BY adc_dist ASC, vec_id ASC) AS rk
+       |  FROM adc) WHERE rk <= 5""".stripMargin
+
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val planes = Similarity.hyperplanes(numPlanes = 8, dim = 64)
@@ -3217,6 +3326,7 @@ object ExtQueries {
     "pq_adc_topk" -> ((pqAdcTopk _, pqAdcTopkOracle)),
     "ann_ivf_topk" -> ((annIvf _, annIvfOracle)),
     "ann_ivf_multiprobe" -> ((annIvfMultiprobe _, annIvfMultiprobeOracle)),
+    "ann_ivfpq_topk" -> ((annIvfPq _, annIvfPqOracle)),
     "ann_lsh_topk" -> ((annLsh _, annLshOracle)),
     "approx_distinct_users" -> ((approxDistinct _, "")),
     "kmv_distinct_users" -> ((kmvDistinct _, kmvDistinctOracle)),
