@@ -3249,7 +3249,33 @@ object ExtQueries {
       .distinct()
   }
 
-  val docWinnowOracle: String =
+  /** Near-dup pairs from WINNOWING fingerprints — the second half of the
+    * SIGMOD'03 design: two documents sharing ≥ 3 selected fingerprints
+    * share (with winnowing's guarantee) overlapping token runs, the
+    * copied-passage signal that set-based MinHash misses when the rest
+    * of the documents differ. Same skew discipline as
+    * [[ngramJaccard]]'s capped inverted index: fingerprints held by
+    * > 64 documents are dropped BEFORE the self-join (a corpus-scale
+    * boilerplate fingerprint would otherwise pair quadratically;
+    * detecting boilerplate is upstream exact-dedup's job), so the join
+    * is linear in postings. Emits (doc_a < doc_b, shared count).
+    */
+  def winnowNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val sel = docWinnow(spark, sfDir).select(col("doc_id"), col("fp")).distinct()
+    val keep = sel.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= 64).select(col("fp"))
+    val postings = sel.join(keep, "fp")
+    postings.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(postings.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+  }
+
+  /** The winnow hash-selection CTEs (through `wins`), shared by the
+    * fingerprint dump and the near-dup pair oracles. */
+  private val winnowCte: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents
       |), grams AS (
@@ -3266,10 +3292,25 @@ object ExtQueries {
       |         count(*) OVER (PARTITION BY doc_id ORDER BY pos
       |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
       |  FROM grams
-      |)
+      |)""".stripMargin
+
+  val docWinnowOracle: String = winnowCte +
+    """
       |SELECT DISTINCT doc_id, CAST(127 - (mk % 128) AS BIGINT) AS pos,
       |       CAST(mk // 128 AS BIGINT) AS fp
       |FROM wins WHERE cnt = 4""".stripMargin
+
+  val winnowNeardupOracle: String = winnowCte +
+    """
+      |, sel AS (
+      |  SELECT DISTINCT doc_id, mk // 128 AS fp FROM wins WHERE cnt = 4
+      |), keep AS (
+      |  SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 64
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      |FROM sel a JOIN keep USING (fp) JOIN sel b USING (fp)
+      |WHERE a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "semdedup_prune" -> ((semdedupPrune _, semdedupPruneOracle)),
@@ -3284,6 +3325,7 @@ object ExtQueries {
     "unimax_alloc" -> ((unimaxAlloc _, unimaxAllocOracle)),
     "gopher_rules" -> ((gopherRules _, gopherRulesOracle)),
     "doc_winnow" -> ((docWinnow _, docWinnowOracle)),
+    "winnow_neardup" -> ((winnowNeardup _, winnowNeardupOracle)),
     "dsir_weights" -> ((dsirWeights _, dsirWeightsOracle)),
     "doc_rarity" -> ((docRarity _, docRarityOracle)),
     "quality_deciles" -> ((qualityDeciles _, qualityDecilesOracle)),
