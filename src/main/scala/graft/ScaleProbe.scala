@@ -90,8 +90,25 @@ object ScaleProbe {
     // growth a dedup can't avoid (upstream exact-dedup is the documented
     // production answer, as for the hot-shingle jaccard corpus).
     val r8bOnly = args.length > 2 && args(2) == "r8b"
+    // `r8c` (arg 3): the round-8 retrieval/policy batch. Exact-copy
+    // amplification is the interesting case for winnow_neardup: every
+    // copy is a GENUINE near-dup, so fingerprint postings grow N× and
+    // output pairs grow ~N² — real dup growth the ≤64-df cap bounds per
+    // posting (base-df>2 fingerprints drop out at 30×, exactly the
+    // upstream-exact-dedup division of labor the jaccard hot probe
+    // documents). bm25/dsir see N× the token stream over an unchanged
+    // vocabulary/bucket space (broadcast frames constant, shuffles
+    // linear); ivfpq sees N× vectors per cell at a fixed cell count.
+    val r8cOnly = args.length > 2 && args(2) == "r8c"
     for ((dir, tag) <- Seq((sfDir, "1x"), (probeDir, s"${copies}x"))) {
-      if (r8bOnly) {
+      if (r8cOnly) {
+        time("bm25_topk", dir, tag)(graft.queries.ExtQueries.bm25Topk)
+        time("dsir_weights", dir, tag)(graft.queries.ExtQueries.dsirWeights)
+        time("doc_winnow", dir, tag)(graft.queries.ExtQueries.docWinnow)
+        time("winnow_neardup", dir, tag)(graft.queries.ExtQueries.winnowNeardup)
+        time("ann_ivfpq", dir, tag)(graft.queries.ExtQueries.annIvfPq)
+        time("gopher_rules", dir, tag)(graft.queries.ExtQueries.gopherRules)
+      } else if (r8bOnly) {
         time("heavy_hitters", dir, tag)(graft.queries.ExtQueries.heavyHitters)
         time("dedup_incr", dir, tag)(graft.queries.ExtQueries.dedupIncremental)
       } else if (r8only) {
