@@ -3312,7 +3312,80 @@ object ExtQueries {
       |WHERE a.doc_id < b.doc_id
       |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
 
+  /** Line-level dedup, the C4/RefinedWeb curation idiom: any LINE that
+    * recurs across ≥ 3 distinct documents (boilerplate navigation,
+    * cookie banners, licence footers) is dropped from every document,
+    * and the documents are reassembled from their surviving lines. The
+    * fixture corpus is newline-free, so "lines" are non-overlapping
+    * 8-token segments (tail remainder kept as its own segment) — the
+    * same granularity decision C4 makes with sentences. Reference scope:
+    * the reference pipeline has no curation stage (its documents pass
+    * through whole); this is part of the LLM-pipeline pack.
+    *
+    * 100 TB design: the segment build is a pure HOF projection
+    * (`sequence` → `slice` → `array_join`) that pipelines inside the
+    * parquet scan — no token-level explode, no window. The only
+    * shuffles are the segment-frequency groupBy (linear in segments)
+    * and the left-anti join back (equi-join on segment text, linear in
+    * postings); reassembly groups by doc_id, the corpus' natural key.
+    * Under Zipf the duplicated-segment set is tiny and AQE turns the
+    * anti-join into a broadcast; the plan never materializes pairs.
+    * Output: per-doc segment census + the cleaned text (empty string if
+    * every segment was boilerplate — the doc survives as a row so the
+    * drop is auditable downstream).
+    */
+  def lineDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val segs = docs(spark, sfDir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(toks) / 8.0) as int) - 1)," +
+          " i -> array_join(slice(toks, i * 8 + 1, 8), ' '))"))
+        .as(Seq("seg", "segtext")))
+    val dup = segs.groupBy(col("segtext"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 3).select(col("segtext"))
+    val kept = segs.join(dup, Seq("segtext"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg"), col("segtext")))),
+          x => x.getField("segtext")), " ").as("text_clean"))
+    // n_seg is a pure projection of the token count — no third pass over
+    // the exploded segment frame
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        ceil(size(TextOps.tokens(col("text"))) / 8.0).cast("long").as("n_seg"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_seg"),
+        (col("n_seg") - coalesce(col("n_kept"), lit(0L))).as("n_drop"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  val lineDedupOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents
+      |), segs AS (
+      |  SELECT doc_id, g.i - 1 AS seg,
+      |         array_to_string(a[(g.i-1)*8+1 : (g.i-1)*8+8], ' ') AS segtext
+      |  FROM toks,
+      |       unnest(generate_series(1, CAST(ceil(len(a) / 8.0) AS BIGINT)))
+      |         AS g(i)
+      |), dup AS (
+      |  SELECT segtext FROM segs
+      |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+      |), kept AS (
+      |  SELECT s.doc_id, count(*) AS n_kept,
+      |         string_agg(s.segtext, ' ' ORDER BY s.seg) AS text_clean
+      |  FROM segs s LEFT JOIN dup d USING (segtext)
+      |  WHERE d.segtext IS NULL GROUP BY 1
+      |)
+      |SELECT t.doc_id, t.n_seg, t.n_seg - coalesce(k.n_kept, 0) AS n_drop,
+      |       coalesce(k.text_clean, '') AS text_clean
+      |FROM (SELECT doc_id, count(*) AS n_seg FROM segs GROUP BY 1) t
+      |LEFT JOIN kept k USING (doc_id)""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "line_dedup" -> ((lineDedup _, lineDedupOracle)),
     "semdedup_prune" -> ((semdedupPrune _, semdedupPruneOracle)),
     "dup_ngram_mass" -> ((dupNgramMass _, dupNgramMassOracle)),
     "mix_plan" -> ((mixPlan _, mixPlanOracle)),

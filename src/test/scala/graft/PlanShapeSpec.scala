@@ -343,4 +343,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
       plan.take(1200))
   }
+
+  test("line_dedup: HOF segment build, anti-join drop, no token explode") {
+    // segments are built by transform/slice inside the projection — the
+    // plan must carry exactly ONE Generate (the segment posexplode),
+    // not a token-level explode; the boilerplate drop is a left-anti
+    // equi-join, never a pair join
+    val plan = finalPlan(SparkEntry.queries("line_dedup")(spark, sf))
+    assert("Generate".r.findAllIn(plan).length <= 2, plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
 }
