@@ -1359,7 +1359,61 @@ object AnalyticsQueries {
         |       CAST(e - last_err_e AS BIGINT) AS err_age_sec
         |FROM f WHERE event_type = 'purchase'""".stripMargin
 
+  /** Cohort retention — the classic product-analytics matrix: users are
+    * cohorted by the WEEK of their first event, and each (cohort week,
+    * week offset) cell counts the cohort's users still active that week,
+    * with retention as integer basis points of the cohort size (exact
+    * integer division, cross-engine stable). Reference scope: the
+    * reference's analytics SQL stops at per-day aggregation
+    * (`docs/examples.md` daily GPU report); cohorting is the standard
+    * next question a warehouse user asks of the same events.
+    *
+    * 100 TB design: the first-event frame is one linear groupBy on
+    * user_id (map-side combinable min); joining it back to events is an
+    * equi-join on the natural key — AQE broadcasts it when users fit,
+    * otherwise both sides already hash-partition on user_id. The
+    * output is |weeks|² cells and the cohort-size frame is |weeks| rows,
+    * joined broadcast. No window functions, no per-user state.
+    */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = EventsIngest.readEvents(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("long").as("e"))
+    val firstW = ev.groupBy(col("user_id"))
+      .agg(min(col("e")).as("e0"))
+      .select(col("user_id"), expr("e0 div 604800").as("cohort_week"))
+    val sizes = firstW.groupBy(col("cohort_week"))
+      .agg(countDistinct(col("user_id")).as("cohort_users"))
+    ev.join(firstW, "user_id")
+      .groupBy(col("cohort_week"),
+        (expr("e div 604800") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        col("n_events"),
+        expr("n_users * 10000 div cohort_users").as("retention_bp"))
+  }
+
+  val retentionCohortsOracle: String =
+    rawCte +
+      """
+        |, f AS (
+        |  SELECT user_id, min(e) // 604800 AS cohort_week FROM ev GROUP BY 1
+        |), sizes AS (
+        |  SELECT cohort_week, count(DISTINCT user_id) AS cohort_users
+        |  FROM f GROUP BY 1
+        |), cells AS (
+        |  SELECT f.cohort_week, ev.e // 604800 - f.cohort_week AS week_offset,
+        |         count(DISTINCT ev.user_id) AS n_users,
+        |         count(*) AS n_events
+        |  FROM ev JOIN f USING (user_id) GROUP BY 1, 2
+        |)
+        |SELECT c.cohort_week, c.week_offset, c.n_users, c.n_events,
+        |       c.n_users * 10000 // s.cohort_users AS retention_bp
+        |FROM cells c JOIN sizes s USING (cohort_week)""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "retention_cohorts" -> ((retentionCohorts _, retentionCohortsOracle)),
     "metric_median" -> ((metricMedian _, metricMedianOracle)),
     "metric_outliers" -> ((metricOutliers _, metricOutliersOracle)),
     "sessionize" -> ((sessionize _, sessionizeOracle)),

@@ -3384,7 +3384,46 @@ object ExtQueries {
       |FROM (SELECT doc_id, count(*) AS n_seg FROM segs GROUP BY 1) t
       |LEFT JOIN kept k USING (doc_id)""".stripMargin
 
+  /** One BPE tokenizer-training iteration: the top-20 adjacent
+    * character pairs by corpus frequency, the pair a trainer would merge
+    * next. The canonical scale trick (as in the public SentencePiece /
+    * subword-nmt trainers) is that pair counting runs over the
+    * VOCABULARY weighted by word frequency, not over the corpus: after
+    * the word-count shuffle (linear in tokens, map-side combinable),
+    * every later stage touches |vocab| rows — corpus-size-independent,
+    * ~10⁷ rows at 100 TB where the corpus is 10¹³ tokens. Pair
+    * generation is a HOF projection (`sequence` → `substring`) inside
+    * the vocab scan; the top-20 is a TakeOrderedAndProject with the pair
+    * string as the deterministic tiebreak, never a global sort.
+    */
+  def bpeMergeStep(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab = docs(spark, sfDir)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    vocab.filter(length(col("w")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(20)
+  }
+
+  val bpeMergeStepOracle: String =
+    """WITH vocab AS (
+      |  SELECT u.w, count(*) AS freq
+      |  FROM documents, unnest(string_split(lower(text), ' ')) AS u(w)
+      |  GROUP BY 1
+      |), pairs AS (
+      |  SELECT substr(w, g.i, 2) AS pair, sum(freq) AS cnt
+      |  FROM vocab, unnest(generate_series(1, length(w) - 1)) AS g(i)
+      |  WHERE length(w) >= 2 GROUP BY 1
+      |)
+      |SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pairs
+      |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "bpe_merge_step" -> ((bpeMergeStep _, bpeMergeStepOracle)),
     "line_dedup" -> ((lineDedup _, lineDedupOracle)),
     "semdedup_prune" -> ((semdedupPrune _, semdedupPruneOracle)),
     "dup_ngram_mass" -> ((dupNgramMass _, dupNgramMassOracle)),

@@ -344,6 +344,18 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(1200))
   }
 
+  test("retention_cohorts: cohort sizes broadcast, no cartesian") {
+    val plan = finalPlan(SparkEntry.queries("retention_cohorts")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
+  test("bpe_merge_step: top-20 is TakeOrderedAndProject, not a global sort") {
+    val plan = finalPlan(SparkEntry.queries("bpe_merge_step")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+  }
+
   test("line_dedup: HOF segment build, anti-join drop, no token explode") {
     // segments are built by transform/slice inside the projection — the
     // plan must carry exactly ONE Generate (the segment posexplode),
