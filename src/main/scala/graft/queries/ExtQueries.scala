@@ -3422,7 +3422,56 @@ object ExtQueries {
       |SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pairs
       |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
 
+  /** Mergeable quantile sketch over the event values: the sample is the
+    * 1024 rows with the LOWEST md5(event_id) rank — a deterministic
+    * uniform sample (the hash is fixed, so unlike a random reservoir the
+    * oracle recomputes the identical sketch and the compare is
+    * hash-exact, the same determinism trick as the KMV sketch), and a
+    * mergeable one: bottom-k of a union is the bottom-k of the parts'
+    * bottom-ks, so per-partition/per-day sketches combine losslessly —
+    * TakeOrderedAndProject IS that merge (per-partition heaps, one
+    * driver merge). Quantile estimates are pure rank selection over the
+    * 1024-row sample (no interpolation arithmetic, cross-engine safe);
+    * DKW puts the rank error at ~4.3% with 95% confidence at k=1024,
+    * asserted against exact percentiles in QuantilePropertySpec.
+    * Completes the sketch family: HLL + KMV (distinct), CMS (point
+    * frequency), Misra–Gries (heavy hitters), bottom-k (quantiles).
+    */
+  def quantileSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val samp = graft.ingest.EventsIngest.readEvents(spark, sfDir)
+      .select(col("value"), md5(col("event_id").cast("string")).as("r"))
+      .orderBy(col("r")).limit(1024)
+    // the sample is ≤1024 rows: the single-partition window and the
+    // 7-row percentile frame both operate on a bounded frame by design
+    val ranked = samp
+      .withColumn("rn", row_number().over(Window.orderBy(col("value"), col("r"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val ps = spark.createDataFrame(
+      Seq(1, 5, 25, 50, 75, 95, 99).map(Tuple1(_))).toDF("p")
+    ranked.crossJoin(broadcast(ps))
+      .filter(col("rn") ===
+        greatest(lit(1L), ceil(col("p") * col("n") / lit(100)).cast("long")))
+      .select(col("p"), col("value").as("est_value"))
+  }
+
+  val quantileSketchOracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, value, md5(CAST(event_id AS VARCHAR)) AS r
+      |  FROM events
+      |), samp AS (
+      |  SELECT value, r FROM ev ORDER BY r LIMIT 1024
+      |), ranked AS (
+      |  SELECT value, row_number() OVER (ORDER BY value, r) AS rn,
+      |         count(*) OVER () AS n
+      |  FROM samp
+      |)
+      |SELECT q.p, ranked.value AS est_value
+      |FROM ranked, (VALUES (1), (5), (25), (50), (75), (95), (99)) AS q(p)
+      |WHERE rn = greatest(1, CAST(ceil(q.p * n / 100.0) AS BIGINT))""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "quantile_sketch" -> ((quantileSketch _, quantileSketchOracle)),
     "bpe_merge_step" -> ((bpeMergeStep _, bpeMergeStepOracle)),
     "line_dedup" -> ((lineDedup _, lineDedupOracle)),
     "semdedup_prune" -> ((semdedupPrune _, semdedupPruneOracle)),

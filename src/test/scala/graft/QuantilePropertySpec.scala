@@ -45,4 +45,25 @@ class QuantilePropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("quantile_sketch rank error within the DKW bound at k=1024") {
+    // DKW: sup |F_sample - F| <= sqrt(ln(2/delta)/(2k)) with prob 1-delta;
+    // at k=1024, delta=0.05 that is 0.0425. The md5 rank is a fixed hash,
+    // so this is a deterministic regression gate, not a flaky sample.
+    val sf = "/root/testdata/sf0.001"
+    val est = SparkEntry.queries("quantile_sketch")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val full = graft.ingest.EventsIngest.readEvents(spark, sf)
+      .select(col("value")).as[Double].collect().sorted
+    val n = full.length
+    est.foreach { case (p, v) =>
+      // the estimate's true cdf interval [P(X < v), P(X <= v)] (ties give
+      // it width) must intersect p/100 ± the bound
+      val lo = full.count(_ < v).toDouble / n
+      val hi = full.count(_ <= v).toDouble / n
+      val eps = 0.0425 + 1.0 / n
+      assert(hi >= p / 100.0 - eps && lo <= p / 100.0 + eps,
+        s"p=$p est=$v cdf=[$lo,$hi] n=$n")
+    }
+  }
 }
