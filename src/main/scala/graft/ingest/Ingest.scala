@@ -117,16 +117,24 @@ object SampleConversion {
   */
 object EventsIngest {
 
-  /** The fixture `events.ts` is parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects; read it as raw nanos and floor to whole seconds —
-    * exactly the reference's storage precision anyway (executor.go:280).
+  /** The fixture `events.ts` is parquet TIMESTAMP(NANOS); floor it to
+    * whole seconds — exactly the reference's storage precision anyway
+    * (executor.go:280). Two read paths, because
+    * `spark.sql.legacy.parquet.nanosAsLong` only takes effect when set
+    * at session BUILD time (GraftSession sets it; a runtime conf.set is
+    * ignored by the 4.1 schema converter): under that flag the column
+    * arrives as raw nanos (long), otherwise Spark 4.1 reads NANOS
+    * natively as TIMESTAMP_NTZ — cast through the UTC session zone and
+    * truncate, which lands on the identical instant.
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          date_trunc("SECOND", col("ts").cast("timestamp")))
       case _ => raw
     }
   }

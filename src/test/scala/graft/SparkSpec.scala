@@ -11,15 +11,14 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-tests")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // the graft extension functions (graft_dotq, graft_bloom_agg,
-      // graft_might_contain) — same registration the harness sessions get
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    // the full GraftSession config, not a hand-rolled subset: several of
+    // those settings only take effect at session BUILD time (e.g.
+    // spark.sql.legacy.parquet.nanosAsLong, which decides whether the
+    // fixture's TIMESTAMP(NANOS) column reads as long or TIMESTAMP_NTZ),
+    // so a test session configured differently from the harness sessions
+    // would exercise different plans than the ones Bench/Verify run.
+    val s = GraftSession.configure(
+      SparkSession.builder().master("local[4]").appName("graft-tests"), 4)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
