@@ -1149,6 +1149,96 @@ object AnalyticsQueries {
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin
 
+  /** Native streaming dedup gate: `dropDuplicatesWithinWatermark` over an
+    * at-least-once redelivery of the documents corpus — a stream≡batch
+    * gate solved with the SHIPPED stateful operator rather than custom
+    * state code (the session_window_stream pattern). Three scheduled
+    * micro-batches (`maxFilesPerTrigger=1`, mtime-ordered files) pin the
+    * operator's bounded-state contract, not just its dedup answer:
+    *
+    *  1. the full corpus at t0 — every distinct fingerprint emits once
+    *     (within-batch duplicates collapse in the state store);
+    *  2. a lone watermark-advancer row two days later, then a SECOND
+    *     advancer batch: the first advances the watermark (delay 1 h)
+    *     past every batch-1 key's eviction bound, and the second gives
+    *     the store a batch in which to apply it — eviction lags the
+    *     watermark by one batch, because a batch's input is checked
+    *     against state before that batch's eviction runs. After these
+    *     two, batch-1 state is dropped: state is bounded by the
+    *     watermark horizon, never by corpus size (the 100 TB contract —
+    *     an unbounded-keys dedup would hold every fingerprint ever seen);
+    *  3. a redelivery of every tenth document at the advancer's
+    *     timestamp — their state is gone, so they emit AGAIN.
+    *
+    * The oracle states both facts in SQL: one row per distinct
+    * fingerprint at t0, plus one per redelivered distinct fingerprint at
+    * t0+2d. Within-horizon duplicates collapse; beyond-horizon
+    * redelivery is a fresh row — the operator's documented semantics,
+    * pinned against an independent engine. Rows carry only (fp, e), both
+    * functionally determined by the dedup key and the batch, so
+    * "which duplicate won" can never make the output nondeterministic.
+    */
+  def dedupWmStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("dwm_e2e").toString
+    val t0 = 1000000L
+    val tRe = t0 + 172800L
+    val inDir = cachedStreamInput(spark, s"dwm#$sfDir") { path =>
+      val fps = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(graft.ext.TextOps.fingerprint(col("text")).as("fp"),
+          col("doc_id"))
+      // one parquet file per micro-batch; the file source schedules in
+      // modification-time order, so bump mtimes to fix batch order
+      def batch(df: DataFrame, mtimeBump: Long): Unit = {
+        val dir = new java.io.File(path)
+        val before =
+          if (dir.exists) dir.listFiles.map(_.getName).toSet
+          else Set.empty[String]
+        df.coalesce(1).write.mode("append").parquet(path)
+        dir.listFiles
+          .filter(f => !before(f.getName) && f.getName.endsWith(".parquet"))
+          .foreach(f => f.setLastModified(f.lastModified + mtimeBump))
+      }
+      batch(fps.select(col("fp"), lit(t0).as("e")), 0L)
+      batch(spark.range(1).select(lit("__adv1__").as("fp"),
+        lit(tRe).as("e")), 60000L)
+      batch(spark.range(1).select(lit("__adv2__").as("fp"),
+        lit(tRe).as("e")), 120000L)
+      batch(fps.filter(col("doc_id") % 10 === 0)
+        .select(col("fp"), lit(tRe).as("e")), 180000L)
+    }
+    withStreamSession(spark) { ss =>
+      ss.readStream
+        .schema("fp STRING, e LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .withColumn("ts", timestamp_seconds(col("e")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("fp")
+        .select(col("fp"), col("e"))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/cp")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    spark.read.parquet(s"$work/out")
+      .filter(!col("fp").startsWith("__adv"))
+      .select(col("fp"), col("e"))
+  }
+
+  val dedupWmStreamOracle: String =
+    """WITH fps AS (
+      |  SELECT substr(md5(replace(lower(text), ' ', '')), 1, 16) AS fp,
+      |         doc_id
+      |  FROM documents
+      |)
+      |SELECT DISTINCT fp, 1000000 AS e FROM fps
+      |UNION ALL
+      |SELECT DISTINCT fp, 1172800 AS e FROM fps WHERE doc_id % 10 = 0""".stripMargin
+
   /** The streaming sessionizer run END-TO-END over the fixture events,
     * registered under the SAME DuckDB oracle as the batch [[sessionize]]
     * — the stream == batch equivalence gate (the reference is itself a
@@ -1432,6 +1522,7 @@ object AnalyticsQueries {
     "conv_outer_stream" -> ((convOuterStream _, convOuterStreamOracle)),
     "session_window_stream" ->
       ((sessionWindowStream _, sessionWindowStreamOracle)),
+    "dedup_wm_stream" -> ((dedupWmStream _, dedupWmStreamOracle)),
     "value_histogram" -> ((valueHistogram _, valueHistogramOracle)),
     "gpu_daily_report" -> (((s: SparkSession, d: String) => gpuDailyReport(s, d), gpuDailyReportOracle)),
     "hourly_avg" -> ((hourlyAvg _, hourlyAvgOracle)),
