@@ -3213,6 +3213,122 @@ object ExtQueries {
       |FROM f JOIN r USING (b)
       |GROUP BY doc_id""".stripMargin
 
+  /** CCNet-style LM quality scoring (Wenzek et al. 2020 filter CommonCrawl
+    * by LM perplexity; Gopher and LLaMA inherit the recipe), with the
+    * corpus itself as the language model: a document's score is the mean
+    * conditional bigram probability P(w₂|w₁) of its adjacent token pairs
+    * under corpus-wide counts — fluent/conventional text scores high,
+    * gibberish and boilerplate-free noise score low. Deviations, in the
+    * repo's determinism discipline: probabilities are integer basis
+    * points (c₁₂·10⁴ div c₁ per bigram, mean'd with integer division),
+    * and the aggregate is the MEAN probability rather than mean log-prob
+    * (the same log-free surrogate [[dsirWeights]] states — monotone for
+    * the ranking/threshold decisions the score drives, bit-identical
+    * cross-engine, no libm). No smoothing is needed: every scored bigram
+    * is in the counts by construction (the corpus contains the doc).
+    *
+    * Scale shape: the two count tables are distinct-gram/-unigram sized
+    * (vocabulary², ≪ corpus mass) built by map-side-combined groupBys;
+    * scoring is two equi-joins keyed on gram/w1 — never a shuffle of the
+    * corpus by doc, until the final per-doc aggregation. Hot keys (stop
+    * bigrams) are exactly the AQE skew-join case, and the join stays
+    * linear in occurrences either way — the "score a trillion tokens
+    * against their own statistics" shape.
+    */
+  def lmPredictability(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = docs(spark, sfDir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(TextOps.shingles("toks", 2)).as("gram"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+    val big = grams.groupBy(col("gram")).agg(count(lit(1)).as("c12"))
+    val uni = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    grams.join(big, "gram").join(uni, "w1")
+      .withColumn("p_bp", expr("c12 * 10000 div c1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("p_bp")).as("psum"))
+      .select(col("doc_id"), col("n_grams"),
+        expr("psum div n_grams").as("lm_bp"))
+  }
+
+  /** Snapshot diff — the dataset-versioning primitive every managed
+    * training corpus needs (what "what changed between crawl 2024-06 and
+    * 2024-07?" compiles to): FULL OUTER join of two snapshots on the
+    * stable key, content compared by fingerprint, emitting only
+    * added/removed/changed rows. The v2 snapshot is derived
+    * deterministically from the fixture corpus (every 7th doc dropped,
+    * every remaining 11th doc revised, every 13th doc re-added under a
+    * new id) so both engines build the identical pair of inputs.
+    *
+    * Scale shape: one equi full-outer join keyed on doc_id — one shuffle
+    * per side, or ZERO when both snapshots are bucketed by the key (the
+    * [[zorderLayout]]/FactLayout discipline); the fingerprint comparison
+    * is per-row compute before the join's projection. The unchanged mass
+    * (the overwhelming majority between adjacent snapshots) never leaves
+    * the join — output is bounded by churn, not corpus size.
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val v1 = d.select(col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fp1"))
+    val kept = d.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" (rev2)")))
+          .otherwise(col("text")).as("text"))
+    val added = d.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val v2 = kept.unionByName(added)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp2").isNull, lit("removed"))
+          .when(col("fp1").isNull, lit("added"))
+          .when(col("fp1") =!= col("fp2"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"))
+  }
+
+  val snapshotDiffOracle: String =
+    """WITH v1 AS (
+      |  SELECT doc_id, substr(md5(replace(lower(text), ' ', '')), 1, 16) AS fp1
+      |  FROM documents
+      |), v2src AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 11 = 0 THEN text || ' (rev2)' ELSE text END
+      |           AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 13 = 0
+      |), v2 AS (
+      |  SELECT doc_id, substr(md5(replace(lower(text), ' ', '')), 1, 16) AS fp2
+      |  FROM v2src
+      |)
+      |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+      |       CASE WHEN v2.doc_id IS NULL THEN 'removed'
+      |            WHEN v1.doc_id IS NULL THEN 'added'
+      |            ELSE 'changed' END AS status
+      |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+      |WHERE v2.doc_id IS NULL OR v1.doc_id IS NULL OR fp1 <> fp2""".stripMargin
+
+  val lmPredictabilityOracle: String =
+    """WITH g AS (
+      |  SELECT doc_id, a[t.i] AS w1, a[t.i] || ' ' || a[t.i+1] AS gram
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS a
+      |        FROM documents),
+      |       unnest(generate_series(1, len(a) - 1)) AS t(i)
+      |  WHERE len(a) >= 2
+      |), big AS (
+      |  SELECT gram, count(*) AS c12 FROM g GROUP BY 1
+      |), uni AS (
+      |  SELECT w1, count(*) AS c1 FROM g GROUP BY 1
+      |)
+      |SELECT doc_id, count(*) AS n_grams,
+      |       CAST(sum(c12 * 10000 // c1) // count(*) AS BIGINT) AS lm_bp
+      |FROM g JOIN big USING (gram) JOIN uni USING (w1)
+      |GROUP BY doc_id""".stripMargin
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     * SIGMOD'03): hash every k-gram (k = 3 tokens), slide a w = 4 window
     * over the hash sequence, and keep the RIGHTMOST MINIMAL hash of
@@ -3488,6 +3604,8 @@ object ExtQueries {
     "doc_winnow" -> ((docWinnow _, docWinnowOracle)),
     "winnow_neardup" -> ((winnowNeardup _, winnowNeardupOracle)),
     "dsir_weights" -> ((dsirWeights _, dsirWeightsOracle)),
+    "lm_predictability" -> ((lmPredictability _, lmPredictabilityOracle)),
+    "snapshot_diff" -> ((snapshotDiff _, snapshotDiffOracle)),
     "doc_rarity" -> ((docRarity _, docRarityOracle)),
     "quality_deciles" -> ((qualityDeciles _, qualityDecilesOracle)),
     "pii_scrub" -> ((piiScrub _, piiScrubOracle)),

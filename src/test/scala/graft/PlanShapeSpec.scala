@@ -366,4 +366,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
+
+  test("lm_predictability: count-table equi-joins, never a pair join") {
+    // scoring joins the exploded bigram stream against two count tables
+    // keyed on gram/w1 — both must stay equi-joins (hot stop-bigrams are
+    // the AQE skew case, not a nested-loop excuse)
+    val plan = finalPlan(SparkEntry.queries("lm_predictability")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
+  test("snapshot_diff: one full-outer equi-join keyed on doc_id") {
+    val plan = finalPlan(SparkEntry.queries("snapshot_diff")(spark, sf))
+    assert(plan.contains("FullOuter"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
 }
