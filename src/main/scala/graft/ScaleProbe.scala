@@ -100,8 +100,19 @@ object ScaleProbe {
     // vocabulary/bucket space (broadcast frames constant, shuffles
     // linear); ivfpq sees N× vectors per cell at a fixed cell count.
     val r8cOnly = args.length > 2 && args(2) == "r8c"
+    // `r8d` (arg 3): the round-8 scoring/versioning batch. Exact-copy
+    // amplification keeps the distinct-gram space CONSTANT while the
+    // occurrence stream grows N× — lm_predictability's count tables must
+    // stay vocabulary-sized (the per-gram counts scale, the ratios
+    // don't), so its time tracks the token stream, linear. snapshot_diff
+    // sees N× both snapshots with churn a fixed fraction of ids: the
+    // full-outer join is linear and output stays churn-bound.
+    val r8dOnly = args.length > 2 && args(2) == "r8d"
     for ((dir, tag) <- Seq((sfDir, "1x"), (probeDir, s"${copies}x"))) {
-      if (r8cOnly) {
+      if (r8dOnly) {
+        time("lm_predict", dir, tag)(graft.queries.ExtQueries.lmPredictability)
+        time("snapshot_diff", dir, tag)(graft.queries.ExtQueries.snapshotDiff)
+      } else if (r8cOnly) {
         time("bm25_topk", dir, tag)(graft.queries.ExtQueries.bm25Topk)
         time("dsir_weights", dir, tag)(graft.queries.ExtQueries.dsirWeights)
         time("doc_winnow", dir, tag)(graft.queries.ExtQueries.docWinnow)
