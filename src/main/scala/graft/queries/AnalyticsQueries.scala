@@ -1078,12 +1078,16 @@ object AnalyticsQueries {
     * `session_window(ts, gap)` merges overlapping per-event windows in
     * the state store, no custom flatMapGroupsWithState needed (the
     * engine-preference rule: built-in operator > custom state code when
-    * the semantics fit). The two sessionizers differ exactly at a gap of
-    * precisely 1800 s — session_window merges while `gap < 1800` (window
-    * overlap is strict), the custom sessionizer while `gap <= 1800` — so
-    * this gate carries its OWN oracle with the `< 1800` island rule
-    * rather than reusing [[sessionizeOracle]]; both rules are pinned,
-    * each against its own engine. Emission: append mode releases a
+    * the semantics fit). Merge rule, pinned EMPIRICALLY: session_window
+    * merges while `gap <= 1800` — an event landing exactly at the
+    * current session's end ([start, start+gap] windows MEET, not
+    * overlap) still extends it, the same inclusive rule as the custom
+    * sessionizer. The first corpus containing an exactly-1800 s gap
+    * (sf0.1, user 511) falsified the strict-`<` reading of "windows
+    * overlap" this gate originally assumed; the oracle below states the
+    * inclusive rule, and a SessionizeStreamSpec case pins it at the
+    * boundary so the semantics can't drift unverified again. Emission:
+    * append mode releases a
     * session once the watermark passes its end (= last event + gap); one
     * global far-future sentinel row advances the watermark past every
     * real session's end — per-user sentinels are a
@@ -1137,7 +1141,7 @@ object AnalyticsQueries {
         |, g AS (
         |  SELECT user_id, e,
         |         CASE WHEN e - lag(e) OVER (PARTITION BY user_id
-        |                                    ORDER BY e) < 1800
+        |                                    ORDER BY e) <= 1800
         |              THEN 0 ELSE 1 END AS is_new
         |  FROM ev
         |), s AS (

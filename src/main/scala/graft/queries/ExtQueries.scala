@@ -3428,6 +3428,58 @@ object ExtQueries {
       |WHERE a.doc_id < b.doc_id
       |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
 
+  /** Split-leakage audit — the governance check an id-keyed
+    * train/val/test split needs before anyone trains on it:
+    * NEAR-DUPLICATE content that lands on opposite sides of the split
+    * boundary leaks eval signal into training even when every doc_id is
+    * cleanly assigned ([[datasetSplit]] buckets by id hash, so content
+    * duplication is exactly what it cannot see — the reason real
+    * pipelines dedup before splitting, or split by content
+    * fingerprint). Pairs come from the winnowing near-dup relation
+    * ([[winnowNeardup]], ≥3 shared SIGMOD'03 fingerprints); each pair
+    * is tagged with both docs' split assignments and only
+    * boundary-crossing pairs survive.
+    *
+    * Scale shape: the split assignment is a per-row hash projection, so
+    * the audit adds only two id-keyed equi-joins against the pair set —
+    * which is duplication-bound, not corpus-bound; AQE broadcasts it.
+    */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val splits = datasetSplit(spark, sfDir)
+    winnowNeardup(spark, sfDir)
+      .join(splits.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "split_a"), "doc_a")
+      .join(splits.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "split_b"), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("split_a"), col("split_b"))
+  }
+
+  val splitLeakageOracle: String = winnowCte +
+    """
+      |, sel AS (
+      |  SELECT DISTINCT doc_id, mk // 128 AS fp FROM wins WHERE cnt = 4
+      |), keep AS (
+      |  SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 64
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      |  FROM sel a JOIN keep USING (fp) JOIN sel b USING (fp)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 3
+      |), sp AS (
+      |  SELECT doc_id,
+      |         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+      |              THEN 'train'
+      |              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 95
+      |              THEN 'val' ELSE 'test' END AS split
+      |  FROM documents
+      |)
+      |SELECT doc_a, doc_b, n_shared, sa.split AS split_a, sb.split AS split_b
+      |FROM pairs JOIN sp sa ON sa.doc_id = doc_a
+      |           JOIN sp sb ON sb.doc_id = doc_b
+      |WHERE sa.split <> sb.split""".stripMargin
+
   /** Line-level dedup, the C4/RefinedWeb curation idiom: any LINE that
     * recurs across ≥ 3 distinct documents (boilerplate navigation,
     * cookie banners, licence footers) is dropped from every document,
@@ -3606,6 +3658,7 @@ object ExtQueries {
     "dsir_weights" -> ((dsirWeights _, dsirWeightsOracle)),
     "lm_predictability" -> ((lmPredictability _, lmPredictabilityOracle)),
     "snapshot_diff" -> ((snapshotDiff _, snapshotDiffOracle)),
+    "split_leakage" -> ((splitLeakage _, splitLeakageOracle)),
     "doc_rarity" -> ((docRarity _, docRarityOracle)),
     "quality_deciles" -> ((qualityDeciles _, qualityDecilesOracle)),
     "pii_scrub" -> ((piiScrub _, piiScrubOracle)),

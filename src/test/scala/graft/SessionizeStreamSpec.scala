@@ -97,4 +97,22 @@ class SessionizeStreamSpec extends SparkSpec {
     // user 8's session is still open — never emitted
     assert(!all.exists(_.user_id == 8))
   }
+
+  test("native session_window merges at a gap of EXACTLY the window size") {
+    // The boundary the sf0.1 corpus falsified (user 511, gap 1800 s
+    // sharp): Spark's session_window treats [start, start+gap] windows
+    // that merely MEET as one session — merge while gap <= 1800, the
+    // same inclusive rule as the custom sessionizer. session_window is
+    // a plain batch aggregation too, so the rule pins cheaply here; the
+    // sf0.1 stream gate hash-checks it end-to-end.
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 1000000L), (1L, 1001800L), // meet: one session
+        (2L, 1000000L), (2L, 1001801L)) // past the gap: two
+      .toDF("user_id", "e")
+      .withColumn("ts", timestamp_seconds(col("e")))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .count()
+    val n = df.groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(n == Map(1L -> 1L, 2L -> 2L))
+  }
 }
