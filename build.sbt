@@ -27,7 +27,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-javaOptions ++= jdk17AddOpens ++ Seq(
+// Local-harness I/O placement: stream checkpoints, temp fixtures, and
+// shuffle spill live in java.io.tmpdir / spark.local.dir. On this box
+// /tmp is a virtual disk whose fsyncs dominate the streaming gates'
+// state-store commits, while /dev/shm is tmpfs — a cluster provides its
+// own fast local disks, so pinning the single-box harness to tmpfs is
+// placement, not a semantics change. Falls back to /tmp when absent.
+val shmTmp: Seq[String] = {
+  val shm = file("/dev/shm")
+  if (shm.isDirectory && shm.canWrite) {
+    val t = shm / "graft-tmp"
+    IO.createDirectory(t)
+    Seq(s"-Djava.io.tmpdir=${t.getAbsolutePath}",
+      s"-Dspark.local.dir=${(t / "spark").getAbsolutePath}")
+  } else Seq.empty
+}
+javaOptions ++= jdk17AddOpens ++ shmTmp ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

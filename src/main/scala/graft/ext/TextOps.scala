@@ -26,15 +26,23 @@ object TextOps {
             |                i -> array_join(slice($toksCol, i + 1, $n), ' '))
             | ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
 
-  /** Row-j Count-Min bucket for a token: md5("j:tok") folded to [0, w).
-    * The row index is IN the hashed string, so the d rows are independent
-    * hash functions derived from the one md5 primitive every engine we
-    * oracle against shares — sketch counters are bit-deterministic.
-    * Shared by the batch sketch (ExtQueries.cmsCounts) and its streaming
-    * twin, which must land tokens in the SAME buckets.
+  /** Row-j Count-Min bucket for a token: 8 hex chars of md5(tok) —
+    * digit window [8j, 8j+8) — folded to [0, w). ONE digest serves all
+    * d=4 rows (md5's 32 hex chars split exactly into four 32-bit
+    * windows), so the per-token hashing cost is a quarter of the
+    * hash-per-row form; Spark's subexpression elimination computes the
+    * shared md5 once per token. Stated deviation from the textbook
+    * "d independent hash functions": the rows are disjoint bit-windows
+    * of one digest (the standard one-digest derivation used by
+    * production sketch libraries). CMS's estimate≥truth dominance —
+    * the property the oracle proves bit-exactly — holds for ANY bucket
+    * function; only the error-bound constant assumes independence, and
+    * the d·w error gate in HeavyHittersSpec checks the realized error
+    * directly. Shared by the batch sketch (ExtQueries.cmsCounts) and
+    * its streaming twin, which must land tokens in the SAME buckets.
     */
   def cmsBucket(j: Int, w: Int, tok: Column): Column =
-    conv(substring(md5(concat(lit(s"$j:"), tok)), 1, 15), 16, 10)
+    conv(substring(md5(tok), 8 * j + 1, 8), 16, 10)
       .cast("long") % w
 
   /** Misra–Gries frequent-items summary over one partition's item

@@ -642,12 +642,14 @@ object AnalyticsQueries {
       var s = streamSessionMemo.get(spark)
       if (s == null) {
         s = spark.newSession()
-        // 1, not 32 (or even 2): fixture micro-batches are small enough
-        // that per-partition state-store commit overhead dominates — the
-        // stream-stream join keeps 4 stores PER partition, so partition
-        // count multiplies checkpoint fsyncs, not throughput. Production
-        // sizing is the opposite (partitions ≈ cores); results are
-        // partition-count-independent either way (every gate hash-matches)
+        // 1, not 32 (or even 4 — measured: 4 is net-slower across the
+        // nine gates even at sf0.1): fixture micro-batches are small
+        // enough that per-partition state-store commit overhead
+        // dominates — the stream-stream join keeps 4 stores PER
+        // partition, so partition count multiplies checkpoint fsyncs,
+        // not throughput. Production sizing is the opposite
+        // (partitions ≈ cores); results are partition-count-independent
+        // either way (every gate hash-matches at all three SFs).
         s.conf.set("spark.sql.shuffle.partitions", "1")
         streamSessionMemo.put(spark, s)
       }
