@@ -382,4 +382,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
+
+  test("split_leakage: reads the cached pair frame, id-keyed equi-joins only") {
+    // the winnow pair frame is session-scoped-cached; the audit must
+    // add only equi-joins against the split projection — no pair join,
+    // and the pair frame itself served from cache
+    val plan = finalPlan(SparkEntry.queries("split_leakage")(spark, sf))
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("TableCacheQueryStage"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
 }
