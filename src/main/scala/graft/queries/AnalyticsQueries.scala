@@ -1245,6 +1245,105 @@ object AnalyticsQueries {
       |UNION ALL
       |SELECT DISTINCT fp, 1172800 AS e FROM fps WHERE doc_id % 10 = 0""".stripMargin
 
+  /** Streaming CDC merge gate — the OTHER half of dataset versioning
+    * ([[graft.queries.ExtQueries.snapshotDiff]] diffs two snapshots in
+    * batch; this maintains the live snapshot from a change stream):
+    * three scheduled micro-batches feed [[CdcMergeStream]] — the base
+    * corpus as upserts at t0, a changeset at t0+1h (every 7th doc
+    * deleted, every remaining 11th doc revised — the same churn rule as
+    * snapshot_diff's v2), then the flush sentinel two days out. The
+    * state store folds last-writer-wins per doc_id across batches, and
+    * the watermark passing the flush boundary fires every key's
+    * event-time timeout: live rows emit exactly once, deletes emit
+    * nothing. The oracle is the batch form — a window rank over the
+    * unioned changelog keeping the newest non-delete row — so the
+    * stream's materialized view hash-matches an independent engine's
+    * replay of the log.
+    */
+  def cdcMergeStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.{CdcEvent, CdcMergeStream}
+    val work = java.nio.file.Files.createTempDirectory("cdc_e2e").toString
+    val t0 = 1000000L
+    val t1 = t0 + 3600L
+    val tFlush = t0 + 7200L
+    val inDir = cachedStreamInput(spark, s"cdc#$sfDir") { path =>
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      def batch(df: DataFrame, mtimeBump: Long): Unit = {
+        val dir = new java.io.File(path)
+        val before =
+          if (dir.exists) dir.listFiles.map(_.getName).toSet
+          else Set.empty[String]
+        df.coalesce(1).write.mode("append").parquet(path)
+        dir.listFiles
+          .filter(f => !before(f.getName) && f.getName.endsWith(".parquet"))
+          .foreach(f => f.setLastModified(f.lastModified + mtimeBump))
+      }
+      batch(d.select(col("doc_id"), lit("upsert").as("op"),
+        graft.ext.TextOps.fingerprint(col("text")).as("fp"),
+        lit(t0).as("e")), 0L)
+      val deletes = d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit("delete").as("op"), lit("").as("fp"),
+          lit(t1).as("e"))
+      val revisions = d.filter(col("doc_id") % 7 =!= 0 &&
+          col("doc_id") % 11 === 0)
+        .select(col("doc_id"), lit("upsert").as("op"),
+          graft.ext.TextOps.fingerprint(concat(col("text"),
+            lit(" (rev2)"))).as("fp"),
+          lit(t1).as("e"))
+      batch(deletes.unionByName(revisions), 60000L)
+      batch(spark.range(1).select(lit(-1L).as("doc_id"),
+        lit("upsert").as("op"), lit("").as("fp"),
+        lit(t0 + 172800L).as("e")), 120000L)
+    }
+    withStreamSession(spark) { ss =>
+      import ss.implicits._
+      val ev = ss.readStream
+        .schema("doc_id LONG, op STRING, fp STRING, e LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .select(col("doc_id"), col("op"), col("fp"),
+          timestamp_seconds(col("e")).cast("timestamp").as("ts"))
+        .as[CdcEvent]
+      CdcMergeStream.merged(ev, tFlush)
+        .toDF()
+        .writeStream
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/cp")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    spark.read.parquet(s"$work/out")
+      .filter(col("doc_id") >= 0)
+      .select(col("doc_id"), col("fp"), col("e"))
+  }
+
+  val cdcMergeStreamOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, 'upsert' AS op,
+      |         substr(md5(replace(lower(text), ' ', '')), 1, 16) AS fp,
+      |         1000000 AS e
+      |  FROM documents
+      |), chg AS (
+      |  SELECT doc_id, 'delete' AS op, '' AS fp, 1003600 AS e
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 'upsert' AS op,
+      |         substr(md5(replace(lower(text || ' (rev2)'), ' ', '')), 1, 16)
+      |           AS fp,
+      |         1003600 AS e
+      |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 11 = 0
+      |), log AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM chg
+      |), last AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY e DESC) AS rn
+      |  FROM log
+      |)
+      |SELECT doc_id, fp, e FROM last WHERE rn = 1 AND op = 'upsert'""".stripMargin
+
   /** The streaming sessionizer run END-TO-END over the fixture events,
     * registered under the SAME DuckDB oracle as the batch [[sessionize]]
     * — the stream == batch equivalence gate (the reference is itself a
@@ -1529,6 +1628,7 @@ object AnalyticsQueries {
     "session_window_stream" ->
       ((sessionWindowStream _, sessionWindowStreamOracle)),
     "dedup_wm_stream" -> ((dedupWmStream _, dedupWmStreamOracle)),
+    "cdc_merge_stream" -> ((cdcMergeStream _, cdcMergeStreamOracle)),
     "value_histogram" -> ((valueHistogram _, valueHistogramOracle)),
     "gpu_daily_report" -> (((s: SparkSession, d: String) => gpuDailyReport(s, d), gpuDailyReportOracle)),
     "hourly_avg" -> ((hourlyAvg _, hourlyAvgOracle)),
