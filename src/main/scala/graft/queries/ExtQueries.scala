@@ -34,6 +34,42 @@ object ExtQueries {
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir).select(col("doc_id") +: TextOps.qualityColumns(col("text")): _*)
 
+  /** Character-distribution diversity per document: Gini impurity
+    * 1 − Σ(cᵢ/n)² over the char histogram, in integer basis points
+    * (10⁴ − Σcᵢ²·10⁴ div n²) — the log-free stand-in for character
+    * entropy this repo's determinism discipline prefers (same monotone-
+    * surrogate reasoning as [[lmPredictability]]): near-zero flags
+    * single-char spam, unusually high flags base64/hex blobs — both
+    * filter targets a word-level quality score ([[textQuality]],
+    * gopher_rules) cannot see. Scale shape: char explode is map-side;
+    * the two groupBys key on doc_id (the corpus' natural key) and the
+    * per-doc char histogram is ≤ alphabet-sized, so partial aggregation
+    * collapses almost everything before the shuffle.
+    */
+  def charDiversity(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("k"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        (lit(10000L) - expr("sum(k * k) * 10000 div (sum(k) * sum(k))"))
+          .as("gini_bp"))
+
+  val charDiversityOracle: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS c
+      |  FROM documents WHERE len(text) > 0
+      |), cc AS (
+      |  SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2
+      |)
+      |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_chars,
+      |       CAST(count(*) AS BIGINT) AS n_distinct,
+      |       CAST(10000 - (sum(k * k) * 10000) // (sum(k) * sum(k))
+      |            AS BIGINT) AS gini_bp
+      |FROM cc GROUP BY doc_id""".stripMargin
+
   val textQualityOracle: String =
     """SELECT doc_id, length(text) AS n_chars,
       |       len(string_split(lower(text), ' ')) AS n_words,
@@ -3703,6 +3739,7 @@ object ExtQueries {
     "vocab_oov" -> ((vocabOov _, vocabOovOracle)),
     "dedup_exact" -> ((dedupExact _, dedupExactOracle)),
     "text_quality" -> ((textQuality _, textQualityOracle)),
+    "char_diversity" -> ((charDiversity _, charDiversityOracle)),
     "doc_chunk" -> ((docChunk _, docChunkOracle)),
     "token_stats" -> ((tokenStats _, tokenStatsOracle)),
     "lang_id" -> ((langId _, langIdOracle)),
