@@ -3457,9 +3457,80 @@ object ExtQueries {
     df
   }
 
+  /** One damped PageRank iteration over the near-dup document graph —
+    * the graph-analytics step the dedup stack's connected components
+    * ([[dedupGroups]]) doesn't give: CC says WHICH docs cluster,
+    * centrality says which doc is the cluster's canonical
+    * representative (the highest-rank member is the natural keep
+    * choice). Edges are the winnowing near-dup pairs (session-scoped
+    * [[cachedWinnowPairs]], both directions); ranks start uniform at
+    * 10⁴ basis points and one update applies rank = (1−d) + d·Σ
+    * contrib with d = 0.85 in pure integer arithmetic (each source
+    * sends 10⁴ div degree; damping is 1500 + 8500·Σ div 10⁴) — exact
+    * cross-engine, like every score in this repo. Stated deviations
+    * from textbook PageRank: one iteration (the fixed point needs the
+    * iterate-to-convergence loop [[dedupGroups]] already demonstrates,
+    * localCheckpoint per round), and dangling/isolated mass is not
+    * redistributed — isolated docs sit at the teleport floor 1500.
+    *
+    * Scale shape per iteration: one equi-join (ranks⋈edges on src — at
+    * uniform init the rank lookup folds into the degree frame) and one
+    * groupBy(dst) — both linear in edges, the pair-bound relation, not
+    * the corpus; iterating re-runs the same two exchanges.
+    */
+  def pagerankStep(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = cachedWinnowPairs(spark, sfDir)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(
+        pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+    val contrib = edges.join(deg, "src")
+      .select(col("dst"), expr("10000 div degree").as("share"))
+      .groupBy(col("dst")).agg(sum(col("share")).as("contrib"))
+    docs(spark, sfDir).select(col("doc_id"))
+      .join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        (lit(1500L) + expr("8500 * coalesce(contrib, 0) div 10000"))
+          .as("rank_bp"))
+  }
+
+  val pagerankStepOracle: String = winnowCte +
+    """
+      |, sel AS (
+      |  SELECT DISTINCT doc_id, mk // 128 AS fp FROM wins WHERE cnt = 4
+      |), keep AS (
+      |  SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 64
+      |), pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sel a JOIN keep USING (fp) JOIN sel b USING (fp)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 3
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+      |), deg AS (
+      |  SELECT src, count(*) AS degree FROM edges GROUP BY 1
+      |), contrib AS (
+      |  SELECT e.dst, sum(10000 // d.degree) AS contrib
+      |  FROM edges e JOIN deg d USING (src) GROUP BY 1
+      |)
+      |SELECT doc_id, CAST(coalesce(d.degree, 0) AS BIGINT) AS degree,
+      |       CAST(1500 + (8500 * coalesce(c.contrib, 0)) // 10000
+      |            AS BIGINT) AS rank_bp
+      |FROM documents
+      |LEFT JOIN deg d ON d.src = doc_id
+      |LEFT JOIN contrib c ON c.dst = doc_id""".stripMargin
+
   /** The winnow hash-selection CTEs (through `wins`), shared by the
-    * fingerprint dump and the near-dup pair oracles. */
-  private val winnowCte: String =
+    * fingerprint dump and the near-dup pair oracles. Lazy: oracle vals
+    * defined textually above this one ([[pagerankStepOracle]]) embed it
+    * at their own initialization, and a strict val would still be null
+    * there (Scala object vals initialize top-to-bottom).
+    */
+  private lazy val winnowCte: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS a FROM documents
       |), grams AS (
@@ -3727,6 +3798,7 @@ object ExtQueries {
     "lm_predictability" -> ((lmPredictability _, lmPredictabilityOracle)),
     "snapshot_diff" -> ((snapshotDiff _, snapshotDiffOracle)),
     "split_leakage" -> ((splitLeakage _, splitLeakageOracle)),
+    "pagerank_step" -> ((pagerankStep _, pagerankStepOracle)),
     "doc_rarity" -> ((docRarity _, docRarityOracle)),
     "quality_deciles" -> ((qualityDeciles _, qualityDecilesOracle)),
     "pii_scrub" -> ((piiScrub _, piiScrubOracle)),

@@ -383,6 +383,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
 
+  test("pagerank_step: edge-linear joins, never a pair or nested-loop join") {
+    // one rank⋈edges equi-join + one groupBy(dst) per iteration; the
+    // corpus enters only through the final left joins on doc_id
+    val plan = finalPlan(SparkEntry.queries("pagerank_step")(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
   test("split_leakage: reads the cached pair frame, id-keyed equi-joins only") {
     // the winnow pair frame is session-scoped-cached; the audit must
     // add only equi-joins against the split projection — no pair join,
