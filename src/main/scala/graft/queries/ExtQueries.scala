@@ -1491,6 +1491,113 @@ object ExtQueries {
           .as("est_users"))
   }
 
+  /** KMV sketch ALGEBRA: estimate pairwise set intersections between
+    * the per-event-type user sets from their bottom-k sketches alone —
+    * the composability that makes mergeable sketches a planning
+    * primitive (overlap estimates from pre-computed per-partition
+    * sketches, no re-scan; the join-cardinality estimator's shape).
+    * Standard KMV combination: the bottom-k of the UNION of two
+    * sketches is the union's sketch; ρ = (members of that bottom-k
+    * present in BOTH input sketches)/k estimates Jaccard, and
+    * ρ·est(|A∪B|) estimates the intersection. k = [[KmvK]] (8) so the
+    * sketch stays well-defined at sf0.001's 15-user sets; the estimate
+    * is deterministic (md5 ranks), the `exact_inter` column carries
+    * ground truth, and the oracle reproduces every bit. Scale shape:
+    * sketches are k-row frames per type — the pair algebra runs on
+    * k·|types| rows regardless of corpus size; only the exact-truth
+    * column (an audit artifact) touches the distinct-user relation,
+    * itself distinct-bounded.
+    */
+  def kmvIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15),
+      16, 10).cast("long")
+    val d = graft.ingest.EventsIngest.readEvents(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type").as("t"), h.as("h"))
+      .distinct()
+    val sk = d.withColumn("rn",
+        row_number().over(Window.partitionBy(col("t")).orderBy(col("h"))))
+      .filter(col("rn") <= KmvK)
+      .select(col("t"), col("h"))
+    val types = sk.select(col("t")).distinct()
+    val pairs = types.select(col("t").as("ta"))
+      .crossJoin(types.select(col("t").as("tb")))
+      .filter(col("ta") < col("tb"))
+    val marked = pairs
+      .join(sk.select(col("t").as("ta"), col("h"), lit(1L).as("in_a")),
+        Seq("ta"))
+      .unionByName(pairs
+        .join(sk.select(col("t").as("tb"), col("h"), lit(1L).as("in_a")),
+          Seq("tb"))
+        .withColumn("in_a", lit(0L))
+        .select(col("ta"), col("tb"), col("h"), col("in_a")))
+      .groupBy(col("ta"), col("tb"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(lit(1L) - col("in_a")).as("in_b"))
+    val ranked = marked.withColumn("rn",
+      row_number().over(
+        Window.partitionBy(col("ta"), col("tb")).orderBy(col("h"))))
+      .filter(col("rn") <= KmvK)
+    val est = ranked.groupBy(col("ta"), col("tb"))
+      .agg(sum(col("in_a") * col("in_b")).as("n_both"),
+        max(when(col("rn") === KmvK, col("h"))).as("kth"))
+      .select(col("ta"), col("tb"), col("n_both"),
+        (col("n_both").cast("double") / lit(KmvK.toDouble) *
+          (lit((KmvK - 1).toDouble * math.pow(2, 60)) /
+            col("kth").cast("double"))).as("est_inter"))
+    val exact = d.select(col("t").as("ta"), col("h"))
+      .join(d.select(col("t").as("tb"), col("h")), "h")
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb"))
+      .agg(count(lit(1)).as("exact_inter"))
+    est.join(exact, Seq("ta", "tb"), "left")
+      .select(col("ta"), col("tb"), col("n_both"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+        col("est_inter"))
+  }
+
+  val kmvIntersectOracle: String =
+    s"""WITH d AS (
+       |  SELECT DISTINCT event_type AS t,
+       |         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM events WHERE user_id IS NOT NULL
+       |), sk AS (
+       |  SELECT t, h FROM (
+       |    SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn
+       |    FROM d
+       |  ) WHERE rn <= $KmvK
+       |), pairs AS (
+       |  SELECT a.t AS ta, b.t AS tb
+       |  FROM (SELECT DISTINCT t FROM sk) a, (SELECT DISTINCT t FROM sk) b
+       |  WHERE a.t < b.t
+       |), marked AS (
+       |  SELECT ta, tb, h, max(in_a) AS in_a, max(1 - in_a) AS in_b
+       |  FROM (
+       |    SELECT p.ta, p.tb, s.h, 1 AS in_a
+       |    FROM pairs p JOIN sk s ON s.t = p.ta
+       |    UNION ALL
+       |    SELECT p.ta, p.tb, s.h, 0 AS in_a
+       |    FROM pairs p JOIN sk s ON s.t = p.tb
+       |  ) GROUP BY 1, 2, 3
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+       |  FROM marked
+       |), est AS (
+       |  SELECT ta, tb, CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+       |         max(CASE WHEN rn = $KmvK THEN h END) AS kth
+       |  FROM ranked WHERE rn <= $KmvK GROUP BY 1, 2
+       |), exact AS (
+       |  SELECT a.t AS ta, b.t AS tb, CAST(count(*) AS BIGINT) AS exact_inter
+       |  FROM d a JOIN d b ON a.h = b.h AND a.t < b.t
+       |  GROUP BY 1, 2
+       |)
+       |SELECT e.ta, e.tb, e.n_both,
+       |       CAST(coalesce(x.exact_inter, 0) AS BIGINT) AS exact_inter,
+       |       CAST(e.n_both AS DOUBLE) / $KmvK *
+       |         (CAST(${KmvK - 1} * 1152921504606846976 AS DOUBLE)
+       |           / CAST(e.kth AS DOUBLE)) AS est_inter
+       |FROM est e LEFT JOIN exact x ON x.ta = e.ta AND x.tb = e.tb""".stripMargin
+
   val kmvDistinctOracle: String =
     s"""WITH d AS (
        |  SELECT DISTINCT event_type AS metric,
@@ -3845,6 +3952,7 @@ object ExtQueries {
     "ann_lsh_topk" -> ((annLsh _, annLshOracle)),
     "approx_distinct_users" -> ((approxDistinct _, "")),
     "kmv_distinct_users" -> ((kmvDistinct _, kmvDistinctOracle)),
+    "kmv_intersect" -> ((kmvIntersect _, kmvIntersectOracle)),
     "prom_range_scan" -> ((promRangeScan _, promRangeScanOracle)),
     "emb_centroid_stats" -> ((embCentroidStats _, embCentroidStatsOracle)),
     "emb_neardup" -> ((embNeardup _, embNeardupOracle)),
