@@ -108,8 +108,21 @@ object ScaleProbe {
     // sees N× both snapshots with churn a fixed fraction of ids: the
     // full-outer join is linear and output stays churn-bound.
     val r8dOnly = args.length > 2 && args(2) == "r8d"
+    // `r8e` (arg 3): the graph/sketch/diversity tail. Exact-copy
+    // amplification grows the near-dup edge set ~N·dups (every copy is
+    // a genuine neighbor), so pagerank_step's joins track edges — the
+    // real output growth, like winnow_neardup. char_diversity tracks
+    // the char stream (map-side, alphabet-sized histograms).
+    // kmv_intersect must stay FLAT: sketches are k-row frames whatever
+    // the corpus, and only the exact-truth column touches the
+    // (distinct-bounded) user relation.
+    val r8eOnly = args.length > 2 && args(2) == "r8e"
     for ((dir, tag) <- Seq((sfDir, "1x"), (probeDir, s"${copies}x"))) {
-      if (r8dOnly) {
+      if (r8eOnly) {
+        time("pagerank_step", dir, tag)(graft.queries.ExtQueries.pagerankStep)
+        time("char_diversity", dir, tag)(graft.queries.ExtQueries.charDiversity)
+        time("kmv_intersect", dir, tag)(graft.queries.ExtQueries.kmvIntersect)
+      } else if (r8dOnly) {
         time("lm_predict", dir, tag)(graft.queries.ExtQueries.lmPredictability)
         time("snapshot_diff", dir, tag)(graft.queries.ExtQueries.snapshotDiff)
       } else if (r8cOnly) {
