@@ -1155,6 +1155,88 @@ object AnalyticsQueries {
         |       count(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin
 
+  /** M4 downsampling (Jugel et al., VLDB 2014): reduce each series to
+    * ≤ W time buckets carrying min/max of value AND time plus the
+    * boundary values — the four aggregates that make a W-pixel line
+    * chart of the reduction pixel-identical to rendering every raw
+    * point, which is why it's the standard dashboard-backend reduction
+    * (the reference feeds Grafana dashboards; this is the query shape
+    * that keeps them interactive over long ranges). Tie rule, stated:
+    * when several samples share the bucket's earliest/latest second,
+    * first_v/last_v take the least/greatest value among them — a
+    * deterministic choice where the paper leaves arbitrary pick.
+    *
+    * Scale shape: per-series [min,max] extents are a 5-row aggregate
+    * broadcast back; bucketing is a pure projection; ONE groupBy
+    * (series, bucket) computes the extent aggregates map-side, and the
+    * boundary values come from an equi-join of that tiny frame back to
+    * the samples (AQE broadcasts it) — the corpus is scanned twice,
+    * shuffled once, and the output is W·|series| whatever the range.
+    */
+  def m4Downsample(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 50
+    val ev = EventsIngest.readEvents(spark, sfDir)
+      .select(col("event_type").as("metric"),
+        col("ts").cast("long").as("e"), col("value").as("v"))
+    val extent = ev.groupBy(col("metric"))
+      .agg(min(col("e")).as("e0"), max(col("e")).as("e1"))
+    val bucketed = ev.join(broadcast(extent), "metric")
+      .withColumn("bucket",
+        expr(s"(e - e0) * $W div (e1 - e0 + 1)"))
+    val agg = bucketed.groupBy(col("metric"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("e")).as("t_first"), max(col("e")).as("t_last"),
+        min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+    val first = bucketed.join(
+        agg.select(col("metric"), col("bucket"), col("t_first")),
+        Seq("metric", "bucket"))
+      .filter(col("e") === col("t_first"))
+      .groupBy(col("metric"), col("bucket"))
+      .agg(min(col("v")).as("first_v"))
+    val last = bucketed.join(
+        agg.select(col("metric"), col("bucket"), col("t_last")),
+        Seq("metric", "bucket"))
+      .filter(col("e") === col("t_last"))
+      .groupBy(col("metric"), col("bucket"))
+      .agg(max(col("v")).as("last_v"))
+    agg.join(first, Seq("metric", "bucket"))
+      .join(last, Seq("metric", "bucket"))
+      .select(col("metric"), col("bucket"), col("n"),
+        col("t_first"), col("t_last"), col("v_min"), col("v_max"),
+        col("first_v"), col("last_v"))
+  }
+
+  val m4DownsampleOracle: String =
+    rawCte +
+      """
+        |, s AS (
+        |  SELECT event_type AS metric, e, value AS v FROM ev
+        |), ext AS (
+        |  SELECT metric, min(e) AS e0, max(e) AS e1 FROM s GROUP BY 1
+        |), b AS (
+        |  SELECT s.metric, s.e, s.v,
+        |         ((s.e - ext.e0) * 50) // (ext.e1 - ext.e0 + 1) AS bucket
+        |  FROM s JOIN ext USING (metric)
+        |), agg AS (
+        |  SELECT metric, bucket, CAST(count(*) AS BIGINT) AS n,
+        |         min(e) AS t_first, max(e) AS t_last,
+        |         min(v) AS v_min, max(v) AS v_max
+        |  FROM b GROUP BY 1, 2
+        |), f AS (
+        |  SELECT b.metric, b.bucket, min(b.v) AS first_v
+        |  FROM b JOIN agg ON agg.metric = b.metric AND agg.bucket = b.bucket
+        |   AND b.e = agg.t_first
+        |  GROUP BY 1, 2
+        |), l AS (
+        |  SELECT b.metric, b.bucket, max(b.v) AS last_v
+        |  FROM b JOIN agg ON agg.metric = b.metric AND agg.bucket = b.bucket
+        |   AND b.e = agg.t_last
+        |  GROUP BY 1, 2
+        |)
+        |SELECT agg.metric, agg.bucket, agg.n, agg.t_first, agg.t_last,
+        |       agg.v_min, agg.v_max, f.first_v, l.last_v
+        |FROM agg JOIN f USING (metric, bucket) JOIN l USING (metric, bucket)""".stripMargin
+
   /** Native streaming dedup gate: `dropDuplicatesWithinWatermark` over an
     * at-least-once redelivery of the documents corpus — a stream≡batch
     * gate solved with the SHIPPED stateful operator rather than custom
@@ -1629,6 +1711,7 @@ object AnalyticsQueries {
       ((sessionWindowStream _, sessionWindowStreamOracle)),
     "dedup_wm_stream" -> ((dedupWmStream _, dedupWmStreamOracle)),
     "cdc_merge_stream" -> ((cdcMergeStream _, cdcMergeStreamOracle)),
+    "m4_downsample" -> ((m4Downsample _, m4DownsampleOracle)),
     "value_histogram" -> ((valueHistogram _, valueHistogramOracle)),
     "gpu_daily_report" -> (((s: SparkSession, d: String) => gpuDailyReport(s, d), gpuDailyReportOracle)),
     "hourly_avg" -> ((hourlyAvg _, hourlyAvgOracle)),
