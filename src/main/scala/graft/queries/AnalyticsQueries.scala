@@ -614,6 +614,23 @@ object AnalyticsQueries {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, String]]
 
+  /** Append `df` to `path` as one parquet file and bump the new file's
+    * mtime by `mtimeBump` ms — the file source schedules micro-batches
+    * in modification-time order, so distinct bumps fix batch order
+    * deterministically (shared by every multi-batch stream fixture).
+    */
+  private def appendBatchFile(path: String, df: DataFrame,
+      mtimeBump: Long): Unit = {
+    val dir = new java.io.File(path)
+    val before =
+      if (dir.exists) dir.listFiles.map(_.getName).toSet
+      else Set.empty[String]
+    df.coalesce(1).write.mode("append").parquet(path)
+    dir.listFiles
+      .filter(f => !before(f.getName) && f.getName.endsWith(".parquet"))
+      .foreach(f => f.setLastModified(f.lastModified + mtimeBump))
+  }
+
   private def cachedStreamInput(spark: SparkSession, key: String)(
       write: String => Unit): String = {
     val perSession = streamInputMemo.synchronized {
@@ -773,12 +790,8 @@ object AnalyticsQueries {
       // the file source (ordered by modification time) schedules it as
       // the LAST micro-batch — only after it does the watermark pass
       // the token window and release the merged grid
-      val before = new java.io.File(path).listFiles.map(_.getName).toSet
-      spark.range(1).select(lit("__flush__").as("tok"), lit(t0 + 7200L).as("e"))
-        .coalesce(1).write.mode("append").parquet(path)
-      new java.io.File(path).listFiles
-        .filter(f => !before(f.getName) && f.getName.endsWith(".parquet"))
-        .foreach(f => f.setLastModified(f.lastModified + 60000L))
+      appendBatchFile(path, spark.range(1).select(
+        lit("__flush__").as("tok"), lit(t0 + 7200L).as("e")), 60000L)
     }
     withStreamSession(spark) { ss =>
       ss.readStream
@@ -1013,14 +1026,9 @@ object AnalyticsQueries {
           proj: DataFrame => DataFrame): Unit = {
         proj(ev.filter(col("event_type") === tpe).drop("event_type"))
           .coalesce(1).write.parquet(s"$path/$dir")
-        val before = new java.io.File(s"$path/$dir").listFiles
-          .map(_.getName).toSet
-        proj(spark.range(1).select(lit(sentUid).as("user_id"),
-            lit(maxE + 7200L).as("e"), lit(0.0).as("value")))
-          .coalesce(1).write.mode("append").parquet(s"$path/$dir")
-        new java.io.File(s"$path/$dir").listFiles
-          .filter(f => !before(f.getName) && f.getName.endsWith(".parquet"))
-          .foreach(f => f.setLastModified(f.lastModified + 60000L))
+        appendBatchFile(s"$path/$dir",
+          proj(spark.range(1).select(lit(sentUid).as("user_id"),
+            lit(maxE + 7200L).as("e"), lit(0.0).as("value"))), 60000L)
       }
       side("view", "views", -1L, _.drop("value"))
       side("purchase", "purchases", -2L, identity)
@@ -1274,24 +1282,12 @@ object AnalyticsQueries {
       val fps = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(graft.ext.TextOps.fingerprint(col("text")).as("fp"),
           col("doc_id"))
-      // one parquet file per micro-batch; the file source schedules in
-      // modification-time order, so bump mtimes to fix batch order
-      def batch(df: DataFrame, mtimeBump: Long): Unit = {
-        val dir = new java.io.File(path)
-        val before =
-          if (dir.exists) dir.listFiles.map(_.getName).toSet
-          else Set.empty[String]
-        df.coalesce(1).write.mode("append").parquet(path)
-        dir.listFiles
-          .filter(f => !before(f.getName) && f.getName.endsWith(".parquet"))
-          .foreach(f => f.setLastModified(f.lastModified + mtimeBump))
-      }
-      batch(fps.select(col("fp"), lit(t0).as("e")), 0L)
-      batch(spark.range(1).select(lit("__adv1__").as("fp"),
-        lit(tRe).as("e")), 60000L)
-      batch(spark.range(1).select(lit("__adv2__").as("fp"),
-        lit(tRe).as("e")), 120000L)
-      batch(fps.filter(col("doc_id") % 10 === 0)
+      appendBatchFile(path, fps.select(col("fp"), lit(t0).as("e")), 0L)
+      appendBatchFile(path, spark.range(1).select(
+        lit("__adv1__").as("fp"), lit(tRe).as("e")), 60000L)
+      appendBatchFile(path, spark.range(1).select(
+        lit("__adv2__").as("fp"), lit(tRe).as("e")), 120000L)
+      appendBatchFile(path, fps.filter(col("doc_id") % 10 === 0)
         .select(col("fp"), lit(tRe).as("e")), 180000L)
     }
     withStreamSession(spark) { ss =>
@@ -1350,17 +1346,8 @@ object AnalyticsQueries {
     val tFlush = t0 + 7200L
     val inDir = cachedStreamInput(spark, s"cdc#$sfDir") { path =>
       val d = spark.read.parquet(s"$sfDir/documents.parquet")
-      def batch(df: DataFrame, mtimeBump: Long): Unit = {
-        val dir = new java.io.File(path)
-        val before =
-          if (dir.exists) dir.listFiles.map(_.getName).toSet
-          else Set.empty[String]
-        df.coalesce(1).write.mode("append").parquet(path)
-        dir.listFiles
-          .filter(f => !before(f.getName) && f.getName.endsWith(".parquet"))
-          .foreach(f => f.setLastModified(f.lastModified + mtimeBump))
-      }
-      batch(d.select(col("doc_id"), lit("upsert").as("op"),
+      appendBatchFile(path, d.select(col("doc_id"),
+        lit("upsert").as("op"),
         graft.ext.TextOps.fingerprint(col("text")).as("fp"),
         lit(t0).as("e")), 0L)
       val deletes = d.filter(col("doc_id") % 7 === 0)
@@ -1372,8 +1359,8 @@ object AnalyticsQueries {
           graft.ext.TextOps.fingerprint(concat(col("text"),
             lit(" (rev2)"))).as("fp"),
           lit(t1).as("e"))
-      batch(deletes.unionByName(revisions), 60000L)
-      batch(spark.range(1).select(lit(-1L).as("doc_id"),
+      appendBatchFile(path, deletes.unionByName(revisions), 60000L)
+      appendBatchFile(path, spark.range(1).select(lit(-1L).as("doc_id"),
         lit("upsert").as("op"), lit("").as("fp"),
         lit(t0 + 172800L).as("e")), 120000L)
     }
