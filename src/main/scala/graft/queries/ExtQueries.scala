@@ -1521,6 +1521,8 @@ object ExtQueries {
       .filter(col("rn") <= KmvK)
       .select(col("t"), col("h"))
     val types = sk.select(col("t")).distinct()
+    // deliberate tiny crossJoin: |types|² with |types| = 5 — the pair
+    // frame the sketch algebra runs over, never a data-sized side
     val pairs = types.select(col("t").as("ta"))
       .crossJoin(types.select(col("t").as("tb")))
       .filter(col("ta") < col("tb"))

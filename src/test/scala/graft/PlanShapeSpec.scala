@@ -383,6 +383,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
 
+  test("m4_downsample: extents broadcast, boundary joins equi, no cartesian") {
+    val plan = finalPlan(SparkEntry.queries("m4_downsample")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
   test("pagerank_step: edge-linear joins, never a pair or nested-loop join") {
     // one rank⋈edges equi-join + one groupBy(dst) per iteration; the
     // corpus enters only through the final left joins on doc_id
