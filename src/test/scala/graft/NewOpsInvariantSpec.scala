@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Mathematical invariants of the round-8 closing operators — the
+  * properties that must hold for ANY corpus, checked on the fixture
+  * (the DuckDB oracles pin exact values; these pin the algebra, so a
+  * future refactor that keeps hash-matching a changed oracle still
+  * can't violate the operator's meaning).
+  */
+class NewOpsInvariantSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("lm_predictability: scores are probabilities in basis points") {
+    val rows = graft.queries.ExtQueries.lmPredictability(spark, sf)
+      .select(col("lm_bp"), col("n_grams")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bp, n) = (r.getLong(0), r.getLong(1))
+      assert(n >= 1)
+      // mean of per-bigram c12*10^4 div c1 with 1 <= c12 <= c1
+      assert(bp >= 0 && bp <= 10000, s"lm_bp out of [0, 10000]: $bp")
+    }
+  }
+
+  test("pagerank_step: teleport floor, degree identity, rank bounds") {
+    val out = graft.queries.ExtQueries.pagerankStep(spark, sf)
+    val rows = out.select(col("degree"), col("rank_bp")).collect()
+    rows.foreach { r =>
+      val (deg, bp) = (r.getLong(0), r.getLong(1))
+      assert(bp >= 1500, s"below teleport floor: $bp")
+      if (deg == 0) assert(bp == 1500, s"isolated doc not at floor: $bp")
+    }
+    // handshake identity: directed edge count = 2 * undirected pairs
+    val sumDeg = out.agg(sum(col("degree"))).head().getLong(0)
+    val nPairs = graft.queries.ExtQueries.winnowNeardup(spark, sf).count()
+    assert(sumDeg == 2 * nPairs, s"sum(degree)=$sumDeg pairs=$nPairs")
+  }
+
+  test("m4_downsample: extent ordering, bucket range, mass conservation") {
+    val out = graft.queries.AnalyticsQueries.m4Downsample(spark, sf)
+    val rows = out.collect()
+    rows.foreach { r =>
+      val bucket = r.getAs[Long]("bucket")
+      val (tf, tl) = (r.getAs[Long]("t_first"), r.getAs[Long]("t_last"))
+      val (vmin, vmax) = (r.getAs[Double]("v_min"), r.getAs[Double]("v_max"))
+      val (fv, lv) = (r.getAs[Double]("first_v"), r.getAs[Double]("last_v"))
+      assert(bucket >= 0 && bucket < 50)
+      assert(tf <= tl)
+      assert(vmin <= fv && fv <= vmax, s"first_v outside [$vmin,$vmax]: $fv")
+      assert(vmin <= lv && lv <= vmax, s"last_v outside [$vmin,$vmax]: $lv")
+    }
+    // every raw sample lands in exactly one bucket
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val nEvents = graft.ingest.EventsIngest.readEvents(spark, sf).count()
+    assert(total == nEvents, s"bucket mass $total != events $nEvents")
+  }
+
+  test("char_diversity: impurity bounds and histogram sanity") {
+    val rows = graft.queries.ExtQueries.charDiversity(spark, sf)
+      .select(col("gini_bp"), col("n_chars"), col("n_distinct")).collect()
+    rows.foreach { r =>
+      val (bp, n, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(bp >= 0 && bp < 10000, s"gini out of [0, 10000): $bp")
+      assert(d >= 1 && d <= n)
+      // single-char text must sit at zero impurity
+      if (d == 1) assert(bp == 0)
+    }
+  }
+
+  test("kmv_intersect: sketch overlap bounded by k, estimates non-negative") {
+    val rows = graft.queries.ExtQueries.kmvIntersect(spark, sf).collect()
+    assert(rows.size == 10) // C(5,2) event-type pairs
+    rows.foreach { r =>
+      val nBoth = r.getAs[Long]("n_both")
+      assert(nBoth >= 0 && nBoth <= 8, s"n_both outside [0, k]: $nBoth")
+      assert(r.getAs[Double]("est_inter") >= 0.0)
+      assert(r.getAs[Long]("exact_inter") >= 0L)
+    }
+  }
+
+  test("snapshot_diff: statuses partition the churn rule exactly") {
+    val out = graft.queries.ExtQueries.snapshotDiff(spark, sf)
+    val byStatus = out.groupBy(col("status")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus.keySet.subsetOf(Set("added", "removed", "changed")))
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val nRemoved = d.filter(col("doc_id") % 7 === 0).count()
+    val nAdded = d.filter(col("doc_id") % 13 === 0).count()
+    val nChanged = d.filter(col("doc_id") % 7 =!= 0 &&
+      col("doc_id") % 11 === 0).count()
+    assert(byStatus.getOrElse("removed", 0L) == nRemoved)
+    assert(byStatus.getOrElse("added", 0L) == nAdded)
+    assert(byStatus.getOrElse("changed", 0L) == nChanged)
+  }
+}
