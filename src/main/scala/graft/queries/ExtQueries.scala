@@ -566,6 +566,41 @@ object ExtQueries {
        |FROM s""".stripMargin
   }
 
+  /** Classifier audit for the language-ID heuristic: the confusion
+    * matrix of [[langId]]'s prediction against the labeled `lang`
+    * column, with per-true-language recall in integer basis points —
+    * the evaluation every heuristic filter needs BEFORE it gates a
+    * corpus (on this fixture it shows the marker heuristic
+    * over-predicting `en`, i.e. exactly the bias a practitioner must
+    * know about before trusting a lang-gated pipeline stage). Output is
+    * occupied cells only, ≤ |langs|² rows. Scale shape: one groupBy
+    * over the per-doc prediction frame (map-side combined to the tiny
+    * cell grid) and a broadcast totals join — corpus scanned once.
+    */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = langId(spark, sfDir)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("total"))
+    cells.join(broadcast(totals), "lang")
+      .select(col("lang"), col("predicted"), col("n"),
+        expr("n * 10000 div total").as("recall_bp"))
+  }
+
+  /** DuckDB accepts a nested WITH inside a CTE body, so the lang_id
+    * oracle embeds verbatim as the prediction relation. */
+  val langConfusionOracle: String =
+    s"""WITH p AS (
+       |${langIdOracle}
+       |), cells AS (
+       |  SELECT lang, predicted, count(*) AS n FROM p GROUP BY 1, 2
+       |), t AS (
+       |  SELECT lang, sum(n) AS total FROM cells GROUP BY 1
+       |)
+       |SELECT c.lang, c.predicted, CAST(c.n AS BIGINT) AS n,
+       |       CAST(c.n * 10000 // t.total AS BIGINT) AS recall_bp
+       |FROM cells c JOIN t USING (lang)""".stripMargin
+
   // ------------------------------------------------------- fingerprints
 
   def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
@@ -3908,6 +3943,7 @@ object ExtQueries {
     "snapshot_diff" -> ((snapshotDiff _, snapshotDiffOracle)),
     "split_leakage" -> ((splitLeakage _, splitLeakageOracle)),
     "pagerank_step" -> ((pagerankStep _, pagerankStepOracle)),
+    "lang_confusion" -> ((langConfusion _, langConfusionOracle)),
     "doc_rarity" -> ((docRarity _, docRarityOracle)),
     "quality_deciles" -> ((qualityDeciles _, qualityDecilesOracle)),
     "pii_scrub" -> ((piiScrub _, piiScrubOracle)),
