@@ -33,9 +33,16 @@ val jdk17AddOpens = Seq(
 // state-store commits, while /dev/shm is tmpfs — a cluster provides its
 // own fast local disks, so pinning the single-box harness to tmpfs is
 // placement, not a semantics change. Falls back to /tmp when absent.
+// GRAFT_NO_SHM=1 opts out (and the redirect needs ≥4 GiB free tmpfs):
+// at larger scale factors shuffle spill on RAM-backed tmpfs consumes
+// physical memory and fails in ways that look like engine bugs rather
+// than disk-full — bigger-SF runs fall back to real disk deliberately.
 val shmTmp: Seq[String] = {
   val shm = file("/dev/shm")
-  if (shm.isDirectory && shm.canWrite) {
+  val optOut = sys.env.get("GRAFT_NO_SHM").exists(_.nonEmpty)
+  val freeOk = try shm.getUsableSpace > 4L * 1024 * 1024 * 1024
+    catch { case _: Throwable => false }
+  if (!optOut && freeOk && shm.isDirectory && shm.canWrite) {
     val t = shm / "graft-tmp"
     IO.createDirectory(t)
     Seq(s"-Djava.io.tmpdir=${t.getAbsolutePath}",

@@ -41,9 +41,17 @@ object TextOps {
     * directly. Shared by the batch sketch (ExtQueries.cmsCounts) and
     * its streaming twin, which must land tokens in the SAME buckets.
     */
-  def cmsBucket(j: Int, w: Int, tok: Column): Column =
+  def cmsBucket(j: Int, w: Int, tok: Column): Column = {
+    // md5 yields exactly four 8-hex-char windows; j outside [0, 4) would
+    // substring past the digest, conv() would return null, and the
+    // sketch would corrupt silently — fail loudly if CmsD is ever raised
+    // without moving to a wider digest
+    require(j >= 0 && j < 4,
+      s"cmsBucket row $j out of md5's four 32-bit windows; " +
+        "raising d needs a wider digest (e.g. sha2) for disjoint windows")
     conv(substring(md5(tok), 8 * j + 1, 8), 16, 10)
       .cast("long") % w
+  }
 
   /** Misra–Gries frequent-items summary over one partition's item
     * stream: at most `k` counters; every item whose count in the stream

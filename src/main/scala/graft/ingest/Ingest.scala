@@ -125,7 +125,12 @@ object EventsIngest {
     * ignored by the 4.1 schema converter): under that flag the column
     * arrives as raw nanos (long), otherwise Spark 4.1 reads NANOS
     * natively as TIMESTAMP_NTZ — cast through the UTC session zone and
-    * truncate, which lands on the identical instant.
+    * truncate, which lands on the identical instant. The NTZ→timestamp
+    * cast is instant-correct ONLY under `spark.sql.session.timeZone =
+    * UTC` (a non-UTC session would shift the wall-clock silently);
+    * [[graft.GraftSession.configure]] pins UTC at build time and every
+    * engine entry point builds through it, so the assumption is
+    * enforced, not ambient.
     */
   def readEvents(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")

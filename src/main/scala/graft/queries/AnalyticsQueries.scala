@@ -668,6 +668,21 @@ object AnalyticsQueries {
         // (partitions ≈ cores); results are partition-count-independent
         // either way (every gate hash-matches at all three SFs).
         s.conf.set("spark.sql.shuffle.partitions", "1")
+        // State-store provider is switchable for measurement
+        // (GRAFT_STATESTORE=rocksdb): Spark 4 ships RocksDBStateStoreProvider
+        // to cut the HDFS-backed store's per-commit cost at LARGE state.
+        // Measured on the ten gates at sf0.1 (README "Design choices"):
+        // these fixtures keep ≤ a few thousand rows of state, where
+        // RocksDB's per-store native init outweighs its commit savings —
+        // HDFS-backed (default) wins on every gate, so it stays the
+        // default and production-scale state is where rocksdb earns
+        // the flip.
+        sys.env.get("GRAFT_STATESTORE").foreach {
+          case "rocksdb" => s.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+          case _ => ()
+        }
         streamSessionMemo.put(spark, s)
       }
       s
@@ -761,16 +776,22 @@ object AnalyticsQueries {
   }
 
   /** Streaming twin of [[ExtQueries.cmsCounts]] — the sixth stream≡batch
-    * gate and the first over a SKETCH. Tokens arrive split across three
-    * micro-batches (two token files then the flush sentinel,
-    * `maxFilesPerTrigger=1`), each batch folds its tokens into the d×w
-    * counter grid, and the state store merges the partial grids across
-    * batches — the streaming form of the sketch's mergeability (batch
-    * form: partial aggregation, spec'd in HeavyHittersSpec; production
-    * form: persisted per-day grids that add). The sentinel's own window
-    * never closes, so its rows never surface in append output. The final
-    * streamed grid then answers the same top-20 point estimates as the
-    * batch query and hash-matches the same DuckDB oracle.
+    * gate and the first over a SKETCH. Each micro-batch carries a
+    * PRE-REDUCED partial counter grid — two half-corpus grids (split by
+    * doc_id parity) then the flush sentinel, `maxFilesPerTrigger=1` —
+    * and the state store ADDS the partial grids across batches: exactly
+    * the streaming form of the sketch's mergeability (batch form:
+    * partial aggregation, spec'd in HeavyHittersSpec; production form:
+    * persisted per-day grids that add). Pre-reducing upstream of the
+    * stateful agg is the same map-side-combine the batch plan gets from
+    * partial aggregation; streaming stateful aggs don't get it
+    * automatically, so the fixture applies it explicitly — the rows a
+    * state-store commit must write drop from |tokens|·d to ≤ d·w = 4096
+    * per batch with the merge contract unchanged (counters add either
+    * way). The sentinel's own window never closes, so its row never
+    * surfaces in append output. The final streamed grid then answers the
+    * same top-20 point estimates as the batch query and hash-matches the
+    * same DuckDB oracle.
     */
   def cmsCountsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("cms_e2e").toString
@@ -781,28 +802,36 @@ object AnalyticsQueries {
       posexplode(array((0 until d).map(j =>
         graft.ext.TextOps.cmsBucket(j, w, tok)): _*))
     val inDir = cachedStreamInput(spark, s"cms#$sfDir") { path =>
-      spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(explode(graft.ext.TextOps.tokens(col("text"))).as("tok"),
-          lit(t0).as("e"))
-        .repartition(2) // two token files -> two real merge batches
-        .write.parquet(path)
-      // the flush sentinel is its OWN file, stamped a minute newer, so
-      // the file source (ordered by modification time) schedules it as
-      // the LAST micro-batch — only after it does the watermark pass
-      // the token window and release the merged grid
+      // two real merge batches: each half-corpus folds to its own
+      // ≤4096-row partial grid file (distinct mtime bumps fix the order)
+      val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select((col("doc_id") % 2).as("half"),
+          explode(graft.ext.TextOps.tokens(col("text"))).as("tok"))
+        .select(col("half"), buckets(col("tok")).as(Seq("row", "bucket")))
+        .groupBy(col("half"), col("row"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      Seq(0, 1).foreach { h =>
+        appendBatchFile(path, toks.filter(col("half") === h)
+          .select(col("row"), col("bucket"), col("c"), lit(t0).as("e")),
+          h * 30000L)
+      }
+      // the flush sentinel is its OWN file, stamped newest, so the file
+      // source (ordered by modification time) schedules it as the LAST
+      // micro-batch — only after it does the watermark pass the token
+      // window and release the merged grid
       appendBatchFile(path, spark.range(1).select(
-        lit("__flush__").as("tok"), lit(t0 + 7200L).as("e")), 60000L)
+        lit(-1).as("row"), lit(-1L).as("bucket"), lit(0L).as("c"),
+        lit(t0 + 7200L).as("e")), 60000L)
     }
     withStreamSession(spark) { ss =>
       ss.readStream
-        .schema("tok STRING, e LONG")
+        .schema("row INT, bucket LONG, c LONG, e LONG")
         .option("maxFilesPerTrigger", "1")
         .parquet(inDir)
         .withColumn("ts", timestamp_seconds(col("e")))
         .withWatermark("ts", "0 seconds")
-        .select(col("ts"), buckets(col("tok")).as(Seq("row", "bucket")))
         .groupBy(window(col("ts"), "1 hour"), col("row"), col("bucket"))
-        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("c"))
         .select(col("row"), col("bucket"), col("c"))
         .writeStream
         .format("parquet")
@@ -932,7 +961,14 @@ object AnalyticsQueries {
     // micro-batch — pre-splitting halves the source work and drops the
     // per-batch filter entirely
     val inDir = cachedStreamInput(spark, s"conv#$sfDir") { path =>
+      // deterministic user-quarter trim (oracle applies the identical
+      // predicate): the contract this gate pins — per-user buffering on
+      // BOTH sides, watermark-derived state purge, inner-join emission —
+      // is per-row semantics, unchanged by fixture volume; the batch
+      // twin and the scale probes carry the volume story, so the gate
+      // buys the same evidence at a quarter of the state-store traffic
       val ev = EventsIngest.readEvents(spark, sfDir)
+        .filter(col("user_id") % 4 === 0)
         .select(col("user_id"), col("event_type"),
           col("ts").cast("long").as("e"), col("value"))
       ev.filter(col("event_type") === "view")
@@ -981,6 +1017,7 @@ object AnalyticsQueries {
       |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS e,
       |         value
       |  FROM events
+      |  WHERE user_id % 4 = 0
       |)
       |SELECT v.user_id AS user_id, v.e AS e_v, p.e AS e_p, p.value AS v_p
       |FROM ev v JOIN ev p
@@ -1018,7 +1055,13 @@ object AnalyticsQueries {
   def convOuterStream(spark: SparkSession, sfDir: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("convo_e2e").toString
     val inDir = cachedStreamInput(spark, s"convouter#$sfDir") { path =>
+      // same deterministic user-quarter trim as [[conversionPairsStream]]
+      // (oracle applies the identical predicate): the OUTER contract —
+      // a NULL pair emitted exactly once, only after the watermark
+      // passes the view's whole match window — is per-row semantics;
+      // trimming cuts state-store traffic, not evidence
       val ev = EventsIngest.readEvents(spark, sfDir)
+        .filter(col("user_id") % 4 === 0)
         .select(col("user_id"), col("event_type"),
           col("ts").cast("long").as("e"), col("value"))
       val maxE = ev.agg(max(col("e"))).head().getLong(0)
@@ -1074,6 +1117,7 @@ object AnalyticsQueries {
       |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS e,
       |         value
       |  FROM events
+      |  WHERE user_id % 4 = 0
       |), v AS (SELECT user_id, e FROM ev WHERE event_type = 'view'
       |), p AS (SELECT user_id, e, value FROM ev WHERE event_type = 'purchase'
       |)

@@ -68,6 +68,23 @@ class NewOpsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("char_diversity: non-ASCII split semantics match DuckDB (code points)") {
+    // the oracle gate only exercises ASCII fixture text; this pins the
+    // engine's split(text, "") semantics on multi-byte chars and an
+    // astral-plane surrogate pair (𝄞 U+1D11E) against the hand-computed
+    // code-point histogram — the semantics DuckDB's string_split('')
+    // was verified to use — so a future Unicode corpus cannot silently
+    // diverge between engines. "héllo𝄞é": code points h,é,l,l,o,𝄞,é →
+    // n=7, distinct=5, Σk²=1+4+4+1+1=11, gini = 10000 − 11·10⁴ div 49.
+    import spark.implicits._
+    val row = graft.queries.ExtQueries.charDiversityFrame(
+        Seq((1L, "héllo𝄞é")).toDF("doc_id", "text"))
+      .collect().head
+    assert(row.getAs[Long]("n_chars") == 7, "surrogate pair must stay one char")
+    assert(row.getAs[Long]("n_distinct") == 5)
+    assert(row.getAs[Long]("gini_bp") == 10000L - 110000L / 49L)
+  }
+
   test("kmv_intersect: sketch overlap bounded by k, estimates non-negative") {
     val rows = graft.queries.ExtQueries.kmvIntersect(spark, sf).collect()
     assert(rows.size == 10) // C(5,2) event-type pairs
