@@ -12,6 +12,31 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleProbe [sfDir] [copies]
   */
 object ScaleProbe {
+
+  /** Amplify the base fixture tables `copies`× into `probeDir` as exact
+    * copies with offset ids — shared by the CLI decade runs below and
+    * ScaleProbeSpec's growth-class regression gate.
+    */
+  def amplify(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      probeDir: String, copies: Int): Unit = {
+    val d0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until copies).map(i =>
+        d0.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
+    val e0 = spark.read.parquet(s"$sfDir/events.parquet")
+    (0 until copies).map(i =>
+        e0.withColumn("user_id", col("user_id") + lit(i.toLong * 100000L))
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$probeDir/events.parquet")
+    val v0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    (0 until copies).map(i =>
+        v0.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000000L)))
+      .reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$probeDir/embeddings.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = if (args.length > 1) args(1).toInt else 10
@@ -19,11 +44,7 @@ object ScaleProbe {
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
 
-    val d0 = spark.read.parquet(s"$sfDir/documents.parquet")
-    (0 until copies).map(i =>
-        d0.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000000L)))
-      .reduce(_ union _)
-      .write.mode("overwrite").parquet(s"$probeDir/documents.parquet")
+    amplify(spark, sfDir, probeDir, copies)
     // adversarial hot-shingle corpus: every amplified document gains the
     // same trailing sentence, so one shingle's document frequency equals
     // its whole (lang,source) bucket — the exact stop-shingle skew key
@@ -46,20 +67,6 @@ object ScaleProbe {
         lit("the same crawl page mirrored everywhere zz yy xx ww vv uu " +
           "tt ss rr qq pp oo nn mm ll kk jj ii hh gg"))
       .write.mode("overwrite").parquet(s"$probeDir/mega/documents.parquet")
-    val e0 = spark.read.parquet(s"$sfDir/events.parquet")
-    (0 until copies).map(i =>
-        e0.withColumn("user_id", col("user_id") + lit(i.toLong * 100000L))
-          .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L)))
-      .reduce(_ union _)
-      .write.mode("overwrite").parquet(s"$probeDir/events.parquet")
-    // embeddings amplify as exact copies with offset vec_ids: N× the
-    // corpus behind the broadcast-query ANN/recall joins and N× vectors
-    // per k-means cell (labels unchanged)
-    val v0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    (0 until copies).map(i =>
-        v0.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000000L)))
-      .reduce(_ union _)
-      .write.mode("overwrite").parquet(s"$probeDir/embeddings.parquet")
 
     def time(name: String, dir: String, tag: String)(
         fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {

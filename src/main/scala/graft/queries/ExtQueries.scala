@@ -3967,8 +3967,161 @@ object ExtQueries {
       |FROM ranked, (VALUES (1), (5), (25), (50), (75), (95), (99)) AS q(p)
       |WHERE rn = greatest(1, CAST(ceil(q.p * n / 100.0) AS BIGINT))""".stripMargin
 
+  /** Exact-substring (span-level) dedup — the published gap between
+    * minhash-level and span-level duplication (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better":
+    * training corpora carry long VERBATIM passages that set-based
+    * similarity scores dilute away, and [[lineDedup]] only catches when
+    * line-aligned). Finds every maximal run of ≥ [[SubstrMinTokens]]
+    * verbatim shared tokens between document pairs without ever
+    * materializing a suffix array: a run of L shared tokens is exactly
+    * L−7 consecutive matching 8-token shingles, so (1) positional
+    * shingles (doc_id, pos, h); (2) document-frequency cap at
+    * [[DfCap]] distinct docs per shingle — the same skew guard as every
+    * candidate generator here: corpus-scale boilerplate 8-grams must
+    * die before the index self-join, not pair quadratically; (3)
+    * equi-join postings on h → matches (doc_a, pos_a, doc_b, pos_b);
+    * (4) maximal-run extraction by consecutive-rank grouping: matches
+    * of one run share a diagonal (pos_a − pos_b) and advance pos_a by
+    * 1, so pos_a − row_number() within (pair, diagonal) is constant
+    * exactly over a maximal run (gaps-and-islands). Scale shape: the
+    * join is linear in capped postings; the window partitions by
+    * (pair, diagonal) — millions of tiny partitions, never a global
+    * sort; output is pair×span-sized. Emits (doc_a < doc_b, start
+    * token offset in each, span length in tokens).
+    */
+  private val SubstrMinTokens = 16
+
+  def substrDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs(spark, sfDir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      // same single-split parallelism rescue as Dedup.shingleSets: fan
+      // the tokenize+md5 explode across the cluster before it runs
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(TextOps.shingles("toks", 8)).as(Seq("pos", "sh")))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+    // feeds the df cap and both join sides — persist once, drained by
+    // the session's next CacheScope.drain()
+    val shP = graft.ext.CacheScope.persistTracked(sh)
+    val keep = shP.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") <= DfCap).select(col("h"))
+    val capped = shP.join(keep, "h")
+    val matches = capped
+      .select(col("h"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+      .join(capped.select(col("h"), col("doc_id").as("doc_b"),
+        col("pos").as("pos_b")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+    val diag = col("pos_a") - col("pos_b")
+    val isl = matches.withColumn("island",
+      col("pos_a") - row_number().over(
+        Window.partitionBy(col("doc_a"), col("doc_b"), diag)
+          .orderBy(col("pos_a"))))
+    isl.groupBy(col("doc_a"), col("doc_b"), diag.as("diag"), col("island"))
+      .agg(min(col("pos_a")).cast("long").as("start_a"),
+        min(col("pos_b")).cast("long").as("start_b"),
+        (count(lit(1)) + 7).as("span_tokens"))
+      .filter(col("span_tokens") >= SubstrMinTokens)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("span_tokens"))
+  }
+
+  val substrDedupOracle: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, i.i AS pos,
+       |         ('0x' || substr(md5(array_to_string(
+       |            list_slice(string_split(lower(text), ' '),
+       |                       i.i + 1, i.i + 8), ' ')), 1, 15))::BIGINT AS h
+       |  FROM documents,
+       |       unnest(generate_series(0, len(string_split(lower(text), ' ')) - 8)) AS i(i)
+       |), keep AS (
+       |  SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) <= $DfCap
+       |), shc AS (SELECT sh.* FROM sh JOIN keep USING (h)),
+       |m AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.pos AS pos_a, b.pos AS pos_b
+       |  FROM shc a JOIN shc b ON a.h = b.h AND a.doc_id < b.doc_id
+       |), isl AS (
+       |  SELECT doc_a, doc_b, pos_a, pos_b,
+       |         pos_a - row_number() OVER (
+       |           PARTITION BY doc_a, doc_b, pos_a - pos_b
+       |           ORDER BY pos_a) AS island
+       |  FROM m
+       |)
+       |SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+       |       count(*) + 7 AS span_tokens
+       |FROM isl GROUP BY doc_a, doc_b, pos_a - pos_b, island
+       |HAVING count(*) + 7 >= $SubstrMinTokens""".stripMargin
+
+  /** Per-group mergeable quantile sketch — [[quantileSketch]] keyed by
+    * (event_type, day): the monitoring "p50/p95/p99 by series by day"
+    * query, over the same deterministic bottom-k construction (lowest
+    * 1024 md5(event_id) ranks per GROUP = a fixed uniform sample per
+    * group, so the oracle recomputes the identical sketch bit-exactly
+    * and per-group/per-day sketches still merge: bottom-k of a union is
+    * the bottom-k of the parts' bottom-ks). One windowed rank selects
+    * each group's sample — a shuffle by group key plus an in-partition
+    * sort, |groups|-linear and spill-safe, never a global sort — and the
+    * quantile is pure rank selection per group (no interpolation, raw
+    * values pass through untouched). DKW bounds per group are the same
+    * ~4.3%@95% as the global sketch once a group saturates its 1024
+    * rows; an unsaturated group's sketch IS the group, so selection is
+    * exact there. ScaleProbeSpec pins the |groups|-linear growth class.
+    */
+  def quantileSketchGrouped(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.ingest.EventsIngest.readEvents(spark, sfDir)
+      .select(col("event_type").as("series"),
+        to_date(col("ts")).as("day"),
+        col("value"), md5(col("event_id").cast("string")).as("r"))
+    val grp = Seq(col("series"), col("day"))
+    val samp = ev
+      .withColumn("sk", row_number().over(
+        Window.partitionBy(grp: _*).orderBy(col("r"))))
+      .filter(col("sk") <= 1024).drop("sk")
+    val ranked = samp
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(grp: _*).orderBy(col("value"), col("r"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(grp: _*)))
+    val ps = spark.createDataFrame(
+      Seq(50, 95, 99).map(Tuple1(_))).toDF("p")
+    ranked.crossJoin(broadcast(ps))
+      .filter(col("rn") ===
+        greatest(lit(1L), ceil(col("p") * col("n") / lit(100)).cast("long")))
+      .select(col("series"), col("day"), col("p"),
+        col("value").as("est_value"))
+  }
+
+  val quantileSketchGroupedOracle: String =
+    """WITH ev AS (
+      |  SELECT event_type AS series, CAST(ts AS DATE) AS day, value,
+      |         md5(CAST(event_id AS VARCHAR)) AS r
+      |  FROM events
+      |), samp AS (
+      |  SELECT series, day, value, r FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY series, day
+      |                                 ORDER BY r) AS sk
+      |    FROM ev
+      |  ) WHERE sk <= 1024
+      |), ranked AS (
+      |  SELECT series, day, value,
+      |         row_number() OVER (PARTITION BY series, day
+      |                            ORDER BY value, r) AS rn,
+      |         count(*) OVER (PARTITION BY series, day) AS n
+      |  FROM samp
+      |)
+      |SELECT series, day, q.p, value AS est_value
+      |FROM ranked, (VALUES (50), (95), (99)) AS q(p)
+      |WHERE rn = greatest(1, CAST(ceil(q.p * n / 100.0) AS BIGINT))""".stripMargin
+
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "quantile_sketch" -> ((quantileSketch _, quantileSketchOracle)),
+    "quantile_sketch_grouped" ->
+      ((quantileSketchGrouped _, quantileSketchGroupedOracle)),
+    "substr_dedup" -> ((substrDedup _, substrDedupOracle)),
     "bpe_merge_step" -> ((bpeMergeStep _, bpeMergeStepOracle)),
     "line_dedup" -> ((lineDedup _, lineDedupOracle)),
     "semdedup_prune" -> ((semdedupPrune _, semdedupPruneOracle)),

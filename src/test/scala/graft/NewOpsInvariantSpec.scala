@@ -68,6 +68,32 @@ class NewOpsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("substr_dedup: reported spans are genuinely verbatim and maximal-start") {
+    val out = graft.queries.ExtQueries.substrDedup(spark, sf).collect()
+    assert(out.nonEmpty, "fixture must contain shared >=16-token spans")
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), lower(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    out.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val (sa, sb) = (r.getAs[Long]("start_a").toInt,
+        r.getAs[Long]("start_b").toInt)
+      val len = r.getAs[Long]("span_tokens").toInt
+      assert(a < b && len >= 16)
+      val (ta, tb) = (texts(a), texts(b))
+      assert(sa + len <= ta.length && sb + len <= tb.length,
+        s"span [$sa,+$len) overruns doc ($a,$b)")
+      // the span really is verbatim, token for token
+      assert(ta.slice(sa, sa + len).sameElements(tb.slice(sb, sb + len)),
+        s"span ($a,$b)@($sa,$sb)+$len is not verbatim")
+      // and maximal: extending one token left or right must break it
+      val leftOk = sa == 0 || sb == 0 || ta(sa - 1) != tb(sb - 1)
+      val rightOk = sa + len >= ta.length || sb + len >= tb.length ||
+        ta(sa + len) != tb(sb + len)
+      assert(leftOk && rightOk, s"span ($a,$b)@($sa,$sb)+$len not maximal")
+    }
+  }
+
   test("char_diversity: non-ASCII split semantics match DuckDB (code points)") {
     // the oracle gate only exercises ASCII fixture text; this pins the
     // engine's split(text, "") semantics on multi-byte chars and an

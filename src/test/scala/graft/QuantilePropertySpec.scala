@@ -66,4 +66,36 @@ class QuantilePropertySpec extends SparkSpec {
         s"p=$p est=$v cdf=[$lo,$hi] n=$n")
     }
   }
+
+  test("quantile_sketch_grouped: same DKW bound per group, exact when unsaturated") {
+    // the grouped sketch's contract is the global one applied per
+    // (series, day): a group that saturates its 1024-row sample carries
+    // the DKW rank bound; a group under 1024 rows IS its own sample, so
+    // rank selection there must be exact (eps collapses to tie-width)
+    val sf = "/root/testdata/sf0.001"
+    val est = SparkEntry.queries("quantile_sketch_grouped")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getInt(2)) ->
+        r.getDouble(3)).toMap
+    val byGroup = graft.ingest.EventsIngest.readEvents(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).cast("string"),
+        col("value"))
+      .as[(String, String, Double)].collect()
+      .groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).sorted).toMap
+    assert(est.nonEmpty)
+    est.foreach { case ((series, day, p), v) =>
+      val full = byGroup((series, day))
+      val n = full.length
+      val lo = full.count(_ < v).toDouble / n
+      val hi = full.count(_ <= v).toDouble / n
+      val eps = (if (n > 1024) 0.0425 else 0.0) + 1.0 / n
+      assert(hi >= p / 100.0 - eps && lo <= p / 100.0 + eps,
+        s"series=$series day=$day p=$p est=$v cdf=[$lo,$hi] n=$n")
+    }
+    // monotone within each group: p50 <= p95 <= p99
+    est.keys.map(k => (k._1, k._2)).toSeq.distinct.foreach { case (s, d) =>
+      assert(est((s, d, 50)) <= est((s, d, 95)) &&
+        est((s, d, 95)) <= est((s, d, 99)))
+    }
+  }
 }
