@@ -778,7 +778,8 @@ object AnalyticsQueries {
   /** Streaming twin of [[ExtQueries.cmsCounts]] — the sixth stream≡batch
     * gate and the first over a SKETCH. Each micro-batch carries a
     * PRE-REDUCED partial counter grid — two half-corpus grids (split by
-    * doc_id parity) then the flush sentinel, `maxFilesPerTrigger=1` —
+    * doc_id parity; the flush sentinel rides in the second file, since
+    * the watermark only advances at batch end), `maxFilesPerTrigger=1` —
     * and the state store ADDS the partial grids across batches: exactly
     * the streaming form of the sketch's mergeability (batch form:
     * partial aggregation, spec'd in HeavyHittersSpec; production form:
@@ -810,18 +811,19 @@ object AnalyticsQueries {
         .select(col("half"), buckets(col("tok")).as(Seq("row", "bucket")))
         .groupBy(col("half"), col("row"), col("bucket"))
         .agg(count(lit(1)).as("c"))
-      Seq(0, 1).foreach { h =>
-        appendBatchFile(path, toks.filter(col("half") === h)
-          .select(col("row"), col("bucket"), col("c"), lit(t0).as("e")),
-          h * 30000L)
-      }
-      // the flush sentinel is its OWN file, stamped newest, so the file
-      // source (ordered by modification time) schedules it as the LAST
-      // micro-batch — only after it does the watermark pass the token
-      // window and release the merged grid
-      appendBatchFile(path, spark.range(1).select(
-        lit(-1).as("row"), lit(-1L).as("bucket"), lit(0L).as("c"),
-        lit(t0 + 7200L).as("e")), 60000L)
+      appendBatchFile(path, toks.filter(col("half") === 0)
+        .select(col("row"), col("bucket"), col("c"), lit(t0).as("e")), 0L)
+      // the flush sentinel RIDES IN the second half's file: the
+      // watermark only advances at END of a micro-batch, so a batch
+      // carrying both the second partial grid and the far-future
+      // sentinel still merges the grid into state first, then releases
+      // the closed token window in the trailing no-data batch — same
+      // two-merge-batch contract, one fewer state-store commit cycle
+      appendBatchFile(path, toks.filter(col("half") === 1)
+        .select(col("row"), col("bucket"), col("c"), lit(t0).as("e"))
+        .unionByName(spark.range(1).select(
+          lit(-1).as("row"), lit(-1L).as("bucket"), lit(0L).as("c"),
+          lit(t0 + 7200L).as("e"))), 30000L)
     }
     withStreamSession(spark) { ss =>
       ss.readStream
@@ -843,9 +845,9 @@ object AnalyticsQueries {
         .awaitTermination()
     }
     val grid = spark.read.parquet(s"$work/out")
-    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(explode(graft.ext.TextOps.tokens(col("text"))).as("tok"))
-    toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // probe set from the session vocabulary (same frame the batch twin
+    // queries) — the streamed grid is what's under test here
+    ExtQueries.cachedTokenCounts(spark, sfDir)
       .orderBy(col("cnt").desc, col("tok")).limit(20)
       .select(col("tok"), col("cnt"), buckets(col("tok")).as(Seq("row", "bucket")))
       .join(broadcast(grid), Seq("row", "bucket"))
@@ -1153,7 +1155,14 @@ object AnalyticsQueries {
   def sessionWindowStream(spark: SparkSession, sfDir: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("swin_e2e").toString
     val inDir = cachedStreamInput(spark, s"swin#$sfDir") { path =>
+      // deterministic user-quarter trim (oracle applies the identical
+      // predicate — the [[conversionPairsStream]] discipline): the
+      // contract this gate pins — state-store window MERGE on the
+      // inclusive gap rule, append emission on watermark — is per-row
+      // semantics; the full-volume story rides the batch sessionizer
+      // twin, which shares the untrimmed oracle
       val ev = EventsIngest.readEvents(spark, sfDir)
+        .filter(col("user_id") % 4 === 0)
         .select(col("user_id"), col("ts").cast("long").as("e"))
       val maxE = ev.agg(max(col("e"))).head().getLong(0)
       ev.unionByName(
@@ -1197,7 +1206,7 @@ object AnalyticsQueries {
         |         CASE WHEN e - lag(e) OVER (PARTITION BY user_id
         |                                    ORDER BY e) <= 1800
         |              THEN 0 ELSE 1 END AS is_new
-        |  FROM ev
+        |  FROM ev WHERE user_id % 4 = 0
         |), s AS (
         |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY e
         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
@@ -1370,10 +1379,12 @@ object AnalyticsQueries {
   /** Streaming CDC merge gate — the OTHER half of dataset versioning
     * ([[graft.queries.ExtQueries.snapshotDiff]] diffs two snapshots in
     * batch; this maintains the live snapshot from a change stream):
-    * three scheduled micro-batches feed [[CdcMergeStream]] — the base
-    * corpus as upserts at t0, a changeset at t0+1h (every 7th doc
+    * two scheduled micro-batches feed [[CdcMergeStream]] — the base
+    * corpus as upserts at t0, then a changeset at t0+1h (every 7th doc
     * deleted, every remaining 11th doc revised — the same churn rule as
-    * snapshot_diff's v2), then the flush sentinel two days out. The
+    * snapshot_diff's v2) carrying the far-future flush sentinel (the
+    * watermark only advances at batch end, so the changes fold into
+    * state before the flush horizon passes). The
     * state store folds last-writer-wins per doc_id across batches, and
     * the watermark passing the flush boundary fires every key's
     * event-time timeout: live rows emit exactly once, deletes emit
@@ -1403,10 +1414,15 @@ object AnalyticsQueries {
           graft.ext.TextOps.fingerprint(concat(col("text"),
             lit(" (rev2)"))).as("fp"),
           lit(t1).as("e"))
-      appendBatchFile(path, deletes.unionByName(revisions), 60000L)
-      appendBatchFile(path, spark.range(1).select(lit(-1L).as("doc_id"),
-        lit("upsert").as("op"), lit("").as("fp"),
-        lit(t0 + 172800L).as("e")), 120000L)
+      // the flush sentinel rides in the changeset file: LWW folding
+      // processes the whole batch's input into state before the
+      // watermark advances at batch end, so the timeout flush still
+      // fires only in the trailing no-data batch — same
+      // base-then-changes merge contract, one fewer micro-batch cycle
+      appendBatchFile(path, deletes.unionByName(revisions)
+        .unionByName(spark.range(1).select(lit(-1L).as("doc_id"),
+          lit("upsert").as("op"), lit("").as("fp"),
+          lit(t0 + 172800L).as("e"))), 60000L)
     }
     withStreamSession(spark) { ss =>
       import ss.implicits._

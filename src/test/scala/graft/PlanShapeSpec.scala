@@ -203,11 +203,12 @@ class PlanShapeSpec extends SparkSpec {
       SparkEntry.queries("dup_ngram_mass")(spark, sf))
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
-    // exactly one join: shingles ⨝ df(h) — a second join would mean the
-    // pairwise shape crept in
+    // at most two joins: shingles ⨝ df(h), plus the session tagged-8-gram
+    // frame's own doc_id ⨝ source build (absent once the shared cache is
+    // materialized). More would mean the pairwise shape crept in.
     val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
       .findAllIn(plan).length
-    assert(joins == 1, s"want exactly 1 join: $joins\n" + plan.take(1200))
+    assert(joins <= 2, s"want at most 2 joins: $joins\n" + plan.take(1200))
   }
 
   test("mix_plan broadcasts the one-row totals frame over one corpus groupBy") {

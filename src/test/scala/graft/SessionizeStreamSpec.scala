@@ -103,8 +103,9 @@ class SessionizeStreamSpec extends SparkSpec {
     // sharp): Spark's session_window treats [start, start+gap] windows
     // that merely MEET as one session — merge while gap <= 1800, the
     // same inclusive rule as the custom sessionizer. session_window is
-    // a plain batch aggregation too, so the rule pins cheaply here; the
-    // sf0.1 stream gate hash-checks it end-to-end.
+    // a plain batch aggregation too, so the rule pins cheaply here
+    // (the stream gate's trimmed fixture need not contain an exact-gap
+    // pair — this spec is the boundary's standing evidence).
     import org.apache.spark.sql.functions._
     val df = Seq((1L, 1000000L), (1L, 1001800L), // meet: one session
         (2L, 1000000L), (2L, 1001801L)) // past the gap: two
