@@ -683,6 +683,20 @@ object AnalyticsQueries {
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
           case _ => ()
         }
+        // diagnostics lever: per-micro-batch duration breakdown on
+        // stderr (GRAFT_STREAM_PROGRESS=1) — attributes gate cost to
+        // planning/state-commit/sink phases without a full profiler
+        if (sys.env.get("GRAFT_STREAM_PROGRESS").exists(_.nonEmpty))
+          s.streams.addListener(
+            new org.apache.spark.sql.streaming.StreamingQueryListener {
+              import org.apache.spark.sql.streaming.StreamingQueryListener._
+              override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+              override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+              override def onQueryProgress(e: QueryProgressEvent): Unit =
+                System.err.println(s"STREAMPROG batch=${e.progress.batchId} " +
+                  s"rows=${e.progress.numInputRows} " +
+                  s"durations=${e.progress.durationMs}")
+            })
         streamSessionMemo.put(spark, s)
       }
       s
@@ -1043,12 +1057,12 @@ object AnalyticsQueries {
     * as the inner join — both sides buffered keyed by user, bounded by
     * watermark-horizon × arrival-rate — plus the outer side's pending
     * rows, bounded the same way; nothing is history-sized.
-    * Harness: each side is its own parquet dir; a second file per side
-    * stamped one minute newer (the [[cmsCountsStream]] sentinel
-    * pattern) carries one far-future row, so `maxFilesPerTrigger=1`
-    * schedules data → sentinel, the sentinel batch advances BOTH
-    * sources' watermarks past every view's window, and the trailing
-    * no-data micro-batch flushes the unmatched views. Sentinel rows use
+    * Harness: each side is its own single-file parquet dir carrying one
+    * far-future sentinel row alongside the data (the [[cmsCountsStream]]
+    * pattern — the watermark only advances at batch END, so the data
+    * batch joins every in-window pair first); the advanced watermarks
+    * then release the unmatched views in the trailing no-data
+    * micro-batch. Sentinel rows use
     * negative user ids, matchable by nothing, filtered on read-back;
     * the sentinel view itself stays in state forever (its own window
     * never closes) — exactly the drain-message lifecycle a production
@@ -1067,13 +1081,18 @@ object AnalyticsQueries {
         .select(col("user_id"), col("event_type"),
           col("ts").cast("long").as("e"), col("value"))
       val maxE = ev.agg(max(col("e"))).head().getLong(0)
+      // the far-future sentinel rides IN each side's single data file:
+      // the watermark only advances at END of a micro-batch, so the one
+      // data batch joins every in-window pair first, then the advanced
+      // watermark releases the unmatched views (NULL-padded, exactly
+      // once) in the trailing no-data batch — the outer contract is
+      // emission-on-horizon, which batch boundaries don't change
       def side(tpe: String, dir: String, sentUid: Long,
           proj: DataFrame => DataFrame): Unit = {
         proj(ev.filter(col("event_type") === tpe).drop("event_type"))
+          .unionByName(proj(spark.range(1).select(lit(sentUid).as("user_id"),
+            lit(maxE + 7200L).as("e"), lit(0.0).as("value"))))
           .coalesce(1).write.parquet(s"$path/$dir")
-        appendBatchFile(s"$path/$dir",
-          proj(spark.range(1).select(lit(sentUid).as("user_id"),
-            lit(maxE + 7200L).as("e"), lit(0.0).as("value"))), 60000L)
       }
       side("view", "views", -1L, _.drop("value"))
       side("purchase", "purchases", -2L, identity)
@@ -1081,14 +1100,12 @@ object AnalyticsQueries {
     withStreamSession(spark) { ss =>
       val views = ss.readStream
         .schema("user_id LONG, e LONG")
-        .option("maxFilesPerTrigger", "1")
         .parquet(s"$inDir/views")
         .select(col("user_id").as("uid_v"), col("e").as("e_v"),
           timestamp_seconds(col("e")).as("ts_v"))
         .withWatermark("ts_v", "0 seconds")
       val purchases = ss.readStream
         .schema("user_id LONG, e LONG, value DOUBLE")
-        .option("maxFilesPerTrigger", "1")
         .parquet(s"$inDir/purchases")
         .select(col("user_id").as("uid_p"), col("e").as("e_p"),
           col("value").as("v_p"), timestamp_seconds(col("e")).as("ts_p"))
