@@ -466,11 +466,15 @@ object AnalyticsQueries {
     // same from table column stats)
     val bounds = raw.agg(min(col("u")).as("ulo"), max(col("u")).as("uhi"),
       min(col("t")).as("tlo"), max(col("t")).as("thi"))
-    val ev = raw.crossJoin(broadcast(bounds))
-      .select(expr("((u - ulo) * 65535) div greatest(uhi - ulo, 1)").as("u16"),
-        expr("((t - tlo) * 65535) div greatest(thi - tlo, 1)").as("t16"))
-      .withColumn("z", expr(zExpr("u16", "t16", "div")))
-      .withColumn("zb", expr(s"z div ${1L << 22}"))
+    // two consumers (the boundary histogram and the final per-file
+    // stats join) — persist so the 32-term bit-interleave z expression
+    // runs once per row, not once per consumer; drained by CacheScope
+    val ev = graft.ext.CacheScope.persistTracked(
+      raw.crossJoin(broadcast(bounds))
+        .select(expr("((u - ulo) * 65535) div greatest(uhi - ulo, 1)").as("u16"),
+          expr("((t - tlo) * 65535) div greatest(thi - tlo, 1)").as("t16"))
+        .withColumn("z", expr(zExpr("u16", "t16", "div")))
+        .withColumn("zb", expr(s"z div ${1L << 22}")))
     val hist = ev.groupBy(col("zb")).agg(count(lit(1)).as("c"))
     val win = Window.orderBy("zb")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -324,11 +324,17 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("zorder_layout: boundaries from the prefix histogram, corpus never sorted") {
-    val plan = finalPlan(SparkEntry.queries("zorder_layout")(spark, sf))
+    val df = SparkEntry.queries("zorder_layout")(spark, sf)
+    val plan = finalPlan(df)
     // the single-partition window runs over the <=1024-bucket z-prefix
     // histogram; the file assignment joins back as a broadcast; the
-    // corpus itself must never be globally sorted or shuffle-joined
-    assert(plan.contains("Window"), plan.take(1200))
+    // corpus itself must never be globally sorted or shuffle-joined.
+    // The window sits on the broadcast BUILD side (a separate AQE query
+    // stage the executed-plan string elides since the z frame became a
+    // cached shared scan), so it is asserted on the optimized logical
+    // plan where the whole tree prints.
+    assert(df.queryExecution.optimizedPlan.toString.contains("Window"),
+      df.queryExecution.optimizedPlan.toString.take(1200))
     assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
     assert(!plan.contains("SortMergeJoin"), plan.take(1200))
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
