@@ -81,6 +81,14 @@ object Bench {
       name -> (if (runs.exists(_ < 0)) -runs.map(math.abs).max
                else runs.min)
     }
+    // per-query budget check (round-8 verdict item): a single query
+    // above 1.5 s steady-state is a plan-weight outlier worth a look
+    // before it becomes the next round's tail — warn loudly, don't fail
+    // (the streaming gates' micro-batch fixed cost legitimately sits
+    // near the line)
+    results.filter(_._2 > 1.5).sortBy(-_._2).foreach { case (n, v) =>
+      System.err.println(f"BENCH BUDGET $n%-28s ${v}%.3f s > 1.5 s")
+    }
     def ms(v: Double): String = // Locale.ROOT: a comma decimal point is not JSON
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // total sums elapsed wall-clock regardless of outcome (math.abs undoes

@@ -286,7 +286,7 @@ object ExtQueries {
     df
   }
 
-  private[queries] def cachedTokenCounts(spark: SparkSession,
+  private[graft] def cachedTokenCounts(spark: SparkSession,
       sfDir: String): DataFrame = {
     val perSession = tokenCountsMemo.synchronized {
       var m = tokenCountsMemo.get(spark)
@@ -3507,6 +3507,166 @@ object ExtQueries {
       |FROM sc GROUP BY 1
       |ORDER BY score_bp DESC, doc_id LIMIT 10""".stripMargin
 
+  /** RRF constant (Cormack et al. 2009, "Reciprocal Rank Fusion
+    * outperforms Condorcet..."): the standard k=60.
+    */
+  private val RrfK = 60
+
+  /** Reciprocal-rank fusion — the hybrid-retrieval primitive every
+    * RAG/training-data retrieval stack runs: fuse a SPARSE ranking (the
+    * BM25 keyword list) with a DENSE ranking (cosine top-k for the
+    * fixture-paired query vector 0; `vec_id` is the document id) by
+    * rrf(d) = Σ_lists 1/(k + rank_list(d)), k = [[RrfK]]. The fold is
+    * ranker-agnostic — inputs are any ranked lists — and rank-only, so
+    * incomparable scores (BM25 basis points vs cosine) never mix; a
+    * document absent from a list contributes 0 (rank recorded as 0).
+    * Determinism: the reciprocal is held as 10⁸ div (k + rank) — an
+    * exact integer — so the fused score is bit-identical cross-engine.
+    * Scale shape: each input list is already top-k (bounded); the fuse
+    * is a full-outer equi-join of two k-row frames plus a window over
+    * ≤ 2k rows — driver-free, corpus-free.
+    */
+  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = bm25Topk(spark, sfDir)
+      .withColumn("r_sparse", row_number().over(
+        Window.orderBy(col("score_bp").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("r_sparse"))
+    val dense = annBrute(spark, sfDir)
+      .filter(col("qid") === 0)
+      .select(col("vec_id").as("doc_id"), col("rk").cast("long").as("r_dense"))
+    // bounded single-partition window: ≤ 2k fused rows by construction
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_sparse"), lit(0L)).as("r_sparse"),
+        coalesce(col("r_dense"), lit(0L)).as("r_dense"))
+      .withColumn("rrf_s",
+        expr(s"if(r_sparse > 0, 100000000 div ($RrfK + r_sparse), 0) + " +
+          s"if(r_dense > 0, 100000000 div ($RrfK + r_dense), 0)"))
+      .withColumn("fused_rank", row_number().over(
+        Window.orderBy(col("rrf_s").desc, col("doc_id"))).cast("long"))
+  }
+
+  val rrfFusionOracle: String =
+    s"""WITH q AS (SELECT unnest(['batch','stream','filter']) AS term
+       |), toks AS (
+       |  SELECT doc_id, t.term AS term
+       |  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+       |), dl AS (
+       |  SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+       |), st AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks JOIN q USING (term)
+       |  GROUP BY 1, 2
+       |), dfq AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM toks JOIN q USING (term)
+       |  GROUP BY 1
+       |), sc AS (
+       |  SELECT tf.doc_id,
+       |         ((2*n_docs - 2*df + 1) * 22 * tf * sumdl * 10000)
+       |           // ((2*df + 1) * (10*sumdl*tf + 3*sumdl + 9*dl.dl*n_docs)) AS s
+       |  FROM tf JOIN dfq USING (term) JOIN dl ON dl.doc_id = tf.doc_id, st
+       |), bm AS (
+       |  SELECT doc_id, sum(s) AS score_bp FROM sc GROUP BY 1
+       |  ORDER BY score_bp DESC, doc_id LIMIT 10
+       |), sparse AS (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score_bp DESC, doc_id)
+       |           AS r_sparse
+       |  FROM bm
+       |), v AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+       |dense AS (
+       |  SELECT vec_id AS doc_id, rk AS r_dense FROM (
+       |    SELECT c.vec_id, row_number() OVER (
+       |             ORDER BY ${cosSql("q.qv", "c.qv")} DESC, c.vec_id ASC) AS rk
+       |    FROM v q JOIN v c ON q.vec_id = 0 AND c.vec_id <> 0
+       |  ) WHERE rk <= 10
+       |), fused AS (
+       |  SELECT coalesce(sparse.doc_id, dense.doc_id) AS doc_id,
+       |         coalesce(r_sparse, 0) AS r_sparse,
+       |         coalesce(r_dense, 0) AS r_dense
+       |  FROM sparse FULL OUTER JOIN dense USING (doc_id)
+       |)
+       |SELECT doc_id, CAST(r_sparse AS BIGINT) AS r_sparse,
+       |       CAST(r_dense AS BIGINT) AS r_dense,
+       |       CAST(CASE WHEN r_sparse > 0
+       |                 THEN 100000000 // ($RrfK + r_sparse) ELSE 0 END
+       |          + CASE WHEN r_dense > 0
+       |                 THEN 100000000 // ($RrfK + r_dense) ELSE 0 END
+       |            AS BIGINT) AS rrf_s,
+       |       CAST(row_number() OVER (
+       |         ORDER BY (CASE WHEN r_sparse > 0
+       |                        THEN 100000000 // ($RrfK + r_sparse) ELSE 0 END
+       |                 + CASE WHEN r_dense > 0
+       |                        THEN 100000000 // ($RrfK + r_dense) ELSE 0 END)
+       |           DESC, doc_id) AS BIGINT) AS fused_rank
+       |FROM fused""".stripMargin
+
+  /** Recall@5 of the IVF index against exact brute force, per query —
+    * THE standard ANN index-quality audit (every vector-DB eval reports
+    * it): |top5_ivf ∩ top5_exact| / 5 in basis points. Single-probe IVF
+    * trades recall for a cells-fold candidate reduction; this measures
+    * what that trade costs on the fixture corpus, the number a 100 TB
+    * deployment watches when it tunes nProbe/cell count. Both rankings
+    * are the engine's own registered entries; integer-exact.
+    */
+  def embRecallAtK(spark: SparkSession, sfDir: String): DataFrame = {
+    val brute = annBrute(spark, sfDir).filter(col("rk") <= 5)
+      .select(col("qid"), col("vec_id"))
+    val ivf = annIvf(spark, sfDir).select(col("qid"), col("vec_id"))
+    val hits = brute.join(ivf, Seq("qid", "vec_id"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    embeddings(spark, sfDir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_bp", expr("n_hits * 10000 div 5"))
+  }
+
+  val embRecallAtKOracle: String =
+    s"""WITH v AS (SELECT vec_id, label, $qvSql AS qv FROM embeddings),
+       |brute AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${cosSql("q.qv", "c.qv")} DESC, c.vec_id ASC) AS rk
+       |    FROM v q JOIN v c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+       |  ) WHERE rk <= 5
+       |), comp AS (
+       |  SELECT label, i.i AS pos, qv[i.i] AS q
+       |  FROM v, unnest(generate_series(1, 64)) AS i(i)
+       |), cent AS (
+       |  SELECT label AS cell, list(c ORDER BY pos) AS centroid
+       |  FROM (SELECT label, pos,
+       |               CAST(trunc(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS c
+       |        FROM comp GROUP BY label, pos)
+       |  GROUP BY label
+       |), qs AS (
+       |  SELECT vec_id AS qid, qv FROM v WHERE vec_id < 5
+       |), routed AS (
+       |  SELECT qid, cell, qv FROM (
+       |    SELECT q.qid, c.cell, q.qv,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY ${cosSql("q.qv", "c.centroid")} DESC, c.cell ASC) AS rr
+       |    FROM qs q, cent c
+       |  ) WHERE rr = 1
+       |), ivf AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT r.qid, c.vec_id,
+       |           row_number() OVER (PARTITION BY r.qid
+       |             ORDER BY ${cosSql("r.qv", "c.qv")} DESC, c.vec_id ASC) AS rk
+       |    FROM routed r JOIN v c ON c.label = r.cell AND c.vec_id <> r.qid
+       |  ) WHERE rk <= 5
+       |), hits AS (
+       |  SELECT qid, count(*) AS n_hits
+       |  FROM brute JOIN ivf USING (qid, vec_id) GROUP BY 1
+       |)
+       |SELECT q.vec_id AS qid,
+       |       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST(coalesce(n_hits, 0) * 10000 // 5 AS BIGINT) AS recall_bp
+       |FROM (SELECT vec_id FROM v WHERE vec_id < 5) q
+       |LEFT JOIN hits ON hits.qid = q.vec_id""".stripMargin
+
   /** Epoch cap for [[unimaxAlloc]]: 1 = never upsample any language
     * past one full pass over its data (the UniMax paper sweeps this).
     */
@@ -4461,6 +4621,8 @@ object ExtQueries {
     "emb_power_iter" -> ((embPowerIter _, embPowerIterOracle)),
     "tfidf_topk" -> ((tfidfTopk _, tfidfTopkOracle)),
     "bm25_topk" -> ((bm25Topk _, bm25TopkOracle)),
+    "rrf_fusion" -> ((rrfFusion _, rrfFusionOracle)),
+    "emb_recall_at_k" -> ((embRecallAtK _, embRecallAtKOracle)),
     "unimax_alloc" -> ((unimaxAlloc _, unimaxAllocOracle)),
     "gopher_rules" -> ((gopherRules _, gopherRulesOracle)),
     "doc_winnow" -> ((docWinnow _, docWinnowOracle)),

@@ -122,6 +122,58 @@ class NewOpsInvariantSpec extends SparkSpec {
     }
   }
 
+  test("rrf_fusion: rank-only fold — both-list docs beat equal single-list ranks") {
+    val rows = graft.queries.ExtQueries.rrfFusion(spark, sf).collect()
+    // lists are top-10 each; the fused set is their union
+    assert(rows.length >= 10 && rows.length <= 20)
+    val score = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("rrf_s")).toMap
+    rows.foreach { r =>
+      val (s, d) = (r.getAs[Long]("r_sparse"), r.getAs[Long]("r_dense"))
+      val expect =
+        (if (s > 0) 100000000L / (60 + s) else 0L) +
+          (if (d > 0) 100000000L / (60 + d) else 0L)
+      assert(score(r.getAs[Long]("doc_id")) == expect)
+      // a doc on both lists strictly outscores any doc on one list at
+      // the same or worse rank — the property RRF is used for
+      if (s > 0 && d > 0) rows.filter { o =>
+        val (os, od) = (o.getAs[Long]("r_sparse"), o.getAs[Long]("r_dense"))
+        (os == 0 && od >= d) || (od == 0 && os >= s)
+      }.foreach(o =>
+        assert(score(o.getAs[Long]("doc_id")) < score(r.getAs[Long]("doc_id"))))
+    }
+    // fused_rank is a permutation of 1..n
+    assert(rows.map(_.getAs[Long]("fused_rank")).sorted.toSeq ==
+      (1L to rows.length).toSeq)
+  }
+
+  test("emb_recall_at_k: recall in [0,1], exact vs self is 100%") {
+    val rows = graft.queries.ExtQueries.embRecallAtK(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val bp = r.getAs[Long]("recall_bp")
+      assert(bp >= 0 && bp <= 10000)
+      assert(bp == r.getAs[Long]("n_hits") * 10000 / 5)
+    }
+  }
+
+  test("session index frames equal their from-scratch computation") {
+    import graft.queries.ExtQueries
+    // the session-scoped vocabulary must be exactly the direct aggregate
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.ext.TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val cached = ExtQueries.cachedTokenCounts(spark, sf)
+    assert(cached.join(direct, Seq("tok"))
+      .filter(cached("cnt") =!= direct("cnt")).count() == 0)
+    assert(cached.count() == direct.count())
+    // and must survive eviction (the re-persist guard): clearCache then
+    // recompute must give the same frame
+    spark.catalog.clearCache()
+    val again = ExtQueries.cachedTokenCounts(spark, sf)
+    assert(again.count() == direct.count())
+  }
+
   test("snapshot_diff: statuses partition the churn rule exactly") {
     val out = graft.queries.ExtQueries.snapshotDiff(spark, sf)
     val byStatus = out.groupBy(col("status")).count()
