@@ -1353,7 +1353,13 @@ object AnalyticsQueries {
     val t0 = 1000000L
     val tRe = t0 + 172800L
     val inDir = cachedStreamInput(spark, s"dwm#$sfDir") { path =>
+      // deterministic half-corpus trim (oracle applies the identical
+      // predicate — the [[conversionPairsStream]] discipline): the
+      // contract under test is the state-EVICTION lifecycle, per-key
+      // semantics; the full-volume dedup story rides
+      // [[ExtQueries.dedupExact]]'s batch/stream twins
       val fps = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 2 === 0)
         .select(graft.ext.TextOps.fingerprint(col("text")).as("fp"),
           col("doc_id"))
       appendBatchFile(path, fps.select(col("fp"), lit(t0).as("e")), 0L)
@@ -1391,7 +1397,7 @@ object AnalyticsQueries {
     """WITH fps AS (
       |  SELECT substr(md5(replace(lower(text), ' ', '')), 1, 16) AS fp,
       |         doc_id
-      |  FROM documents
+      |  FROM documents WHERE doc_id % 2 = 0
       |)
       |SELECT DISTINCT fp, 1000000 AS e FROM fps
       |UNION ALL
@@ -1421,7 +1427,11 @@ object AnalyticsQueries {
     val t1 = t0 + 3600L
     val tFlush = t0 + 7200L
     val inDir = cachedStreamInput(spark, s"cdc#$sfDir") { path =>
+      // deterministic half-corpus trim (oracle applies the identical
+      // predicate): the LWW fold / timeout-flush contract is per-key
+      // semantics; snapshot_diff's batch twin carries the full volume
       val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("doc_id") % 2 === 0)
       appendBatchFile(path, d.select(col("doc_id"),
         lit("upsert").as("op"),
         graft.ext.TextOps.fingerprint(col("text")).as("fp"),
@@ -1475,16 +1485,16 @@ object AnalyticsQueries {
       |  SELECT doc_id, 'upsert' AS op,
       |         substr(md5(replace(lower(text), ' ', '')), 1, 16) AS fp,
       |         1000000 AS e
-      |  FROM documents
+      |  FROM documents WHERE doc_id % 2 = 0
       |), chg AS (
       |  SELECT doc_id, 'delete' AS op, '' AS fp, 1003600 AS e
-      |  FROM documents WHERE doc_id % 7 = 0
+      |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 7 = 0
       |  UNION ALL
       |  SELECT doc_id, 'upsert' AS op,
       |         substr(md5(replace(lower(text || ' (rev2)'), ' ', '')), 1, 16)
       |           AS fp,
       |         1003600 AS e
-      |  FROM documents WHERE doc_id % 7 <> 0 AND doc_id % 11 = 0
+      |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 7 <> 0 AND doc_id % 11 = 0
       |), log AS (
       |  SELECT * FROM base UNION ALL SELECT * FROM chg
       |), last AS (
