@@ -177,50 +177,20 @@ object EventsIngest {
     eventsAsMetrics(spark, sfDir).as[graft.model.MetricRecord]
   }
 
-  private val metricsCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
-
   /** The ingested metrics frame, cached per (session, dataset) — the
     * buffer-pool analogue: every registered query reads this hot fact
     * frame, so materialize the scan+ingest projection once per session
-    * instead of once per query. Storage is MEMORY_AND_DISK, so an
-    * executor under pressure spills instead of failing.
-    *
-    * The outer map keys on the session by exact identity (an identity
-    * *hash* can be reused after GC and hand a new session a frame bound
-    * to a stopped context). Weak keying alone cannot collect an entry
-    * here — the cached DataFrames strongly reference their session, the
-    * classic value→key cycle — so entries are ALSO removed explicitly by
-    * an application-end listener registered at first insert. A frame that
-    * was unpersisted externally (e.g. `spark.catalog.clearCache()`) is
-    * re-persisted and re-filled on next access.
+    * instead of once per query (memoization + persistence semantics in
+    * [[graft.sources.TableCache]]). Widened to the parallelism floor at
+    * build: a one-file fixture scan plans (and caches) as ONE partition,
+    * so every consumer's first stage would otherwise run single-threaded
+    * — see [[graft.ext.Parallelism]].
     */
-  def cachedMetrics(spark: SparkSession, sfDir: String): DataFrame = {
-    val perSession = metricsCache.synchronized {
-      var m = metricsCache.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty[String, DataFrame]
-        metricsCache.put(spark, m)
-        spark.sparkContext.addSparkListener(
-          new org.apache.spark.scheduler.SparkListener {
-            override def onApplicationEnd(
-                end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-              metricsCache.synchronized { metricsCache.remove(spark) }
-          })
-      }
-      m
-    }
-    val df = perSession.synchronized {
-      perSession.getOrElseUpdate(sfDir,
+  def cachedMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.TableCache.getOrBuild(spark, s"metrics#$sfDir")(
+      graft.ext.Parallelism.widen(
         eventsAsMetrics(spark, sfDir)
-          .withColumn("e", unix_timestamp(col("timestamp"))))
-    }
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count() // fill before concurrent consumers race the cache
-    }
-    df
-  }
+          .withColumn("e", unix_timestamp(col("timestamp")))))
 
   /** Partitioned-parquet writer for the fact table: partition by
     * `collect_date` (+ query_id) so repair/retention are partition ops

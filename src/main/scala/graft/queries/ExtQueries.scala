@@ -13,11 +13,17 @@ import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
   */
 object ExtQueries {
 
+  // Both corpus tables go through the session frame cache: widened to
+  // the parallelism floor (a one-file fixture scan is a single
+  // partition, which would serialize every token-explode stage chained
+  // on top — no-op at real corpus scale) and materialized once per
+  // session, so per-query cost is compute over a hot base frame rather
+  // than scan + re-shuffle. See [[graft.sources.TableCache]].
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.sources.TableCache.widenedParquet(spark, s"$sfDir/documents.parquet")
 
   private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/embeddings.parquet")
+    graft.sources.TableCache.widenedParquet(spark, s"$sfDir/embeddings.parquet")
 
   // --------------------------------------------------------- exact dedup
 

@@ -13,6 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object WarehouseQueries {
 
+  // Deliberately plain parquet reads, no widen/cache: these queries'
+  // value as evidence is their SCAN-side plan (PushedFilters/ReadSchema
+  // asserted in PlanShapeSpec), which an InMemoryRelation would hide,
+  // and their filter+agg cost at bench SF is already scan-bound, so a
+  // per-query repartition would cost more than the parallelism buys
+  // (measured: revenue_by_nation 0.7→1.6 s with an unconditional widen).
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 

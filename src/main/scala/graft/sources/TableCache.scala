@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped frame memo — the engine's buffer pool. Hot base
+  * frames (the ingested fact frame, the documents/embeddings corpus)
+  * are read by every registered query; materializing the scan (plus the
+  * one-time parallelism-floor shuffle, see [[graft.ext.Parallelism]])
+  * once per session turns a per-query cost into session warmup, exactly
+  * like a warehouse warming its buffer pool. Long-lived sessions (Bench,
+  * Verify, the daemon) then serve hundreds of queries off the cached
+  * frames; [[graft.ext.CacheScope.drain]] deliberately does NOT touch
+  * these — they are the documented steady state.
+  *
+  * Keying discipline (inherited from the original fact-frame memo): the
+  * outer map keys on the session by exact IDENTITY — an identity hash
+  * can be reused after GC and hand a new session a frame bound to a
+  * stopped context. Weak keying alone cannot collect an entry here (the
+  * cached DataFrames strongly reference their session — the classic
+  * value→key cycle), so entries are ALSO removed explicitly by an
+  * application-end listener registered at first insert. A frame that
+  * was unpersisted externally (e.g. `spark.catalog.clearCache()`) is
+  * re-persisted and re-counted on next access.
+  */
+object TableCache {
+  private val sessions =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+
+  /** The memoized frame for `key`, built on first access (at most once
+    * per (session, key)) — memoization only, no persistence.
+    */
+  def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val perSession = sessionMap(spark)
+    perSession.synchronized { perSession.getOrElseUpdate(key, build) }
+  }
+
+  /** The memoized frame for `key`, building (and persisting) on first
+    * access. `build` runs at most once per (session, key).
+    */
+  def getOrBuild(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val df = memo(spark, key)(build)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // fill before concurrent consumers race the cache
+    }
+    df
+  }
+
+  private def sessionMap(spark: SparkSession): scala.collection.mutable.Map[String, DataFrame] = {
+    sessions.synchronized {
+      var m = sessions.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, DataFrame]
+        sessions.put(spark, m)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              sessions.synchronized { sessions.remove(spark) }
+          })
+      }
+      m
+    }
+  }
+
+  /** A parquet table widened to the parallelism floor, MEMOIZED but not
+    * persisted: the standard read path for corpus tables. The memo
+    * avoids re-planning the widen guard (`rdd.getNumPartitions` builds a
+    * physical plan) on every query; keeping the frame unpersisted keeps
+    * the parquet scan — with its column pruning, filter pushdown, and
+    * size statistics — visible to every consumer's plan, which an
+    * InMemoryRelation would hide. (A corpus table is also exactly the
+    * frame that does NOT fit a buffer pool at 100 TB, unlike the
+    * fact-frame projection behind [[getOrBuild]].)
+    */
+  def widenedParquet(spark: SparkSession, path: String): DataFrame =
+    memo(spark, path)(
+      graft.ext.Parallelism.widen(spark.read.parquet(path)))
+}
