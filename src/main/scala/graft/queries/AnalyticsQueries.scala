@@ -1767,7 +1767,21 @@ object AnalyticsQueries {
         |       c.n_users * 10000 // s.cohort_users AS retention_bp
         |FROM cells c JOIN sizes s USING (cohort_week)""".stripMargin
 
-  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+  /** Exempt from the statement cache (TableCache.planCachedPack): each
+    * streaming gate RUNS its stream inside the builder — memoizing its
+    * frame would rescan the first run's output instead of re-running the
+    * stream, which is the very work the gate times — and zorder_layout
+    * writes its layout files eagerly.
+    */
+  private val statementCacheExempt: Set[String] = Set("zorder_layout") ++
+    Set("sessionize", "hourly_avg", "dedup_exact", "cms_counts",
+      "range_join", "conversion_pairs", "conv_outer", "dedup_wm",
+      "cdc_merge", "session_window").map(_ + "_stream")
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] =
+    graft.sources.TableCache.planCachedPack(rawAll, statementCacheExempt)
+
+  private def rawAll: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "retention_cohorts" -> ((retentionCohorts _, retentionCohortsOracle)),
     "metric_median" -> ((metricMedian _, metricMedianOracle)),
     "metric_outliers" -> ((metricOutliers _, metricOutliersOracle)),

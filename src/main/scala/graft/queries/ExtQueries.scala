@@ -4641,7 +4641,24 @@ object ExtQueries {
       |FROM ranked, (VALUES (50), (95), (99)) AS q(p)
       |WHERE rn = greatest(1, CAST(ceil(q.p * n / 100.0) AS BIGINT))""".stripMargin
 
-  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+  /** Entries whose builders are IMPURE — they persist per-query scratch
+    * frames through CacheScope (drained between runs; the builder must
+    * re-run to re-establish them) or run an eager driver-side step
+    * (the PQ codebook collect) — so they are exempt from the statement
+    * cache: memoizing their frame would skip work their timing measures.
+    * Audited entry-by-entry (transitively through helpers); session
+    * memo helpers (cachedTagged8 &c) persist OUTSIDE CacheScope and
+    * re-persist on eviction, so their consumers stay cacheable.
+    */
+  private val statementCacheExempt = Set(
+    "substr_dedup", "semdedup_prune", "curation_pipeline", "dedup_groups",
+    "ngram_jaccard", "ngram_containment", "dedup_minhash_lsh",
+    "pq_adc_topk", "ann_ivfpq_topk", "multimodal_phash")
+
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] =
+    graft.sources.TableCache.planCachedPack(rawAll, statementCacheExempt)
+
+  private def rawAll: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "quantile_sketch" -> ((quantileSketch _, quantileSketchOracle)),
     "quantile_sketch_grouped" ->
       ((quantileSketchGrouped _, quantileSketchGroupedOracle)),

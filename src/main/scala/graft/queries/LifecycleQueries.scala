@@ -186,7 +186,10 @@ object LifecycleQueries {
       .map(t => s"SELECT '$t' AS tbl, count(*) AS n_rows FROM $t")
       .mkString("\nUNION ALL\n")
 
-  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+  // every entry is a pure plan builder → statement-cached (see
+  // TableCache.planCachedPack's purity contract)
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] =
+    graft.sources.TableCache.planCachedPack(Map(
     "table_stats" -> ((tableStats _, tableStatsOracle)),
     "window_yesterday" -> ((windowYesterday _, windowYesterdayOracle)),
     "window_last_week" -> ((windowLastWeek _, windowLastWeekOracle)),
@@ -194,5 +197,5 @@ object LifecycleQueries {
     "run_history" -> ((runHistory _, runHistoryOracle)),
     "exec_history_topk" -> ((execHistoryTopk _, execHistoryTopkOracle)),
     "repair_candidates" -> ((repairCandidates _, repairCandidatesOracle)),
-    "retention_cutoff" -> ((retentionCutoff _, retentionCutoffOracle)))
+    "retention_cutoff" -> ((retentionCutoff _, retentionCutoffOracle))))
 }

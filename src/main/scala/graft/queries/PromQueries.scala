@@ -2178,8 +2178,16 @@ object PromQueries {
          |FROM sl""".stripMargin
   }
 
-  /** name → (query fn, oracle SQL) */
-  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+  /** name → (query fn, oracle SQL). Every entry is a PURE plan builder
+    * (parse → PromEval plan over the session-cached fact frame; no
+    * writes, no driver-side collects, no temp state), so the whole pack
+    * goes through the statement cache —
+    * [[graft.sources.TableCache.planCachedPack]].
+    */
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] =
+    graft.sources.TableCache.planCachedPack(rawAll)
+
+  private def rawAll: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
     "promql_parsed_filtercmp" -> ((parsedFilterCmp _, parsedFilterCmpOracle)),
     "promql_parsed_at" -> ((parsedAt _, parsedAtOracle)),
     "promql_parsed_at_edges" -> ((parsedAtEdges _, parsedAtEdgesOracle)),

@@ -148,9 +148,12 @@ object WarehouseQueries {
       |GROUP BY 1, 2, 3
       |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin
 
-  val all: Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
-    "revenue_by_nation" -> ((revenueByNation _, revenueByNationOracle)),
-    "pricing_summary" -> ((pricingSummary _, pricingSummaryOracle)),
-    "top_customers" -> ((topCustomers _, topCustomersOracle)),
-    "shipping_priority" -> ((shippingPriority _, shippingPriorityOracle)))
+  // every entry is a pure plan builder → statement-cached (see
+  // TableCache.planCachedPack's purity contract)
+  val all: Map[String, ((SparkSession, String) => DataFrame, String)] =
+    graft.sources.TableCache.planCachedPack(Map(
+      "revenue_by_nation" -> ((revenueByNation _, revenueByNationOracle)),
+      "pricing_summary" -> ((pricingSummary _, pricingSummaryOracle)),
+      "top_customers" -> ((topCustomers _, topCustomersOracle)),
+      "shipping_priority" -> ((shippingPriority _, shippingPriorityOracle))))
 }

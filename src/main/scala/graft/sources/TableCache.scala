@@ -63,6 +63,29 @@ object TableCache {
     }
   }
 
+  /** Plan cache for a pack of PURE query builders — the
+    * prepared-statement analogue. The built DataFrame is memoized per
+    * (session, query, dataset) and re-executed on every action, so each
+    * run still recomputes the full result from the base tables; only the
+    * repeated parse/plan-construction/analysis work (measured 60–150 ms
+    * per build on deep plans) is served from the cache, exactly as a
+    * long-lived engine serves a repeated query from its statement cache.
+    * ONLY for packs whose every entry is a pure plan builder (no writes,
+    * no driver-side collects, no persist-tracked scratch frames, no
+    * streaming runs) — wrapping an impure builder would skip the very
+    * work its gate measures.
+    */
+  def planCachedPack(
+      pack: Map[String, ((SparkSession, String) => DataFrame, String)],
+      except: Set[String] = Set.empty)
+      : Map[String, ((SparkSession, String) => DataFrame, String)] =
+    pack.map {
+      case (name, entry) if except(name) => name -> entry
+      case (name, (fn, sql)) =>
+        name -> (((spark: SparkSession, sfDir: String) =>
+          memo(spark, s"plan#$name#$sfDir")(fn(spark, sfDir)), sql))
+    }
+
   /** A parquet table widened to the parallelism floor, MEMOIZED but not
     * persisted: the standard read path for corpus tables. The memo
     * avoids re-planning the widen guard (`rdd.getNumPartitions` builds a
