@@ -21,6 +21,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
+    // I/O-placement evidence for the record: the streaming gates'
+    // state-store commits are fsync-bound, and build.sbt redirects
+    // java.io.tmpdir/spark.local.dir to tmpfs when available — print
+    // what THIS run actually inherited so a slow official number can be
+    // attributed (or not) to checkpoint placement.
+    System.err.println(s"BENCH TMPDIR java.io.tmpdir=${System.getProperty("java.io.tmpdir")} " +
+      s"spark.local.dir=${System.getProperty("spark.local.dir", "(unset)")}")
     // SPARK_GRAFT_ONLY=name1,name2 (or a prefix ending in '*') restricts
     // the run to a subset — an iteration aid for profiling one query's
     // steady-state cost without paying the full 200-query pass. The
