@@ -144,6 +144,17 @@ object EventsIngest {
     }
   }
 
+  /** [[readEvents]] behind the session memo with the parallelism floor —
+    * the read path for raw-events consumers (M4, quantile/outlier
+    * analytics, sessionization): the one-file fixture scan otherwise
+    * serializes every consumer's first stage. Memoized, not persisted —
+    * the scan stays visible to consumers' plans (see
+    * [[graft.sources.TableCache.widenedParquet]] for the rationale).
+    */
+  def widenedEvents(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.TableCache.memo(spark, s"events#$sfDir")(
+      graft.ext.Parallelism.widen(readEvents(spark, sfDir)))
+
   /** events → metrics_data-shaped frame. Timestamps are truncated to whole
     * seconds on ingest, matching the reference's storage precision
     * (executor.go:280); `collected_at` uses the default per-sample-day

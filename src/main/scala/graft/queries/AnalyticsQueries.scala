@@ -183,7 +183,7 @@ object AnalyticsQueries {
     * TakeOrderedAndProject — a true top-k, no full sort.
     */
   def latestTopk(spark: SparkSession, sfDir: String): DataFrame =
-    EventsIngest.readEvents(spark, sfDir)
+    EventsIngest.widenedEvents(spark, sfDir)
       .select(col("event_id"), unix_timestamp(col("ts")).as("e"),
         col("event_type").as("metric"), col("value"))
       .orderBy(desc("e"), desc("event_id"))
@@ -249,7 +249,7 @@ object AnalyticsQueries {
     * must survive and count only the clean ones.
     */
   def malformedSkip(spark: SparkSession, sfDir: String): DataFrame =
-    EventsIngest.readEvents(spark, sfDir)
+    EventsIngest.widenedEvents(spark, sfDir)
       .withColumn("raw",
         when(col("event_id") % 97 === 0, lit("not-a-number"))
           .otherwise(col("event_id").cast("string")))
@@ -456,7 +456,7 @@ object AnalyticsQueries {
     */
   def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val raw = EventsIngest.readEvents(spark, sfDir)
+    val raw = EventsIngest.widenedEvents(spark, sfDir)
       .select(col("user_id").as("u"),
         expr("(unix_timestamp(ts) - 1704067200) div 60").as("t"))
     // normalize each dimension to the full 16-bit scale from its global
@@ -544,7 +544,7 @@ object AnalyticsQueries {
     */
   def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = EventsIngest.readEvents(spark, sfDir)
+    val ev = EventsIngest.widenedEvents(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts").cast("long").as("e"))
     val ord = Window.partitionBy(col("user_id"))
@@ -897,7 +897,7 @@ object AnalyticsQueries {
     val work = java.nio.file.Files.createTempDirectory("rjoin_e2e").toString
     val wt0 = 1000000L
     val inDir = cachedStreamInput(spark, s"rjoin#$sfDir") { path =>
-      val in = EventsIngest.readEvents(spark, sfDir)
+      val in = EventsIngest.widenedEvents(spark, sfDir)
         .select(col("user_id"), col("value"), col("ts").cast("long").as("e"))
         .withColumn("we", lit(wt0))
       in.unionByName(
@@ -987,7 +987,7 @@ object AnalyticsQueries {
       // is per-row semantics, unchanged by fixture volume; the batch
       // twin and the scale probes carry the volume story, so the gate
       // buys the same evidence at a quarter of the state-store traffic
-      val ev = EventsIngest.readEvents(spark, sfDir)
+      val ev = EventsIngest.widenedEvents(spark, sfDir)
         .filter(col("user_id") % 4 === 0)
         .select(col("user_id"), col("event_type"),
           col("ts").cast("long").as("e"), col("value"))
@@ -1080,7 +1080,7 @@ object AnalyticsQueries {
       // a NULL pair emitted exactly once, only after the watermark
       // passes the view's whole match window — is per-row semantics;
       // trimming cuts state-store traffic, not evidence
-      val ev = EventsIngest.readEvents(spark, sfDir)
+      val ev = EventsIngest.widenedEvents(spark, sfDir)
         .filter(col("user_id") % 4 === 0)
         .select(col("user_id"), col("event_type"),
           col("ts").cast("long").as("e"), col("value"))
@@ -1182,7 +1182,7 @@ object AnalyticsQueries {
       // inclusive gap rule, append emission on watermark — is per-row
       // semantics; the full-volume story rides the batch sessionizer
       // twin, which shares the untrimmed oracle
-      val ev = EventsIngest.readEvents(spark, sfDir)
+      val ev = EventsIngest.widenedEvents(spark, sfDir)
         .filter(col("user_id") % 4 === 0)
         .select(col("user_id"), col("ts").cast("long").as("e"))
       val maxE = ev.agg(max(col("e"))).head().getLong(0)
@@ -1257,7 +1257,7 @@ object AnalyticsQueries {
     */
   def m4Downsample(spark: SparkSession, sfDir: String): DataFrame = {
     val W = 50
-    val ev = EventsIngest.readEvents(spark, sfDir)
+    val ev = EventsIngest.widenedEvents(spark, sfDir)
       .select(col("event_type").as("metric"),
         col("ts").cast("long").as("e"), col("value").as("v"))
     val extent = ev.groupBy(col("metric"))
@@ -1265,27 +1265,23 @@ object AnalyticsQueries {
     val bucketed = ev.join(broadcast(extent), "metric")
       .withColumn("bucket",
         expr(s"(e - e0) * $W div (e1 - e0 + 1)"))
-    val agg = bucketed.groupBy(col("metric"), col("bucket"))
+    // Single-aggregation M4 (the form the paper's SQL reduces to): the
+    // boundary points ride the same group-by as the extremes via
+    // lexicographic struct min/max — min(struct(e,v)) is (t_first,
+    // first_v-with-min-v-tiebreak), max(struct(e,v)) is (t_last,
+    // last_v-with-max-v-tiebreak), exactly the previous
+    // filter-on-boundary-then-min/max semantics. One corpus shuffle
+    // total, map-side combinable, no boundary self-joins — at 100 TB
+    // this is 1 wide stage instead of 3 aggregations + 2 joins.
+    bucketed.groupBy(col("metric"), col("bucket"))
       .agg(count(lit(1)).as("n"),
-        min(col("e")).as("t_first"), max(col("e")).as("t_last"),
+        min(struct(col("e"), col("v"))).as("fs"),
+        max(struct(col("e"), col("v"))).as("ls"),
         min(col("v")).as("v_min"), max(col("v")).as("v_max"))
-    val first = bucketed.join(
-        agg.select(col("metric"), col("bucket"), col("t_first")),
-        Seq("metric", "bucket"))
-      .filter(col("e") === col("t_first"))
-      .groupBy(col("metric"), col("bucket"))
-      .agg(min(col("v")).as("first_v"))
-    val last = bucketed.join(
-        agg.select(col("metric"), col("bucket"), col("t_last")),
-        Seq("metric", "bucket"))
-      .filter(col("e") === col("t_last"))
-      .groupBy(col("metric"), col("bucket"))
-      .agg(max(col("v")).as("last_v"))
-    agg.join(first, Seq("metric", "bucket"))
-      .join(last, Seq("metric", "bucket"))
       .select(col("metric"), col("bucket"), col("n"),
-        col("t_first"), col("t_last"), col("v_min"), col("v_max"),
-        col("first_v"), col("last_v"))
+        col("fs.e").as("t_first"), col("ls.e").as("t_last"),
+        col("v_min"), col("v_max"),
+        col("fs.v").as("first_v"), col("ls.v").as("last_v"))
   }
 
   val m4DownsampleOracle: String =
@@ -1526,7 +1522,7 @@ object AnalyticsQueries {
     import graft.streaming.{SessionEvent, SessionizeStream}
     val work = java.nio.file.Files.createTempDirectory("sess_e2e").toString
     val inDir = cachedStreamInput(spark, s"sess#$sfDir") { path =>
-      val ev = EventsIngest.readEvents(spark, sfDir)
+      val ev = EventsIngest.widenedEvents(spark, sfDir)
         .select(col("user_id"), col("event_type"), col("ts").cast("long").as("e"))
       val maxE = ev.agg(max(col("e"))).head().getLong(0)
       val sentinels = ev.select(col("user_id")).distinct()
@@ -1572,7 +1568,7 @@ object AnalyticsQueries {
     */
   def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = EventsIngest.readEvents(spark, sfDir)
+    val ev = EventsIngest.widenedEvents(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("ts").cast("long").as("e"))
       .filter(col("event_type").isin("purchase", "error"))
@@ -1616,7 +1612,7 @@ object AnalyticsQueries {
         (lit(t0Epoch) + col("id") * 21600L).as("t0"))
       .withColumn("t1", col("t0") + 5400L)
       .withColumn("gb", explode(expr(s"sequence(t0 div $granule, (t1 - 1) div $granule)")))
-    val ev = EventsIngest.readEvents(spark, sfDir)
+    val ev = EventsIngest.widenedEvents(spark, sfDir)
       .select(col("user_id"), col("value"), col("ts").cast("long").as("e"))
       .withColumn("gb", expr(s"e div $granule"))
     ivg.join(ev, "gb")
@@ -1638,7 +1634,7 @@ object AnalyticsQueries {
     * (integer division — deterministic across engines).
     */
   def funnelSteps(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = EventsIngest.readEvents(spark, sfDir)
+    val ev = EventsIngest.widenedEvents(spark, sfDir)
       .select(col("user_id"), col("event_type"), col("ts").cast("long").as("e"))
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("e")).as("t1"))
@@ -1731,7 +1727,7 @@ object AnalyticsQueries {
     * joined broadcast. No window functions, no per-user state.
     */
   def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = EventsIngest.readEvents(spark, sfDir)
+    val ev = EventsIngest.widenedEvents(spark, sfDir)
       .select(col("user_id"), col("ts").cast("long").as("e"))
     val firstW = ev.groupBy(col("user_id"))
       .agg(min(col("e")).as("e0"))

@@ -1882,7 +1882,7 @@ object ExtQueries {
     * map-side.
     */
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
-    graft.ingest.EventsIngest.readEvents(spark, sfDir)
+    graft.ingest.EventsIngest.widenedEvents(spark, sfDir)
       .groupBy(col("event_type").as("metric"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
@@ -1902,7 +1902,7 @@ object ExtQueries {
     import org.apache.spark.sql.expressions.Window
     val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
       .cast("long")
-    val d = graft.ingest.EventsIngest.readEvents(spark, sfDir)
+    val d = graft.ingest.EventsIngest.widenedEvents(spark, sfDir)
       .filter(col("user_id").isNotNull)
       .select(col("event_type").as("metric"), h.as("h"))
       .distinct()
@@ -1946,7 +1946,7 @@ object ExtQueries {
     import org.apache.spark.sql.expressions.Window
     val h = conv(substring(md5(col("user_id").cast("string")), 1, 15),
       16, 10).cast("long")
-    val d = graft.ingest.EventsIngest.readEvents(spark, sfDir)
+    val d = graft.ingest.EventsIngest.widenedEvents(spark, sfDir)
       .filter(col("user_id").isNotNull)
       .select(col("event_type").as("t"), h.as("h"))
       .distinct()
@@ -4460,7 +4460,7 @@ object ExtQueries {
     */
   def quantileSketch(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val samp = graft.ingest.EventsIngest.readEvents(spark, sfDir)
+    val samp = graft.ingest.EventsIngest.widenedEvents(spark, sfDir)
       .select(col("value"), md5(col("event_id").cast("string")).as("r"))
       .orderBy(col("r")).limit(1024)
     // the sample is ≤1024 rows: the single-partition window and the
@@ -4601,7 +4601,7 @@ object ExtQueries {
     */
   def quantileSketchGrouped(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = graft.ingest.EventsIngest.readEvents(spark, sfDir)
+    val ev = graft.ingest.EventsIngest.widenedEvents(spark, sfDir)
       .select(col("event_type").as("series"),
         to_date(col("ts")).as("day"),
         col("value"), md5(col("event_id").cast("string")).as("r"))

@@ -174,7 +174,7 @@ object LifecycleQueries {
     val tables = Seq("events", "documents", "embeddings", "lineitem", "orders")
     tables.map { t =>
       val df =
-        if (t == "events") EventsIngest.readEvents(spark, sfDir)
+        if (t == "events") EventsIngest.widenedEvents(spark, sfDir)
         else spark.read.parquet(s"$sfDir/$t.parquet")
       df.select(lit(t).as("tbl"), lit(1).as("one"))
         .groupBy(col("tbl")).agg(count(lit(1)).as("n_rows"))
