@@ -4645,6 +4645,53 @@ object ExtQueries {
       |FROM ranked, (VALUES (50), (95), (99)) AS q(p)
       |WHERE rn = greatest(1, CAST(ceil(q.p * n / 100.0) AS BIGINT))""".stripMargin
 
+  // ------------------------------------------------------ table profiling
+
+  /** One-pass column profiler — the data-quality report every pipeline
+    * run opens with: per column, null count, exact distinct count,
+    * min/max (as strings, uniform schema), and total value length. ONE
+    * aggregation over the corpus computes every column's stats in the
+    * same pass (the row-per-column shape is a stack() over the single
+    * agg row — driver-sized), instead of a scan per column. Scale note:
+    * the multiple exact count-distincts plan through Spark's Expand
+    * (|columns|× row amplification before partial aggregation) — still
+    * one corpus READ, and the standard trade for exact profiling; a
+    * deployment that prefers 1× amplification swaps in
+    * approx_count_distinct, which this repo keeps out of oracle-gated
+    * entries by the HLL policy (see approx_distinct_users).
+    */
+  def tableProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        // min/max on the NATIVE type, cast the RESULT — casting first
+        // would compare bigints lexicographically ('99' > '499')
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"),
+        sum(length(col(c).cast("string"))).as(s"${c}_len"))
+    }
+    val one = d.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map(c =>
+      s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max, ${c}_len")
+      .mkString(s"stack(${cols.size}, ", ", ", ")")
+    one.select(expr(
+      s"$stackExpr AS (col, n_null, n_distinct, min_s, max_s, sum_len)"))
+  }
+
+  val tableProfileOracle: String =
+    Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+      s"""SELECT '$c' AS col,
+         |       count(*) - count($c) AS n_null,
+         |       count(DISTINCT $c) AS n_distinct,
+         |       CAST(min($c) AS VARCHAR) AS min_s,
+         |       CAST(max($c) AS VARCHAR) AS max_s,
+         |       CAST(sum(length(CAST($c AS VARCHAR))) AS BIGINT) AS sum_len
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** Entries whose builders are IMPURE — they persist per-query scratch
     * frames through CacheScope (drained between runs; the builder must
     * re-run to re-establish them) or run an eager driver-side step
@@ -4743,5 +4790,6 @@ object ExtQueries {
     "multimodal_meta" -> ((multimodalMeta _, multimodalMetaOracle)),
     "multimodal_features" -> ((multimodalFeatures _, multimodalFeaturesOracle)),
     "multimodal_wav" -> ((multimodalWav _, multimodalWavOracle)),
-    "multimodal_phash" -> ((multimodalPhash _, multimodalPhashOracle)))
+    "multimodal_phash" -> ((multimodalPhash _, multimodalPhashOracle)),
+    "table_profile" -> ((tableProfile _, tableProfileOracle)))
 }
