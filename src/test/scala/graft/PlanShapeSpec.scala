@@ -405,6 +405,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
 
+  test("table_profile: one corpus scan feeds every column's stats") {
+    val plan = finalPlan(SparkEntry.queries("table_profile")(spark, sf))
+    // the profiler's claim is single-pass: one relation read (through
+    // the widened memo), the multi-distinct Expand on top of it, and NO
+    // per-column Union of scans
+    assert("FileScan parquet".r.findAllIn(plan).length == 1, plan.take(1200))
+    assert(!plan.contains("Union"), plan.take(1200))
+    assert(plan.contains("Expand"), plan.take(1200))
+  }
+
+  test("zorder_prune: stat test over the session layout, no corpus sort") {
+    val plan = finalPlan(SparkEntry.queries("zorder_prune")(spark, sf))
+    // the layout stats come back from session state, the scalar frames
+    // ride broadcasts, and nothing re-sorts or sort-merge-joins the
+    // corpus to answer a planner-side stat test
+    assert(plan.contains("InMemoryTableScan"), plan.take(1200))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("split_leakage: reads the cached pair frame, id-keyed equi-joins only") {
     // the winnow pair frame is session-scoped-cached; the audit must
     // add only equi-joins against the split projection — no pair join,
