@@ -52,5 +52,11 @@ val shmTmp: Seq[String] = {
 javaOptions ++= jdk17AddOpens ++ shmTmp ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g with Xms pinned: the 200-query harness session accumulates
+  // cached frames, codegen classes and plan state; an 8g heap put G1
+  // into periodic full-region evacuations mid-bench (wall-clock noise
+  // attributed to queries), and a floating Xms adds heap-resize pauses.
+  // The box has 128 GiB; a real driver would size this the same way.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
