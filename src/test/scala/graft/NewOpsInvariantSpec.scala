@@ -56,6 +56,38 @@ class NewOpsInvariantSpec extends SparkSpec {
     assert(total == nEvents, s"bucket mass $total != events $nEvents")
   }
 
+  test("m4 boundary tiebreaks: min-v at shared t_first, max-v at shared t_last") {
+    // The single-aggregation rewrite selects boundary points via
+    // lexicographic struct min/max — on a TIMESTAMP TIE that means
+    // first_v = min(v) at t_first and last_v = max(v) at t_last, the
+    // previous filter-then-min/max semantics and what the DuckDB oracle
+    // computes. The fixture has no guaranteed ties, so the oracle gate
+    // alone would never catch a tiebreak regression — pin it here on a
+    // synthetic frame whose every boundary is a tie.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq( // one metric, e in [0, 9] → W=50 buckets at e-span 10
+      ("m", 0L, 5.0), ("m", 0L, 1.0), ("m", 0L, 3.0), // tie at t_first
+      ("m", 9L, 2.0), ("m", 9L, 7.0), ("m", 9L, 4.0)  // tie at t_last
+    ).toDF("metric", "e", "v")
+    val ext = rows.groupBy($"metric").agg(min($"e").as("e0"), max($"e").as("e1"))
+    val b = rows.join(broadcast(ext), "metric")
+      .withColumn("bucket", expr("(e - e0) * 50 div (e1 - e0 + 1)"))
+    val out = b.groupBy($"metric", $"bucket")
+      .agg(count(lit(1)).as("n"),
+        min(struct($"e", $"v")).as("fs"), max(struct($"e", $"v")).as("ls"),
+        min($"v").as("v_min"), max($"v").as("v_max"))
+      .select($"bucket", $"fs.e".as("t_first"), $"fs.v".as("first_v"),
+        $"ls.e".as("t_last"), $"ls.v".as("last_v"))
+      .orderBy($"bucket").collect()
+    val first = out.head
+    assert(first.getAs[Long]("t_first") == 0L)
+    assert(first.getAs[Double]("first_v") == 1.0, "tie at t_first must pick min v")
+    val last = out.last
+    assert(last.getAs[Long]("t_last") == 9L)
+    assert(last.getAs[Double]("last_v") == 7.0, "tie at t_last must pick max v")
+  }
+
   test("char_diversity: impurity bounds and histogram sanity") {
     val rows = graft.queries.ExtQueries.charDiversity(spark, sf)
       .select(col("gini_bp"), col("n_chars"), col("n_distinct")).collect()
