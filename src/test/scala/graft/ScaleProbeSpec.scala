@@ -88,6 +88,22 @@ class ScaleProbeSpec extends SparkSpec {
       graft.queries.ExtQueries.substrDedup)
   }
 
+  test("table_profile stays <= linear: one scan plus the Expand factor") {
+    // the profiler's multi-distinct Expand is a constant |columns|x row
+    // amplification of ONE corpus scan — growth across the decade must
+    // stay linear, never track distinct-value blowup quadratically
+    ratioCheck("table_profile", LinearBound)(
+      graft.queries.ExtQueries.tableProfile)
+  }
+
+  test("zorder_prune stays <= linear: stat test + one corpus pass") {
+    // per-file stat flags are |files|-sized; the only corpus-sized work
+    // is the exact match recount (one pass) and, after clearCache, the
+    // honest re-materialization of the session layout — all linear
+    ratioCheck("zorder_prune", LinearBound)(
+      graft.queries.AnalyticsQueries.zorderPrune)
+  }
+
   test("quantile_sketch_grouped cost is |groups|-linear, not corpus-sorted") {
     // amplified events multiply USERS (offset ids), not days/types: the
     // group count is unchanged while rows grow 30x — the windowed
