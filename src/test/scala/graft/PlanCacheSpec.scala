@@ -34,6 +34,16 @@ class PlanCacheSpec extends SparkSpec {
     assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("the cache keys on the dataset: no cross-sf plan leakage") {
+    val f = SparkEntry.queries("window_yesterday")
+    val a = f(spark, "/root/testdata/sf0.001")
+    val b = f(spark, "/root/testdata/sf0.01")
+    assert(!(a eq b), "different datasets must get different plans")
+    // and each plan computes ITS dataset: sf0.01 has 10x the events
+    assert(b.agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0) >
+      a.agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0))
+  }
+
   test("exempt impure builders rebuild per call") {
     // dedup_groups (CacheScope-registered CC output) and a stream gate —
     // NOT ngram_jaccard: building (without executing) its session pair
