@@ -1854,7 +1854,7 @@ object AnalyticsQueries {
     */
   // zorder_prune is exempt too: its builder materializes the session
   // layout via getOrBuild (an eager count on first build)
-  private val statementCacheExempt: Set[String] = Set("zorder_layout", "zorder_prune") ++
+  private[graft] val statementCacheExempt: Set[String] = Set("zorder_layout", "zorder_prune") ++
     Set("sessionize", "hourly_avg", "dedup_exact", "cms_counts",
       "range_join", "conversion_pairs", "conv_outer", "dedup_wm",
       "cdc_merge", "session_window").map(_ + "_stream")

@@ -13,12 +13,22 @@ class PlanCacheSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("pure entries serve the same memoized plan instance per session") {
+  test("pure entries serve the same prepared plan in a fresh frame per call") {
     for (name <- Seq("promql_parsed_deriv", "pricing_summary", "gopher_rules",
         "window_yesterday", "m4_downsample")) {
       val f = SparkEntry.queries(name)
-      assert(f(spark, sf) eq f(spark, sf),
-        s"$name should be statement-cached (same DataFrame instance)")
+      val a = f(spark, sf)
+      val b = f(spark, sf)
+      // the statement cache stores the OPTIMIZED logical plan — both
+      // calls must serve the identical plan instance (no re-analysis,
+      // no re-optimization) ...
+      assert(a.queryExecution.logical eq b.queryExecution.logical,
+        s"$name should serve one prepared (optimized) plan per session")
+      // ... wrapped in a NEW Dataset each call: a memoized Dataset
+      // would re-serve its first run's shuffle outputs and the bench
+      // would measure nothing
+      assert(!(a eq b),
+        s"$name must wrap the prepared plan in a fresh frame per call")
     }
   }
 
@@ -38,7 +48,8 @@ class PlanCacheSpec extends SparkSpec {
     val f = SparkEntry.queries("window_yesterday")
     val a = f(spark, "/root/testdata/sf0.001")
     val b = f(spark, "/root/testdata/sf0.01")
-    assert(!(a eq b), "different datasets must get different plans")
+    assert(!(a.queryExecution.logical eq b.queryExecution.logical),
+      "different datasets must get different prepared plans")
     // and each plan computes ITS dataset: sf0.01 has 10x the events
     assert(b.agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0) >
       a.agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0))

@@ -104,6 +104,15 @@ class ScaleProbeSpec extends SparkSpec {
       graft.queries.AnalyticsQueries.zorderPrune)
   }
 
+  test("emb_kmeans_full stays <= linear: K broadcast centroids x fixed rounds") {
+    // assignment is corpus x broadcast(K), recenter is a 64*K-group
+    // aggregation, rounds are a fixed constant — every stage is
+    // row-linear; a regression to a non-broadcast centroid join (corpus
+    // x corpus) would blow past the bound immediately
+    ratioCheck("emb_kmeans_full", LinearBound)(
+      graft.queries.ExtQueries.embKmeansFull)
+  }
+
   test("quantile_sketch_grouped cost is |groups|-linear, not corpus-sorted") {
     // amplified events multiply USERS (offset ids), not days/types: the
     // group count is unchanged while rows grow 30x — the windowed
