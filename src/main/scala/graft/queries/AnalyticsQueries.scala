@@ -895,6 +895,63 @@ object AnalyticsQueries {
     * same top-20 point estimates as the batch query and hash-matches the
     * same DuckDB oracle.
     */
+  /** The per-group mergeable quantile sketch as STREAMING state — the
+    * eleventh stream≡batch gate, sharing the EXACT batch oracle
+    * (ExtQueries.quantileSketchGroupedOracle): the corpus splits across
+    * two micro-batches by event_id parity, each batch's rows fold into
+    * the held bottom-1024-by-md5-rank sample per (series, day)
+    * (bottom-k-of-union = bottom-k-of-parts — the mergeable-sketch
+    * algebra held AS state), and the event-time timeout flush (the CDC
+    * gate's pattern; sentinel rides the last data file) emits the
+    * p50/95/99 rows with the identical rank rule the batch twin uses.
+    * At fixture scale every (series, day) group is under the 1024 cap,
+    * so the shared-oracle gate proves the merge reaches the batch
+    * sample exactly; QuantileSketchStreamSpec proves the same law where
+    * the cap BINDS (synthetic >Cap groups). State per key is ≤ Cap
+    * rows whatever the arrival volume — the 100 TB contract.
+    */
+  def quantileSketchStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.{QsEvent, QuantileSketchStream}
+    val work = java.nio.file.Files.createTempDirectory("qsketch_e2e").toString
+    val t0 = 1000000L
+    val tFlush = t0 + 7200L
+    val inDir = cachedStreamInput(spark, s"qsketch#$sfDir") { path =>
+      val ev = EventsIngest.widenedEvents(spark, sfDir)
+        .select(col("event_type").as("series"), to_date(col("ts")).as("day"),
+          col("value"), md5(col("event_id").cast("string")).as("r"),
+          col("event_id"))
+      appendBatchFile(path, ev.filter(col("event_id") % 2 === 0)
+        .drop("event_id").withColumn("e", lit(t0)), 0L)
+      appendBatchFile(path, ev.filter(col("event_id") % 2 =!= 0)
+        .drop("event_id").withColumn("e", lit(t0))
+        .unionByName(spark.range(1).select(lit("zz_sentinel").as("series"),
+          to_date(lit("2024-01-01")).as("day"), lit(0.0).as("value"),
+          lit("").as("r"), lit(t0 + 172800L).as("e"))), 60000L)
+    }
+    withStreamSession(spark) { ss =>
+      val ev = ss.readStream
+        .schema("series STRING, day DATE, value DOUBLE, r STRING, e LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .select(col("series"), col("day"), col("value"), col("r"),
+          timestamp_seconds(col("e")).cast("timestamp").as("ts"))
+        .as[QsEvent](QuantileSketchStream.evEnc)
+      QuantileSketchStream.sketched(ev, tFlush)
+        .toDF()
+        .writeStream
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/cp")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    spark.read.parquet(s"$work/out")
+      .filter(col("series") =!= "zz_sentinel")
+      .select(col("series"), col("day"), col("p"), col("est_value"))
+  }
+
   def cmsCountsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("cms_e2e").toString
     val t0 = 1000000L
@@ -1857,7 +1914,7 @@ object AnalyticsQueries {
   private[graft] val statementCacheExempt: Set[String] = Set("zorder_layout", "zorder_prune") ++
     Set("sessionize", "hourly_avg", "dedup_exact", "cms_counts",
       "range_join", "conversion_pairs", "conv_outer", "dedup_wm",
-      "cdc_merge", "session_window").map(_ + "_stream")
+      "cdc_merge", "session_window", "quantile_sketch").map(_ + "_stream")
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] =
     graft.sources.TableCache.planCachedPack(rawAll, statementCacheExempt)
@@ -1871,6 +1928,8 @@ object AnalyticsQueries {
     "hourly_avg_stream" -> ((hourlyAvgStream _, hourlyAvgOracle)),
     "dedup_exact_stream" -> ((dedupExactStream _, ExtQueries.dedupExactOracle)),
     "cms_counts_stream" -> ((cmsCountsStream _, ExtQueries.cmsCountsOracle)),
+    "quantile_sketch_stream" ->
+      ((quantileSketchStream _, ExtQueries.quantileSketchGroupedOracle)),
     "rollup_report" -> ((rollupReport _, rollupReportOracle)),
     "metric_quantiles" -> ((metricQuantiles _, metricQuantilesOracle)),
     "asof_join" -> ((asofJoin _, asofJoinOracle)),

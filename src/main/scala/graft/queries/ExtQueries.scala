@@ -2974,7 +2974,6 @@ object ExtQueries {
     */
   private[graft] def kmeansAssignment(spark: SparkSession, sfDir: String,
       rounds: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = embeddings(spark, sfDir)
       .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
       .withColumn("vn", Similarity.normSqQ(col("qv")))
@@ -2982,14 +2981,20 @@ object ExtQueries {
       .select(col("vec_id").as("cell"), col("qv").as("cv"))
     def assign(cent: DataFrame): DataFrame = {
       val c = broadcast(cent.withColumn("cn", Similarity.normSqQ(col("cv"))))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d").asc, col("cell").asc)
+      // argmin as an AGGREGATE, not a window: min of the (d, cell)
+      // struct is the lexicographic minimum — identical to ranking by
+      // (d asc, cell asc) — but plans as a hash aggregation with
+      // map-side partial combine instead of a sort exchange per round;
+      // `first(qv)` is well-defined because qv is constant per vec_id
+      // across the broadcast fan-out
       v.crossJoin(c)
         .withColumn("d",
           col("vn") - lit(2L) * Similarity.dotQ(col("qv"), col("cv")) + col("cn"))
-        .withColumn("rr", row_number().over(w))
-        .filter(col("rr") === 1)
-        .select(col("vec_id"), col("qv"), col("cell"), col("d"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d"), col("cell"))).as("m"),
+          first(col("qv")).as("qv"))
+        .select(col("vec_id"), col("qv"),
+          col("m.cell").as("cell"), col("m.d").as("d"))
     }
     def recenter(assigned: DataFrame): DataFrame =
       assigned
