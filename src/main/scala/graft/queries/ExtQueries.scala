@@ -2970,10 +2970,17 @@ object ExtQueries {
     */
   /** The assignment frame (vec_id, qv, cell, d) after `rounds` Lloyd
     * assignment rounds (recenters interleaved) — shared by the
-    * registered census and KmeansConvergenceSpec's fixed-point gate.
+    * registered census and KmeansConvergenceSpec's movement gates.
     */
   private[graft] def kmeansAssignment(spark: SparkSession, sfDir: String,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame = kmeansRounds(spark, sfDir, rounds)._1
+
+  /** Same run, also returning the centroid frame (cell, cv) the final
+    * assignment was made against — the TRAINED index the SemDeDup prune
+    * and the trained-IVF search consume.
+    */
+  private[graft] def kmeansRounds(spark: SparkSession, sfDir: String,
+      rounds: Int): (DataFrame, DataFrame) = {
     val v = embeddings(spark, sfDir)
       .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
       .withColumn("vn", Similarity.normSqQ(col("qv")))
@@ -3004,7 +3011,10 @@ object ExtQueries {
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           s => s.getField("c")).as("cv"))
-    (2 to rounds).foldLeft(assign(cent0))((a, _) => assign(recenter(a)))
+    (2 to rounds).foldLeft((assign(cent0), cent0)) { case ((a, _), _) =>
+      val c = recenter(a)
+      (assign(c), c)
+    }
   }
 
   def embKmeansFull(spark: SparkSession, sfDir: String): DataFrame =
@@ -3012,6 +3022,100 @@ object ExtQueries {
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vectors"), sum(col("d")).as("sse"))
       .select(col("cell"), col("n_vectors"), col("sse"))
+
+  /** Session-scoped TRAINED clustering — the converged (round-3)
+    * k-means assignment with each vector's cosine to its converged
+    * centroid (vec_id, cell, cell_cos). This is the artifact the
+    * trainer produces and a deployment persists (exactly as the IVF
+    * index persists [[cachedCentroids]]); the SemDeDup prune and the
+    * trained-IVF search both serve from it, so it lives with the
+    * session per the "Index artifacts are session state" discipline.
+    */
+  private val kmeansCellsMemo =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, DataFrame]]
+
+  private[graft] def cachedKmeansCells(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val perSession = kmeansCellsMemo.synchronized {
+      var m = kmeansCellsMemo.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, DataFrame]
+        kmeansCellsMemo.put(spark, m)
+      }
+      m
+    }
+    val df = perSession.synchronized {
+      perSession.getOrElseUpdate(sfDir, {
+        val (a3, c2) = kmeansRounds(spark, sfDir, 3)
+        a3.join(broadcast(c2), "cell")
+          .withColumn("cell_cos", Similarity.cosineQ(col("qv"), col("cv")))
+          .select(col("vec_id"), col("cell"), col("cell_cos"))
+      })
+    }
+    // re-persist if evicted (Bench's warmup clearCache, a manual clear)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    df
+  }
+
+  /** IVF search over the TRAINED index — the closing arc of the
+    * trainer→index→search story: each query vector (the first five,
+    * corpus members) probes ITS converged k-means cell and ranks the
+    * cell's members by exact fixed-point cosine, top-5. Routing is the
+    * training assignment itself (a query that is a corpus member
+    * already has its cell — the inverted-list lookup), so per-query
+    * cost is one cell's members, a |corpus|/K candidate reduction vs
+    * brute force; the label-cell IVF family ([[annIvf]]) keeps the
+    * external-routing shape. Session state holds the assignment
+    * ([[cachedKmeansCells]]); the per-run work is the probe join —
+    * what a served ANN query actually costs.
+    */
+  def annIvfTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = cachedKmeansCells(spark, sfDir)
+      .select(col("vec_id"), col("cell"))
+    val prep = Similarity.prepared(embeddings(spark, sfDir), "vec_id", "cv", "cn")
+    val q = broadcast(
+      prep.filter(col("vec_id") < 5)
+        .join(cells, "vec_id")
+        .select(col("vec_id").as("qid"), col("cv").as("qv"),
+          col("cn").as("qn"), col("cell").as("qcell")))
+    val cand = prep.join(cells, "vec_id")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    q.join(cand, col("qcell") === col("cell") && col("vec_id") =!= col("qid"))
+      .withColumn("cosine",
+        Similarity.cosineQN(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("cell"), col("vec_id"), col("cosine"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** The unrolled 3-round k-means CTE prefix (v, c0, a1, c1, a2, c2,
+    * a3) shared by every oracle that consumes the trained clustering.
+    */
+  private def kmeansCtes: String =
+    s"""WITH v AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+       |c0 AS (SELECT vec_id AS cell, qv AS cv FROM v WHERE vec_id < $KmeansK),
+       |a1 AS (${kmeansAssignSql("c0")}),
+       |c1 AS (${kmeansRecenterSql.format("a1")}),
+       |a2 AS (${kmeansAssignSql("c1")}),
+       |c2 AS (${kmeansRecenterSql.format("a2")}),
+       |a3 AS (${kmeansAssignSql("c2")})""".stripMargin
+
+  val annIvfTrainedOracle: String =
+    s"""$kmeansCtes,
+       |cells AS (SELECT vec_id, cell, qv FROM a3)
+       |SELECT qid, cell, vec_id, cosine, rk FROM (
+       |  SELECT q.vec_id AS qid, q.cell, c.vec_id,
+       |         ${cosSql("q.qv", "c.qv")} AS cosine,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY ${cosSql("q.qv", "c.qv")} DESC, c.vec_id ASC) AS rk
+       |  FROM cells q JOIN cells c
+       |    ON q.vec_id < 5 AND c.cell = q.cell AND c.vec_id <> q.vec_id
+       |) WHERE rk <= 5""".stripMargin
 
   private def kmeansAssignSql(centCte: String): String =
     s"""SELECT vec_id, qv, cell, d FROM (
@@ -3022,7 +3126,7 @@ object ExtQueries {
        |    FROM v, $centCte c
        |  ) WHERE rr = 1""".stripMargin
 
-  private val kmeansRecenterSql: String =
+  private def kmeansRecenterSql: String =
     """SELECT cell, list(c ORDER BY pos) AS cv FROM (
       |    SELECT cell, i.i AS pos,
       |           CAST(trunc(CAST(sum(qv[i.i]) AS DOUBLE) / count(*)) AS BIGINT) AS c
@@ -3031,13 +3135,7 @@ object ExtQueries {
       |  GROUP BY cell""".stripMargin
 
   val embKmeansFullOracle: String =
-    s"""WITH v AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
-       |c0 AS (SELECT vec_id AS cell, qv AS cv FROM v WHERE vec_id < $KmeansK),
-       |a1 AS (${kmeansAssignSql("c0")}),
-       |c1 AS (${kmeansRecenterSql.format("a1")}),
-       |a2 AS (${kmeansAssignSql("c1")}),
-       |c2 AS (${kmeansRecenterSql.format("a2")}),
-       |a3 AS (${kmeansAssignSql("c2")})
+    s"""$kmeansCtes
        |SELECT cell, count(*) AS n_vectors, CAST(sum(d) AS BIGINT) AS sse
        |FROM a3 GROUP BY cell""".stripMargin
 
@@ -3196,9 +3294,13 @@ object ExtQueries {
     */
   def semdedupPrune(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = embeddings(spark, sfDir)
-    val assigned = cachedCellAssign(spark, sfDir)
+    // as of round 11 the prune runs over the CONVERGED k-means cells —
+    // SemDeDup's published pipeline clusters before pruning, and the
+    // trained clustering is session state ([[cachedKmeansCells]]); the
+    // label-routed [[cachedCellAssign]] stays the IVF family's routing
+    val assigned = cachedKmeansCells(spark, sfDir)
     // three consumers (both pair-join sides + the final flag projection):
-    // materialize the centroid-assignment pipeline once; CacheScope drains
+    // materialize the cell-probe pipeline once; CacheScope drains
     val av = graft.ext.CacheScope.persistTracked(assigned.join(
       Similarity.prepared(emb, "vec_id", "qv", "qn"), "vec_id"))
     val pairs = av.as("a").join(av.as("b"),
@@ -3219,27 +3321,11 @@ object ExtQueries {
   }
 
   val semdedupPruneOracle: String =
-    s"""WITH v AS (SELECT vec_id, label, $qvSql AS qv FROM embeddings),
-       |comp AS (
-       |  SELECT label, i.i AS pos, qv[i.i] AS q
-       |  FROM v, unnest(generate_series(1, 64)) AS i(i)
-       |), cent AS (
-       |  SELECT label AS cell, list(c ORDER BY pos) AS centroid
-       |  FROM (SELECT label, pos,
-       |               CAST(trunc(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS c
-       |        FROM comp GROUP BY label, pos)
-       |  GROUP BY label
-       |), assigned AS (
-       |  SELECT vec_id, cell, sim FROM (
-       |    SELECT v.vec_id, c.cell,
-       |           ${cosSql("v.qv", "c.centroid")} AS sim,
-       |           row_number() OVER (PARTITION BY v.vec_id
-       |             ORDER BY ${cosSql("v.qv", "c.centroid")} DESC, c.cell ASC) AS rr
-       |    FROM v, cent c
-       |  ) WHERE rr = 1
-       |), av AS (
-       |  SELECT a.vec_id, a.cell, a.sim, v.qv
-       |  FROM assigned a JOIN v USING (vec_id)
+    s"""$kmeansCtes,
+       |av AS (
+       |  SELECT a3.vec_id, a3.cell, ${cosSql("a3.qv", "c2.cv")} AS sim,
+       |         a3.qv
+       |  FROM a3 JOIN c2 USING (cell)
        |), pruned AS (
        |  SELECT DISTINCT CASE WHEN a.sim > b.sim THEN a.vec_id
        |              WHEN b.sim > a.sim THEN b.vec_id
@@ -3249,7 +3335,7 @@ object ExtQueries {
        |)
        |SELECT a.vec_id, a.cell, a.sim AS cell_cos,
        |       a.vec_id NOT IN (SELECT vec_id FROM pruned) AS keep
-       |FROM assigned a""".stripMargin
+       |FROM av a""".stripMargin
 
   // -------------------------------------------- duplicate n-gram mass
 
@@ -4849,6 +4935,7 @@ object ExtQueries {
     "emb_int8_recall" -> ((embInt8Recall _, embInt8RecallOracle)),
     "emb_kmeans_step" -> ((embKmeansStep _, embKmeansStepOracle)),
     "emb_kmeans_full" -> ((embKmeansFull _, embKmeansFullOracle)),
+    "ann_ivf_trained" -> ((annIvfTrained _, annIvfTrainedOracle)),
     "emb_power_iter" -> ((embPowerIter _, embPowerIterOracle)),
     "tfidf_topk" -> ((tfidfTopk _, tfidfTopkOracle)),
     "bm25_topk" -> ((bm25Topk _, bm25TopkOracle)),
