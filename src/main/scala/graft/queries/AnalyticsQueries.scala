@@ -929,6 +929,9 @@ object AnalyticsQueries {
           lit("").as("r"), lit(t0 + 172800L).as("e"))), 60000L)
     }
     withStreamSession(spark) { ss =>
+      // partition-count A/B (4 vs the session's 1): 1.87 vs 1.82 s —
+      // the fold is encoder/scan-bound, not state-partition-bound, so
+      // the gate keeps the shared session's 1-partition posture
       val ev = ss.readStream
         .schema("series STRING, day DATE, value DOUBLE, r STRING, e LONG")
         .option("maxFilesPerTrigger", "1")

@@ -177,6 +177,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("InMemoryTableScan"), plan.take(1200))
   }
 
+  test("emb_kmeans_full: argmin is a hash aggregate, centroids broadcast, no window sort") {
+    val plan = finalPlan(SparkEntry.queries("emb_kmeans_full")(spark, sf))
+    // each round's assignment must plan as corpus × BROADCAST(K
+    // centroids) folded by a hash aggregate (map-side-combinable
+    // min(struct(d, cell))) — a Window here would mean a per-round sort
+    // exchange, and a CartesianProduct would mean the broadcast was lost
+    assert(!plan.contains("Window"), plan.take(1200))
+    assert("BroadcastExchange".r.findAllIn(plan).length >= 3, plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
+  test("ann_ivf_trained: query side broadcast, probe is an equi-join on the cell") {
+    val plan = finalPlan(SparkEntry.queries("ann_ivf_trained")(spark, sf))
+    // the 5-query side (with its trained cells) broadcasts; candidates
+    // hash-join on the cell key — never a cartesian over the corpus
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    // the trained assignment serves from session state, not a rebuild
+    assert(plan.contains("InMemoryTableScan"), plan.take(1200))
+  }
+
   test("range_join buckets the interval predicate into an equi-join, never BNLJ") {
     val plan = finalPlan(SparkEntry.queries("range_join")(spark, sf))
     // a bare range predicate would plan BroadcastNestedLoopJoin —
