@@ -13,6 +13,16 @@ import org.apache.spark.sql.SparkSession
   * drains per-query frames between runs, so only the documented
   * session-lifetime caches carry over.
   *
+  * The measured ACTION (stated, since it defines the number): count the
+  * query's result rows. For statement-cached builders the count-plan is
+  * PREPARED once during warmup and re-EXECUTEd per timed run — a fresh
+  * QueryExecution over the cached optimized plan, so every run gets
+  * fresh Exchange nodes and recomputes the full result from the base
+  * tables, while the repeated parse/analysis/optimization is served
+  * from the cache (the `EXECUTE prepared_q` a warehouse benchmarks).
+  * Exempt builders (stream gates, CacheScope-scratch builders) rebuild
+  * and re-plan per run, because that IS the work their gates measure.
+  *
   * A query that throws is recorded with NEGATIVE elapsed seconds so
   * failures are visible in the JSON rather than silently counted as fast.
   */
