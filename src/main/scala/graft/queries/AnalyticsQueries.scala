@@ -926,7 +926,9 @@ object AnalyticsQueries {
         .drop("event_id").withColumn("e", lit(t0))
         .unionByName(spark.range(1).select(lit("zz_sentinel").as("series"),
           to_date(lit("2024-01-01")).as("day"), lit(0.0).as("value"),
-          lit("").as("r"), lit(t0 + 172800L).as("e"))), 60000L)
+          // a valid 32-hex rank: the sentinel's state row parses like
+          // any other and its flush output is filtered client-side
+          lit("0" * 32).as("r"), lit(t0 + 172800L).as("e"))), 60000L)
     }
     withStreamSession(spark) { ss =>
       // partition-count A/B (4 vs the session's 1): 1.87 vs 1.82 s —

@@ -13,7 +13,14 @@ final case class QsEvent(series: String, day: java.sql.Date, value: Double,
 
 final case class QsKey(series: String, day: java.sql.Date)
 
-final case class QsSample(r: String, value: Double)
+/** One retained sample: the 128-bit md5 rank packed into two longs
+  * (compared UNSIGNED — for fixed-width lowercase hex, numeric order
+  * equals the lexicographic string order the batch twin ranks by;
+  * PropertySpec pins that equivalence) plus the value. 16 rank bytes
+  * instead of a 32-char string keeps the state row narrow — state
+  * bytes are the operator's scale currency.
+  */
+final case class QsSample(rHi: Long, rLo: Long, value: Double)
 
 /** Per-group state: the bottom-[[QuantileSketchStream.Cap]] sample by
   * md5 rank — a mergeable bottom-k sketch held AS streaming state.
@@ -45,6 +52,23 @@ object QuantileSketchStream {
   val Cap = 1024
 
   implicit val evEnc: Encoder[QsEvent] = Encoders.product[QsEvent]
+
+  /** Pack a 32-hex md5 rank into the sample's two unsigned longs. */
+  def fromHex(r: String, value: Double): QsSample =
+    QsSample(java.lang.Long.parseUnsignedLong(r.substring(0, 16), 16),
+      java.lang.Long.parseUnsignedLong(r.substring(16, 32), 16), value)
+
+  /** Unsigned 128-bit rank order == the batch twin's md5-string order. */
+  private[graft] val rankOrd: Ordering[QsSample] = (a: QsSample, b: QsSample) => {
+    val c = java.lang.Long.compareUnsigned(a.rHi, b.rHi)
+    if (c != 0) c else java.lang.Long.compareUnsigned(a.rLo, b.rLo)
+  }
+
+  /** The batch twin's (value, rank) order for the quantile pass. */
+  private[graft] val valueOrd: Ordering[QsSample] = (a: QsSample, b: QsSample) => {
+    val c = java.lang.Double.compare(a.value, b.value)
+    if (c != 0) c else rankOrd.compare(a, b)
+  }
   implicit val keyEnc: Encoder[QsKey] = Encoders.product[QsKey]
   implicit val stEnc: Encoder[QsState] = Encoders.product[QsState]
   implicit val outEnc: Encoder[QsRow] = Encoders.product[QsRow]
@@ -54,11 +78,11 @@ object QuantileSketchStream {
     * (the fixture's groups are all < Cap, where the cap never binds).
     */
   def merge(cur: List[QsSample], incoming: Iterator[QsSample]): List[QsSample] =
-    (cur ++ incoming).sortBy(_.r).take(Cap)
+    (cur ++ incoming).sorted(rankOrd).take(Cap)
 
   /** The batch twin's rank rule over the final sample. */
   def quantiles(key: QsKey, sample: List[QsSample]): Iterator[QsRow] = {
-    val sorted = sample.sortBy(s => (s.value, s.r))
+    val sorted = sample.sorted(valueOrd)
     val n = sorted.size
     if (n == 0) Iterator.empty
     else Seq(50, 95, 99).iterator.map { p =>
@@ -75,7 +99,7 @@ object QuantileSketchStream {
       quantiles(key, sample)
     } else {
       val merged = merge(state.getOption.map(_.sample).getOrElse(Nil),
-        evs.map(e => QsSample(e.r, e.value)))
+        evs.map(e => fromHex(e.r, e.value)))
       state.update(QsState(merged))
       state.setTimeoutTimestamp(
         math.max(flushAtSec * 1000, state.getCurrentWatermarkMs + 1))

@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.Files
-import graft.streaming.{QsEvent, QsKey, QsRow, QsSample, QuantileSketchStream}
+import graft.streaming.{QsEvent, QsKey, QsRow, QuantileSketchStream}
 
 /** Restart recovery for the streaming quantile sketch — the
   * mergeable-state shape's own crash contract, beyond the stream≡batch
@@ -71,11 +71,13 @@ class QuantileSketchRecoverySpec extends SparkSpec {
       .collect().toSeq.filter(_.series != "zz")
     // expected: the batch rule over the FULL union per group — state
     // recovery + merge must make the crash invisible
-    val expected = Seq("a" -> (0 until 70).map(i => QsSample(md5(s"a#$i"), (i * 31 % 17) * 1.0)),
-      "b" -> (0 until 60).map(i => QsSample(md5(s"b#$i"), (i * 13 % 11) * 2.0)))
-      .flatMap { case (s, samples) =>
+    val expected = Seq(
+      "a" -> (0 until 70).map(i => (md5(s"a#$i"), (i * 31 % 17) * 1.0)),
+      "b" -> (0 until 60).map(i => (md5(s"b#$i"), (i * 13 % 11) * 2.0)))
+      .flatMap { case (s, hexed) =>
         QuantileSketchStream.quantiles(QsKey(s, day),
-          samples.toList.sortBy(_.r).take(QuantileSketchStream.Cap))
+          hexed.toList.sortBy(_._1).take(QuantileSketchStream.Cap)
+            .map { case (r, v) => QuantileSketchStream.fromHex(r, v) })
       }
     assert(got.toSet == expected.toSet,
       s"only-got=${(got.toSet -- expected.toSet).take(3)} " +

@@ -24,8 +24,13 @@ class QuantileSketchStreamSpec extends SparkSpec {
   }
 
   test("bottom-k merge law holds where the cap binds, for any batch split") {
-    val all = (0 until 3000).map(i => QsSample(md5(i.toString), i * 1.5)).toList
-    val expected = all.sortBy(_.r).take(QuantileSketchStream.Cap)
+    // build from hex strings and compute the EXPECTED bottom-k by the
+    // md5-STRING order the batch twin ranks by — the packed-long state
+    // must reproduce it exactly (the unsigned-order equivalence)
+    val hexed = (0 until 3000).map(i => (md5(i.toString), i * 1.5)).toList
+    val all = hexed.map { case (r, v) => QuantileSketchStream.fromHex(r, v) }
+    val expected = hexed.sortBy(_._1).take(QuantileSketchStream.Cap)
+      .map { case (r, v) => QuantileSketchStream.fromHex(r, v) }
     for (splits <- Seq(Seq(3000), Seq(1000, 2000), Seq(1, 1499, 1500), Seq.fill(30)(100))) {
       var state = List.empty[QsSample]
       var off = 0
@@ -41,13 +46,15 @@ class QuantileSketchStreamSpec extends SparkSpec {
 
   test("flush rank rule equals the batch twin's ceil-rank rule") {
     val key = QsKey("s", java.sql.Date.valueOf("2024-01-01"))
-    val sample = (0 until 777).map(i => QsSample(md5(s"x$i"), (i * 37 % 101) * 1.0)).toList
+    val hexed = (0 until 777).map(i => (md5(s"x$i"), (i * 37 % 101) * 1.0)).toList
+    val sample = hexed.map { case (r, v) => QuantileSketchStream.fromHex(r, v) }
     val rows = QuantileSketchStream.quantiles(key, sample).toList
-    val sorted = sample.sortBy(s => (s.value, s.r))
+    // reference rule computed over the (value, md5-STRING) order
+    val sorted = hexed.sortBy { case (r, v) => (v, r) }
     val n = sorted.size
     for (p <- Seq(50, 95, 99)) {
       val idx = math.max(1, math.ceil(p * n / 100.0).toLong).toInt
-      val expect = sorted(idx - 1).value
+      val expect = sorted(idx - 1)._2
       assert(rows.find(_.p == p).get.est_value == expect)
     }
   }
