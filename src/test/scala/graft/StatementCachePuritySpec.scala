@@ -144,9 +144,9 @@ class StatementCachePuritySpec extends AnyFunSuite {
   private def callees(owner: String, body: String): Seq[(String, String)] = {
     val qualified = qualCallRe.findAllMatchIn(body).toSeq.flatMap { m =>
       val key = (m.group(1), m.group(2))
-      if (members.contains(key)) Seq(key)
-      else if (byName.contains(m.group(1))) Nil // instance receiver, unknown — skip
-      else Nil
+      // unknown qualifiers (instance receivers, stdlib objects) resolve
+      // to nothing — only a known Object.member edge is followed
+      if (members.contains(key)) Seq(key) else Nil
     }
     val bare = bareCallRe.findAllMatchIn(body).toSeq.map(_.group(1))
       .filter(n => !ambiguousNames(n) && byName.contains(n))
