@@ -1875,17 +1875,47 @@ object ExtQueries {
        |) WHERE rk <= 5""".stripMargin
   }
 
-  /** HLL sketch: approximate distinct users per metric alongside the
-    * exact count. Approx values are engine-specific, so this registers
-    * without an oracle (rows-only check) — the operator matters at 100 TB
-    * where exact distinct is a full shuffle and the sketch is mergeable
-    * map-side.
+  /** Relative standard deviation the HLL sketch is configured for; the
+    * checked contract below is the standard 2·rsd envelope around the
+    * exact count.
     */
-  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+  private val HllRsd = 0.02
+
+  /** HLL approximate distinct users per metric — gated by an ERROR-BOUND
+    * contract rather than by the estimate itself: HLL register layouts
+    * and hashes are engine-specific, so the raw estimate can never
+    * hash-match a DuckDB oracle (the engine-reproducible twin is
+    * [[kmvDistinct]]). What IS deterministic, given this engine and this
+    * fixture, is whether the estimate lands inside the published 2·rsd
+    * envelope — so the registered columns are the exact distinct count,
+    * the bound in basis points (2·rsd·10⁴ = 400), and the in-engine
+    * verdict |HLL − exact|·10⁴ ≤ 400·exact (all-integer, no float
+    * compare). The oracle reproduces the exact counts and asserts the
+    * verdict TRUE, which turns an out-of-envelope estimate into a
+    * driver-visible hash FAIL: the error bound is now the checked
+    * contract, and the estimate itself is deliberately not a checked
+    * column. At 100 TB exact distinct is a full shuffle of the key while
+    * HLL is a constant-size mergeable map-side sketch; the exact twin
+    * here exists to audit the sketch, not to serve the query.
+    */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val boundBp = (2 * HllRsd * 10000).toLong // 400
     graft.ingest.EventsIngest.widenedEvents(spark, sfDir)
       .groupBy(col("event_type").as("metric"))
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+      .agg(approx_count_distinct(col("user_id"), HllRsd).as("hll"),
         countDistinct(col("user_id")).as("exact_users"))
+      .select(col("metric"), col("exact_users"),
+        lit(boundBp).as("bound_bp"),
+        (abs(col("hll") - col("exact_users")) * 10000 <=
+          col("exact_users") * boundBp).as("within_bound"))
+  }
+
+  val approxDistinctOracle: String =
+    """SELECT event_type AS metric,
+      |       count(DISTINCT user_id) AS exact_users,
+      |       CAST(400 AS BIGINT) AS bound_bp,
+      |       TRUE AS within_bound
+      |FROM events GROUP BY 1""".stripMargin
 
   private val KmvK = 8
 
@@ -4995,7 +5025,7 @@ object ExtQueries {
     "ann_ivf_multiprobe" -> ((annIvfMultiprobe _, annIvfMultiprobeOracle)),
     "ann_ivfpq_topk" -> ((annIvfPq _, annIvfPqOracle)),
     "ann_lsh_topk" -> ((annLsh _, annLshOracle)),
-    "approx_distinct_users" -> ((approxDistinct _, "")),
+    "approx_distinct_users" -> ((approxDistinct _, approxDistinctOracle)),
     "kmv_distinct_users" -> ((kmvDistinct _, kmvDistinctOracle)),
     "kmv_intersect" -> ((kmvIntersect _, kmvIntersectOracle)),
     "prom_range_scan" -> ((promRangeScan _, promRangeScanOracle)),
