@@ -3065,8 +3065,15 @@ object ExtQueries {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.mutable.Map[String, DataFrame]]
 
-  private[graft] def cachedKmeansCells(spark: SparkSession,
-      sfDir: String): DataFrame = {
+  /** Both trained artifacts from ONE k-means run, memoized per
+    * (session, dataset): the assignment frame (vec_id, cell, cell_cos)
+    * and the converged centroid frame (cell, cv) the final assignment
+    * was made against — a deployment persists exactly this pair, and
+    * caching them together means the trainer never re-runs because a
+    * consumer asked for the other half.
+    */
+  private def kmeansTrained(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
     val perSession = kmeansCellsMemo.synchronized {
       var m = kmeansCellsMemo.get(spark)
       if (m == null) {
@@ -3075,15 +3082,37 @@ object ExtQueries {
       }
       m
     }
-    val df = perSession.synchronized {
-      perSession.getOrElseUpdate(sfDir, {
-        val (a3, c2) = kmeansRounds(spark, sfDir, 3)
-        a3.join(broadcast(c2), "cell")
-          .withColumn("cell_cos", Similarity.cosineQ(col("qv"), col("cv")))
-          .select(col("vec_id"), col("cell"), col("cell_cos"))
-      })
+    perSession.synchronized {
+      (perSession.get(s"$sfDir#cells"), perSession.get(s"$sfDir#cent")) match {
+        case (Some(cells), Some(cent)) => (cells, cent)
+        case _ =>
+          val (a3, c2) = kmeansRounds(spark, sfDir, 3)
+          val cells = a3.join(broadcast(c2), "cell")
+            .withColumn("cell_cos", Similarity.cosineQ(col("qv"), col("cv")))
+            .select(col("vec_id"), col("cell"), col("cell_cos"))
+          perSession.put(s"$sfDir#cells", cells)
+          perSession.put(s"$sfDir#cent", c2)
+          (cells, c2)
+      }
     }
+  }
+
+  private[graft] def cachedKmeansCells(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val df = kmeansTrained(spark, sfDir)._1
     // re-persist if evicted (Bench's warmup clearCache, a manual clear)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    df
+  }
+
+  /** The trained routing table (cell, cv) — K rows, broadcast by every
+    * consumer; persisted so the three-round trainer DAG never re-runs
+    * inside a served query's plan.
+    */
+  private[graft] def cachedKmeansCentroids(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val df = kmeansTrained(spark, sfDir)._2
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
     df
@@ -3168,6 +3197,142 @@ object ExtQueries {
     s"""$kmeansCtes
        |SELECT cell, count(*) AS n_vectors, CAST(sum(d) AS BIGINT) AS sse
        |FROM a3 GROUP BY cell""".stripMargin
+
+  /** Multi-probe search over the TRAINED index: each query probes its
+    * TWO nearest converged centroids, ranked by the trainer's own
+    * metric (exact integer squared euclidean, tie → cell asc) — so
+    * probe 1 is provably the training assignment ([[annIvfTrained]]'s
+    * inverted-list lookup) and probe 2 is the runner-up cell a
+    * boundary-straddling neighbor falls into. This is the nProbe=2
+    * point of the recall-vs-cost curve [[embRecallTrained]] audits;
+    * candidate volume stays ~2·|corpus|/K per query, the K-row routing
+    * table rides the broadcast, and cells are disjoint so no candidate
+    * dedup is needed.
+    */
+  def annIvfTrainedMp(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = cachedKmeansCells(spark, sfDir)
+      .select(col("vec_id"), col("cell"))
+    val cents = broadcast(
+      cachedKmeansCentroids(spark, sfDir)
+        .select(col("cell"), col("cv").as("centv"))
+        .withColumn("centn", Similarity.normSqQ(col("centv"))))
+    val prep = Similarity.prepared(embeddings(spark, sfDir), "vec_id", "cv", "cn")
+    val rw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d").asc, col("cell").asc)
+    val routed = prep.filter(col("vec_id") < 5)
+      .crossJoin(cents)
+      .withColumn("d",
+        col("cn") - lit(2L) * Similarity.dotQ(col("cv"), col("centv")) + col("centn"))
+      .withColumn("rr", row_number().over(rw))
+      .filter(col("rr") <= 2)
+      .select(col("vec_id").as("qid"), col("cv").as("qv"),
+        col("cn").as("qn"), col("cell").as("qcell"))
+    val cand = prep.join(cells, "vec_id")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    broadcast(routed)
+      .join(cand, col("qcell") === col("cell") && col("vec_id") =!= col("qid"))
+      .withColumn("cosine",
+        Similarity.cosineQN(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("vec_id"), col("cosine"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  val annIvfTrainedMpOracle: String =
+    s"""$kmeansCtes,
+       |qs AS (SELECT vec_id AS qid, qv FROM v WHERE vec_id < 5),
+       |routed AS (
+       |  SELECT qid, qv, cell FROM (
+       |    SELECT q.qid, q.qv, c.cell,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY ${distSql("q.qv", "c.cv")} ASC, c.cell ASC) AS rr
+       |    FROM qs q, c2 c
+       |  ) WHERE rr <= 2
+       |)
+       |SELECT qid, vec_id, cosine, rk FROM (
+       |  SELECT r.qid, m.vec_id, ${cosSql("r.qv", "m.qv")} AS cosine,
+       |         row_number() OVER (PARTITION BY r.qid
+       |           ORDER BY ${cosSql("r.qv", "m.qv")} DESC, m.vec_id ASC) AS rk
+       |  FROM routed r JOIN a3 m ON m.cell = r.cell AND m.vec_id <> r.qid
+       |) WHERE rk <= 5""".stripMargin
+
+  /** Recall@5 of the TRAINED IVF index against exact brute force, at
+    * BOTH probe settings side by side — the nProbe tuning curve for the
+    * index the trainer actually produces ([[annIvfTrained]] /
+    * [[annIvfTrainedMp]]), where [[embRecallAtK]] audits the label-cell
+    * routing baseline. Per query: |top5 ∩ brute-top5| in counts and
+    * basis points for single-probe and 2-probe — the number a 100 TB
+    * deployment reads when deciding whether the second probe's ~2×
+    * candidate cost buys the recall it needs. Integer-exact; 2-probe
+    * recall ≥ 1-probe recall by construction (the candidate set only
+    * grows, and ranking is by the same exact cosine).
+    */
+  def embRecallTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    val brute = annBrute(spark, sfDir).filter(col("rk") <= 5)
+      .select(col("qid"), col("vec_id"))
+    def hits(ivf: DataFrame, as: String): DataFrame =
+      brute.join(ivf.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as(as))
+    embeddings(spark, sfDir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"))
+      .join(hits(annIvfTrained(spark, sfDir), "h1"), Seq("qid"), "left")
+      .join(hits(annIvfTrainedMp(spark, sfDir), "h2"), Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("h1"), lit(0L)).as("n_hits_p1"),
+        expr("coalesce(h1, 0L) * 10000 div 5").as("recall_bp_p1"),
+        coalesce(col("h2"), lit(0L)).as("n_hits_p2"),
+        expr("coalesce(h2, 0L) * 10000 div 5").as("recall_bp_p2"))
+  }
+
+  val embRecallTrainedOracle: String =
+    s"""$kmeansCtes,
+       |qs AS (SELECT vec_id AS qid, qv FROM v WHERE vec_id < 5),
+       |brute AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.qid, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY ${cosSql("q.qv", "c.qv")} DESC, c.vec_id ASC) AS rk
+       |    FROM qs q JOIN v c ON c.vec_id <> q.qid
+       |  ) WHERE rk <= 5
+       |), p1 AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.vec_id AS qid, m.vec_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${cosSql("q.qv", "m.qv")} DESC, m.vec_id ASC) AS rk
+       |    FROM a3 q JOIN a3 m
+       |      ON q.vec_id < 5 AND m.cell = q.cell AND m.vec_id <> q.vec_id
+       |  ) WHERE rk <= 5
+       |), routed AS (
+       |  SELECT qid, qv, cell FROM (
+       |    SELECT q.qid, q.qv, c.cell,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY ${distSql("q.qv", "c.cv")} ASC, c.cell ASC) AS rr
+       |    FROM qs q, c2 c
+       |  ) WHERE rr <= 2
+       |), p2 AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT r.qid, m.vec_id,
+       |           row_number() OVER (PARTITION BY r.qid
+       |             ORDER BY ${cosSql("r.qv", "m.qv")} DESC, m.vec_id ASC) AS rk
+       |    FROM routed r JOIN a3 m ON m.cell = r.cell AND m.vec_id <> r.qid
+       |  ) WHERE rk <= 5
+       |), h1 AS (
+       |  SELECT qid, count(*) AS h FROM brute JOIN p1 USING (qid, vec_id)
+       |  GROUP BY 1
+       |), h2 AS (
+       |  SELECT qid, count(*) AS h FROM brute JOIN p2 USING (qid, vec_id)
+       |  GROUP BY 1
+       |)
+       |SELECT q.qid,
+       |       CAST(coalesce(h1.h, 0) AS BIGINT) AS n_hits_p1,
+       |       CAST(coalesce(h1.h, 0) * 10000 // 5 AS BIGINT) AS recall_bp_p1,
+       |       CAST(coalesce(h2.h, 0) AS BIGINT) AS n_hits_p2,
+       |       CAST(coalesce(h2.h, 0) * 10000 // 5 AS BIGINT) AS recall_bp_p2
+       |FROM qs q LEFT JOIN h1 ON h1.qid = q.qid
+       |LEFT JOIN h2 ON h2.qid = q.qid""".stripMargin
 
   // ------------------------------------------------- per-doc TF-IDF
 
@@ -4966,6 +5131,8 @@ object ExtQueries {
     "emb_kmeans_step" -> ((embKmeansStep _, embKmeansStepOracle)),
     "emb_kmeans_full" -> ((embKmeansFull _, embKmeansFullOracle)),
     "ann_ivf_trained" -> ((annIvfTrained _, annIvfTrainedOracle)),
+    "ann_ivf_trained_mp" -> ((annIvfTrainedMp _, annIvfTrainedMpOracle)),
+    "emb_recall_trained" -> ((embRecallTrained _, embRecallTrainedOracle)),
     "emb_power_iter" -> ((embPowerIter _, embPowerIterOracle)),
     "tfidf_topk" -> ((tfidfTopk _, tfidfTopkOracle)),
     "bm25_topk" -> ((bm25Topk _, bm25TopkOracle)),

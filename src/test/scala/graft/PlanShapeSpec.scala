@@ -198,6 +198,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("InMemoryTableScan"), plan.take(1200))
   }
 
+  test("ann_ivf_trained_mp: routed query side broadcast, probe equi-join on cell") {
+    val plan = finalPlan(SparkEntry.queries("ann_ivf_trained_mp")(spark, sf))
+    // routing is 5 queries × broadcast(K centroids); the probe itself
+    // must stay a BroadcastHashJoin on the trained cell key — a
+    // cartesian here would score every query against the whole corpus,
+    // the exact cost the inverted file exists to avoid
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    // the trained assignment + routing table serve from session state
+    assert(plan.contains("InMemoryTableScan"), plan.take(1200))
+  }
+
   test("range_join buckets the interval predicate into an equi-join, never BNLJ") {
     val plan = finalPlan(SparkEntry.queries("range_join")(spark, sf))
     // a bare range predicate would plan BroadcastNestedLoopJoin —

@@ -113,6 +113,18 @@ class ScaleProbeSpec extends SparkSpec {
       graft.queries.ExtQueries.embKmeansFull)
   }
 
+  test("ann_ivf_trained_mp probe join stays <= linear at 30x") {
+    // routing is 5 queries x broadcast(K centroids) — constant; the
+    // probe is an equi-join on the trained cell, so candidates per
+    // query are ~2*|corpus|/K, linear in the decade. After clearCache
+    // the trainer honestly re-materializes (itself linear, see
+    // emb_kmeans_full). A regression that lost the cell equi-join
+    // would score every query against the whole corpus through a
+    // window sort and blow the bound
+    ratioCheck("ann_ivf_trained_mp", LinearBound)(
+      graft.queries.ExtQueries.annIvfTrainedMp)
+  }
+
   test("quantile_sketch_grouped cost is |groups|-linear, not corpus-sorted") {
     // amplified events multiply USERS (offset ids), not days/types: the
     // group count is unchanged while rows grow 30x — the windowed
