@@ -52,9 +52,13 @@ object Bench {
     // only), the optimized plan of `df.groupBy().count()` is itself a
     // pure function of that instance, so it is prepared once and then
     // EXECUTEd per run — a fresh QueryExecution each time (fresh
-    // Exchange nodes → fresh shuffles → full recompute), with zero
-    // repeated analysis/optimization, exactly a warehouse serving
-    // `EXECUTE prepared_q`. Exempt builders return a new frame per call
+    // Exchange nodes → fresh shuffles → full recompute). The INITIAL
+    // analysis + optimization is what's amortized: each EXECUTE's lazy
+    // optimizedPlan still re-walks analyzer + optimizer over the cached
+    // tree, but over an already-optimized plan every rule is a no-op
+    // pass (the measured 60-150 ms first-pass tax drops to the walk
+    // cost), which is the warehouse `EXECUTE prepared_q` shape. Exempt
+    // builders return a new frame per call
     // (the `eq` check fails) and keep paying their full build+plan cost,
     // which is the work their gates measure.
     val countPlans = scala.collection.mutable.Map.empty[

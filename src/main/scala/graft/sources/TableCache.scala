@@ -17,8 +17,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * can be reused after GC and hand a new session a frame bound to a
   * stopped context. Weak keying alone cannot collect an entry here (the
   * cached DataFrames strongly reference their session — the classic
-  * value→key cycle), so entries are ALSO removed explicitly by an
-  * application-end listener registered at first insert. A frame that
+  * value→key cycle), so entries are ALSO removed explicitly by ONE
+  * application-end listener per SparkContext that clears the maps
+  * without capturing any session (see [[registerCleanup]]). A frame that
   * was unpersisted externally (e.g. `spark.catalog.clearCache()`) is
   * re-persisted and re-counted on next access.
   */
@@ -50,19 +51,48 @@ object TableCache {
   }
 
   private def sessionMap(spark: SparkSession): scala.collection.mutable.Map[String, DataFrame] = {
+    registerCleanup(spark)
     sessions.synchronized {
       var m = sessions.get(spark)
       if (m == null) {
         m = scala.collection.mutable.Map.empty[String, DataFrame]
         sessions.put(spark, m)
-        spark.sparkContext.addSparkListener(
-          new org.apache.spark.scheduler.SparkListener {
-            override def onApplicationEnd(
-                end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-              sessions.synchronized { sessions.remove(spark) }
-          })
       }
       m
+    }
+  }
+
+  /** One listener per CONTEXT that has already registered. Weak keys:
+    * a stopped, collected context must not pin this guard map either.
+    */
+  private val cleanupRegistered =
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Boolean]()
+
+  /** Registers the application-end cleanup exactly once per
+    * SparkContext. The listener captures NO session (a strongly
+    * captured session key would defeat the WeakHashMaps for the
+    * application's lifetime) and is context-scoped, so derived
+    * sessions (`spark.newSession()`) don't stack additional listeners
+    * on the shared context. Clearing both maps wholesale at
+    * application end is sound because Spark permits one active context
+    * at a time: every live entry belongs to a session of the context
+    * that just ended, and entries of previously stopped contexts were
+    * cleared by their own end event.
+    */
+  private def registerCleanup(spark: SparkSession): Unit = {
+    val sc = spark.sparkContext
+    cleanupRegistered.synchronized {
+      if (cleanupRegistered.get(sc) == null) {
+        cleanupRegistered.put(sc, java.lang.Boolean.TRUE)
+        sc.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+              sessions.synchronized { sessions.clear() }
+              plans.synchronized { plans.clear() }
+            }
+          })
+      }
     }
   }
 
@@ -105,18 +135,13 @@ object TableCache {
 
   private def planMap(spark: SparkSession): scala.collection.mutable.Map[
       String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
+    registerCleanup(spark)
     plans.synchronized {
       var m = plans.get(spark)
       if (m == null) {
         m = scala.collection.mutable.Map.empty[
           String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
         plans.put(spark, m)
-        spark.sparkContext.addSparkListener(
-          new org.apache.spark.scheduler.SparkListener {
-            override def onApplicationEnd(
-                end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-              plans.synchronized { plans.remove(spark) }
-          })
       }
       m
     }

@@ -16,7 +16,10 @@ final case class QsKey(series: String, day: java.sql.Date)
 /** One retained sample: the 128-bit md5 rank packed into two longs
   * (compared UNSIGNED — for fixed-width lowercase hex, numeric order
   * equals the lexicographic string order the batch twin ranks by;
-  * PropertySpec pins that equivalence) plus the value. 16 rank bytes
+  * PropertySpec's "packed two-long unsigned rank order" property pins
+  * that equivalence for the full 128-bit encoding, and
+  * QuantileSketchStreamSpec exercises it end-to-end against hex-string
+  * bottom-k expectations) plus the value. 16 rank bytes
   * instead of a 32-char string keeps the state row narrow — state
   * bytes are the operator's scale currency.
   */

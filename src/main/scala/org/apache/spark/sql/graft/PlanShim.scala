@@ -13,7 +13,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    logical plan in a fresh DataFrame. Re-wrapping per action keeps
   *    Exchange nodes fresh, so every execution recomputes its shuffles —
   *    re-executing a memoized RDD would silently serve stage outputs
-  *    from the previous run's map files and measure nothing.
+  *    from the previous run's map files and measure nothing. The fresh
+  *    QueryExecution's lazy phases DO re-run the analyzer + optimizer
+  *    over the cached tree; correctness therefore assumes the optimizer
+  *    is a fixpoint on its own output. Spark does not contractually
+  *    promise that, so it is gated empirically: BenchActionSpec pins
+  *    prepared-plan actions against `df.count()`, and every oracle run
+  *    executes the statement-cached builders through this path.
   *  - [[optimizedPlan]] — force a frame's analysis + optimization once
   *    and return the optimized logical plan, the thing a warehouse's
   *    statement cache actually stores.

@@ -11,8 +11,9 @@ package graft
   *    which both the integer-mean recenter and the exact integer
   *    distance must preserve.
   *
-  * The fixture's movement tail is long (measured: 32 of 2000 vectors
-  * still moving at r2→r3 on sf0.001), so a fixed-point assertion would
+  * The fixture's movement tail is long (measured: 32 of the 500
+  * sf0.001 fixture vectors still moving at r2→r3 — the 6.4% figure the
+  * bound below states), so a fixed-point assertion would
   * either lie or demand an absurd unroll depth; fixed depth + declining
   * movement is the honest production contract and the builder's
   * scaladoc states the measured numbers.

@@ -73,6 +73,23 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("packed two-long unsigned rank order == 32-char md5 hex order") {
+    // the QsSample state encoding (QuantileSketchStream.fromHex packs
+    // the 128-bit md5 into rHi/rLo, rankOrd compares both unsigned):
+    // its order must equal the lexicographic order of the 32-char hex
+    // string the batch twin ranks by, or stream and batch pick
+    // different bottom-k samples
+    val longs: Gen[Long] = Gen.choose(Long.MinValue, Long.MaxValue)
+    check("packedrank")(Prop.forAll(longs, longs, longs, longs) {
+      (aHi, aLo, bHi, bLo) =>
+        val (ha, hb) = (f"$aHi%016x$aLo%016x", f"$bHi%016x$bLo%016x")
+        val sa = graft.streaming.QuantileSketchStream.fromHex(ha, 1.0)
+        val sb = graft.streaming.QuantileSketchStream.fromHex(hb, 2.0)
+        val packed = graft.streaming.QuantileSketchStream.rankOrd.compare(sa, sb)
+        Integer.signum(packed) == Integer.signum(ha.compareTo(hb))
+    })
+  }
+
   test("cron nextAfter always lands on a due second strictly after t") {
     val crons = Gen.oneOf("0 0 1 * * *", "*/30 * * * * *",
       "0 5,35 8-10 * * 1-5", "15 */10 * * * *")
