@@ -5111,7 +5111,12 @@ object ExtQueries {
   private[graft] val statementCacheExempt = Set(
     "semdedup_prune", "dedup_groups",
     "ngram_jaccard", "ngram_containment", "dedup_minhash_lsh",
-    "multimodal_phash")
+    "multimodal_phash",
+    // round 12: the extended eager-action audit (chained `.head`)
+    // caught the bloom broadcast-build — a per-call driver aggregate
+    // the statement cache would have frozen, silently exempting its
+    // gate from the very build cost it exists to measure
+    "contamination_bloom")
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] =
     graft.sources.TableCache.planCachedPack(rawAll, statementCacheExempt)

@@ -91,9 +91,38 @@ class StatementCachePuritySpec extends AnyFunSuite {
   private lazy val byName: Map[String, Seq[(String, String)]] =
     members.keys.toSeq.groupBy(_._2)
 
+  /** Impurity markers, two tiers (round 12, closing the audit's silent
+    * false-negative gaps):
+    *
+    *  - any-receiver patterns that are unambiguous in this codebase:
+    *    `.cache(`/`.checkpoint(` (plan-invisible materialization),
+    *    `.toLocalIterator`, `.head(`/`.first(` (idiomatic Scala
+    *    collections use paren-less `.head` and the `first(col)`
+    *    aggregate is a bare call, so the parenthesized method forms are
+    *    DataFrame eager actions), and plan-frozen time — `current_date`
+    *    / `current_timestamp` / zero-arg `unix_timestamp()` (Catalyst's
+    *    ComputeCurrentTime would freeze the statement-cached plan's
+    *    timestamp for the whole session), `Instant.now()` /
+    *    `System.currentTimeMillis` (driver time frozen into the built
+    *    plan);
+    *  - call-CHAINED eager probes — `).head` / `).isEmpty` / `).take(`
+    *    / paren-less `).collect` directly on a call result, the shape a
+    *    DataFrame eager action actually takes (`df.agg(...).head`),
+    *    which keeps the ubiquitous pure Seq/Option forms
+    *    (`toks.isEmpty`, `args.head`, `on.isEmpty`) out of the match.
+    *
+    * Residual stated gap: an eager action whose receiver is a bare
+    * identifier holding a DataFrame (`val d = ...; d.isEmpty`) escapes
+    * a source-level audit; none exist today and the chained form is the
+    * idiom every current site uses.
+    */
   private val markerRe =
     ("""CacheScope|\.collect\(\)|\.write\b|writeStream|createTempDirectory""" +
-      """|\.persist\(|\.unpersist\(|localCheckpoint""").r
+      """|\.persist\(|\.unpersist\(|localCheckpoint""" +
+      """|\.cache\(|\.checkpoint\(|\.toLocalIterator|\.head\(|\.first\(""" +
+      """|\)\s*\.head\b|\)\s*\.isEmpty|\)\s*\.take\(|\)\s*\.collect\b(?![({\w])""" +
+      """|current_date|current_timestamp|unix_timestamp\(\)""" +
+      """|\bnow\(\)|System\.currentTimeMillis""").r
 
   private def markersIn(body: String): Seq[String] =
     markerRe.findAllIn(body).toSeq.distinct
