@@ -16,10 +16,30 @@ class PartitionInvarianceSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  // a cross-section of aggregation shapes: iterative trainer, windowed
-  // sketch, rational-score rank, mergeable-summary recount, hash-group
-  private val probes = Seq("emb_kmeans_full", "quantile_sketch_grouped",
-    "bm25_topk", "heavy_hitters", "dedup_exact", "m4_downsample")
+  // one probe per pack family (round 12: widened from 6 so the gate is
+  // evidence across the surface, not a fixed corner) — each family's
+  // most partition-sensitive aggregation shape. Budget: ~2 s/probe net
+  // (per-probe walls printed as info lines); the first probe also
+  // absorbs ~7 s of cold-session warmup when the suite runs standalone,
+  // already paid when it runs inside the full `sbt test` JVM.
+  private val probes = Seq(
+    "emb_kmeans_step",         // trainer assign step (argmin aggregate;
+                               // the full 3-round trainer costs ~11 s
+                               // across two cold sessions — the shape
+                               // this gate needs is the argmin, and
+                               // KmeansConvergenceSpec covers the
+                               // iterated run's determinism signals)
+    "quantile_sketch_grouped", // windowed mergeable sketch
+    "bm25_topk",               // rational-score global rank
+    "heavy_hitters",           // per-partition summaries + recount
+    "dedup_exact",             // hash-group dedup
+    "m4_downsample",           // struct min/max boundary aggregation
+    "promql_parsed_histq",     // deep parsed-PromQL plan (histogram_quantile)
+    "pq_range_rate",           // range-grid window explode + per-point rate
+    "gpu_daily_report",        // two-level nested SQL aggregation
+    "asof_join",               // ordered as-of join
+    "domain_cap",              // salted two-phase top-N (skew path)
+    "dedup_minhash_lsh")       // banded LSH pair generation
 
   private def rows(s: org.apache.spark.sql.SparkSession, name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(s, sf)
@@ -33,8 +53,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     other.conf.set("spark.sql.shuffle.partitions", "5")
     try {
       probes.foreach { name =>
+        val t0 = System.nanoTime()
         val a = rows(spark, name)
         val b = rows(other, name)
+        info(f"$name%-26s ${(System.nanoTime()-t0)/1e9}%.2f s")
         assert(a == b,
           s"$name diverged under 5 shuffle partitions: " +
             s"${a.size} vs ${b.size} rows; first diff: " +

@@ -16,4 +16,19 @@ done
 
 echo "== bench sf0.1"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-  sbt -batch "runMain graft.Bench" | grep -F '"metric"'
+  sbt -batch "runMain graft.Bench" | grep -F '"metric"' | tee /tmp/graft_gate_bench.json
+
+# Soft ceiling on the full-pack total so a perf regression fails HERE,
+# before the driver's official run sees it. Local full-pack samples on
+# green trees span ~55-63 s (box noise band); the driver's own runs land
+# ~1.0-1.1x local. 70 s local therefore means a real regression, while
+# the hard driver gate (2x baseline) sits at 80 s official.
+echo "== bench ceiling"
+python3 - <<'EOF'
+import json, re, sys
+line = open("/tmp/graft_gate_bench.json").read()
+total = json.loads(re.sub(r"^\[info\] ", "", line.strip().splitlines()[-1]))["value"]
+ceiling = 70.0
+print(f"bench total {total:.1f} s (ceiling {ceiling:.0f} s)")
+sys.exit(1 if total > ceiling else 0)
+EOF
