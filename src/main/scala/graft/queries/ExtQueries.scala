@@ -230,32 +230,6 @@ object ExtQueries {
     * broadcast), and the same document-frequency cap as ngram_jaccard so
     * a corpus-scale stop-shingle cannot blow up the join.
     */
-  /** Session-scoped 8-token tagged shingle frame (doc_id, h, source),
-    * shared by the exact and Bloom decontamination gates — the same
-    * session-lifetime cache discipline as [[cachedShingleFrame]]: the
-    * 8-gram explode is the expensive stage of BOTH variants and a pure
-    * function of (session, sfDir), so the engine materializes it once
-    * (a real pipeline keeps its benchmark-overlap index warm across
-    * decontamination passes) instead of letting each gate rebuild it
-    * per query under CacheScope's per-query drain.
-    */
-  private val tagged8Memo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]
-
-  /** Session-scoped corpus vocabulary — (tok, cnt) unigram counts, the
-    * dictionary every frequency-summary query keys off (CMS estimates,
-    * rarity scores, the streaming sketch's top-20 probe set). Same
-    * session-lifetime cache discipline as [[cachedShingleFrame]]: a
-    * vocabulary-sized aggregate (≪ corpus — millions of rows when the
-    * corpus is billions of documents) that is a pure function of
-    * (session, sfDir) and consumed by multiple registered queries is
-    * engine-level state, not a per-query temp for CacheScope to drain.
-    */
-  private val tokenCountsMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]
-
   /** Session-scoped bigram table — (gram, cnt, cnt_en): corpus bigram
     * occurrence counts plus the `en`-slice conditional count, the
     * n-gram LM every bigram-statistics query keys off (heavy-hitter
@@ -263,29 +237,15 @@ object ExtQueries {
     * discipline and scale argument as [[cachedTokenCounts]]: the bigram
     * vocabulary is ≪ the corpus token stream.
     */
-  private val bigramCountsMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]
-
   private[queries] def cachedBigramCounts(spark: SparkSession,
       sfDir: String): DataFrame = {
-    val perSession = bigramCountsMemo.synchronized {
-      var m = bigramCountsMemo.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty[String, DataFrame]
-        bigramCountsMemo.put(spark, m)
-      }
-      m
-    }
-    val df = perSession.synchronized {
-      perSession.getOrElseUpdate(sfDir,
+    val df = graft.sources.TableCache.memo(spark, s"bigramCounts#$sfDir")(
         docs(spark, sfDir)
           .withColumn("toks", TextOps.tokens(col("text")))
           .select(col("lang"), explode(TextOps.shingles("toks", 2)).as("gram"))
           .groupBy(col("gram"))
           .agg(count(lit(1)).as("cnt"),
             count(when(col("lang") === "en", lit(1))).as("cnt_en")))
-    }
     // re-persist if evicted (Bench's warmup clearCache, a manual clear)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
@@ -298,72 +258,57 @@ object ExtQueries {
     * [[cachedTokenCounts]] (vocabulary-sized, pure fixture function,
     * 2+ consumers).
     */
-  private val docFreqMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]
-
   private def cachedDocFreq(spark: SparkSession, sfDir: String): DataFrame = {
-    val perSession = docFreqMemo.synchronized {
-      var m = docFreqMemo.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty[String, DataFrame]
-        docFreqMemo.put(spark, m)
-      }
-      m
-    }
-    val df = perSession.synchronized {
-      perSession.getOrElseUpdate(sfDir,
+    val df = graft.sources.TableCache.memo(spark, s"docFreq#$sfDir")(
         docs(spark, sfDir)
           .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
           .groupBy(col("term"))
           .agg(countDistinct(col("doc_id")).as("df")))
-    }
     // re-persist if evicted (Bench's warmup clearCache, a manual clear)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
     df
   }
 
+  /** Session-scoped corpus vocabulary — (tok, cnt) unigram counts, the
+    * dictionary every frequency-summary query keys off (CMS estimates,
+    * rarity scores, the streaming sketch's top-20 probe set). Same
+    * session-lifetime cache discipline as [[cachedShingleFrame]]: a
+    * vocabulary-sized aggregate (≪ corpus — millions of rows when the
+    * corpus is billions of documents) that is a pure function of
+    * (session, sfDir) and consumed by multiple registered queries is
+    * engine-level state, not a per-query temp for CacheScope to drain.
+    */
   private[graft] def cachedTokenCounts(spark: SparkSession,
       sfDir: String): DataFrame = {
-    val perSession = tokenCountsMemo.synchronized {
-      var m = tokenCountsMemo.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty[String, DataFrame]
-        tokenCountsMemo.put(spark, m)
-      }
-      m
-    }
-    val df = perSession.synchronized {
-      perSession.getOrElseUpdate(sfDir,
+    val df = graft.sources.TableCache.memo(spark, s"tokenCounts#$sfDir")(
         docs(spark, sfDir)
           .select(explode(TextOps.tokens(col("text"))).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("cnt")))
-    }
     // re-persist if evicted (Bench's warmup clearCache, a manual clear)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
     df
   }
 
+  /** Session-scoped 8-token tagged shingle frame (doc_id, h, source),
+    * shared by the exact and Bloom decontamination gates — the same
+    * session-lifetime cache discipline as [[cachedShingleFrame]]: the
+    * 8-gram explode is the expensive stage of BOTH variants and a pure
+    * function of (session, sfDir), so the engine materializes it once
+    * (a real pipeline keeps its benchmark-overlap index warm across
+    * decontamination passes) instead of letting each gate rebuild it
+    * per query under CacheScope's per-query drain.
+    */
   private def cachedTagged8(spark: SparkSession, sfDir: String): DataFrame = {
-    val perSession = tagged8Memo.synchronized {
-      var m = tagged8Memo.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty[String, DataFrame]
-        tagged8Memo.put(spark, m)
-      }
-      m
-    }
-    val df = perSession.synchronized {
-      perSession.getOrElseUpdate(sfDir, {
+    val df = graft.sources.TableCache.memo(spark, s"tagged8#$sfDir")(
+        {
         val sh = Dedup.shingleSets(
           docs(spark, sfDir).withColumn("toks", TextOps.tokens(col("text"))),
           n = 8, lit("all"))
         sh.join(docs(spark, sfDir).select(col("doc_id"), col("source")),
           "doc_id")
       })
-    }
     // re-persist if evicted (Bench's warmup clearCache, a manual clear)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
@@ -376,27 +321,14 @@ object ExtQueries {
     * build step, not query work). Kept separately from the raw frame
     * because the Bloom variant deliberately bypasses the df-cap shuffle.
     */
-  private val capped8Memo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]
-
   private def cachedCapped8(spark: SparkSession, sfDir: String): DataFrame = {
-    val perSession = capped8Memo.synchronized {
-      var m = capped8Memo.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty[String, DataFrame]
-        capped8Memo.put(spark, m)
-      }
-      m
-    }
-    val df = perSession.synchronized {
-      perSession.getOrElseUpdate(sfDir, {
+    val df = graft.sources.TableCache.memo(spark, s"capped8#$sfDir")(
+        {
         val tagged = cachedTagged8(spark, sfDir)
         val keep = tagged.groupBy(col("h")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= 64).select(col("h"))
         tagged.join(keep, "h")
       })
-    }
     // re-persist if evicted (Bench's warmup clearCache, a manual clear)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
@@ -887,23 +819,9 @@ object ExtQueries {
     * pipeline computes fingerprints once and reuses them across dedup
     * passes), not a per-query temp for CacheScope to drain.
     */
-  private val repSimhashMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]
-
   private def cachedRepSimhash32(spark: SparkSession, sfDir: String): DataFrame = {
-    val perSession = repSimhashMemo.synchronized {
-      var m = repSimhashMemo.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty[String, DataFrame]
-        repSimhashMemo.put(spark, m)
-      }
-      m
-    }
-    val df = perSession.synchronized {
-      perSession.getOrElseUpdate(sfDir,
+    val df = graft.sources.TableCache.memo(spark, s"repSimhash#$sfDir")(
         Dedup.simhashBits(exactReps(docs(spark, sfDir)), 32).persist())
-    }
     // re-persist if evicted (Bench's warmup clearCache, a manual clear)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
@@ -925,24 +843,10 @@ object ExtQueries {
     * join. Same session-lifetime discipline as [[cachedRepSimhash32]],
     * whose output it folds.
     */
-  private val simhashPairsMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]
-
   private def cachedSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val perSession = simhashPairsMemo.synchronized {
-      var m = simhashPairsMemo.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty[String, DataFrame]
-        simhashPairsMemo.put(spark, m)
-      }
-      m
-    }
-    val df = perSession.synchronized {
-      perSession.getOrElseUpdate(sfDir,
+    val df = graft.sources.TableCache.memo(spark, s"simhashPairs#$sfDir")(
         Dedup.simhashNeardupPairs(cachedRepSimhash32(spark, sfDir),
           numBands = 4, bits = 32))
-    }
     // re-persist if evicted (Bench's warmup clearCache, a manual clear)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
@@ -1077,28 +981,14 @@ object ExtQueries {
     * cache with the session's lifetime, not a per-query temp that
     * CacheScope would drain between queries.
     */
-  private val shingleMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]
-
   private def cachedShingleFrame(spark: SparkSession, sfDir: String,
       bucketKey: String): DataFrame = {
-    val perSession = shingleMemo.synchronized {
-      var m = shingleMemo.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty[String, DataFrame]
-        shingleMemo.put(spark, m)
-      }
-      m
-    }
     val bucket = bucketKey match {
       case "lang" => col("lang")
       case "lang|source" => concat(col("lang"), lit("|"), col("source"))
     }
-    val df = perSession.synchronized {
-      perSession.getOrElseUpdate(s"$sfDir#$bucketKey",
+    val df = graft.sources.TableCache.memo(spark, s"shingle#$sfDir#$bucketKey")(
         shingleFrame(spark, sfDir, bucket))
-    }
     // re-persist if evicted (Bench's warmup clearCache, a manual clear)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
@@ -1112,24 +1002,10 @@ object ExtQueries {
     * to a predicate. Same session-lifetime discipline as
     * [[cachedShingleFrame]], whose output this consumes.
     */
-  private val ngramPairsMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]
-
   private def cachedNgramPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val perSession = ngramPairsMemo.synchronized {
-      var m = ngramPairsMemo.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty[String, DataFrame]
-        ngramPairsMemo.put(spark, m)
-      }
-      m
-    }
-    val df = perSession.synchronized {
-      perSession.getOrElseUpdate(sfDir,
+    val df = graft.sources.TableCache.memo(spark, s"ngramPairs#$sfDir")(
         Dedup.jaccardPairs(cachedShingleFrame(spark, sfDir, "lang|source"),
           minJaccard = 0.0, dfCap = DfCap))
-    }
     // re-persist if evicted (jaccardPairs' own registration is drained
     // once by CacheScope; after that the frame is session-lifetime)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
@@ -1217,24 +1093,10 @@ object ExtQueries {
     * session-lifetime discipline as [[cachedShingleFrame]], whose
     * output it folds.
     */
-  private val minhashSigsMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]
-
   private def cachedMinhashSigs(spark: SparkSession, sfDir: String): DataFrame = {
-    val perSession = minhashSigsMemo.synchronized {
-      var m = minhashSigsMemo.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty[String, DataFrame]
-        minhashSigsMemo.put(spark, m)
-      }
-      m
-    }
-    val df = perSession.synchronized {
-      perSession.getOrElseUpdate(sfDir,
+    val df = graft.sources.TableCache.memo(spark, s"minhashSigs#$sfDir")(
         Dedup.minhashSignatures(
           cachedShingleFrame(spark, sfDir, "lang"), NumSigs))
-    }
     // re-persist if evicted (Bench's warmup clearCache, a manual clear)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
@@ -1430,23 +1292,9 @@ object ExtQueries {
     * per-query recomputation is an artifact of statelessness, not of
     * the algorithm. Same discipline as [[cachedShingleFrame]].
     */
-  private val centroidsMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]
-
   private def cachedCentroids(spark: SparkSession, sfDir: String): DataFrame = {
-    val perSession = centroidsMemo.synchronized {
-      var m = centroidsMemo.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty[String, DataFrame]
-        centroidsMemo.put(spark, m)
-      }
-      m
-    }
-    val df = perSession.synchronized {
-      perSession.getOrElseUpdate(sfDir,
+    val df = graft.sources.TableCache.memo(spark, s"centroids#$sfDir")(
         Similarity.centroids(embeddings(spark, sfDir), "label"))
-    }
     // re-persist if evicted (Bench's warmup clearCache, a manual clear)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
@@ -1458,24 +1306,10 @@ object ExtQueries {
     * and SemDeDup entries. Same argument as [[cachedCentroids]]: an IVF
     * index assigns once at build time and serves from the lists.
     */
-  private val cellAssignMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]
-
   private def cachedCellAssign(spark: SparkSession, sfDir: String): DataFrame = {
-    val perSession = cellAssignMemo.synchronized {
-      var m = cellAssignMemo.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty[String, DataFrame]
-        cellAssignMemo.put(spark, m)
-      }
-      m
-    }
-    val df = perSession.synchronized {
-      perSession.getOrElseUpdate(sfDir,
+    val df = graft.sources.TableCache.memo(spark, s"cellAssign#$sfDir")(
         Similarity.assignCells(embeddings(spark, sfDir),
           cachedCentroids(spark, sfDir)))
-    }
     // re-persist if evicted (Bench's warmup clearCache, a manual clear)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
@@ -1484,9 +1318,6 @@ object ExtQueries {
 
   private val pqIndexMemo =
     scala.collection.mutable.Map.empty[String, Seq[Seq[Seq[Long]]]]
-  private val pqCodesMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]
 
   private def cachedPqCodebook(spark: SparkSession,
       sfDir: String): Seq[Seq[Seq[Long]]] = pqIndexMemo.synchronized {
@@ -1502,28 +1333,14 @@ object ExtQueries {
     * a real engine computes a query's LUT once per query, and the bench
     * queries are a fixed registered set.
     */
-  private val pqLutsMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]
-
   private def cachedPqLuts(spark: SparkSession, sfDir: String): DataFrame = {
-    val perSession = pqLutsMemo.synchronized {
-      var m = pqLutsMemo.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty[String, DataFrame]
-        pqLutsMemo.put(spark, m)
-      }
-      m
-    }
-    val df = perSession.synchronized {
-      perSession.getOrElseUpdate(sfDir,
+    val df = graft.sources.TableCache.memo(spark, s"pqLuts#$sfDir")(
         embeddings(spark, sfDir)
           .filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"),
             Similarity.quantize(col("embedding")).as("qv"))
           .select(col("qid"),
             pqLut(cachedPqCodebook(spark, sfDir)).as("lut")))
-    }
     // re-persist if evicted (Bench's warmup clearCache, a manual clear)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
@@ -1531,22 +1348,12 @@ object ExtQueries {
   }
 
   private def cachedPqCodes(spark: SparkSession, sfDir: String): DataFrame = {
-    val perSession = pqCodesMemo.synchronized {
-      var m = pqCodesMemo.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty[String, DataFrame]
-        pqCodesMemo.put(spark, m)
-      }
-      m
-    }
-    val df = perSession.synchronized {
-      perSession.getOrElseUpdate(sfDir,
+    val df = graft.sources.TableCache.memo(spark, s"pqCodes#$sfDir")(
         embeddings(spark, sfDir)
           .select(col("vec_id"), col("label"),
             Similarity.quantize(col("embedding")).as("qv"))
           .select(col("vec_id"), col("label"),
             pqCodes(cachedPqCodebook(spark, sfDir)).as("codes")))
-    }
     // re-persist if evicted (Bench's warmup clearCache, a manual clear)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
@@ -3061,40 +2868,25 @@ object ExtQueries {
     * trained-IVF search both serve from it, so it lives with the
     * session per the "Index artifacts are session state" discipline.
     */
-  private val kmeansCellsMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]
-
   /** Both trained artifacts from ONE k-means run, memoized per
     * (session, dataset): the assignment frame (vec_id, cell, cell_cos)
     * and the converged centroid frame (cell, cv) the final assignment
-    * was made against — a deployment persists exactly this pair, and
-    * caching them together means the trainer never re-runs because a
-    * consumer asked for the other half.
+    * was made against — a deployment persists exactly this pair. The
+    * lazy pair means the trainer runs at most once however the two
+    * memo keys are first asked for: whichever `memo` misses first
+    * forces it, the second key's build reuses the forced value.
     */
   private def kmeansTrained(spark: SparkSession,
       sfDir: String): (DataFrame, DataFrame) = {
-    val perSession = kmeansCellsMemo.synchronized {
-      var m = kmeansCellsMemo.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty[String, DataFrame]
-        kmeansCellsMemo.put(spark, m)
-      }
-      m
+    lazy val pair = {
+      val (a3, c2) = kmeansRounds(spark, sfDir, 3)
+      val cells = a3.join(broadcast(c2), "cell")
+        .withColumn("cell_cos", Similarity.cosineQ(col("qv"), col("cv")))
+        .select(col("vec_id"), col("cell"), col("cell_cos"))
+      (cells, c2)
     }
-    perSession.synchronized {
-      (perSession.get(s"$sfDir#cells"), perSession.get(s"$sfDir#cent")) match {
-        case (Some(cells), Some(cent)) => (cells, cent)
-        case _ =>
-          val (a3, c2) = kmeansRounds(spark, sfDir, 3)
-          val cells = a3.join(broadcast(c2), "cell")
-            .withColumn("cell_cos", Similarity.cosineQ(col("qv"), col("cv")))
-            .select(col("vec_id"), col("cell"), col("cell_cos"))
-          perSession.put(s"$sfDir#cells", cells)
-          perSession.put(s"$sfDir#cent", c2)
-          (cells, c2)
-      }
-    }
+    (graft.sources.TableCache.memo(spark, s"kmeansTrained#$sfDir#cells")(pair._1),
+      graft.sources.TableCache.memo(spark, s"kmeansTrained#$sfDir#cent")(pair._2))
   }
 
   private[graft] def cachedKmeansCells(spark: SparkSession,
@@ -4535,21 +4327,9 @@ object ExtQueries {
     * CacheScope drains between queries. The frame is pair-sized (tiny);
     * the fingerprint selection it collapses is the expensive stage.
     */
-  private val winnowPairsMemo =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.mutable.Map[String, DataFrame]]
-
   private def cachedWinnowPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val perSession = winnowPairsMemo.synchronized {
-      var m = winnowPairsMemo.get(spark)
-      if (m == null) {
-        m = scala.collection.mutable.Map.empty[String, DataFrame]
-        winnowPairsMemo.put(spark, m)
-      }
-      m
-    }
-    val df = perSession.synchronized {
-      perSession.getOrElseUpdate(sfDir, {
+    val df = graft.sources.TableCache.memo(spark, s"winnowPairs#$sfDir")(
+        {
         val sel = docWinnow(spark, sfDir)
           .select(col("doc_id"), col("fp")).distinct()
         val keep = sel.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
@@ -4562,7 +4342,6 @@ object ExtQueries {
           .agg(count(lit(1)).as("n_shared"))
           .filter(col("n_shared") >= 3)
       })
-    }
     // re-persist if evicted (Bench's warmup clearCache, a manual clear)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
