@@ -2816,30 +2816,41 @@ object ExtQueries {
     * assignment was made against — the TRAINED index the SemDeDup prune
     * and the trained-IVF search consume.
     */
-  private[graft] def kmeansRounds(spark: SparkSession, sfDir: String,
-      rounds: Int): (DataFrame, DataFrame) = {
-    val v = embeddings(spark, sfDir)
+  /** The quantized corpus the trainer assigns: (vec_id, qv, vn). */
+  private def kmeansVectors(spark: SparkSession, sfDir: String): DataFrame =
+    embeddings(spark, sfDir)
       .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
       .withColumn("vn", Similarity.normSqQ(col("qv")))
+
+  /** One Lloyd assignment of `v` against an arbitrary centroid frame —
+    * the step [[kmeansRounds]] iterates, exposed separately so the
+    * trained-artifact memo can assign against the PERSISTED converged
+    * centroids without re-embedding the trainer DAG in its lineage.
+    */
+  private def kmeansAssign(v: DataFrame, cent: DataFrame): DataFrame = {
+    val c = broadcast(cent.withColumn("cn", Similarity.normSqQ(col("cv"))))
+    // argmin as an AGGREGATE, not a window: min of the (d, cell)
+    // struct is the lexicographic minimum — identical to ranking by
+    // (d asc, cell asc) — but plans as a hash aggregation with
+    // map-side partial combine instead of a sort exchange per round;
+    // `first(qv)` is well-defined because qv is constant per vec_id
+    // across the broadcast fan-out
+    v.crossJoin(c)
+      .withColumn("d",
+        col("vn") - lit(2L) * Similarity.dotQ(col("qv"), col("cv")) + col("cn"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cell"))).as("m"),
+        first(col("qv")).as("qv"))
+      .select(col("vec_id"), col("qv"),
+        col("m.cell").as("cell"), col("m.d").as("d"))
+  }
+
+  private[graft] def kmeansRounds(spark: SparkSession, sfDir: String,
+      rounds: Int): (DataFrame, DataFrame) = {
+    val v = kmeansVectors(spark, sfDir)
     val cent0 = v.filter(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cell"), col("qv").as("cv"))
-    def assign(cent: DataFrame): DataFrame = {
-      val c = broadcast(cent.withColumn("cn", Similarity.normSqQ(col("cv"))))
-      // argmin as an AGGREGATE, not a window: min of the (d, cell)
-      // struct is the lexicographic minimum — identical to ranking by
-      // (d asc, cell asc) — but plans as a hash aggregation with
-      // map-side partial combine instead of a sort exchange per round;
-      // `first(qv)` is well-defined because qv is constant per vec_id
-      // across the broadcast fan-out
-      v.crossJoin(c)
-        .withColumn("d",
-          col("vn") - lit(2L) * Similarity.dotQ(col("qv"), col("cv")) + col("cn"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d"), col("cell"))).as("m"),
-          first(col("qv")).as("qv"))
-        .select(col("vec_id"), col("qv"),
-          col("m.cell").as("cell"), col("m.d").as("d"))
-    }
+    def assign(cent: DataFrame): DataFrame = kmeansAssign(v, cent)
     def recenter(assigned: DataFrame): DataFrame =
       assigned
         .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "q")))
@@ -2860,51 +2871,51 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_vectors"), sum(col("d")).as("sse"))
       .select(col("cell"), col("n_vectors"), col("sse"))
 
-  /** Session-scoped TRAINED clustering — the converged (round-3)
-    * k-means assignment with each vector's cosine to its converged
-    * centroid (vec_id, cell, cell_cos). This is the artifact the
-    * trainer produces and a deployment persists (exactly as the IVF
-    * index persists [[cachedCentroids]]); the SemDeDup prune and the
-    * trained-IVF search both serve from it, so it lives with the
-    * session per the "Index artifacts are session state" discipline.
+  /** Session-scoped TRAINED clustering artifacts — the converged
+    * (round-3) k-means assignment with each vector's cosine to its
+    * converged centroid (vec_id, cell, cell_cos), and the converged
+    * centroid routing table (cell, cv). These are what the trainer
+    * produces and a deployment persists (exactly as the IVF index
+    * persists [[cachedCentroids]]); the SemDeDup prune and the
+    * trained-IVF search serve from them, so they live with the session
+    * per the "Index artifacts are session state" discipline.
+    *
+    * Memoized per (session, dataset), with the
+    * trainer DAG EXECUTING at most once: the converged centroid frame
+    * (cell, cv) is the root artifact — its memo carries the two
+    * recenter rounds' DAG and is persisted FIRST — and the assignment
+    * frame (vec_id, cell, cell_cos) is then DERIVED from the persisted
+    * centroids (one [[kmeansAssign]] pass + the cosine join reads the
+    * centroid InMemoryRelation, not a second copy of the trainer DAG).
+    * Memoizing two frames that each embedded the full trainer lineage
+    * would type-check as "one run" but materialize the trainer twice —
+    * CacheManager substitutes a cached fragment into a consumer's plan,
+    * never a consumer's cached plan into the fragment's. A deployment
+    * persists exactly this pair (routing table + inverted-list
+    * assignment), in exactly this order.
     */
-  /** Both trained artifacts from ONE k-means run, memoized per
-    * (session, dataset): the assignment frame (vec_id, cell, cell_cos)
-    * and the converged centroid frame (cell, cv) the final assignment
-    * was made against — a deployment persists exactly this pair. The
-    * lazy pair means the trainer runs at most once however the two
-    * memo keys are first asked for: whichever `memo` misses first
-    * forces it, the second key's build reuses the forced value.
-    */
-  private def kmeansTrained(spark: SparkSession,
-      sfDir: String): (DataFrame, DataFrame) = {
-    lazy val pair = {
-      val (a3, c2) = kmeansRounds(spark, sfDir, 3)
-      val cells = a3.join(broadcast(c2), "cell")
-        .withColumn("cell_cos", Similarity.cosineQ(col("qv"), col("cv")))
-        .select(col("vec_id"), col("cell"), col("cell_cos"))
-      (cells, c2)
-    }
-    (graft.sources.TableCache.memo(spark, s"kmeansTrained#$sfDir#cells")(pair._1),
-      graft.sources.TableCache.memo(spark, s"kmeansTrained#$sfDir#cent")(pair._2))
-  }
-
-  private[graft] def cachedKmeansCells(spark: SparkSession,
+  private[graft] def cachedKmeansCentroids(spark: SparkSession,
       sfDir: String): DataFrame = {
-    val df = kmeansTrained(spark, sfDir)._1
+    val df = graft.sources.TableCache.memo(spark, s"kmeansTrained#$sfDir#cent")(
+      kmeansRounds(spark, sfDir, 3)._2)
     // re-persist if evicted (Bench's warmup clearCache, a manual clear)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
     df
   }
 
-  /** The trained routing table (cell, cv) — K rows, broadcast by every
-    * consumer; persisted so the three-round trainer DAG never re-runs
-    * inside a served query's plan.
-    */
-  private[graft] def cachedKmeansCentroids(spark: SparkSession,
+  private[graft] def cachedKmeansCells(spark: SparkSession,
       sfDir: String): DataFrame = {
-    val df = kmeansTrained(spark, sfDir)._2
+    // centroids first, EVERY call: after an external clearCache the
+    // guard below re-persists cells, and the converged-centroid frame
+    // must already be re-registered for cells' lineage to read it
+    val cent = cachedKmeansCentroids(spark, sfDir)
+    val df = graft.sources.TableCache.memo(spark, s"kmeansTrained#$sfDir#cells") {
+      kmeansAssign(kmeansVectors(spark, sfDir), cent)
+        .join(broadcast(cent), "cell")
+        .withColumn("cell_cos", Similarity.cosineQ(col("qv"), col("cv")))
+        .select(col("vec_id"), col("cell"), col("cell_cos"))
+    }
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
     df

@@ -24,18 +24,37 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * re-persisted and re-counted on next access.
   */
 object TableCache {
+  /** At-most-once cell: created (cheaply) under the session map's lock,
+    * forced OUTSIDE it, so a slow first build serializes only callers
+    * of ITS key. The lazy-val monitor is per-holder, giving per-key
+    * locking; a failed build leaves the lazy val uninitialized, so the
+    * next caller retries — the same semantics getOrElseUpdate had.
+    */
+  private final class Holder(build: => DataFrame) {
+    lazy val value: DataFrame = build
+  }
+
   private val sessions =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Holder]]()
   private val plans =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[
       String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]()
 
   /** The memoized frame for `key`, built on first access (at most once
-    * per (session, key)) — memoization only, no persistence.
+    * per (session, key)) — memoization only, no persistence. The
+    * session-wide lock covers only holder creation; the builder itself
+    * runs under the holder's own per-key monitor, so one family's slow
+    * first build (a driver-side collect, a multi-stage fixture
+    * materialization) never blocks another family's warm lookup. A
+    * builder that calls memo() recursively for a DIFFERENT key is safe
+    * for the same reason (the map lock is released before forcing).
     */
   def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val perSession = sessionMap(spark)
-    perSession.synchronized { perSession.getOrElseUpdate(key, build) }
+    val holder = perSession.synchronized {
+      perSession.getOrElseUpdate(key, new Holder(build))
+    }
+    holder.value
   }
 
   /** The memoized frame for `key`, building (and persisting) on first
@@ -50,12 +69,12 @@ object TableCache {
     df
   }
 
-  private def sessionMap(spark: SparkSession): scala.collection.mutable.Map[String, DataFrame] = {
+  private def sessionMap(spark: SparkSession): scala.collection.mutable.Map[String, Holder] = {
     registerCleanup(spark)
     sessions.synchronized {
       var m = sessions.get(spark)
       if (m == null) {
-        m = scala.collection.mutable.Map.empty[String, DataFrame]
+        m = scala.collection.mutable.Map.empty[String, Holder]
         sessions.put(spark, m)
       }
       m

@@ -106,7 +106,9 @@ class StatementCachePuritySpec extends AnyFunSuite {
     *    `System.currentTimeMillis` (driver time frozen into the built
     *    plan);
     *  - call-CHAINED eager probes — `).head` / `).isEmpty` / `).take(`
-    *    / paren-less `).collect` directly on a call result, the shape a
+    *    / paren-less `).collect` / `).count()` (empty parens or
+    *    paren-less — the collections idiom `xs.count(pred)` always has
+    *    a predicate argument) directly on a call result, the shape a
     *    DataFrame eager action actually takes (`df.agg(...).head`),
     *    which keeps the ubiquitous pure Seq/Option forms
     *    (`toks.isEmpty`, `args.head`, `on.isEmpty`) out of the match.
@@ -121,6 +123,7 @@ class StatementCachePuritySpec extends AnyFunSuite {
       """|\.persist\(|\.unpersist\(|localCheckpoint""" +
       """|\.cache\(|\.checkpoint\(|\.toLocalIterator|\.head\(|\.first\(""" +
       """|\)\s*\.head\b|\)\s*\.isEmpty|\)\s*\.take\(|\)\s*\.collect\b(?![({\w])""" +
+      """|\)\s*\.count\(\s*\)|\)\s*\.count\b(?![({\w])""" +
       """|current_date|current_timestamp|unix_timestamp\(\)""" +
       """|\bnow\(\)|System\.currentTimeMillis""").r
 
