@@ -27,10 +27,24 @@ final case class CdcRow(doc_id: Long, fp: String, e: Long)
   * way it holds any keyed state (compaction/sharding is the state
   * store's job, not the query's).
   *
-  * Late-change rule, stated: a change with event time strictly older
-  * than the held state is ignored (LWW by event time, not arrival);
-  * equal times take the later arrival — the fixture keys each batch to
-  * distinct times so both engines agree without a tie-break column.
+  * Late-change rule, stated — it is TWO-layered, and both layers
+  * matter at deployment:
+  *  1. Spark's stateful late-row filter drops any change older than
+  *     the current watermark before the fold ever sees it. Under the
+  *     gate's 0-second delay that means a change arriving after the
+  *     watermark passed its event time is dropped even when it would
+  *     have WON last-writer-wins for its key (its key's state may be
+  *     older than the global watermark) — the watermark delay IS the
+  *     deployment's lateness tolerance, exactly as for every built-in
+  *     stateful operator.
+  *  2. A change that survives the filter folds last-writer-wins by
+  *     EVENT time, not arrival: strictly older than the held state is
+  *     ignored; equal times take the later arrival — the fixture keys
+  *     each batch to distinct times so both engines agree without a
+  *     tie-break column. CdcMergeSpec exercises this layer explicitly
+  *     against RECOVERED state (a watermark delay lets a stale change
+  *     through the filter, and a stale-timestamped new key witnesses
+  *     that the contest happened).
   */
 object CdcMergeStream {
 

@@ -24,11 +24,19 @@ class CdcMergeSpec extends SparkSpec {
     val flushAt = t0 + 7200L
     def feed(evs: CdcEvent*): Unit =
       evs.toDS().repartition(1).write.mode("append").parquet(in)
+    // 2-hour watermark DELAY, not the gate's 0 seconds: with 0 the
+    // post-crash stale change (t0-100 < the recovered watermark t0)
+    // would be dropped by the stateful operator's late-row filter
+    // before ever reaching the LWW fold — the outcome assertion would
+    // pass without exercising recovered-state LWW at all. The delay
+    // keeps the watermark below the stale timestamp so the row
+    // genuinely reaches update() and must lose against RECOVERED state
+    // (doc 4 below proves it reached update()).
     def startQ() = spark.readStream
       .schema("doc_id LONG, op STRING, fp STRING, ts TIMESTAMP")
       .parquet(in).as[CdcEvent]
       .transform((ds: org.apache.spark.sql.Dataset[CdcEvent]) =>
-        CdcMergeStream.merged(ds, flushAt))
+        CdcMergeStream.merged(ds, flushAt, watermark = "2 hours"))
       .writeStream.format("parquet").option("path", outP)
       .option("checkpointLocation", cp).outputMode("append").start()
 
@@ -44,10 +52,17 @@ class CdcMergeSpec extends SparkSpec {
 
     // run 2, same checkpoint: doc 1 revised, doc 2 deleted, doc 3's
     // STALE pre-base change arrives late (t0-100 < recovered state's
-    // t0, so LWW must drop it against state restored from the store);
-    // the far-future row pushes the watermark past flushAt
+    // t0, so LWW must drop it against state restored from the store).
+    // Doc 4 is the filter-vs-LWW witness: a NEW key at the SAME stale
+    // timestamp. If t0-100 rows were being dropped by the late filter
+    // (as they would be under the gate's 0-second watermark), doc 4
+    // would be absent from the output; its presence proves the stale
+    // rows reached update(), so doc 3 surviving as c1 is the recovered
+    // state WINNING the fold, not the filter hiding the contest. The
+    // far-future row pushes the watermark past flushAt.
     feed(ev(1, "upsert", "a2", t1), ev(2, "delete", "", t1),
       ev(3, "upsert", "c0", t0 - 100),
+      ev(4, "upsert", "d0", t0 - 100),
       ev(-1, "upsert", "", t0 + 200000))
     val q2 = startQ()
     q2.processAllAvailable()
@@ -57,8 +72,11 @@ class CdcMergeSpec extends SparkSpec {
       .filter(_.doc_id >= 0)
     // exactly-once and last-writer-wins over the restart: doc 1 at its
     // revision, doc 2 gone, doc 3 at the PRE-crash state (late change
-    // lost) — and each exactly once
+    // lost AGAINST RECOVERED STATE — doc 4's presence at the same
+    // stale timestamp proves the contest happened), doc 4 created from
+    // the stale row — and each exactly once
     assert(all.sortBy(_.doc_id) ==
-      Seq(CdcRow(1, "a2", t1), CdcRow(3, "c1", t0)), all.toString)
+      Seq(CdcRow(1, "a2", t1), CdcRow(3, "c1", t0),
+        CdcRow(4, "d0", t0 - 100)), all.toString)
   }
 }
