@@ -210,6 +210,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("InMemoryTableScan"), plan.take(1200))
   }
 
+  test("trained artifacts: cells derives from the persisted centroid relation") {
+    // the round-12 trainer-once contract, pinned structurally: the
+    // trained assignment frame's OWN cached plan must READ the centroid
+    // InMemoryRelation rather than embed a second copy of the trainer
+    // DAG — memoizing two frames that each carry the trainer lineage
+    // type-checks as "one run" but materializes the trainer twice
+    // (CacheManager substitutes cached fragments into consumers, never
+    // the reverse), which is exactly the regression this would catch.
+    val cent = graft.queries.ExtQueries.cachedKmeansCentroids(spark, sf)
+    assert(cent.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    val cells = graft.queries.ExtQueries.cachedKmeansCells(spark, sf)
+    val imr = cells.queryExecution.withCachedData.collectFirst {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(imr.nonEmpty, "cells frame is not served from an InMemoryRelation")
+    val inner = imr.get.cachedPlan.toString
+    assert(inner.contains("InMemoryTableScan"),
+      s"cells' cached plan does not read the centroid relation:\n${inner.take(1200)}")
+  }
+
   test("range_join buckets the interval predicate into an equi-join, never BNLJ") {
     val plan = finalPlan(SparkEntry.queries("range_join")(spark, sf))
     // a bare range predicate would plan BroadcastNestedLoopJoin —
