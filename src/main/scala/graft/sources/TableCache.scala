@@ -24,14 +24,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * re-persisted and re-counted on next access.
   */
 object TableCache {
-  /** At-most-once cell: created (cheaply) under the session map's lock,
-    * forced OUTSIDE it, so a slow first build serializes only callers
-    * of ITS key. The lazy-val monitor is per-holder, giving per-key
-    * locking; a failed build leaves the lazy val uninitialized, so the
-    * next caller retries — the same semantics getOrElseUpdate had.
+  /** At-most-once cell: created (cheaply, empty) under the session
+    * map's lock, filled OUTSIDE it under its OWN monitor, so a slow
+    * first build serializes only callers of ITS key. The thunk is
+    * passed at ACCESS time, not stored: a failed build leaves the cell
+    * empty and the next caller's own builder runs — exactly the
+    * semantics getOrElseUpdate had (a stored first-caller thunk would
+    * re-run the first caller's closure forever and retain it for the
+    * session's lifetime).
     */
-  private final class Holder(build: => DataFrame) {
-    lazy val value: DataFrame = build
+  private final class Holder {
+    private var v: DataFrame = null
+    def value(build: => DataFrame): DataFrame = synchronized {
+      if (v == null) v = build
+      v
+    }
   }
 
   private val sessions =
@@ -52,9 +59,9 @@ object TableCache {
   def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val perSession = sessionMap(spark)
     val holder = perSession.synchronized {
-      perSession.getOrElseUpdate(key, new Holder(build))
+      perSession.getOrElseUpdate(key, new Holder)
     }
-    holder.value
+    holder.value(build)
   }
 
   /** The memoized frame for `key`, building (and persisting) on first

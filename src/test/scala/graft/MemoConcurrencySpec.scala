@@ -11,7 +11,10 @@ import graft.sources.TableCache
   * session-wide map lock covers holder creation only — the property the
   * round-12 review fix exists for; under the old build-under-map-lock
   * scheme the cross-key test below deadlocks its 10 s timeout), and a
-  * failed build leaves the cell empty so the next caller retries.
+  * failed build leaves the cell empty so the next caller retries WITH
+  * ITS OWN thunk (the holder stores no builder — pinning the first
+  * caller's closure would re-run a broken build forever and retain the
+  * closure for the session's lifetime).
   */
 class MemoConcurrencySpec extends SparkSpec {
 
@@ -66,20 +69,30 @@ class MemoConcurrencySpec extends SparkSpec {
       fast.get(10, TimeUnit.SECONDS)
       release.countDown()
       slow.get(10, TimeUnit.SECONDS)
-    } finally pool.shutdown()
+    } finally {
+      // on ANY failure path: unpark the slow builder and interrupt the
+      // pool, so a reintroduced map-wide lock reports as a test failure
+      // rather than a hung non-daemon thread wedging the JVM
+      release.countDown()
+      pool.shutdownNow()
+      ()
+    }
   }
 
-  test("a failed build is retried; the first success is cached") {
-    val attempts = new AtomicInteger(0)
+  test("a failed build is retried with the RETRYING caller's own thunk") {
     val key = "memoSpec#retry#" + System.nanoTime()
-    def build: DataFrame = {
-      if (attempts.incrementAndGet() == 1) sys.error("first build dies")
-      spark.range(3).toDF("x")
+    intercept[RuntimeException] {
+      TableCache.memo(spark, key)(sys.error("first caller's build dies"))
     }
-    intercept[RuntimeException] { TableCache.memo(spark, key)(build) }
-    val ok = TableCache.memo(spark, key)(build)
-    val again = TableCache.memo(spark, key)(build)
-    assert(attempts.get() == 2, s"expected 2 attempts, saw ${attempts.get()}")
+    // the failed cell must not have pinned the first caller's thunk:
+    // the next caller's own builder runs (getOrElseUpdate semantics)
+    val secondRan = new AtomicInteger(0)
+    val ok = TableCache.memo(spark, key) {
+      secondRan.incrementAndGet(); spark.range(3).toDF("x")
+    }
+    assert(secondRan.get() == 1)
+    // and the success is cached: a third thunk is never evaluated
+    val again = TableCache.memo(spark, key)(sys.error("must not run"))
     assert(ok eq again)
   }
 }

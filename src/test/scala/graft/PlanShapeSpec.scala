@@ -218,8 +218,16 @@ class PlanShapeSpec extends SparkSpec {
     // type-checks as "one run" but materializes the trainer twice
     // (CacheManager substitutes cached fragments into consumers, never
     // the reverse), which is exactly the regression this would catch.
-    val cent = graft.queries.ExtQueries.cachedKmeansCentroids(spark, sf)
-    assert(cent.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    // COLD-cache probe: substitution happens at persist time against
+    // whatever is ALREADY cached, so if an earlier test (or this test)
+    // left the centroid plan cached, even a regressed cells builder
+    // embedding the raw trainer DAG would pick up an InMemoryTableScan
+    // and falsely pass. Clear the shared cache and build cells ONLY —
+    // the helper itself must persist the centroids first for the scan
+    // to appear; every other fixture re-persists on its next access
+    // via its storage-level guard (the same recovery Bench's warmup
+    // clearCache exercises).
+    spark.catalog.clearCache()
     val cells = graft.queries.ExtQueries.cachedKmeansCells(spark, sf)
     val imr = cells.queryExecution.withCachedData.collectFirst {
       case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r

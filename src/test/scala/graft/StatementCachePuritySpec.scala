@@ -112,6 +112,14 @@ class StatementCachePuritySpec extends AnyFunSuite {
     *    DataFrame eager action actually takes (`df.agg(...).head`),
     *    which keeps the ubiquitous pure Seq/Option forms
     *    (`toks.isEmpty`, `args.head`, `on.isEmpty`) out of the match.
+    *    Stated over-approximation: `groupBy(...).count()` — a LAZY
+    *    grouped-count transformation — also matches the empty-paren
+    *    form. That is accepted as convention enforcement, not fixed:
+    *    every builder in this codebase aggregates via
+    *    `agg(count(lit(1)))`, which a source-level audit can always
+    *    tell from an action, so a builder adopting the ambiguous
+    *    grouped-count idiom fails here and should be rewritten to the
+    *    house form rather than exempted.
     *
     * Residual stated gap: an eager action whose receiver is a bare
     * identifier holding a DataFrame (`val d = ...; d.isEmpty`) escapes
