@@ -215,6 +215,156 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------- Y4M (YUV4MPEG2)
+
+  /** Encode planar 4:2:0 frames as a real YUV4MPEG2 stream: the ASCII
+    * stream header `YUV4MPEG2 W<w> H<h> F<num>:<den> C420jpeg\n`, then
+    * per frame the `FRAME\n` marker followed by the raw Y (w·h bytes),
+    * U and V (w/2 · h/2 bytes each) planes — the uncompressed video
+    * interchange format ffmpeg/mpv/x264 all speak.
+    */
+  def encodeY4m(w: Int, h: Int, fpsNum: Int, fpsDen: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0,
+      s"C420 needs positive even dimensions, got ${w}x$h")
+    val frameBytes = w * h * 3 / 2
+    frames.foreach(f => require(f.length == frameBytes,
+      s"frame is ${f.length} bytes, want $frameBytes"))
+    val header = s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen C420jpeg\n".getBytes(US_ASCII)
+    val marker = "FRAME\n".getBytes(US_ASCII)
+    val bb = ByteBuffer.allocate(
+      header.length + frames.map(marker.length + _.length).sum)
+    bb.put(header)
+    frames.foreach { f => bb.put(marker); bb.put(f) }
+    bb.array()
+  }
+
+  /** Real YUV4MPEG2 parser with FRAME SAMPLING — the video analogue of
+    * the PPM/WAV decoders, plus the one operation video pipelines add:
+    * decode every `every`-th frame and skip the rest byte-exactly (the
+    * plane sizes from the header make skipping O(1) per frame — no
+    * decode work is paid for unsampled frames, which is the whole point
+    * of frame sampling at 100 TB). The header parse is tag-order
+    * tolerant (W/H/F/C read wherever they appear; I/A/X tags skipped,
+    * per spec), accepts `FRAME` markers with parameters, and rejects
+    * non-4:2:0 chroma layouts loudly. Features:
+    * [w, h, fps_num, fps_den, n_frames, n_sampled, sum_y, sum_u, motion]
+    * — sum_y/sum_u over SAMPLED frames' luma/chroma planes (pins the
+    * plane offsets: a wrong stride corrupts them), and motion = Σ per
+    * pixel |Y_t − Y_prev| between consecutive sampled frames (the
+    * temporal-activity signal scene-change detection thresholds on).
+    * All integer-exact, closed-form over the fixture generator.
+    */
+  final class Y4mFrameSampler(every: Int) extends Decoder {
+    require(every >= 1, s"sample stride must be >= 1, got $every")
+    def decode(payload: Array[Byte], mediaType: String): Array[Double] = {
+      var pos = 0
+      def line(): String = {
+        val start = pos
+        while (pos < payload.length && payload(pos) != '\n') pos += 1
+        require(pos < payload.length, "unterminated Y4M line")
+        pos += 1
+        new String(payload, start, pos - 1 - start, US_ASCII)
+      }
+      val header = line().split(' ')
+      require(header.head == "YUV4MPEG2", "not a YUV4MPEG2 stream")
+      var w = -1; var h = -1; var fn = -1; var fd = -1; var c = "420jpeg"
+      header.tail.filter(_.nonEmpty).foreach { tag =>
+        (tag.head, tag.tail) match {
+          case ('W', v) => w = v.toInt
+          case ('H', v) => h = v.toInt
+          case ('F', v) =>
+            val nd = v.split(':'); require(nd.length == 2, s"bad F tag $tag")
+            fn = nd(0).toInt; fd = nd(1).toInt
+          case ('C', v) => c = v
+          case _ => () // I (interlacing), A (aspect), X (extension): skipped
+        }
+      }
+      require(w > 0 && h > 0 && fn > 0 && fd > 0,
+        s"missing/invalid W/H/F header tags (got ${w}x$h @ $fn:$fd)")
+      require(c.startsWith("420"), s"only C420 chroma supported, got C$c")
+      require(w % 2 == 0 && h % 2 == 0, s"C420 needs even dims, got ${w}x$h")
+      val ySize = w * h; val cSize = ySize / 4
+      var nFrames = 0L; var nSampled = 0L
+      var sumY = 0L; var sumU = 0L; var motion = 0L
+      var prevYPos = -1
+      while (pos < payload.length) {
+        val fl = line()
+        require(fl == "FRAME" || fl.startsWith("FRAME "),
+          s"expected FRAME marker, got '$fl'")
+        require(payload.length - pos >= ySize + 2 * cSize,
+          "truncated frame payload")
+        if (nFrames % every == 0) {
+          var i = 0
+          while (i < ySize) { sumY += payload(pos + i) & 0xff; i += 1 }
+          i = 0
+          while (i < cSize) { sumU += payload(pos + ySize + i) & 0xff; i += 1 }
+          if (prevYPos >= 0) {
+            i = 0
+            while (i < ySize) {
+              motion += math.abs(
+                (payload(pos + i) & 0xff) - (payload(prevYPos + i) & 0xff))
+              i += 1
+            }
+          }
+          prevYPos = pos
+          nSampled += 1
+        }
+        pos += ySize + 2 * cSize
+        nFrames += 1
+      }
+      Array[Double](w.toDouble, h.toDouble, fn.toDouble, fd.toDouble,
+        nFrames.toDouble, nSampled.toDouble, sumY.toDouble, sumU.toDouble,
+        motion.toDouble)
+    }
+  }
+
+  // --------------------------------------------------- box-filter resize
+
+  /** Exact box-filter downscale to a 2×2 grid — the resize kernel, as
+    * opposed to [[PhashDecoder]]'s nearest-neighbor SAMPLING: every
+    * source pixel lands in exactly one output cell (cell gx covers
+    * x ∈ [⌊gx·w/2⌋, ⌊(gx+1)·w/2⌋), likewise y), the cell value is the
+    * integer floor-mean of its pixels' gray (r+g+b) — so no pixel is
+    * dropped and no float enters the kernel, keeping the result
+    * bit-identical across engines. Features:
+    * [w, h, m00, m01, m10, m11] (row-major, m{gy}{gx}). A production
+    * resize to n×n is the same partition with interpolated boundary
+    * weights; the exact-coverage variant keeps the oracle integer.
+    */
+  object BoxResizeDecoder extends Decoder {
+    def decode(payload: Array[Byte], mediaType: String): Array[Double] = {
+      val hd = parsePpmHeader(payload)
+      val out = new Array[Double](6)
+      out(0) = hd.w.toDouble; out(1) = hd.h.toDouble
+      var gy = 0
+      while (gy < 2) {
+        var gx = 0
+        while (gx < 2) {
+          val x0 = gx * hd.w / 2; val x1 = (gx + 1) * hd.w / 2
+          val y0 = gy * hd.h / 2; val y1 = (gy + 1) * hd.h / 2
+          var s = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val p = hd.dataPos + 3 * (y * hd.w + x)
+              s += (payload(p) & 0xff) + (payload(p + 1) & 0xff) +
+                (payload(p + 2) & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          out(2 + gy * 2 + gx) =
+            (s / ((x1 - x0).toLong * (y1 - y0))).toDouble
+          gx += 1
+        }
+        gy += 1
+      }
+      out
+    }
+  }
+
   // -------------------------------------------------- fixture synthesis
 
   /** Deterministic media fixtures, encoded through the REAL encoders so
@@ -249,6 +399,45 @@ object Multimodal {
         val samples = Array.tabulate(n)(j =>
           (((id * 131 + 17L * j) % 2048) - 1024).toShort)
         Row(id, encodeWavPcm16(8000, 1, samples))
+      }
+    }
+  }
+
+  /** The video fixture: a (2·(1+id%3)) × (2·(1+id%2)) C420 clip of
+    * 3+id%4 frames at 25:1, encoded through the REAL Y4M encoder. Plane
+    * bytes are per-plane affine residues — frame t's Y byte j is
+    * (id·37 + 11t + 5j) mod 256, U is (id·53 + 13t + 3j) mod 256, V is
+    * (id·29 + 7t + 9j) mod 256 — so every sampled-frame sum and the
+    * inter-frame motion total have closed forms over id for the oracle.
+    */
+  def synthY4m(ids: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    implicit val enc = RowEncoder.encoderFor(synthSchema)
+    ids.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (2 * (1 + id % 3)).toInt
+        val h = (2 * (1 + id % 2)).toInt
+        val nf = (3 + id % 4).toInt
+        val ySize = w * h; val cSize = ySize / 4
+        val frames = Seq.tabulate(nf) { t =>
+          val f = new Array[Byte](ySize + 2 * cSize)
+          var j = 0
+          while (j < ySize) {
+            f(j) = ((id * 37 + 11L * t + 5L * j) % 256).toByte; j += 1
+          }
+          j = 0
+          while (j < cSize) {
+            f(ySize + j) = ((id * 53 + 13L * t + 3L * j) % 256).toByte; j += 1
+          }
+          j = 0
+          while (j < cSize) {
+            f(ySize + cSize + j) = ((id * 29 + 7L * t + 9L * j) % 256).toByte
+            j += 1
+          }
+          f
+        }
+        Row(id, encodeY4m(w, h, 25, 1, frames))
       }
     }
   }

@@ -2210,6 +2210,139 @@ object ExtQueries {
       |       CAST(smin AS DOUBLE) AS min_s, CAST(smax AS DOUBLE) AS max_s
       |FROM s""".stripMargin
 
+  /** The video twin: real YUV4MPEG2 clips (header + FRAME markers +
+    * planar 4:2:0 planes, encoded through the real encoder) parsed back
+    * with FRAME SAMPLING — every 2nd frame is decoded, the rest are
+    * skipped byte-exactly via the header's plane sizes (the O(1)-skip
+    * that makes frame sampling the first transform a 100 TB video
+    * corpus applies: unsampled frames cost zero decode work). Checked
+    * columns pin the header parse (dims, fps), the frame walk
+    * (n_frames), the sampling rule (n_sampled = ⌈nf/2⌉), the plane
+    * strides (sampled-frame Y and U sums — a wrong offset corrupts
+    * them), and the temporal signal (motion = Σ pixel |ΔY| between
+    * consecutive sampled frames, the scene-change statistic). All
+    * integer-exact with closed forms over the fixture generator; the
+    * decode is map-only (mapPartitions, one sampler per partition).
+    */
+  def multimodalVideo(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.asMedia(
+        Multimodal.synthY4m(docs(spark, sfDir), "doc_id"),
+        "media_id", "payload", "video"),
+      new Multimodal.Y4mFrameSampler(2))
+      .select(col("media_id"), col("media_type"), col("byte_len"),
+        element_at(col("feature"), 1).as("width"),
+        element_at(col("feature"), 2).as("height"),
+        element_at(col("feature"), 3).as("fps_num"),
+        element_at(col("feature"), 4).as("fps_den"),
+        element_at(col("feature"), 5).as("n_frames"),
+        element_at(col("feature"), 6).as("n_sampled"),
+        element_at(col("feature"), 7).as("sum_y"),
+        element_at(col("feature"), 8).as("sum_u"),
+        element_at(col("feature"), 9).as("motion"))
+
+  /** Closed forms over the Y4M fixture generator: single-digit even
+    * dims make the stream header exactly 31 bytes and each frame
+    * 6 + 3·w·h/2; sampled frames are the even t (stride 2), so motion
+    * pairs (t, t−2). The oracle never decodes — it re-derives every
+    * plane byte from the affine residue formulas.
+    */
+  val multimodalVideoOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, 2 * (1 + doc_id % 3) AS w, 2 * (1 + doc_id % 2) AS h,
+      |         3 + doc_id % 4 AS nf
+      |  FROM documents
+      |), ys AS (
+      |  SELECT m.doc_id,
+      |         sum((m.doc_id * 37 + 11 * t.t + 5 * j.j) % 256) AS sum_y
+      |  FROM m,
+      |       unnest(generate_series(0, m.nf - 1)) AS t(t),
+      |       unnest(generate_series(0, m.w * m.h - 1)) AS j(j)
+      |  WHERE t.t % 2 = 0
+      |  GROUP BY m.doc_id
+      |), us AS (
+      |  SELECT m.doc_id,
+      |         sum((m.doc_id * 53 + 13 * t.t + 3 * j.j) % 256) AS sum_u
+      |  FROM m,
+      |       unnest(generate_series(0, m.nf - 1)) AS t(t),
+      |       unnest(generate_series(0, (m.w * m.h) // 4 - 1)) AS j(j)
+      |  WHERE t.t % 2 = 0
+      |  GROUP BY m.doc_id
+      |), mo AS (
+      |  SELECT m.doc_id,
+      |         sum(abs((m.doc_id * 37 + 11 * t.t + 5 * j.j) % 256
+      |               - (m.doc_id * 37 + 11 * (t.t - 2) + 5 * j.j) % 256)) AS motion
+      |  FROM m,
+      |       unnest(generate_series(2, m.nf - 1)) AS t(t),
+      |       unnest(generate_series(0, m.w * m.h - 1)) AS j(j)
+      |  WHERE t.t % 2 = 0
+      |  GROUP BY m.doc_id
+      |)
+      |SELECT m.doc_id AS media_id, 'video' AS media_type,
+      |       CAST(31 + m.nf * (6 + (m.w * m.h * 3) // 2) AS BIGINT) AS byte_len,
+      |       CAST(m.w AS DOUBLE) AS width, CAST(m.h AS DOUBLE) AS height,
+      |       25.0 AS fps_num, 1.0 AS fps_den,
+      |       CAST(m.nf AS DOUBLE) AS n_frames,
+      |       CAST((m.nf + 1) // 2 AS DOUBLE) AS n_sampled,
+      |       CAST(ys.sum_y AS DOUBLE) AS sum_y,
+      |       CAST(us.sum_u AS DOUBLE) AS sum_u,
+      |       CAST(mo.motion AS DOUBLE) AS motion
+      |FROM m JOIN ys USING (doc_id) JOIN us USING (doc_id)
+      |       JOIN mo USING (doc_id)""".stripMargin
+
+  /** Exact box-filter RESIZE to 2×2 through the real PPM decoder — the
+    * averaging kernel (every pixel lands in exactly one output cell,
+    * cell boundary ⌊g·dim/2⌋), distinct from multimodal_phash's
+    * nearest-neighbor sampling. Cell values are integer floor-means of
+    * gray = r+g+b, so both engines compute bit-identical results with
+    * no float in the kernel. Map-only at any scale.
+    */
+  def multimodalResize(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.asMedia(
+        Multimodal.synthPpm(docs(spark, sfDir), "doc_id"),
+        "media_id", "payload", "image"),
+      Multimodal.BoxResizeDecoder)
+      .select(col("media_id"), col("media_type"), col("byte_len"),
+        element_at(col("feature"), 1).as("width"),
+        element_at(col("feature"), 2).as("height"),
+        element_at(col("feature"), 3).as("m00"),
+        element_at(col("feature"), 4).as("m01"),
+        element_at(col("feature"), 5).as("m10"),
+        element_at(col("feature"), 6).as("m11"))
+
+  /** Pixel gray re-derived from the PPM fixture residues (as in the
+    * phash oracle), partitioned into the four exact-coverage cells by
+    * the same ⌊dim/2⌋ boundary, floor-mean per cell.
+    */
+  val multimodalResizeOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id, 2 + doc_id % 7 AS w, 2 + doc_id % 5 AS h
+      |  FROM documents
+      |), px AS (
+      |  SELECT doc_id, w, h, i.i % w AS x, i.i // w AS y,
+      |         (doc_id * 31 + 21 * i.i) % 256
+      |         + (doc_id * 31 + 21 * i.i + 7) % 256
+      |         + (doc_id * 31 + 21 * i.i + 14) % 256 AS gray
+      |  FROM m, unnest(generate_series(0, w * h - 1)) AS i(i)
+      |), cg AS (
+      |  SELECT doc_id, w, h,
+      |         CASE WHEN y < h // 2 THEN 0 ELSE 1 END AS gy,
+      |         CASE WHEN x < w // 2 THEN 0 ELSE 1 END AS gx, gray
+      |  FROM px
+      |), cells AS (
+      |  SELECT doc_id, w, h, gy, gx, sum(gray) // count(*) AS mean
+      |  FROM cg GROUP BY doc_id, w, h, gy, gx
+      |)
+      |SELECT doc_id AS media_id, 'image' AS media_type,
+      |       CAST(11 + 3 * w * h AS BIGINT) AS byte_len,
+      |       CAST(w AS DOUBLE) AS width, CAST(h AS DOUBLE) AS height,
+      |       CAST(max(CASE WHEN gy = 0 AND gx = 0 THEN mean END) AS DOUBLE) AS m00,
+      |       CAST(max(CASE WHEN gy = 0 AND gx = 1 THEN mean END) AS DOUBLE) AS m01,
+      |       CAST(max(CASE WHEN gy = 1 AND gx = 0 THEN mean END) AS DOUBLE) AS m10,
+      |       CAST(max(CASE WHEN gy = 1 AND gx = 1 THEN mean END) AS DOUBLE) AS m11
+      |FROM cells GROUP BY doc_id, w, h""".stripMargin
+
   // ------------------------------------- curation sampling / packing / vocab
 
   /** Quality-weighted sampling: P(keep) = the document's unique-token
@@ -4997,5 +5130,7 @@ object ExtQueries {
     "multimodal_features" -> ((multimodalFeatures _, multimodalFeaturesOracle)),
     "multimodal_wav" -> ((multimodalWav _, multimodalWavOracle)),
     "multimodal_phash" -> ((multimodalPhash _, multimodalPhashOracle)),
+    "multimodal_video" -> ((multimodalVideo _, multimodalVideoOracle)),
+    "multimodal_resize" -> ((multimodalResize _, multimodalResizeOracle)),
     "table_profile" -> ((tableProfile _, tableProfileOracle)))
 }

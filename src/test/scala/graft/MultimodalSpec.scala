@@ -50,6 +50,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(g.toSeq == Seq(expected))
   }
 
+  test("Y4M round trip: header, frame walk, sampling, plane sums, motion") {
+    // two 2x2 C420 frames (4 Y + 1 U + 1 V bytes each), hand-valued
+    val f0 = Array[Byte](10, 20, 30, 40, /*U*/ 5, /*V*/ 6)
+    val f1 = Array[Byte](12, 17, 35, 40, /*U*/ 9, /*V*/ 1)
+    val clip = Multimodal.encodeY4m(2, 2, 25, 1, Seq(f0, f1))
+    // stride 1: both frames sampled
+    val a = new Multimodal.Y4mFrameSampler(1).decode(clip, "video")
+    // motion = |12-10| + |17-20| + |35-30| + |40-40| = 2+3+5+0 = 10
+    assert(a.toSeq == Seq(2.0, 2.0, 25.0, 1.0, 2.0, 2.0,
+      (10 + 20 + 30 + 40 + 12 + 17 + 35 + 40).toDouble, (5 + 9).toDouble, 10.0))
+    // stride 2: only frame 0 sampled -> no motion pair, f1 skipped O(1)
+    val b = new Multimodal.Y4mFrameSampler(2).decode(clip, "video")
+    assert(b.toSeq == Seq(2.0, 2.0, 25.0, 1.0, 2.0, 1.0, 100.0, 5.0, 0.0))
+  }
+
+  test("Y4M header tolerates tag order, extra tags, FRAME params") {
+    val plane = Array[Byte](1, 2, 3, 4, 5, 6)
+    // tags shuffled, interlace/aspect/extension tags present, FRAME
+    // marker carries a parameter — all per the published format
+    val bytes = "YUV4MPEG2 C420 F30:1 Ip A1:1 H2 W2 Xextra\n".getBytes(US_ASCII) ++
+      "FRAME Xk=v\n".getBytes(US_ASCII) ++ plane
+    val f = new Multimodal.Y4mFrameSampler(1).decode(bytes, "video")
+    assert(f.toSeq == Seq(2.0, 2.0, 30.0, 1.0, 1.0, 1.0, 10.0, 5.0, 0.0))
+    // rejections: wrong magic, non-420 chroma, truncated frame
+    intercept[IllegalArgumentException](new Multimodal.Y4mFrameSampler(1)
+      .decode("YUV4MPEG1 W2 H2 F25:1\n".getBytes(US_ASCII), "video"))
+    intercept[IllegalArgumentException](new Multimodal.Y4mFrameSampler(1)
+      .decode(("YUV4MPEG2 W2 H2 F25:1 C444\n" +
+        "FRAME\n").getBytes(US_ASCII) ++ Array.fill[Byte](12)(0), "video"))
+    intercept[IllegalArgumentException](new Multimodal.Y4mFrameSampler(1)
+      .decode("YUV4MPEG2 W2 H2 F25:1\nFRAME\n".getBytes(US_ASCII) ++
+        Array[Byte](1, 2, 3), "video"))
+  }
+
+  test("box resize: exact coverage cells and floor means, odd dims") {
+    // 2x2 image: each cell is one pixel, mean = its own gray
+    val rgb = Array[Byte](1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4)
+    val f = Multimodal.BoxResizeDecoder.decode(
+      Multimodal.encodePpm(2, 2, rgb), "image")
+    assert(f.toSeq == Seq(2.0, 2.0, 3.0, 6.0, 9.0, 12.0))
+    // 3x3: boundary at floor(3/2)=1 -> cells are 1x1, 1x2, 2x1, 2x2;
+    // gray of pixel p = 3p (p row-major 0..8); floor means:
+    // m00 = 0; m01 = (3+6)/2 = 4; m10 = (9+18)/2 = 13;
+    // m11 = (12+15+21+24)/4 = 18
+    val g3 = Array.tabulate(27)(j => (j / 3).toByte)
+    val g = Multimodal.BoxResizeDecoder.decode(
+      Multimodal.encodePpm(3, 3, g3), "image")
+    assert(g.toSeq == Seq(3.0, 3.0, 0.0, 4.0, 13.0, 18.0))
+    // floor division is exercised: 1x2 cell {3,6} -> 4 (not 4.5)
+  }
+
   test("WAV PCM16 round trip, negative samples, unknown chunk skip") {
     val samples = Array[Short](100, -200, 32767, -32768, 0)
     val f = Multimodal.WavDecoder.decode(

@@ -30,6 +30,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("multimodal video/resize decode paths carry no wide dependency") {
+    // the 100 TB claim for the media ops is that decode (and frame
+    // sampling) is embarrassingly parallel: no hash/range exchange may
+    // appear. The one permitted shuffle is Parallelism.widen's
+    // round-robin fixture-floor repartition, which the guard makes a
+    // no-op at corpus scale (partitions >= floor).
+    for (name <- Seq("multimodal_video", "multimodal_resize")) {
+      val plan = finalPlan(SparkEntry.queries(name)(spark, sf))
+      assert(shuffles(plan) == 0, s"$name grew a hash shuffle: " + plan.take(800))
+      assert(!plan.contains("rangepartitioning"), s"$name grew a sort: " + plan.take(800))
+      assert(plan.contains("MapPartitions"), s"$name lost its decode stage")
+    }
+  }
+
   test("latest_topk plans TakeOrderedAndProject, not a global sort") {
     val plan = finalPlan(SparkEntry.queries("latest_topk")(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
