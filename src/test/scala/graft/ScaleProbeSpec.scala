@@ -88,6 +88,15 @@ class ScaleProbeSpec extends SparkSpec {
       graft.queries.ExtQueries.substrDedup)
   }
 
+  test("multimodal_video stays <= linear: map-only decode, O(1) frame skip") {
+    // per-payload work is sampled-frame bytes only (unsampled frames
+    // skip by plane-size arithmetic) and the plan carries no wide
+    // dependency (PlanShapeSpec) — cost across the decade must track
+    // row count, never anything super-linear
+    ratioCheck("multimodal_video", LinearBound)(
+      graft.queries.ExtQueries.multimodalVideo)
+  }
+
   test("table_profile stays <= linear: one scan plus the Expand factor") {
     // the profiler's multi-distinct Expand is a constant |columns|x row
     // amplification of ONE corpus scan — growth across the decade must
