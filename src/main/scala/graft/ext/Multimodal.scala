@@ -335,6 +335,9 @@ object Multimodal {
   object BoxResizeDecoder extends Decoder {
     def decode(payload: Array[Byte], mediaType: String): Array[Double] = {
       val hd = parsePpmHeader(payload)
+      require(hd.w >= 2 && hd.h >= 2,
+        s"2x2 box resize needs source dims >= 2x2, got ${hd.w}x${hd.h}" +
+          " (a 1-wide/1-tall image leaves a cell with zero coverage)")
       val out = new Array[Double](6)
       out(0) = hd.w.toDouble; out(1) = hd.h.toDouble
       var gy = 0

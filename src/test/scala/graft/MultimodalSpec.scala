@@ -101,6 +101,39 @@ class MultimodalSpec extends AnyFunSuite {
     // floor division is exercised: 1x2 cell {3,6} -> 4 (not 4.5)
   }
 
+  test("Y4M seeded-random round trip: sums/motion match direct computation") {
+    val rnd = new scala.util.Random(0x412L) // deterministic
+    for (_ <- 1 to 25) {
+      val w = 2 * (1 + rnd.nextInt(4)); val h = 2 * (1 + rnd.nextInt(3))
+      val nf = 1 + rnd.nextInt(5); val every = 1 + rnd.nextInt(3)
+      val ySize = w * h; val cSize = ySize / 4
+      val frames = Seq.fill(nf) {
+        val f = new Array[Byte](ySize + 2 * cSize); rnd.nextBytes(f); f
+      }
+      val got = new Multimodal.Y4mFrameSampler(every)
+        .decode(Multimodal.encodeY4m(w, h, 30, 1, frames), "video")
+      val sampled = (0 until nf).filter(_ % every == 0)
+      def ysum(t: Int) = (0 until ySize).map(j => frames(t)(j) & 0xff).sum.toLong
+      val sumY = sampled.map(ysum).sum
+      val sumU = sampled.flatMap(t =>
+        (0 until cSize).map(j => (frames(t)(ySize + j) & 0xff).toLong)).sum
+      val motion = sampled.sliding(2).collect { case Seq(a, b) =>
+        (0 until ySize).map(j =>
+          math.abs((frames(b)(j) & 0xff) - (frames(a)(j) & 0xff)).toLong).sum
+      }.sum
+      assert(got.toSeq == Seq(w, h, 30, 1, nf, sampled.size,
+        sumY, sumU, motion).map(_.toDouble),
+        s"w=$w h=$h nf=$nf every=$every")
+    }
+  }
+
+  test("box resize rejects sources a 2x2 grid cannot cover") {
+    intercept[IllegalArgumentException](Multimodal.BoxResizeDecoder.decode(
+      Multimodal.encodePpm(1, 3, Array.fill[Byte](9)(1)), "image"))
+    intercept[IllegalArgumentException](Multimodal.BoxResizeDecoder.decode(
+      Multimodal.encodePpm(3, 1, Array.fill[Byte](9)(1)), "image"))
+  }
+
   test("WAV PCM16 round trip, negative samples, unknown chunk skip") {
     val samples = Array[Short](100, -200, 32767, -32768, 0)
     val f = Multimodal.WavDecoder.decode(
