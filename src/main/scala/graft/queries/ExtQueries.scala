@@ -1260,7 +1260,12 @@ object ExtQueries {
     perTau.crossJoin(broadcast(nCands))
       .select(col("tau_bp"), col("n_truth"), col("n_caught"), col("n_cands"),
         expr("(10000 * n_caught) div n_truth").as("recall_bp"),
-        expr("(10000 * n_caught) div n_cands").as("precision_bp"))
+        // n_truth > 0 by construction (grouped rows); n_cands = 0 is
+        // impossible on these fixtures (exact dups always band-collide)
+        // but the contract stays total: NULL precision, both engines
+        when(col("n_cands") === 0, lit(null))
+          .otherwise(expr("(10000 * n_caught) div n_cands"))
+          .cast("long").as("precision_bp"))
   }
 
   /** Shares the signature/band CTEs with [[minhashLshOracle]] and the
@@ -1307,8 +1312,9 @@ object ExtQueries {
          |       CAST(n_caught AS BIGINT) AS n_caught,
          |       CAST((SELECT count(*) FROM cands) AS BIGINT) AS n_cands,
          |       CAST(10000 * n_caught // n_truth AS BIGINT) AS recall_bp,
-         |       CAST(10000 * n_caught // (SELECT count(*) FROM cands) AS BIGINT)
-         |         AS precision_bp
+         |       CAST(CASE WHEN (SELECT count(*) FROM cands) = 0 THEN NULL
+         |                 ELSE 10000 * n_caught // (SELECT count(*) FROM cands)
+         |            END AS BIGINT) AS precision_bp
          |FROM agg""".stripMargin
   }
 
