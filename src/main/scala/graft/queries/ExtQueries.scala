@@ -1216,8 +1216,10 @@ object ExtQueries {
   /** LSH index-quality audit — the tuning curve for the MinHash index,
     * the text-dedup twin of [[embRecallAtK]]: recall and precision of
     * the banded candidate generator against exact-Jaccard ground truth
-    * at three duplicate thresholds (0.50 / 0.70 / 0.90 in basis
-    * points). Truth is exact Jaccard over the df-capped shingle sets
+    * at three duplicate thresholds (0.50 / 0.70 / 0.90, held as true
+    * basis points 5000 / 7000 / 9000 — one 10^4 scale across tau_bp,
+    * recall_bp and precision_bp). Truth is exact Jaccard over the
+    * df-capped shingle sets
     * within the SAME lang bucketing the index uses (the cap is the
     * stated scale guard — at fixture scale it never binds, oracle
     * values unchanged), while the signatures ride the UNCAPPED sets:
@@ -1250,9 +1252,9 @@ object ExtQueries {
       .join(cands.withColumn("caught", lit(1L)), Seq("doc_a", "doc_b"), "left")
       .na.fill(0L, Seq("caught"))
     val taus = spark.range(3)
-      .select((lit(500) + col("id") * 200).cast("long").as("tau_bp"))
+      .select((lit(5000) + col("id") * 2000).cast("long").as("tau_bp"))
     val perTau = broadcast(taus).join(caught,
-        lit(1000L) * col("n_common") >=
+        lit(10000L) * col("n_common") >=
           col("tau_bp") * (col("n_a") + col("n_b") - col("n_common")))
       .groupBy(col("tau_bp"))
       .agg(count(lit(1)).as("n_truth"), sum(col("caught")).as("n_caught"))
@@ -1300,11 +1302,11 @@ object ExtQueries {
          |  JOIN csizes sa ON sa.doc_id = co.doc_a
          |  JOIN csizes sb ON sb.doc_id = co.doc_b
          |  LEFT JOIN cands c ON c.doc_a = co.doc_a AND c.doc_b = co.doc_b
-         |), taus AS (SELECT unnest([500, 700, 900]) AS tau_bp)
+         |), taus AS (SELECT unnest([5000, 7000, 9000]) AS tau_bp)
          |, agg AS (
          |  SELECT t.tau_bp, count(*) AS n_truth, sum(tr.caught) AS n_caught
          |  FROM taus t JOIN truth tr
-         |    ON 1000 * tr.n_common >= t.tau_bp * (tr.n_a + tr.n_b - tr.n_common)
+         |    ON 10000 * tr.n_common >= t.tau_bp * (tr.n_a + tr.n_b - tr.n_common)
          |  GROUP BY t.tau_bp
          |)
          |SELECT CAST(tau_bp AS BIGINT) AS tau_bp,

@@ -36,7 +36,14 @@ object TableCache {
   private final class Holder {
     private var v: DataFrame = null
     def value(build: => DataFrame): DataFrame = synchronized {
-      if (v == null) v = build
+      if (v == null) {
+        val built = build
+        // null sentinel doubles as the "not yet built" marker, so a
+        // null-returning builder must fail fast here — otherwise it
+        // would silently re-run on every access forever
+        require(built != null, "TableCache builder returned null")
+        v = built
+      }
       v
     }
   }
