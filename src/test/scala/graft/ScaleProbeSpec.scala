@@ -134,6 +134,20 @@ class ScaleProbeSpec extends SparkSpec {
       graft.queries.ExtQueries.annIvfTrainedMp)
   }
 
+  test("minhash_recall stays <= linear (df-capped truth, banded candidates) at 30x") {
+    // the audit's two joins are both bounded: truth pairs come from the
+    // df-capped inverted index (exact-copy amplification pushes common
+    // shingles past the 64-doc cap, so the hot keys drop before the
+    // join) and candidates from the band equi-join; the tau frame is 3
+    // broadcast rows. A regression that lost the df cap would pair
+    // every 30-copy cluster quadratically per shingle and blow the
+    // bound. After clearCache the session-state truth table honestly
+    // re-materializes (the same re-persist guard as the trained
+    // k-means probes above)
+    ratioCheck("minhash_recall", LinearBound)(
+      graft.queries.ExtQueries.minhashRecall)
+  }
+
   test("quantile_sketch_grouped cost is |groups|-linear, not corpus-sorted") {
     // amplified events multiply USERS (offset ids), not days/types: the
     // group count is unchanged while rows grow 30x — the windowed
