@@ -3196,13 +3196,21 @@ object ExtQueries {
     * ([[cachedKmeansCells]]); the per-run work is the probe join —
     * what a served ANN query actually costs.
     */
-  def annIvfTrained(spark: SparkSession, sfDir: String): DataFrame = {
+  def annIvfTrained(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfTrainedN(spark, sfDir, nq = 5)
+
+  /** [[annIvfTrained]] parameterized by query-set size: the registered
+    * query keeps the 5-query shape its oracle pins; the recall audit
+    * ([[embRecallTrained]]) widens to 25 queries for a finer curve.
+    */
+  private def annIvfTrainedN(spark: SparkSession, sfDir: String,
+      nq: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = cachedKmeansCells(spark, sfDir)
       .select(col("vec_id"), col("cell"))
     val prep = Similarity.prepared(embeddings(spark, sfDir), "vec_id", "cv", "cn")
     val q = broadcast(
-      prep.filter(col("vec_id") < 5)
+      prep.filter(col("vec_id") < nq)
         .join(cells, "vec_id")
         .select(col("vec_id").as("qid"), col("cv").as("qv"),
           col("cn").as("qn"), col("cell").as("qcell")))
@@ -3275,7 +3283,14 @@ object ExtQueries {
     * table rides the broadcast, and cells are disjoint so no candidate
     * dedup is needed.
     */
-  def annIvfTrainedMp(spark: SparkSession, sfDir: String): DataFrame = {
+  def annIvfTrainedMp(spark: SparkSession, sfDir: String): DataFrame =
+    annIvfTrainedMpN(spark, sfDir, nq = 5)
+
+  /** [[annIvfTrainedMp]] parameterized by query-set size (see
+    * [[annIvfTrainedN]]).
+    */
+  private def annIvfTrainedMpN(spark: SparkSession, sfDir: String,
+      nq: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cells = cachedKmeansCells(spark, sfDir)
       .select(col("vec_id"), col("cell"))
@@ -3286,7 +3301,7 @@ object ExtQueries {
     val prep = Similarity.prepared(embeddings(spark, sfDir), "vec_id", "cv", "cn")
     val rw = Window.partitionBy(col("vec_id"))
       .orderBy(col("d").asc, col("cell").asc)
-    val routed = prep.filter(col("vec_id") < 5)
+    val routed = prep.filter(col("vec_id") < nq)
       .crossJoin(cents)
       .withColumn("d",
         col("cn") - lit(2L) * Similarity.dotQ(col("cv"), col("centv")) + col("centn"))
@@ -3335,17 +3350,27 @@ object ExtQueries {
     * candidate cost buys the recall it needs. Integer-exact; 2-probe
     * recall ≥ 1-probe recall by construction (the candidate set only
     * grows, and ranking is by the same exact cosine).
+    *
+    * The audit runs 25 queries (vec_id < 25), wider than the 5-query
+    * registered searches: at 5 queries each hit moves a query's recall
+    * by 2000 bp — too coarse to read a tuning curve from. 25 queries ×
+    * 5 ranks = 125 hit slots, and the query side still rides one
+    * broadcast.
     */
+  private val RecallNq = 25
+
   def embRecallTrained(spark: SparkSession, sfDir: String): DataFrame = {
-    val brute = annBrute(spark, sfDir).filter(col("rk") <= 5)
+    val emb = embeddings(spark, sfDir)
+    val brute = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < RecallNq), emb, k = 5)
       .select(col("qid"), col("vec_id"))
     def hits(ivf: DataFrame, as: String): DataFrame =
       brute.join(ivf.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"))
         .groupBy(col("qid")).agg(count(lit(1)).as(as))
-    embeddings(spark, sfDir).filter(col("vec_id") < 5)
+    emb.filter(col("vec_id") < RecallNq)
       .select(col("vec_id").as("qid"))
-      .join(hits(annIvfTrained(spark, sfDir), "h1"), Seq("qid"), "left")
-      .join(hits(annIvfTrainedMp(spark, sfDir), "h2"), Seq("qid"), "left")
+      .join(hits(annIvfTrainedN(spark, sfDir, RecallNq), "h1"), Seq("qid"), "left")
+      .join(hits(annIvfTrainedMpN(spark, sfDir, RecallNq), "h2"), Seq("qid"), "left")
       .select(col("qid"),
         coalesce(col("h1"), lit(0L)).as("n_hits_p1"),
         expr("coalesce(h1, 0L) * 10000 div 5").as("recall_bp_p1"),
@@ -3355,7 +3380,7 @@ object ExtQueries {
 
   val embRecallTrainedOracle: String =
     s"""$kmeansCtes,
-       |qs AS (SELECT vec_id AS qid, qv FROM v WHERE vec_id < 5),
+       |qs AS (SELECT vec_id AS qid, qv FROM v WHERE vec_id < $RecallNq),
        |brute AS (
        |  SELECT qid, vec_id FROM (
        |    SELECT q.qid, c.vec_id,
@@ -3369,7 +3394,7 @@ object ExtQueries {
        |           row_number() OVER (PARTITION BY q.vec_id
        |             ORDER BY ${cosSql("q.qv", "m.qv")} DESC, m.vec_id ASC) AS rk
        |    FROM a3 q JOIN a3 m
-       |      ON q.vec_id < 5 AND m.cell = q.cell AND m.vec_id <> q.vec_id
+       |      ON q.vec_id < $RecallNq AND m.cell = q.cell AND m.vec_id <> q.vec_id
        |  ) WHERE rk <= 5
        |), routed AS (
        |  SELECT qid, qv, cell FROM (
