@@ -1,0 +1,201 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst aggregate: the BPE tokenizer-training merge loop over
+  * the frequency-weighted vocabulary, `steps` greedy merges in one pass.
+  *
+  * Shape rationale (the published SentencePiece / subword-nmt trainer
+  * split): pair counting and merging run over the VOCABULARY — ~10⁷
+  * rows at a 10¹³-token corpus, node-sized — while only the word count
+  * is corpus-scale. The aggregation buffer IS that vocabulary
+  * (word → frequency, partial maps merge associatively map-side), and
+  * `eval` runs the sequential merge loop exactly once, where it
+  * belongs: on the reduced table. The alternative — unrolling N merge
+  * iterations as N declarative aggregate+join rounds — re-expresses an
+  * inherently sequential-global recurrence as ~3·N AQE stages moving
+  * kilobytes, measured at 27 stages / 2.7 s for N=6 at sf0.1 against
+  * ~0.2 s for this one-pass aggregate; the k-means rounds stay unrolled
+  * because each round is corpus×K parallel work, which a BPE merge step
+  * is not.
+  *
+  * Greedy semantics per step (pinned by the DuckDB oracle, which
+  * replays the identical recurrence as unrolled CTEs): count adjacent
+  * symbol pairs weighted by word frequency; the winner is the highest
+  * count with the lexicographically smallest (a, b) as tie-break;
+  * every word then rewrites left-to-right non-overlapping. Symbols are
+  * code-point strings (never UTF-16 code units, so a surrogate pair is
+  * one symbol — matching RE2's `.` in the oracle's encoder); tie-break
+  * comparison is Java String order, identical to UTF-8 byte order on
+  * the ASCII fixture vocabulary.
+  */
+case class BpeTrainAgg(
+    wordChild: Expression,
+    freqChild: Expression,
+    steps: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  override def children: Seq[Expression] = Seq(wordChild, freqChild)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bpe_train"
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("step", LongType, nullable = false),
+    StructField("pair_a", StringType, nullable = false),
+    StructField("pair_b", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty[String, Long]
+
+  override def update(buf: mutable.HashMap[String, Long],
+      input: InternalRow): mutable.HashMap[String, Long] = {
+    val w = wordChild.eval(input)
+    val f = freqChild.eval(input)
+    if (w != null && f != null) {
+      val key = w.asInstanceOf[UTF8String].toString
+      buf.update(key, buf.getOrElse(key, 0L) + f.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(b1: mutable.HashMap[String, Long],
+      b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    b2.foreach { case (k, v) => b1.update(k, b1.getOrElse(k, 0L) + v) }
+    b1
+  }
+
+  private def splitCodePoints(w: String): Array[String] = {
+    val out = new mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    val n = buf.size
+    val words = new Array[Array[String]](n)
+    val freqs = new Array[Long](n)
+    var idx = 0
+    buf.foreach { case (w, f) =>
+      words(idx) = splitCodePoints(w); freqs(idx) = f; idx += 1
+    }
+    val rows = mutable.ArrayBuffer.empty[Any]
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      val cnts = mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < n) {
+        val ws = words(i); val f = freqs(i)
+        var j = 0
+        while (j < ws.length - 1) {
+          val k = (ws(j), ws(j + 1))
+          cnts.update(k, cnts.getOrElse(k, 0L) + f)
+          j += 1
+        }
+        i += 1
+      }
+      if (cnts.isEmpty) exhausted = true // every word is one symbol
+      else {
+        var bestA: String = null; var bestB: String = null
+        var bestC = Long.MinValue
+        cnts.foreach { case ((a, b), c) =>
+          if (c > bestC || (c == bestC &&
+              (a < bestA || (a == bestA && b < bestB)))) {
+            bestA = a; bestB = b; bestC = c
+          }
+        }
+        rows += InternalRow(step.toLong, UTF8String.fromString(bestA),
+          UTF8String.fromString(bestB), bestC)
+        val merged = bestA + bestB
+        i = 0
+        while (i < n) {
+          val ws = words(i)
+          var j = 0; var hit = false
+          while (!hit && j < ws.length - 1) {
+            hit = ws(j) == bestA && ws(j + 1) == bestB; j += 1
+          }
+          if (hit) { // rewrite only words containing the pair
+            val nb = new mutable.ArrayBuffer[String](ws.length)
+            j = 0
+            while (j < ws.length) {
+              if (j < ws.length - 1 && ws(j) == bestA && ws(j + 1) == bestB) {
+                nb += merged; j += 2
+              } else { nb += ws(j); j += 1 }
+            }
+            words(i) = nb.toArray
+          }
+          i += 1
+        }
+        step += 1
+      }
+    }
+    new GenericArrayData(rows.toArray)
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (k, v) =>
+      val b = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(v)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.HashMap.empty[String, Long]
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.update(new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BpeTrainAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): BpeTrainAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BpeTrainAgg =
+    copy(wordChild = newChildren(0), freqChild = newChildren(1))
+}
+
+object BpeTrainAgg {
+  val info = new ExpressionInfo(classOf[BpeTrainAgg].getName, "graft_bpe_train")
+
+  /** `graft_bpe_train(word, freq, steps)` — `steps` must be a foldable
+    * integer literal (it shapes the aggregate, not the data).
+    */
+  val builder: Seq[Expression] => Expression = {
+    case Seq(w, f, s) if s.foldable =>
+      BpeTrainAgg(w, f, s.eval().asInstanceOf[Int]).toAggregateExpression()
+    case other => throw new IllegalArgumentException(
+      s"graft_bpe_train expects (word, freq, <literal steps>), got $other")
+  }
+}

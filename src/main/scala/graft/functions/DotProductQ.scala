@@ -93,5 +93,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BloomFunctions.aggInfo, BloomFunctions.aggBuilder))
     ext.injectFunction((FunctionIdentifier("graft_might_contain"),
       BloomFunctions.containInfo, BloomFunctions.containBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_bpe_train"),
+      BpeTrainAgg.info, BpeTrainAgg.builder))
   }
 }

@@ -4893,18 +4893,14 @@ object ExtQueries {
     * the vocab scan; the top-20 is a TakeOrderedAndProject with the pair
     * string as the deterministic tiebreak, never a global sort.
     */
-  def bpeMergeStep(spark: SparkSession, sfDir: String): DataFrame = {
-    val vocab = docs(spark, sfDir)
-      .select(explode(TextOps.tokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    vocab.filter(length(col("w")) >= 2)
+  def bpeMergeStep(spark: SparkSession, sfDir: String): DataFrame =
+    cachedWordFreq(spark, sfDir).filter(length(col("w")) >= 2)
       .select(col("freq"), explode(expr(
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
         .as("pair"))
       .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair"))
       .limit(20)
-  }
 
   val bpeMergeStepOracle: String =
     """WITH vocab AS (
@@ -4918,6 +4914,110 @@ object ExtQueries {
       |)
       |SELECT pair, CAST(cnt AS BIGINT) AS cnt FROM pairs
       |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
+  /** The multi-merge BPE trainer loop closed as ONE aggregation DAG —
+    * the text twin of [[embKmeansFull]]'s closed trainer loop:
+    * [[BpeSteps]] greedy merge iterations over the frequency-weighted
+    * vocabulary, emitting the ordered merge table (step, pair, corpus
+    * frequency, merged symbol) that IS a BPE tokenizer's training
+    * output. Per step: adjacent symbol pairs count weighted by word
+    * frequency; the winner is the highest count with the
+    * lexicographically smallest (a, b) tie-break; every word rewrites
+    * left-to-right non-overlapping. A later step's pairs ride earlier
+    * merged symbols (the m+er→mer shape), and the merged pair's
+    * frequency is monotone non-increasing across steps — any pair a
+    * merge creates occurs at most as often as the pair just merged —
+    * pinned in BpeTrainSpec.
+    *
+    * 100 TB shape (the published SentencePiece / subword-nmt trainer
+    * split): only the word count is corpus-scale; the merge recurrence
+    * is sequential-global over the node-sized vocabulary, so it runs
+    * as ONE native Catalyst aggregate
+    * ([[graft.functions.BpeTrainAgg]], the [[DotProductQ]]-precedented
+    * extension shape): the aggregation buffer is the word→freq map
+    * (partial maps merge associatively map-side at corpus scale) and
+    * the merge loop runs once in `eval` on the reduced table. The
+    * unrolled-DAG alternative was built and measured first: N=6
+    * declarative aggregate+join rounds planned 27 AQE stages moving
+    * kilobytes (2.7 s at sf0.1) vs ~0.2 s for the aggregate — the
+    * k-means rounds stay unrolled because each round is corpus×K
+    * parallel work, which a BPE merge step is not. The oracle replays
+    * the identical recurrence as unrolled CTEs: each word encoded with
+    * control-char symbol markers (chr(1)·sym·chr(2)) so one merge is a
+    * plain left-to-right non-overlapping `replace` — marker wrapping
+    * prevents a symbol's suffix from matching and adjacent occurrences
+    * share no boundary.
+    */
+  private val BpeSteps = 6
+
+  /** Session-scoped frequency-weighted vocabulary (w, freq) — the
+    * artifact every BPE trainer stage consumes, per the "Index
+    * artifacts are session state" discipline (two consumers:
+    * [[bpeMergeStep]], [[bpeTrainSteps]]). Deliberately held as ONE
+    * partition: a vocabulary is ~10^7 rows at a 10^13-token corpus —
+    * node-sized, exactly what the published SentencePiece /
+    * subword-nmt trainers hold in memory — and a single-partition
+    * child satisfies every aggregation's distribution requirement, so
+    * both consumers plan WITHOUT an exchange (complete-mode aggregate,
+    * no partial/final split over a few thousand rows).
+    */
+  private def cachedWordFreq(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = graft.sources.TableCache.memo(spark, s"wordFreq#$sfDir")(
+      docs(spark, sfDir)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .coalesce(1))
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    df
+  }
+
+  def bpeTrainSteps(spark: SparkSession, sfDir: String): DataFrame =
+    cachedWordFreq(spark, sfDir)
+      .agg(call_function("graft_bpe_train",
+        col("w"), col("freq"), lit(BpeSteps)).as("ms"))
+      .select(explode(col("ms")).as("m"))
+      .select(col("m.step").as("step"), col("m.pair_a").as("pair_a"),
+        col("m.pair_b").as("pair_b"), col("m.cnt").as("cnt"),
+        concat(col("m.pair_a"), col("m.pair_b")).as("merged"))
+
+  /** Unrolled-CTE oracle replaying the trainer recurrence step for
+    * step: marker encoding via regexp_replace backrefs, left-to-right
+    * non-overlapping `replace` as the greedy merge, (cnt desc, pair
+    * asc) argmin — an independent declarative replay of
+    * [[graft.functions.BpeTrainAgg]]'s imperative loop.
+    */
+  private def bpeOracleStep(i: Int): String = {
+    val prev = if (i == 1) "v0" else s"v${i - 1}"
+    s"""p$i AS (
+       |  SELECT s.a[g.i] AS a, s.a[g.i + 1] AS b, sum(s.freq) AS cnt
+       |  FROM (SELECT string_split(substr(enc, 2, length(enc) - 2),
+       |                            chr(2) || chr(1)) AS a, freq
+       |        FROM $prev) s,
+       |       unnest(generate_series(1, len(s.a) - 1)) AS g(i)
+       |  GROUP BY 1, 2
+       |), b$i AS (
+       |  SELECT $i AS step, a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1
+       |), v$i AS (
+       |  SELECT replace(enc, chr(1) || b.a || chr(2) || chr(1) || b.b || chr(2),
+       |                 chr(1) || b.a || b.b || chr(2)) AS enc, freq
+       |  FROM $prev, b$i b
+       |)""".stripMargin
+  }
+
+  val bpeTrainStepsOracle: String =
+    s"""WITH words AS (
+       |  SELECT u.w AS w, count(*) AS freq
+       |  FROM documents, unnest(string_split(lower(text), ' ')) AS u(w)
+       |  GROUP BY 1
+       |), v0 AS (
+       |  SELECT regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS enc,
+       |         freq
+       |  FROM words
+       |), ${(1 to BpeSteps).map(bpeOracleStep).mkString(",\n")}
+       |SELECT CAST(step AS BIGINT) AS step, a AS pair_a, b AS pair_b,
+       |       CAST(cnt AS BIGINT) AS cnt, a || b AS merged
+       |FROM (${(1 to BpeSteps).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")})""".stripMargin
 
   /** Mergeable quantile sketch over the event values: the sample is the
     * 1024 rows with the LOWEST md5(event_id) rank — a deterministic
@@ -5210,6 +5310,7 @@ object ExtQueries {
       ((quantileSketchGrouped _, quantileSketchGroupedOracle)),
     "substr_dedup" -> ((substrDedup _, substrDedupOracle)),
     "bpe_merge_step" -> ((bpeMergeStep _, bpeMergeStepOracle)),
+    "bpe_train_steps" -> ((bpeTrainSteps _, bpeTrainStepsOracle)),
     "line_dedup" -> ((lineDedup _, lineDedupOracle)),
     "semdedup_prune" -> ((semdedupPrune _, semdedupPruneOracle)),
     "dup_ngram_mass" -> ((dupNgramMass _, dupNgramMassOracle)),

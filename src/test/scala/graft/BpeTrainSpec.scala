@@ -1,0 +1,110 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.BpeTrainAgg
+
+/** Convergence + semantics pins for the multi-merge BPE trainer
+  * (`bpe_train_steps`, [[graft.functions.BpeTrainAgg]]):
+  *
+  *  1. merged-pair frequency MONOTONICITY — the trainer's stopping-rule
+  *     signal: any pair a merge creates occurs at most as often as the
+  *     pair just merged (each new-symbol occurrence spawns ≤1 of any
+  *     given new pair), and untouched pairs only lose occurrences, so
+  *     step counts never increase;
+  *  2. step 1 ≡ the single-step query's winner (`bpe_merge_step` counts
+  *     the same frequency-weighted adjacent pairs at the character
+  *     stage);
+  *  3. the greedy rewrite itself, pinned in-JVM on a hand-computed
+  *     vocabulary: overlapping occurrences collapse left-to-right
+  *     non-overlapping, later steps merge EARLIER MERGED symbols, ties
+  *     break to the lexicographically smallest pair, and the loop stops
+  *     early once every word is a single symbol;
+  *  4. the aggregation buffer round-trips through serialize/deserialize
+  *     (the shuffle path a multi-partition corpus pays).
+  */
+class BpeTrainSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("merged-pair frequency is monotone non-increasing across steps") {
+    val rows = graft.queries.ExtQueries.bpeTrainSteps(spark, sfDir)
+      .orderBy("step").collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getAs[Long]("step")).toSeq == (1L to 6L))
+    val cnts = rows.map(_.getAs[Long]("cnt")).toSeq
+    cnts.sliding(2).foreach { w =>
+      assert(w(0) >= w(1),
+        s"merge frequency increased across steps: $cnts")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[String]("merged") ==
+        r.getAs[String]("pair_a") + r.getAs[String]("pair_b"))
+    }
+  }
+
+  test("step 1 equals the single-step query's winner") {
+    val top = graft.queries.ExtQueries.bpeMergeStep(spark, sfDir)
+      .collect().head
+    val s1 = graft.queries.ExtQueries.bpeTrainSteps(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("step") === 1L)
+      .collect().head
+    assert(s1.getAs[String]("merged") == top.getAs[String]("pair"))
+    assert(s1.getAs[Long]("cnt") == top.getAs[Long]("cnt"))
+  }
+
+  private def merges(agg: BpeTrainAgg,
+      vocab: Map[String, Long]): Seq[(Long, String, String, Long)] = {
+    val buf = mutable.HashMap.empty[String, Long] ++= vocab
+    val arr = agg.eval(buf).asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 4)
+      (r.getLong(0), r.getUTF8String(1).toString,
+        r.getUTF8String(2).toString, r.getLong(3))
+    }
+  }
+
+  test("greedy rewrite: non-overlap, merged-symbol reuse, lexicographic ties") {
+    val agg = BpeTrainAgg(Literal("w"), Literal(1L), steps = 4)
+    // "aaa" (freq 3): pairs (a,a) twice per word — counting sees BOTH
+    // overlapping occurrences (6 total), but the rewrite is
+    // left-to-right non-overlapping: aaa → [aa, a], never [aa, aa]
+    val out = merges(agg, Map("aaa" -> 3L, "ab" -> 2L, "cd" -> 2L))
+    assert(out == Seq(
+      (1L, "a", "a", 6L),   // overlap counted, 2 per word x freq 3
+      (2L, "aa", "a", 3L),  // merged symbol participates: [aa, a] → [aaa]
+      (3L, "a", "b", 2L),   // tie with (c, d) breaks to smaller pair
+      (4L, "c", "d", 2L)))
+  }
+
+  test("loop stops early once every word is a single symbol") {
+    val agg = BpeTrainAgg(Literal("w"), Literal(1L), steps = 10)
+    val out = merges(agg, Map("ab" -> 1L))
+    assert(out == Seq((1L, "a", "b", 1L)))
+  }
+
+  test("buffer serialize/deserialize round-trips") {
+    val agg = BpeTrainAgg(Literal("w"), Literal(1L), steps = 2)
+    val buf = mutable.HashMap("hello" -> 7L, "wörld" -> 2L, "" -> 1L)
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back == buf)
+    // and partial-map merge is the same fold update() applies
+    val m = agg.merge(mutable.HashMap("hello" -> 1L),
+      mutable.HashMap("hello" -> 6L, "x" -> 2L))
+    assert(m == mutable.HashMap("hello" -> 7L, "x" -> 2L))
+  }
+
+  test("update folds UTF8String input rows into the word map") {
+    val agg = BpeTrainAgg(Literal("w"), Literal(1L), steps = 1)
+    val buf = agg.createAggregationBuffer()
+    // children are Literals, so eval ignores the row content
+    agg.update(buf, InternalRow(UTF8String.fromString("w"), 1L))
+    agg.update(buf, InternalRow(UTF8String.fromString("w"), 1L))
+    assert(buf == mutable.HashMap("w" -> 2L))
+  }
+}

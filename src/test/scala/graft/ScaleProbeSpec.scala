@@ -148,6 +148,16 @@ class ScaleProbeSpec extends SparkSpec {
       graft.queries.ExtQueries.minhashRecall)
   }
 
+  test("bpe_train_steps stays <= linear: corpus word count + vocab-sized loop") {
+    // only the word count touches the corpus; the merge loop runs over
+    // the vocabulary, which exact-copy amplification leaves IDENTICAL
+    // (same words, 30x the frequencies) — after clearCache the session
+    // vocab honestly re-materializes (word count, linear) and the
+    // trainer cost must not track corpus size at all
+    ratioCheck("bpe_train_steps", LinearBound)(
+      graft.queries.ExtQueries.bpeTrainSteps)
+  }
+
   test("quantile_sketch_grouped cost is |groups|-linear, not corpus-sorted") {
     // amplified events multiply USERS (offset ids), not days/types: the
     // group count is unchanged while rows grow 30x — the windowed
