@@ -27,6 +27,17 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("GRAFT_AQE", "true")) // A/B lever, default on
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE's parallelismFirst coalescing respects only minPartitionSize
+      // (it ignores the advisory target), and the 1 MiB default collapses
+      // every fixture-scale shuffle to ONE post-shuffle task — each
+      // window/aggregate after a small exchange then runs single-threaded
+      // while 31 cores idle (measured: full pack 64.4 s at 1m vs 57.7 s
+      // at 64k, same tree; tfidf_topk's doc-window stage 200 ms → spread).
+      // At cluster scale partitions sit near the 64 MiB advisory size, so
+      // a 64 KiB floor never binds — this is purely the small-shuffle
+      // parallelism guard, the AQE twin of Parallelism.widen's scan floor.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("GRAFT_MIN_PART", "64k")) // A/B lever
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.files.maxPartitionBytes", "268435456")
