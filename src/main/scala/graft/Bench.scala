@@ -136,12 +136,22 @@ object Bench {
                else runs.min)
     }
     // per-query budget check (round-8 verdict item): a single query
-    // above 1.5 s steady-state is a plan-weight outlier worth a look
-    // before it becomes the next round's tail — warn loudly, don't fail
-    // (the streaming gates' micro-batch fixed cost legitimately sits
-    // near the line)
-    results.filter(_._2 > 1.5).sortBy(-_._2).foreach { case (n, v) =>
-      System.err.println(f"BENCH BUDGET $n%-28s ${v}%.3f s > 1.5 s")
+    // above budget steady-state is a plan-weight outlier worth a look
+    // before it becomes the next round's tail — warn loudly, don't fail.
+    // Stream gates carry a higher budget set to their MEASURED floor:
+    // the round-12 audit pinned micro-batch cost at ~0.5-0.6 s of
+    // addBatch machinery per cycle (tmpfs A/B ruled out checkpoint
+    // fsyncs), and the three heaviest gates run the minimum cycles
+    // their contracts allow (quantile_sketch_stream deliberately splits
+    // data across two batches to exercise the cross-batch merge; the
+    // two join gates hold state on both sides) — 3 cycles × ~0.6 s =
+    // the 1.8 s floor. A budget every healthy run trips is a wrong
+    // budget; per-query REGRESSIONS are the ledger's job
+    // (BASELINE_PERQUERY.json, tools/perquery_check.py).
+    results.sortBy(-_._2).foreach { case (n, v) =>
+      val budget = if (n.endsWith("_stream")) 1.8 else 1.5
+      if (v > budget)
+        System.err.println(f"BENCH BUDGET $n%-28s ${v}%.3f s > $budget%.1f s")
     }
     def ms(v: Double): String = // Locale.ROOT: a comma decimal point is not JSON
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
