@@ -26,5 +26,16 @@ class SqlSurfaceSpec extends SparkSpec {
         |       ) AS norm_sq
         |FROM embeddings a LIMIT 5""".stripMargin)
     assert(knn.collect().forall(_.getLong(1) > 0))
+    // the native BPE trainer aggregate, straight from SQL: 2 merges over
+    // an inline vocabulary — "aaa"x3 merges (a,a) cnt 6 then (aa,a) cnt 3
+    org.apache.spark.sql.graftbridge.ColumnBridge.registerFunction(
+      spark, "graft_bpe_train", graft.functions.BpeTrainAgg.info,
+      graft.functions.BpeTrainAgg.builder)
+    val merges = spark.sql(
+      """SELECT explode(graft_bpe_train(w, freq, 2)) AS m
+        |FROM VALUES ('aaa', 3L) AS t(w, freq)""".stripMargin)
+      .select("m.step", "m.pair_a", "m.pair_b", "m.cnt").collect()
+    assert(merges.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getLong(3))).toSeq == Seq((1L, "a", "a", 6L), (2L, "aa", "a", 3L)))
   }
 }
