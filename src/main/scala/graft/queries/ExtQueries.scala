@@ -4949,6 +4949,13 @@ object ExtQueries {
     * share no boundary.
     */
   private val BpeSteps = 6
+  // symbol markers for the marker-delimited word encoding (every symbol
+  // wrapped S1+sym+S2): a merge is then a plain left-to-right
+  // non-overlapping `replace`, wrapping prevents a symbol's SUFFIX from
+  // matching, and adjacent occurrences share no boundary — used by the
+  // encoder below and mirrored by the oracle's chr(1)/chr(2)
+  private val BpeS1 = "\u0001"
+  private val BpeS2 = "\u0002"
 
   /** Session-scoped frequency-weighted vocabulary (w, freq) — the
     * artifact every BPE trainer stage consumes, per the "Index
@@ -4999,25 +5006,101 @@ object ExtQueries {
        |), b$i AS (
        |  SELECT $i AS step, a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1
        |), v$i AS (
-       |  SELECT replace(enc, chr(1) || b.a || chr(2) || chr(1) || b.b || chr(2),
-       |                 chr(1) || b.a || b.b || chr(2)) AS enc, freq
+       |  SELECT w, replace(enc, chr(1) || b.a || chr(2) || chr(1) || b.b || chr(2),
+       |                    chr(1) || b.a || b.b || chr(2)) AS enc, freq
        |  FROM $prev, b$i b
        |)""".stripMargin
   }
 
-  val bpeTrainStepsOracle: String =
+  /** The shared trainer CTE prefix (words, v0, p/b/v per step) — ends
+    * with v[[BpeSteps]] holding each word's FINAL symbol encoding, so
+    * both the merge-table oracle and the encoder oracle read off it.
+    */
+  private def bpeCtes: String =
     s"""WITH words AS (
        |  SELECT u.w AS w, count(*) AS freq
        |  FROM documents, unnest(string_split(lower(text), ' ')) AS u(w)
        |  GROUP BY 1
        |), v0 AS (
-       |  SELECT regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS enc,
+       |  SELECT w, regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS enc,
        |         freq
        |  FROM words
-       |), ${(1 to BpeSteps).map(bpeOracleStep).mkString(",\n")}
+       |), ${(1 to BpeSteps).map(bpeOracleStep).mkString(",\n")}""".stripMargin
+
+  val bpeTrainStepsOracle: String =
+    s"""$bpeCtes
        |SELECT CAST(step AS BIGINT) AS step, a AS pair_a, b AS pair_b,
        |       CAST(cnt AS BIGINT) AS cnt, a || b AS merged
        |FROM (${(1 to BpeSteps).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")})""".stripMargin
+
+  /** The serving-side twin of [[bpeTrainSteps]]: ENCODE the corpus with
+    * the trained merge table and report per-language tokenizer quality —
+    * word/char/BPE-token totals and chars-per-token in basis points,
+    * the compression number every tokenizer report leads with (and the
+    * per-language fairness axis UniMax-style allocators read: a
+    * language the vocabulary underserves pays more tokens per char).
+    *
+    * 100 TB shape: tokenization of a word depends only on the word, so
+    * the merge table applies to the VOCABULARY (the session word-freq
+    * fixture, node-sized), never token-by-token over the corpus — the
+    * trained merges ride a 6-row broadcast pivoted into one array
+    * column, each merge is one marker-encoded `replace` (the same
+    * left-to-right non-overlapping greedy rule the trainer used,
+    * unrolled [[BpeSteps]] times in the projection), and the corpus
+    * pays exactly one token-explode shuffle to (lang, word) counts
+    * before a vocab-sized broadcast join carries the per-word token
+    * counts in. Symbol count = marker count = length(enc) minus
+    * length(enc without S1) — no split, no array.
+    */
+  def bpeEncodeStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = bpeTrainSteps(spark, sfDir)
+      .agg(expr("transform(array_sort(collect_list(struct(step, pair_a, pair_b)))," +
+        " s -> struct(s.pair_a AS a, s.pair_b AS b))").as("ms"))
+    val enc0 = cachedWordFreq(spark, sfDir)
+      .crossJoin(broadcast(merges))
+      .withColumn("enc", regexp_replace(col("w"), "(.)", s"$BpeS1$$1$BpeS2"))
+    // unrolled merge application; the size guard keeps the projection
+    // total if the trainer exhausted early (every word one symbol)
+    val applied = (1 to BpeSteps).foldLeft(enc0) { (df, i) =>
+      df.withColumn("enc", when(size(col("ms")) >= i,
+        replace(col("enc"),
+          concat(lit(BpeS1), expr(s"ms[${i - 1}].a"), lit(BpeS2 + BpeS1),
+            expr(s"ms[${i - 1}].b"), lit(BpeS2)),
+          concat(lit(BpeS1), expr(s"ms[${i - 1}].a"), expr(s"ms[${i - 1}].b"),
+            lit(BpeS2))))
+        .otherwise(col("enc")))
+    }
+    val wordTok = applied.select(col("w"), length(col("w")).as("n_chr"),
+      (length(col("enc")) - length(replace(col("enc"), lit(BpeS1)))).as("n_tok"))
+    val langWords = docs(spark, sfDir)
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+    langWords.join(broadcast(wordTok), "w")
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("n_chr")).as("n_chars"),
+        sum(col("n") * col("n_tok")).as("n_tokens"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_tokens"),
+        expr("10000 * n_chars div n_tokens").as("chars_per_token_bp"))
+  }
+
+  val bpeEncodeStatsOracle: String =
+    s"""$bpeCtes,
+       |wt AS (
+       |  SELECT w, length(w) AS n_chr,
+       |         length(enc) - length(replace(enc, chr(1), '')) AS n_tok
+       |  FROM v$BpeSteps
+       |), lw AS (
+       |  SELECT lang, u.w AS w, count(*) AS n
+       |  FROM documents, unnest(string_split(lower(text), ' ')) AS u(w)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT lang, CAST(sum(n) AS BIGINT) AS n_words,
+       |       CAST(sum(n * n_chr) AS BIGINT) AS n_chars,
+       |       CAST(sum(n * n_tok) AS BIGINT) AS n_tokens,
+       |       CAST(10000 * sum(n * n_chr) // sum(n * n_tok) AS BIGINT)
+       |         AS chars_per_token_bp
+       |FROM lw JOIN wt USING (w) GROUP BY 1""".stripMargin
 
   /** Mergeable quantile sketch over the event values: the sample is the
     * 1024 rows with the LOWEST md5(event_id) rank — a deterministic
@@ -5311,6 +5394,7 @@ object ExtQueries {
     "substr_dedup" -> ((substrDedup _, substrDedupOracle)),
     "bpe_merge_step" -> ((bpeMergeStep _, bpeMergeStepOracle)),
     "bpe_train_steps" -> ((bpeTrainSteps _, bpeTrainStepsOracle)),
+    "bpe_encode_stats" -> ((bpeEncodeStats _, bpeEncodeStatsOracle)),
     "line_dedup" -> ((lineDedup _, lineDedupOracle)),
     "semdedup_prune" -> ((semdedupPrune _, semdedupPruneOracle)),
     "dup_ngram_mass" -> ((dupNgramMass _, dupNgramMassOracle)),

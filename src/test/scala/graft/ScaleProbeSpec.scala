@@ -158,6 +158,15 @@ class ScaleProbeSpec extends SparkSpec {
       graft.queries.ExtQueries.bpeTrainSteps)
   }
 
+  test("bpe_encode_stats stays <= linear: one token shuffle + vocab-sized join") {
+    // the merge table applies to the VOCABULARY (identical across the
+    // exact-copy decade), so the only corpus-scale stage is the
+    // (lang, word) count shuffle; the per-word token counts ride a
+    // vocab-sized broadcast
+    ratioCheck("bpe_encode_stats", LinearBound)(
+      graft.queries.ExtQueries.bpeEncodeStats)
+  }
+
   test("quantile_sketch_grouped cost is |groups|-linear, not corpus-sorted") {
     // amplified events multiply USERS (offset ids), not days/types: the
     // group count is unchanged while rows grow 30x — the windowed
