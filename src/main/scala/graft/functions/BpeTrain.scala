@@ -45,6 +45,20 @@ case class BpeTrainAgg(
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
 
   override def children: Seq[Expression] = Seq(wordChild, freqChild)
+
+  // checked input types make a mistyped SQL call fail at analysis
+  // instead of a runtime ClassCastException in update() (the
+  // DotProductQ pattern — ExpectsInputTypes' AbstractDataType is
+  // private[sql], so the check is spelled out)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (wordChild.dataType, freqChild.dataType) match {
+      case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (w, f) => TypeCheckResult.TypeCheckFailure(
+        s"graft_bpe_train expects (string, bigint, <literal steps>), got ($w, $f)")
+    }
+  }
+
   override def nullable: Boolean = false
   override def prettyName: String = "graft_bpe_train"
 

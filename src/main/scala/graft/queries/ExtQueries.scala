@@ -4959,8 +4959,9 @@ object ExtQueries {
 
   /** Session-scoped frequency-weighted vocabulary (w, freq) — the
     * artifact every BPE trainer stage consumes, per the "Index
-    * artifacts are session state" discipline (two consumers:
-    * [[bpeMergeStep]], [[bpeTrainSteps]]). Deliberately held as ONE
+    * artifacts are session state" discipline (three consumers:
+    * [[bpeMergeStep]], [[bpeTrainSteps]], [[bpeEncodeStats]]).
+    * Deliberately held as ONE
     * partition: a vocabulary is ~10^7 rows at a 10^13-token corpus —
     * node-sized, exactly what the published SentencePiece /
     * subword-nmt trainers hold in memory — and a single-partition
