@@ -99,6 +99,69 @@ class BpeTrainSpec extends SparkSpec {
     assert(m == mutable.HashMap("hello" -> 7L, "x" -> 2L))
   }
 
+  /** Independent reference trainer using the ORACLE's mechanism — the
+    * marker-delimited string encoding where one greedy merge is a plain
+    * left-to-right non-overlapping `String.replace` — so the property
+    * below pins the equivalence of two genuinely different greedy
+    * implementations (array scan vs string replace), not one algorithm
+    * against itself.
+    */
+  private def replaceTrainer(vocab: Map[String, Long],
+      steps: Int): Seq[(Long, String, String, Long)] = {
+    val S1 = "\u0001"; val S2 = "\u0002"
+    var encs = vocab.toSeq.map { case (w, f) =>
+      (w.map(c => s"$S1$c$S2").mkString, f)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= steps && !done) {
+      val cnts = mutable.HashMap.empty[(String, String), Long]
+      encs.foreach { case (enc, f) =>
+        val syms =
+          if (enc.isEmpty) Array.empty[String]
+          else enc.substring(1, enc.length - 1).split(s"$S2$S1", -1)
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          cnts.update(k, cnts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (cnts.isEmpty) done = true
+      else {
+        val ((a, b), c) = cnts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((step.toLong, a, b, c))
+        encs = encs.map { case (enc, f) =>
+          (enc.replace(s"$S1$a$S2$S1$b$S2", s"$S1$a$b$S2"), f)
+        }
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("property: aggregate trainer == marker-replace trainer on random vocabs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // tiny alphabet forces overlapping runs ("aaa"), merged-symbol
+    // reuse, and count ties — the cases where greedy semantics diverge
+    val word = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val vocabGen = for {
+      nw <- Gen.choose(1, 12)
+      ws <- Gen.listOfN(nw, word)
+      fs <- Gen.listOfN(nw, Gen.choose(1L, 9L))
+    } yield ws.zip(fs).groupBy(_._1).map { case (w, l) => w -> l.map(_._2).sum }
+    val steps = Gen.choose(1, 5)
+    val agg = (n: Int) => BpeTrainAgg(Literal("w"), Literal(1L), steps = n)
+    val prop = Prop.forAll(vocabGen, steps) { (vocab, n) =>
+      merges(agg(n), vocab) == replaceTrainer(vocab, n)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"aggregate != replace trainer: ${res.status}")
+  }
+
   test("update folds UTF8String input rows into the word map") {
     val agg = BpeTrainAgg(Literal("w"), Literal(1L), steps = 1)
     val buf = agg.createAggregationBuffer()
