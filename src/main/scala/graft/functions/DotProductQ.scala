@@ -95,5 +95,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BloomFunctions.containInfo, BloomFunctions.containBuilder))
     ext.injectFunction((FunctionIdentifier("graft_bpe_train"),
       BpeTrainAgg.info, BpeTrainAgg.builder))
+    ext.injectFunction((FunctionIdentifier("graft_kcenter"),
+      KCenterAgg.info, KCenterAgg.builder))
   }
 }

@@ -3425,6 +3425,77 @@ object ExtQueries {
        |FROM qs q LEFT JOIN h1 ON h1.qid = q.qid
        |LEFT JOIN h2 ON h2.qid = q.qid""".stripMargin
 
+  /** Greedy farthest-point (k-center) diversity selection — the
+    * coreset/data-selection primitive (Gonzalez 1985's classic
+    * 2-approximation): pick [[KcenterK]] maximally-spread exemplars
+    * from the embedding corpus, the "diverse subset" step data-pruning
+    * recipes run after dedup (SemDeDup removes the redundant;
+    * k-center picks the spread). Exact integer squared euclidean on
+    * the quantized grid; seed = lowest id; each later rank maximizes
+    * min-distance to the selected set, ties to the lowest id; d2 is
+    * the covering radius at selection time (monotone non-increasing —
+    * the curve a deployment reads to choose its coreset size).
+    *
+    * 100 TB shape (two-round k-center): round one is a corpus-linear
+    * DETERMINISTIC sample — bottom-1024 rows by md5(vec_id), the same
+    * mergeable bottom-k rank rule as the quantile sketch, a
+    * TakeOrderedAndProject (per-partition heaps, no corpus shuffle) —
+    * and round two is the sequential-global greedy loop, which like
+    * the BPE merge recurrence belongs in ONE native aggregate
+    * ([[graft.functions.KCenterAgg]]) over the node-sized sample, not
+    * in k unrolled argmax rounds paying ~3·k AQE stages. Already-
+    * selected points keep participating with d_min = 0 (they can never
+    * win while a distinct point remains), so the recurrence matches
+    * the oracle's join-based replay even on exact-duplicate corpora.
+    */
+  private val KcenterK = 8
+
+  def diversityKcenter(spark: SparkSession, sfDir: String): DataFrame = {
+    val samp = embeddings(spark, sfDir)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"),
+        md5(col("vec_id").cast("string")).as("r"))
+      .orderBy(col("r")).limit(1024)
+    samp
+      .agg(call_function("graft_kcenter",
+        col("vec_id"), col("qv"), lit(KcenterK)).as("sel"))
+      .select(explode(col("sel")).as("s"))
+      .select(col("s.rank").as("rank"), col("s.vec_id").as("vec_id"),
+        col("s.d2").as("d2"))
+  }
+
+  /** Unrolled-CTE oracle replaying the greedy recurrence rank for
+    * rank: per step, min squared distance from every sample point to
+    * the selected set, argmax with (dm desc, vec_id asc), selected set
+    * grows by one row.
+    */
+  private def kcenterStep(i: Int): String = {
+    val prev = s"sel${i - 1}"
+    s"""c$i AS (
+       |  SELECT v.vec_id, min(${distSql("v.qv", "s.qv")}) AS dm
+       |  FROM samp v, $prev s GROUP BY v.vec_id
+       |), s$i AS (
+       |  SELECT $i AS rank, c.vec_id, CAST(c.dm AS BIGINT) AS d2, v.qv
+       |  FROM c$i c JOIN samp v USING (vec_id)
+       |  ORDER BY c.dm DESC, c.vec_id LIMIT 1
+       |), sel$i AS (
+       |  SELECT vec_id, qv FROM $prev UNION ALL SELECT vec_id, qv FROM s$i
+       |)""".stripMargin
+  }
+
+  val diversityKcenterOracle: String =
+    s"""WITH samp AS (
+       |  SELECT vec_id, $qvSql AS qv FROM (
+       |    SELECT * FROM embeddings
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 1024)
+       |), s1 AS (
+       |  SELECT 1 AS rank, vec_id, CAST(0 AS BIGINT) AS d2, qv
+       |  FROM samp ORDER BY vec_id LIMIT 1
+       |), sel1 AS (SELECT vec_id, qv FROM s1),
+       |${(2 to KcenterK).map(kcenterStep).mkString(",\n")}
+       |SELECT CAST(rank AS BIGINT) AS rank, vec_id, d2
+       |FROM (${(1 to KcenterK).map(i => s"SELECT rank, vec_id, d2 FROM s$i")
+      .mkString(" UNION ALL ")})""".stripMargin
+
   // ------------------------------------------------- per-doc TF-IDF
 
   /** Top-3 TF-IDF terms per document — the per-document twin of the
@@ -5396,6 +5467,7 @@ object ExtQueries {
     "bpe_merge_step" -> ((bpeMergeStep _, bpeMergeStepOracle)),
     "bpe_train_steps" -> ((bpeTrainSteps _, bpeTrainStepsOracle)),
     "bpe_encode_stats" -> ((bpeEncodeStats _, bpeEncodeStatsOracle)),
+    "diversity_kcenter" -> ((diversityKcenter _, diversityKcenterOracle)),
     "line_dedup" -> ((lineDedup _, lineDedupOracle)),
     "semdedup_prune" -> ((semdedupPrune _, semdedupPruneOracle)),
     "dup_ngram_mass" -> ((dupNgramMass _, dupNgramMassOracle)),

@@ -167,6 +167,14 @@ class ScaleProbeSpec extends SparkSpec {
       graft.queries.ExtQueries.bpeEncodeStats)
   }
 
+  test("diversity_kcenter stays <= linear: bottom-k sample + bounded greedy") {
+    // round one is a TakeOrderedAndProject (per-partition heaps over
+    // the corpus — linear); round two's greedy loop runs on the
+    // <=1024-row sample whatever the corpus size
+    ratioCheck("diversity_kcenter", LinearBound)(
+      graft.queries.ExtQueries.diversityKcenter)
+  }
+
   test("quantile_sketch_grouped cost is |groups|-linear, not corpus-sorted") {
     // amplified events multiply USERS (offset ids), not days/types: the
     // group count is unchanged while rows grow 30x — the windowed
