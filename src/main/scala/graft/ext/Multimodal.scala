@@ -173,38 +173,47 @@ object Multimodal {
     * the PCM16 `fmt ` block and the `data` samples. Features:
     * [sample_rate, channels, n_samples, sum, min, max] — integer-exact.
     */
+  /** The shared RIFF/WAVE chunk walk both WAV decoders run: validates
+    * the magics, skips unknown chunks with odd-size padding (per RIFF),
+    * reads the PCM16 `fmt ` block and the `data` samples.
+    */
+  private def parseWavPcm16(payload: Array[Byte]): (Int, Int, Array[Short]) = {
+    val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    def str4(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, US_ASCII)
+    }
+    require(str4() == "RIFF", "not a RIFF payload")
+    bb.getInt // declared riff size; chunk walk below is authoritative
+    require(str4() == "WAVE", "not a WAVE form")
+    var rate = 0; var ch = 0
+    var samples: Array[Short] = null
+    while (rate == 0 || samples == null) {
+      require(bb.remaining() >= 8, "missing fmt/data chunk")
+      val id = str4(); val size = bb.getInt
+      id match {
+        case "fmt " =>
+          require(bb.getShort == 1, "PCM only")
+          ch = bb.getShort
+          rate = bb.getInt
+          bb.getInt; bb.getShort // byte rate, block align
+          require(bb.getShort == 16, "16-bit only")
+          if (size > 16) bb.position(bb.position() + size - 16)
+        case "data" =>
+          val n = size / 2
+          val arr = new Array[Short](n)
+          var i = 0
+          while (i < n) { arr(i) = bb.getShort; i += 1 }
+          samples = arr
+        case _ => // unknown chunk: skip, odd sizes pad to even
+          bb.position(bb.position() + size + (size & 1))
+      }
+    }
+    (rate, ch, samples)
+  }
+
   object WavDecoder extends Decoder {
     def decode(payload: Array[Byte], mediaType: String): Array[Double] = {
-      val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
-      def str4(): String = {
-        val a = new Array[Byte](4); bb.get(a); new String(a, US_ASCII)
-      }
-      require(str4() == "RIFF", "not a RIFF payload")
-      bb.getInt // declared riff size; chunk walk below is authoritative
-      require(str4() == "WAVE", "not a WAVE form")
-      var rate = 0; var ch = 0
-      var samples: Array[Short] = null
-      while (rate == 0 || samples == null) {
-        require(bb.remaining() >= 8, "missing fmt/data chunk")
-        val id = str4(); val size = bb.getInt
-        id match {
-          case "fmt " =>
-            require(bb.getShort == 1, "PCM only")
-            ch = bb.getShort
-            rate = bb.getInt
-            bb.getInt; bb.getShort // byte rate, block align
-            require(bb.getShort == 16, "16-bit only")
-            if (size > 16) bb.position(bb.position() + size - 16)
-          case "data" =>
-            val n = size / 2
-            val arr = new Array[Short](n)
-            var i = 0
-            while (i < n) { arr(i) = bb.getShort; i += 1 }
-            samples = arr
-          case _ => // unknown chunk: skip, odd sizes pad to even
-            bb.position(bb.position() + size + (size & 1))
-        }
-      }
+      val (rate, ch, samples) = parseWavPcm16(payload)
       var s = 0L; var mn = 0L; var mx = 0L
       if (samples.nonEmpty) { mn = samples(0); mx = samples(0) }
       samples.foreach { v =>
@@ -212,6 +221,40 @@ object Multimodal {
       }
       Array(rate.toDouble, ch.toDouble, samples.length.toDouble,
         s.toDouble, mn.toDouble, mx.toDouble)
+    }
+  }
+
+  /** Windowed audio features over the decoded PCM — the
+    * voice-activity-detection primitives every audio curation pipeline
+    * computes before anything model-shaped: total energy Σs², zero
+    * crossings (consecutive samples changing sign — the cheap
+    * pitch/noise discriminator), and the peak energy over
+    * non-overlapping `frame`-sample windows (tail partial window
+    * included) — the statistic VAD thresholds against. Features:
+    * [n_samples, n_frames, energy, zcr, max_frame_energy], all exact
+    * integers.
+    */
+  final class WavVadDecoder(frame: Int) extends Decoder {
+    require(frame >= 1, s"frame must be >= 1, got $frame")
+    def decode(payload: Array[Byte], mediaType: String): Array[Double] = {
+      val (_, _, samples) = parseWavPcm16(payload)
+      val n = samples.length
+      var energy = 0L; var zcr = 0L
+      var maxFe = 0L; var fe = 0L
+      var i = 0
+      while (i < n) {
+        val v = samples(i).toLong
+        energy += v * v
+        fe += v * v
+        if (i > 0 && (samples(i - 1) < 0) != (samples(i) < 0)) zcr += 1
+        if ((i + 1) % frame == 0 || i == n - 1) {
+          if (fe > maxFe) maxFe = fe
+          fe = 0L
+        }
+        i += 1
+      }
+      Array(n.toDouble, ((n + frame - 1) / frame).toDouble,
+        energy.toDouble, zcr.toDouble, maxFe.toDouble)
     }
   }
 

@@ -2340,6 +2340,62 @@ object ExtQueries {
       |       CAST(smin AS DOUBLE) AS min_s, CAST(smax AS DOUBLE) AS max_s
       |FROM s""".stripMargin
 
+  /** Windowed audio features over the decoded PCM — the VAD
+    * (voice-activity-detection) primitives an audio curation pipeline
+    * computes before anything model-shaped: total energy Σs², zero
+    * crossings (consecutive samples changing sign, the cheap
+    * pitch/noise discriminator), and PEAK FRAME ENERGY over
+    * non-overlapping 8-sample windows (tail partial window included) —
+    * the statistic VAD thresholds against to find speech. Same real
+    * RIFF/PCM16 parse as [[multimodalWav]] (shared chunk walk in
+    * [[graft.ext.Multimodal.WavVadDecoder]]), same map-only plan, all
+    * features exact integers with closed forms over the fixture
+    * generator.
+    */
+  def multimodalAudioVad(spark: SparkSession, sfDir: String): DataFrame =
+    Multimodal.extractFeatures(
+      Multimodal.asMedia(
+        Multimodal.synthWav(docs(spark, sfDir), "doc_id"),
+        "media_id", "payload", "audio"),
+      new Multimodal.WavVadDecoder(frame = 8))
+      .select(col("media_id"),
+        element_at(col("feature"), 1).cast("long").as("n_samples"),
+        element_at(col("feature"), 2).cast("long").as("n_frames"),
+        element_at(col("feature"), 3).cast("long").as("energy"),
+        element_at(col("feature"), 4).cast("long").as("zcr"),
+        element_at(col("feature"), 5).cast("long").as("max_frame_energy"))
+
+  val multimodalAudioVadOracle: String =
+    """WITH p AS (
+      |  SELECT doc_id, 16 + doc_id % 17 AS n FROM documents
+      |), sv AS (
+      |  SELECT doc_id, n, g.i AS i,
+      |         (doc_id * 131 + 17 * g.i) % 2048 - 1024 AS s
+      |  FROM p, unnest(generate_series(0, n - 1)) AS g(i)
+      |), fr AS (
+      |  SELECT doc_id, i // 8 AS f, sum(s * s) AS fe
+      |  FROM sv GROUP BY 1, 2
+      |), zc AS (
+      |  SELECT doc_id,
+      |         count(*) FILTER (WHERE ps IS NOT NULL AND (ps < 0) <> (s < 0))
+      |           AS zcr
+      |  FROM (SELECT doc_id, s,
+      |               lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS ps
+      |        FROM sv)
+      |  GROUP BY 1
+      |)
+      |SELECT p.doc_id AS media_id, CAST(p.n AS BIGINT) AS n_samples,
+      |       CAST((p.n + 7) // 8 AS BIGINT) AS n_frames,
+      |       CAST(e.energy AS BIGINT) AS energy,
+      |       CAST(z.zcr AS BIGINT) AS zcr,
+      |       CAST(f.mfe AS BIGINT) AS max_frame_energy
+      |FROM p
+      |JOIN (SELECT doc_id, sum(s * s) AS energy FROM sv GROUP BY 1) e
+      |  USING (doc_id)
+      |JOIN (SELECT doc_id, max(fe) AS mfe FROM fr GROUP BY 1) f
+      |  USING (doc_id)
+      |JOIN zc z USING (doc_id)""".stripMargin
+
   /** The video twin: real YUV4MPEG2 clips (header + FRAME markers +
     * planar 4:2:0 planes, encoded through the real encoder) parsed back
     * with FRAME SAMPLING — every 2nd frame is decoded, the rest are
@@ -5547,6 +5603,7 @@ object ExtQueries {
     "multimodal_meta" -> ((multimodalMeta _, multimodalMetaOracle)),
     "multimodal_features" -> ((multimodalFeatures _, multimodalFeaturesOracle)),
     "multimodal_wav" -> ((multimodalWav _, multimodalWavOracle)),
+    "multimodal_audio_vad" -> ((multimodalAudioVad _, multimodalAudioVadOracle)),
     "multimodal_phash" -> ((multimodalPhash _, multimodalPhashOracle)),
     "multimodal_video" -> ((multimodalVideo _, multimodalVideoOracle)),
     "multimodal_resize" -> ((multimodalResize _, multimodalResizeOracle)),

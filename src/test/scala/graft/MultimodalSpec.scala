@@ -150,4 +150,23 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Multimodal.WavDecoder.decode("RIFX".getBytes(US_ASCII) ++ canonical.drop(4), "audio"))
   }
+
+  test("WAV VAD features: energy, zero crossings, framed peak, tail window") {
+    // 10 samples at frame=4 -> frames [4,4,2]; hand-computed:
+    //   energy = 1+4+9+16 + 25+36+49+64 + 100+121 = 425
+    //   frame energies: 30, 174, 221 -> peak 221
+    //   signs: + - + - - + + - - +  -> 6 sign changes
+    val samples = Array[Short](1, -2, 3, -4, -5, 6, 7, -8, -10, 11)
+    val f = new Multimodal.WavVadDecoder(frame = 4)
+      .decode(Multimodal.encodeWavPcm16(8000, 1, samples), "audio")
+    assert(f.toSeq == Seq(10.0, 3.0, 425.0, 6.0, 221.0))
+    // zero is non-negative: 0 -> -1 crosses, -1 -> 0 crosses back
+    val g = new Multimodal.WavVadDecoder(frame = 8)
+      .decode(Multimodal.encodeWavPcm16(8000, 1, Array[Short](0, -1, 0)), "audio")
+    assert(g.toSeq == Seq(3.0, 1.0, 1.0, 2.0, 1.0))
+    // empty clip stays total
+    val e = new Multimodal.WavVadDecoder(frame = 8)
+      .decode(Multimodal.encodeWavPcm16(8000, 1, Array.empty[Short]), "audio")
+    assert(e.toSeq == Seq(0.0, 0.0, 0.0, 0.0, 0.0))
+  }
 }
