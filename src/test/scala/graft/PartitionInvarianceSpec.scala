@@ -39,7 +39,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     "gpu_daily_report",        // two-level nested SQL aggregation
     "asof_join",               // ordered as-of join
     "domain_cap",              // salted two-phase top-N (skew path)
-    "dedup_minhash_lsh")       // banded LSH pair generation
+    "dedup_minhash_lsh",       // banded LSH pair generation
+    "bpe_encode_stats")        // round 13's native-aggregate family:
+                               // trainer aggregate (partial-map merge
+                               // order varies with partitioning) +
+                               // corpus (lang, word) shuffle +
+                               // vocab-sized broadcast join
 
   private def rows(s: org.apache.spark.sql.SparkSession, name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(s, sf)
