@@ -40,6 +40,8 @@ case class KCenterAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.ArrayBuffer[(Long, Array[Long])]] {
 
+  require(k >= 1, s"graft_kcenter needs k >= 1, got $k") // eval always emits the seed
+
   override def children: Seq[Expression] = Seq(idChild, vecChild)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
