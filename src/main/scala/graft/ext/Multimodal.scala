@@ -168,11 +168,6 @@ object Multimodal {
     bb.array()
   }
 
-  /** Real RIFF/WAVE parser: validates the magics, walks the chunk list
-    * (skipping unknown chunks with odd-size padding, per RIFF), reads
-    * the PCM16 `fmt ` block and the `data` samples. Features:
-    * [sample_rate, channels, n_samples, sum, min, max] — integer-exact.
-    */
   /** The shared RIFF/WAVE chunk walk both WAV decoders run: validates
     * the magics, skips unknown chunks with odd-size padding (per RIFF),
     * reads the PCM16 `fmt ` block and the `data` samples.
@@ -211,6 +206,10 @@ object Multimodal {
     (rate, ch, samples)
   }
 
+  /** Real RIFF/WAVE decoder over [[parseWavPcm16]]'s chunk walk.
+    * Features: [sample_rate, channels, n_samples, sum, min, max] —
+    * integer-exact.
+    */
   object WavDecoder extends Decoder {
     def decode(payload: Array[Byte], mediaType: String): Array[Double] = {
       val (rate, ch, samples) = parseWavPcm16(payload)

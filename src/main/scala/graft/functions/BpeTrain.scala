@@ -33,8 +33,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * every word then rewrites left-to-right non-overlapping. Symbols are
   * code-point strings (never UTF-16 code units, so a surrogate pair is
   * one symbol — matching RE2's `.` in the oracle's encoder); tie-break
-  * comparison is Java String order, identical to UTF-8 byte order on
-  * the ASCII fixture vocabulary.
+  * comparison is CODE-POINT order (≡ UTF-8 byte order ≡ DuckDB's
+  * binary collation) for every vocabulary, not Java String order —
+  * the two diverge above the BMP, where UTF-16 surrogates sort a
+  * supplementary symbol below U+E000..U+FFFF
+  * (BpeTrainSpec pins the divergence case).
   */
 case class BpeTrainAgg(
     wordChild: Expression,
@@ -43,6 +46,8 @@ case class BpeTrainAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  require(steps >= 1, s"graft_bpe_train needs steps >= 1, got $steps")
 
   override def children: Seq[Expression] = Seq(wordChild, freqChild)
 
@@ -88,6 +93,23 @@ case class BpeTrainAgg(
     b1
   }
 
+  /** Code-point order — identical to UTF-8 byte order and DuckDB's
+    * binary string collation. Java's `String#compareTo` is UTF-16
+    * code-UNIT order, which sorts supplementary symbols (surrogate
+    * lead 0xD800–0xDBFF) BELOW U+E000..U+FFFF; comparing decoded code
+    * points keeps the tie-break identical to the oracle on every
+    * vocabulary, not just ASCII fixtures.
+    */
+  private def cpLess(a: String, b: String): Boolean = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    i >= a.length && j < b.length // strict prefix sorts first
+  }
+
   private def splitCodePoints(w: String): Array[String] = {
     val out = new mutable.ArrayBuffer[String](w.length)
     var i = 0
@@ -129,7 +151,7 @@ case class BpeTrainAgg(
         var bestC = Long.MinValue
         cnts.foreach { case ((a, b), c) =>
           if (c > bestC || (c == bestC &&
-              (a < bestA || (a == bestA && b < bestB)))) {
+              (cpLess(a, bestA) || (a == bestA && cpLess(b, bestB))))) {
             bestA = a; bestB = b; bestC = c
           }
         }
@@ -208,7 +230,8 @@ object BpeTrainAgg {
     */
   val builder: Seq[Expression] => Expression = {
     case Seq(w, f, s) if s.foldable =>
-      BpeTrainAgg(w, f, s.eval().asInstanceOf[Int]).toAggregateExpression()
+      BpeTrainAgg(w, f, LiteralArgs.int(s, "graft_bpe_train", "steps"))
+        .toAggregateExpression()
     case other => throw new IllegalArgumentException(
       s"graft_bpe_train expects (word, freq, <literal steps>), got $other")
   }

@@ -68,8 +68,23 @@ case class KCenterAgg(
       input: InternalRow): mutable.ArrayBuffer[(Long, Array[Long])] = {
     val id = idChild.eval(input)
     val v = vecChild.eval(input)
-    if (id != null && v != null)
-      buf += ((id.asInstanceOf[Long], v.asInstanceOf[ArrayData].toLongArray()))
+    if (id != null && v != null) {
+      // the declared type admits containsNull=true (transform() over a
+      // parquet list column propagates element nullability), but a null
+      // COMPONENT has no distance semantics — toLongArray() would NPE on
+      // GenericArrayData or silently read 0 from UnsafeArrayData, so
+      // check per element and fail with the offending position instead
+      val ad = v.asInstanceOf[ArrayData]
+      val n = ad.numElements()
+      val arr = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        if (ad.isNullAt(i)) throw new IllegalArgumentException(
+          s"graft_kcenter: null element at position $i of vec for id=$id")
+        arr(i) = ad.getLong(i); i += 1
+      }
+      buf += ((id.asInstanceOf[Long], arr))
+    }
     buf
   }
 
@@ -161,7 +176,8 @@ object KCenterAgg {
     */
   val builder: Seq[Expression] => Expression = {
     case Seq(id, v, k) if k.foldable =>
-      KCenterAgg(id, v, k.eval().asInstanceOf[Int]).toAggregateExpression()
+      KCenterAgg(id, v, LiteralArgs.int(k, "graft_kcenter", "k"))
+        .toAggregateExpression()
     case other => throw new IllegalArgumentException(
       s"graft_kcenter expects (id, vec, <literal k>), got $other")
   }

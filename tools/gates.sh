@@ -74,7 +74,7 @@ fi
 # still possible — regenerate here and fail on any uncommitted drift.
 echo "== PLANS.md regeneration check"
 sbt -batch "runMain graft.ExplainAudit"
-if ! git diff --quiet -- PLANS.md; then
+if ! git diff --quiet HEAD -- PLANS.md; then
   echo "PLANS.md is stale: regeneration produced a diff — commit it"
   git --no-pager diff --stat -- PLANS.md
   exit 4
