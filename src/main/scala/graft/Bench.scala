@@ -27,6 +27,33 @@ import org.apache.spark.sql.SparkSession
   * failures are visible in the JSON rather than silently counted as fast.
   */
 object Bench {
+
+  /** Minimal reader for BASELINE_PERQUERY.json (written by
+    * tools/make_ledger.py — a flat name→seconds map plus a
+    * total_median scalar; no JSON library on the classpath, and the
+    * ledger's shape is under this repo's control). Returns empty/None
+    * when the file is absent or unreadable — budgets then fall back to
+    * the flat constants and no ratio is emitted.
+    */
+  private def readLedger(): (Map[String, Double], Option[Double]) =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BASELINE_PERQUERY.json")),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val open = txt.indexOf('{', txt.indexOf("\"queries\""))
+      val body = txt.substring(open + 1, txt.indexOf('}', open))
+      val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r
+      val qs = entry.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val tm = """"total_median"\s*:\s*([0-9.eE+-]+)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toDouble)
+      (qs, tm)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"BENCH LEDGER unreadable: ${e.getMessage}")
+        (Map.empty[String, Double], None)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
@@ -138,20 +165,25 @@ object Bench {
     // per-query budget check (round-8 verdict item): a single query
     // above budget steady-state is a plan-weight outlier worth a look
     // before it becomes the next round's tail — warn loudly, don't fail.
-    // Stream gates carry a higher budget set to their MEASURED floor:
-    // the round-12 audit pinned micro-batch cost at ~0.5-0.6 s of
-    // addBatch machinery per cycle (tmpfs A/B ruled out checkpoint
-    // fsyncs), and the three heaviest gates run the minimum cycles
-    // their contracts allow (quantile_sketch_stream deliberately splits
-    // data across two batches to exercise the cross-batch merge; the
-    // two join gates hold state on both sides) — 3 cycles × ~0.6 s =
-    // the 1.8 s floor. A budget every healthy run trips is a wrong
-    // budget; per-query REGRESSIONS are the ledger's job
-    // (BASELINE_PERQUERY.json, tools/perquery_check.py).
+    // Round 14: the budget derives from the committed per-query ledger
+    // (BASELINE_PERQUERY.json, median of 3 standalone full packs) —
+    // 1.5× a query's own ledger median with a 0.25 s absolute floor,
+    // the same rule tools/perquery_check.py applies post-run. The old
+    // flat 1.5 s batch / 1.8 s stream constants (kept as the fallback
+    // for queries the ledger hasn't recorded yet) tripped on
+    // substr_dedup in every healthy official run at only 1.40× its own
+    // ledger — a budget every healthy run trips is a wrong budget.
+    // The stream gates' measured 1.8 s addBatch floor (round-12 tmpfs
+    // A/B) is inside their ledger entries, so no special case remains.
+    val (ledger, ledgerTotal) = readLedger()
     results.sortBy(-_._2).foreach { case (n, v) =>
-      val budget = if (n.endsWith("_stream")) 1.8 else 1.5
+      val budget = ledger.get(n) match {
+        case Some(base) => math.max(0.25, 1.5 * base)
+        case None => if (n.endsWith("_stream")) 1.8 else 1.5
+      }
       if (v > budget)
-        System.err.println(f"BENCH BUDGET $n%-28s ${v}%.3f s > $budget%.1f s")
+        System.err.println(f"BENCH BUDGET $n%-28s ${v}%.3f s > $budget%.2f s" +
+          ledger.get(n).map(b => f" (ledger ${b}%.3f s)").getOrElse(" (no ledger entry)"))
     }
     def ms(v: Double): String = // Locale.ROOT: a comma decimal point is not JSON
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -168,11 +200,19 @@ object Bench {
     // So: the full per-query map goes to BENCH_FULL.json on disk, and the
     // printed line carries the headline total plus as many slowest-first
     // query entries as fit a conservative char budget.
+    // the official-vs-standalone inflation factor, recorded per run
+    // instead of cited from memory: this run's total over the ledger's
+    // standalone-median total — the margin analysis reads it straight
+    // from BENCH_rN.json. Absent when no ledger exists or when
+    // SPARK_GRAFT_ONLY subset the pack (a subset total over the
+    // full-pack median is not a ratio of anything).
+    val ratioJson = ledgerTotal.filter(t => t > 0 && only.isEmpty)
+      .map(t => s""","ledger_ratio":${ms(total / t)}""").getOrElse("")
     val slowestFirst = results.toSeq.sortBy { case (_, v) => -math.abs(v) }
     val fullQs = slowestFirst.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size}$ratioJson,"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -191,7 +231,7 @@ object Bench {
       if (!full && inline.length + entry.length <= budget) inline.append(entry)
       else { full = true; omitted += 1 }
     }
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"queries":{${inline.result()}},"queries_omitted":$omitted,"full":"BENCH_FULL.json","failed":$failedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size}$ratioJson,"queries":{${inline.result()}},"queries_omitted":$omitted,"full":"BENCH_FULL.json","failed":$failedJson,"sf":"$sfDir"}"""
     spark.stop()
     System.out.println(line)
     System.out.flush()

@@ -28,7 +28,10 @@ cd "$(dirname "$0")/.."
 run_bench() {
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     sbt -batch "runMain graft.Bench" | grep -F '"metric"' | tee /tmp/graft_gate_bench.json
-  python3 tools/perquery_check.py BENCH_FULL.json
+  # --strict-keys: fail (exit 4) when the registered query set differs
+  # from the ledger's key set — a pack change with a forgotten
+  # tools/make_ledger.sh regen would silently un-guard the new queries
+  python3 tools/perquery_check.py --strict-keys BENCH_FULL.json
 }
 # Exit codes: 0 ok, 1 ceiling breach (retryable), 2 failed queries
 # (a bug — fail immediately), 3 unparseable bench output (a harness

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Rebuild BASELINE_PERQUERY.json from N standalone BENCH_FULL.json runs.
+
+Usage: make_ledger.py <bench_full_1.json> [<bench_full_2.json> ...]
+
+Takes the per-query MEDIAN across the given runs (median of 3 is the
+protocol — robust to one contended sample without needing more packs),
+writes the ledger consumed by tools/perquery_check.py and graft.Bench's
+per-query budget check, and prints a diff summary against the previous
+ledger so a regeneration is reviewable: queries added, removed, and
+those whose median moved by more than 25% (the box-noise band).
+
+Failed queries (negative seconds in a run) disqualify that run — a
+ledger must only ever be cut from green trees.
+"""
+import json
+import re
+import statistics
+import sys
+
+LEDGER = "BASELINE_PERQUERY.json"
+
+
+def load(path):
+    line = open(path).read().strip().splitlines()[-1]
+    rec = json.loads(re.sub(r"^\[info\] ", "", line))
+    if rec.get("failed"):
+        sys.exit(f"make_ledger: {path} has failed queries {rec['failed']} — "
+                 "ledgers are cut from green trees only")
+    return rec
+
+
+def main():
+    runs = [load(p) for p in sys.argv[1:]]
+    if len(runs) < 2:
+        sys.exit("make_ledger: need at least 2 bench runs (protocol: 3)")
+    keysets = [set(r["queries"]) for r in runs]
+    if any(ks != keysets[0] for ks in keysets):
+        sys.exit("make_ledger: runs disagree on the query set — "
+                 "all runs must come from the same tree")
+    queries = {name: round(statistics.median(
+                   abs(r["queries"][name]) for r in runs), 3)
+               for name in sorted(keysets[0])}
+    totals = sorted(round(r["value"], 1) for r in runs)
+    try:
+        old = json.load(open(LEDGER))["queries"]
+    except (FileNotFoundError, KeyError):
+        old = {}
+    added = sorted(set(queries) - set(old))
+    removed = sorted(set(old) - set(queries))
+    moved = sorted((name, old[name], queries[name])
+                   for name in set(queries) & set(old)
+                   if old[name] > 0 and
+                   not 0.75 <= queries[name] / old[name] <= 1.25
+                   and max(queries[name], old[name]) > 0.25)
+    ledger = {
+        "note": ("Per-query baseline ledger: median of %d standalone "
+                 "full-pack Bench runs at sf0.1 (totals %s). Consumed by "
+                 "tools/perquery_check.py (>1.5x + 0.25 s floor) on every "
+                 "gates.sh bench reading and by graft.Bench's per-query "
+                 "budget warning (max(0.25 s, 1.5x ledger)). Regenerate "
+                 "with tools/make_ledger.sh whenever the pack or a plan "
+                 "deliberately changes; gates.sh fails if the registered "
+                 "query set drifts from this file's key set."
+                 % (len(runs), " / ".join(f"{t:.1f}" for t in totals))),
+        "queries": queries,
+        "samples": len(runs),
+        "total_median": round(statistics.median(r["value"] for r in runs), 1),
+    }
+    with open(LEDGER, "w") as f:
+        json.dump(ledger, f, indent=1, sort_keys=False)
+        f.write("\n")
+    print(f"ledger: {len(queries)} queries from {len(runs)} runs, "
+          f"total_median {ledger['total_median']} s (totals: "
+          + ", ".join(f"{t:.1f}" for t in totals) + ")")
+    if added:
+        print(f"ledger: +{len(added)} added: {', '.join(added)}")
+    if removed:
+        print(f"ledger: -{len(removed)} removed: {', '.join(removed)}")
+    for name, o, n in moved:
+        print(f"ledger: moved {name}: {o:.3f} -> {n:.3f} s ({n / o:.2f}x)")
+    if not (added or removed or moved):
+        print("ledger: no query added/removed/moved beyond the 25% band")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Per-query regression report against the committed baseline ledger.
 
-Usage: perquery_check.py <BENCH_FULL.json> [BASELINE_PERQUERY.json]
+Usage: perquery_check.py [--strict-keys] <BENCH_FULL.json> [BASELINE_PERQUERY.json]
 
 Compares a bench run's per-query seconds against the ledger (median of 3
 standalone full-pack runs on a known-green tree) and names every query
@@ -9,9 +9,15 @@ above THRESH x its ledger entry — so a real per-query regression is
 named by the gate instead of excavated from a +N s total by hand.
 Box-noise discipline: only queries above an absolute floor are flagged
 (a 0.05->0.12 s swing is scheduler noise, not a plan change), and the
-exit code is always 0 — the TOTAL ceiling in gates.sh stays the gate;
-this report exists to attribute a breach, not to add a second one.
-New queries (absent from the ledger) are listed informationally.
+exit code is 0 — the TOTAL ceiling in gates.sh stays the gate; this
+report exists to attribute a breach, not to add a second one.
+
+The ONE exception is --strict-keys (gates.sh passes it): when the bench
+run's query set differs from the ledger's key set, exit 4. A pack
+change with a forgotten ledger regen would otherwise silently un-guard
+the new queries — the PLANS.md-staleness treatment, applied to the
+ledger. Fix by running tools/make_ledger.sh and committing the result.
+Without --strict-keys, new queries are listed informationally.
 """
 import json
 import re
@@ -27,8 +33,10 @@ def load(path):
 
 
 def main():
-    bench = load(sys.argv[1])
-    ledger_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE_PERQUERY.json"
+    args = [a for a in sys.argv[1:] if a != "--strict-keys"]
+    strict = "--strict-keys" in sys.argv[1:]
+    bench = load(args[0])
+    ledger_path = args[1] if len(args) > 1 else "BASELINE_PERQUERY.json"
     try:
         ledger = json.loads(open(ledger_path).read())["queries"]
     except FileNotFoundError:
@@ -53,6 +61,15 @@ def main():
     if new:
         print(f"perquery: {len(new)} queries not in ledger (new since "
               f"baseline): {', '.join(sorted(new))}")
+    gone = sorted(set(ledger) - set(qs))
+    if gone:
+        print(f"perquery: {len(gone)} ledger entries with no bench reading "
+              f"(removed or renamed): {', '.join(gone)}")
+    if strict and (new or gone):
+        print("perquery: STALE LEDGER — the registered query set differs "
+              "from the ledger's key set; run tools/make_ledger.sh and "
+              "commit BASELINE_PERQUERY.json")
+        sys.exit(4)
 
 
 if __name__ == "__main__":
