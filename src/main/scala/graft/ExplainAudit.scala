@@ -76,7 +76,14 @@ object ExplainAudit {
     // round 13 tail: greedy k-center diversity selection over the
     // deterministic bottom-k sample, and windowed audio VAD features
     // over the real PCM decode
-    "diversity_kcenter", "multimodal_audio_vad")
+    "diversity_kcenter", "multimodal_audio_vad",
+    // round 14: the trained IVF+PQ serving shape (coarse quantizer +
+    // PQ codes + ADC) at both probe settings, its recall audit beside
+    // emb_recall_trained, the cross-modal caption↔media pairing audit,
+    // and canonical-representative selection over the session-scoped
+    // component frame
+    "ann_ivfpq_trained", "ann_ivfpq_trained_mp", "emb_recall_ivfpq",
+    "caption_media_join", "dedup_keep_best")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -175,6 +175,48 @@ class ScaleProbeSpec extends SparkSpec {
       graft.queries.ExtQueries.diversityKcenter)
   }
 
+  test("ann_ivfpq_trained stays <= linear: cell-pruned ADC over 8-byte codes") {
+    // the serving path is queries x broadcast(LUTs) joined to ONE
+    // trained cell's slice of the code table — candidates per query
+    // are ~|corpus|/K (linear in the decade) at M=8 integer lookups
+    // each. After clearCache the index artifacts honestly
+    // re-materialize: k-means trainer (linear, see emb_kmeans_full),
+    // PQ encode (map-only over the corpus), and their cell-keyed join.
+    // A regression that lost the cell equi-join (ADC over the whole
+    // code table) or re-ranked exact vectors would blow the bound
+    ratioCheck("ann_ivfpq_trained", LinearBound)(
+      graft.queries.ExtQueries.annIvfPqTrained)
+  }
+
+  test("ann_ivfpq_trained_mp stays <= linear: 2-cell ADC over 8-byte codes") {
+    // the nProbe=2 twin of ann_ivfpq_trained: candidates double to
+    // ~2·|corpus|/K but stay decade-linear; routing adds one
+    // queries×K broadcast cross join (constant-sized). A regression
+    // that lost the cell equi-join or re-ranked exact vectors blows
+    // the bound
+    ratioCheck("ann_ivfpq_trained_mp", LinearBound)(
+      graft.queries.ExtQueries.annIvfPqTrainedMp)
+  }
+
+  test("dedup_keep_best cost is |components|-linear over session state") {
+    // the component frame is a session artifact (built once, here
+    // honestly re-built after clearCache); the per-call plan is one
+    // doc_id equi-join plus one hash aggregate whose argmax is a
+    // min(struct) — map-side combinable, so the shuffle carries
+    // |components| rows, not the corpus
+    ratioCheck("dedup_keep_best", LinearBound)(
+      graft.queries.ExtQueries.dedupKeepBest)
+  }
+
+  test("caption_media_join stays <= linear: two map-side scans, one join") {
+    // both feature sides are map-only over their scans (the image
+    // decode is mapPartitions with per-payload cost bounded by the
+    // fixture's <=48-pixel images) and meet in exactly one equi-join
+    // on doc_id — nothing in the plan can grow faster than rows
+    ratioCheck("caption_media_join", LinearBound)(
+      graft.queries.ExtQueries.captionMediaJoin)
+  }
+
   test("quantile_sketch_grouped cost is |groups|-linear, not corpus-sorted") {
     // amplified events multiply USERS (offset ids), not days/types: the
     // group count is unchanged while rows grow 30x — the windowed
