@@ -957,9 +957,12 @@ object ExtQueries {
     * for what dropping the rest saves (the dropped members' character
     * mass). Reads the component frame as session state
     * ([[cachedDedupComponents]]), so the per-call plan is one
-    * doc_id-keyed join plus one hash aggregate: the argmax rides
-    * min(struct(-q, doc_id, …)) — lexicographic = (q desc, doc_id asc)
-    * — which partial-aggregates map-side; no window, no sort exchange.
+    * doc_id-keyed join plus one aggregation: the argmax rides
+    * min(struct(-q, doc_id, …)) — lexicographic = (q desc, doc_id asc),
+    * the [[kmeansAssign]] argmin trick — which partial-aggregates
+    * map-side (the shuffle carries |components| rows; the
+    * SortAggregate's sort is per-partition), where a window argmax
+    * would shuffle and fully sort the corpus.
     * At 100 TB components and quality features are both doc_id-keyed
     * (bucket both and the join is shuffle-free) and the output is
     * |components| rows.

@@ -224,6 +224,52 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("InMemoryTableScan"), plan.take(1200))
   }
 
+  test("ann_ivfpq_trained: LUT+cell side broadcast, ADC probe equi-join on cell") {
+    val plan = finalPlan(SparkEntry.queries("ann_ivfpq_trained")(spark, sf))
+    // queries (LUTs joined to their trained cells) broadcast; the probe
+    // is a hash join on the trained cell key against the cell-keyed
+    // code table — a cartesian here would ADC-score the whole corpus,
+    // the exact cost the inverted file exists to avoid
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    // codes, cells, and LUTs all serve from session state
+    assert(plan.contains("InMemoryTableScan"), plan.take(1200))
+  }
+
+  test("ann_ivfpq_trained_mp: routed LUT side broadcast, ADC probe equi-join") {
+    val plan = finalPlan(SparkEntry.queries("ann_ivfpq_trained_mp")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(plan.contains("InMemoryTableScan"), plan.take(1200))
+  }
+
+  test("caption_media_join: two map-side feature scans meet in one equi-join") {
+    val plan = finalPlan(SparkEntry.queries("caption_media_join")(spark, sf))
+    // both feature sides are map-only over their (cached) scans; the
+    // pairing audit is exactly one doc_id equi-join — no cartesian, no
+    // window pass, no aggregation
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("Window"), plan.take(1200))
+    assert(!plan.contains("HashAggregate"), plan.take(1200))
+    assert(plan.contains("Join"), plan.take(1200))
+  }
+
+  test("dedup_keep_best: argmax partial-aggregates map-side, no window pass") {
+    val plan = finalPlan(SparkEntry.queries("dedup_keep_best")(spark, sf))
+    // the keep rule rides min(struct(-q, doc_id, ...)) inside the
+    // component aggregation (a SortAggregate over a LOCAL per-partition
+    // sort, same as the k-means argmin) — the scale property is the
+    // partial_min before the exchange: the shuffle carries |components|
+    // rows, where a window argmax would shuffle and sort the corpus and
+    // the partial_min would vanish from the plan. (A !Window assert
+    // would false-positive on the component memo's cached BUILD plan,
+    // which InMemoryTableScan prints as inner children.)
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(plan.contains("partial_min"), plan.take(1200))
+    // the component frame serves from session state, not a CC re-run
+    assert(plan.contains("InMemoryTableScan"), plan.take(1200))
+  }
+
   test("trained artifacts: cells derives from the persisted centroid relation") {
     // the round-12 trainer-once contract, pinned structurally: the
     // trained assignment frame's OWN cached plan must READ the centroid
