@@ -40,11 +40,21 @@ class PartitionInvarianceSpec extends SparkSpec {
     "asof_join",               // ordered as-of join
     "domain_cap",              // salted two-phase top-N (skew path)
     "dedup_minhash_lsh",       // banded LSH pair generation
-    "bpe_encode_stats")        // round 13's native-aggregate family:
+    "bpe_encode_stats",        // round 13's native-aggregate family:
                                // trainer aggregate (partial-map merge
                                // order varies with partitioning) +
                                // corpus (lang, word) shuffle +
                                // vocab-sized broadcast join
+    "ann_ivfpq_trained",       // round 14's layered-artifact serving
+                               // path: k-means cells + PQ codes +
+                               // their cell-keyed join all rebuilt
+                               // from scratch in the second session,
+                               // then ADC ranked (integer ties →
+                               // vec_id tie-break)
+    "dedup_keep_best")         // min(struct) argmax over the CC
+                               // component memo (iteration order and
+                               // partial-combine order both vary with
+                               // partitioning)
 
   private def rows(s: org.apache.spark.sql.SparkSession, name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(s, sf)
