@@ -3680,7 +3680,7 @@ object ExtQueries {
     * never re-executes — the lineage reads their InMemoryRelations,
     * per the [[cachedKmeansCells]] persist-parents-first discipline.
     */
-  private def cachedIvfPqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def cachedIvfPqCodes(spark: SparkSession, sfDir: String): DataFrame = {
     // parents first, EVERY call: after an external clearCache the guard
     // below re-persists this frame, and both parents must already be
     // re-registered for its lineage to read them

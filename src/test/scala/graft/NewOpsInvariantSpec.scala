@@ -206,6 +206,42 @@ class NewOpsInvariantSpec extends SparkSpec {
     assert(again.count() == direct.count())
   }
 
+  test("ivfpq trained artifact: code table derives from both persisted parents") {
+    // the round-12 trainer-once contract extended to the DERIVED
+    // artifact: after a cold cache, building the cell-keyed code table
+    // must READ its two parents' InMemoryRelations (PQ code table +
+    // trained cell assignment), not re-embed the PQ encode or the
+    // trainer DAG — a memo whose lineage re-embeds a parent
+    // materializes that parent twice (CacheManager substitutes cached
+    // fragments into consumers, never the reverse)
+    spark.catalog.clearCache()
+    val codes = graft.queries.ExtQueries.cachedIvfPqCodes(spark, sf)
+    val imr = codes.queryExecution.withCachedData.collectFirst {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(imr.nonEmpty, "ivfpq code table is not served from an InMemoryRelation")
+    val inner = imr.get.cachedPlan.toString
+    val scans = "InMemoryTableScan".r.findAllIn(inner).length
+    assert(scans >= 2, s"ivfpq code table's cached plan reads $scans parent " +
+      s"relations, expected both:\n${inner.take(1200)}")
+  }
+
+  test("ivfpq probe dominance: 2-probe ADC top-k is rankwise <= 1-probe") {
+    // the trained cell's candidates are a SUBSET of the two probed
+    // cells' (probe 1 is the training assignment), so at every rank the
+    // multi-probe distance cannot exceed the single-probe distance —
+    // the structural "second probe only helps" guarantee the
+    // recall-vs-cost curve relies on
+    def byRank(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rk")) ->
+        r.getAs[Long]("adc_dist")).toMap
+    val p1 = byRank(graft.queries.ExtQueries.annIvfPqTrained(spark, sf))
+    val p2 = byRank(graft.queries.ExtQueries.annIvfPqTrainedMp(spark, sf))
+    assert(p1.keySet == p2.keySet)
+    p1.foreach { case (k, d1) =>
+      assert(p2(k) <= d1, s"(qid, rk)=$k: mp=${p2(k)} > p1=$d1") }
+  }
+
   test("snapshot_diff: statuses partition the churn rule exactly") {
     val out = graft.queries.ExtQueries.snapshotDiff(spark, sf)
     val byStatus = out.groupBy(col("status")).count()
