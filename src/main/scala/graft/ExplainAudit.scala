@@ -83,7 +83,10 @@ object ExplainAudit {
     // and canonical-representative selection over the session-scoped
     // component frame
     "ann_ivfpq_trained", "ann_ivfpq_trained_mp", "emb_recall_ivfpq",
-    "caption_media_join", "dedup_keep_best")
+    "caption_media_join", "dedup_keep_best",
+    // round 14 tail: the filter-overlap Venn (quality × language ×
+    // near-dup) — the stage-ordering diagnostic
+    "filter_agreement")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -652,26 +652,33 @@ object ExtQueries {
       (pred === col("lang")).as("correct"))
   }
 
-  val langIdOracle: String = {
-    val score = langMarkers.map { case (l, ms) =>
-      val cond = ms.map(m => s"t = '$m'").mkString(" OR ")
-      s"len(list_filter(string_split(lower(text), ' '), t -> $cond)) AS s_$l"
-    }.mkString(",\n         ")
+  /** The marker-score projection and argmax CASE of [[langIdOracle]],
+    * factored so the filter-overlap Venn ([[filterAgreementOracle]])
+    * replays the identical classifier.
+    */
+  private def langScoreSql: String = langMarkers.map { case (l, ms) =>
+    val cond = ms.map(m => s"t = '$m'").mkString(" OR ")
+    s"len(list_filter(string_split(lower(text), ' '), t -> $cond)) AS s_$l"
+  }.mkString(",\n         ")
+
+  private def langPredSql: String = {
     val langs = langMarkers.map(_._1)
-    val pred = langs.init.map { l =>
+    langs.init.map { l =>
       val isMax = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
       s"WHEN $isMax THEN '$l'"
     }.mkString(" ", "\n  ", s"\n  ELSE '${langs.last}'")
+  }
+
+  val langIdOracle: String =
     s"""WITH s AS (
        |  SELECT doc_id, lang,
-       |         $score
+       |         $langScoreSql
        |  FROM documents
        |)
        |SELECT doc_id, lang,
-       |       CASE$pred END AS predicted,
-       |       (CASE$pred END) = lang AS correct
+       |       CASE$langPredSql END AS predicted,
+       |       (CASE$langPredSql END) = lang AS correct
        |FROM s""".stripMargin
-  }
 
   /** Classifier audit for the language-ID heuristic: the confusion
     * matrix of [[langId]]'s prediction against the labeled `lang`
@@ -4845,22 +4852,28 @@ object ExtQueries {
     * rows) folds them into counters, and stack() unpivots the single
     * result row into the census — the corpus is scanned exactly once.
     */
+  /** The five per-document Gopher rule booleans over the `text` column —
+    * one definition shared by the per-rule census ([[gopherRules]]) and
+    * the filter-overlap Venn ([[filterAgreement]]).
+    */
+  private def gopherRuleExprs: Seq[Column] = {
+    val toks = TextOps.tokens(col("text"))
+    val n = size(toks).cast("long")
+    val sumlen = length(regexp_replace(lower(col("text")), " ", "")).cast("long")
+    val u = size(array_distinct(toks)).cast("long")
+    val nstop = size(array_intersect(array_distinct(toks),
+      array(GopherStop.map(lit): _*))).cast("long")
+    val maxlen = array_max(transform(toks, w => length(w))).cast("long")
+    Seq(n >= 20 && n <= 80,
+      sumlen >= n * 3 && sumlen <= n * 5,
+      u * 2 >= n,
+      nstop >= 2,
+      maxlen <= 7)
+  }
+
   def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = docs(spark, sfDir).select(
-      size(TextOps.tokens(col("text"))).cast("long").as("n"),
-      length(regexp_replace(lower(col("text")), " ", "")).cast("long")
-        .as("sumlen"),
-      size(array_distinct(TextOps.tokens(col("text")))).cast("long").as("u"),
-      size(array_intersect(array_distinct(TextOps.tokens(col("text"))),
-        array(GopherStop.map(lit): _*))).cast("long").as("nstop"),
-      array_max(transform(TextOps.tokens(col("text")), w => length(w)))
-        .cast("long").as("maxlen"))
-    val f = t.select(
-      (col("n") >= 20 && col("n") <= 80).as("r1"),
-      (col("sumlen") >= col("n") * 3 && col("sumlen") <= col("n") * 5).as("r2"),
-      (col("u") * 2 >= col("n")).as("r3"),
-      (col("nstop") >= 2).as("r4"),
-      (col("maxlen") <= 7).as("r5"))
+    val f = docs(spark, sfDir).select(
+      gopherRuleExprs.zipWithIndex.map { case (c, i) => c.as(s"r${i + 1}") }: _*)
     f.agg(
         count(lit(1)).as("n_total"),
         sum(when(!col("r1"), 1L).otherwise(0L)).as("f1"),
@@ -4914,6 +4927,91 @@ object ExtQueries {
       |         unnest([f1, f2, f3, f4, f5, fall]) AS n_fail, n_total
       |  FROM agg
       |)""".stripMargin
+  }
+
+  /** Filter-overlap Venn — the STAGE-ORDERING diagnostic every published
+    * curation pipeline (C4, Gopher, RefinedWeb) reports before composing
+    * its stages: the 2³ contingency of three independent per-document
+    * gates — structural quality (all five [[gopherRules]] booleans),
+    * language agreement ([[langId]]'s prediction matches the labeled
+    * `lang` — the metadata-vs-content check), and near-dup status (the
+    * doc is not its component's representative, from the session-scoped
+    * [[cachedDedupComponents]] frame). The overlap mass answers the
+    * ordering question directly: documents dedup would drop AND quality
+    * would drop anyway are the savings of running the cheap filter
+    * first. Scale shape: the two gate signals are map-only projections
+    * over one corpus scan each, the dup flag is a doc_id-keyed join to
+    * the persisted component artifact, and everything folds map-side
+    * into the ≤8-cell grid before the shuffle; the corpus total rides a
+    * broadcast one-row frame. At 100 TB: three doc_id-keyed inputs —
+    * bucket them and the joins are shuffle-free.
+    */
+  def filterAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val g = docs(spark, sfDir).select(col("doc_id"),
+      gopherRuleExprs.reduce(_ && _).as("gopher_pass"))
+    val l = langId(spark, sfDir).select(col("doc_id"),
+      col("correct").as("lang_ok"))
+    val dup = cachedDedupComponents(spark, sfDir)
+      .select(col("doc_id"), (col("doc_id") =!= col("component")).as("is_dup"))
+    val total = docs(spark, sfDir).agg(count(lit(1)).as("t"))
+    g.join(l, "doc_id").join(dup, "doc_id")
+      .groupBy(col("gopher_pass"), col("lang_ok"), col("is_dup"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .select(col("gopher_pass"), col("lang_ok"), col("is_dup"),
+        col("n_docs"), expr("n_docs * 10000 div t").as("share_bp"))
+  }
+
+  val filterAgreementOracle: String = {
+    val stop = GopherStop.map(s => s"'$s'").mkString("[", ",", "]")
+    simhashCte(32).replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      s"""
+        |, exact_edges AS (
+        |  SELECT min(doc_id) OVER (PARTITION BY fp) AS doc_a, doc_id AS doc_b
+        |  FROM (SELECT doc_id,
+        |               substr(md5(replace(lower(text), ' ', '')), 1, 16) AS fp
+        |        FROM documents)
+        |  QUALIFY doc_a <> doc_b
+        |), sim_edges AS (
+        |  SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        |), edges AS (
+        |  SELECT doc_a, doc_b FROM exact_edges
+        |  UNION SELECT doc_a, doc_b FROM sim_edges
+        |  UNION SELECT doc_b, doc_a FROM exact_edges
+        |  UNION SELECT doc_b, doc_a FROM sim_edges
+        |), reach AS (
+        |  SELECT doc_id AS doc, doc_id AS root FROM documents
+        |  UNION
+        |  SELECT e.doc_b, r.root FROM reach r JOIN edges e ON e.doc_a = r.doc
+        |), comp AS (
+        |  SELECT doc AS doc_id, min(root) AS component FROM reach GROUP BY doc
+        |), gp AS (
+        |  SELECT doc_id,
+        |         ((len(a) BETWEEN 20 AND 80)
+        |          AND len(replace(lt, ' ', '')) >= 3 * len(a)
+        |          AND len(replace(lt, ' ', '')) <= 5 * len(a)
+        |          AND 2 * len(list_distinct(a)) >= len(a)
+        |          AND len(list_intersect(list_distinct(a), $stop)) >= 2
+        |          AND list_aggregate(list_transform(a, w -> len(w)), 'max') <= 7)
+        |           AS gopher_pass
+        |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS a,
+        |               lower(text) AS lt
+        |        FROM documents)
+        |), lp AS (
+        |  SELECT doc_id, (CASE$langPredSql END) = lang AS lang_ok
+        |  FROM (SELECT doc_id, lang,
+        |               $langScoreSql
+        |        FROM documents)
+        |), dp AS (
+        |  SELECT doc_id, doc_id <> component AS is_dup FROM comp
+        |), tot AS (SELECT count(*) AS t FROM documents)
+        |SELECT g.gopher_pass, l.lang_ok, d.is_dup,
+        |       count(*) AS n_docs,
+        |       CAST(count(*) * 10000 // min(tot.t) AS BIGINT) AS share_bp
+        |FROM gp g
+        |JOIN lp l USING (doc_id)
+        |JOIN dp d USING (doc_id), tot
+        |GROUP BY 1, 2, 3""".stripMargin
   }
 
   /** Hashed-feature bucket count for DSIR: md5 of the bigram folded to
@@ -5972,6 +6070,7 @@ object ExtQueries {
     "emb_recall_at_k" -> ((embRecallAtK _, embRecallAtKOracle)),
     "unimax_alloc" -> ((unimaxAlloc _, unimaxAllocOracle)),
     "gopher_rules" -> ((gopherRules _, gopherRulesOracle)),
+    "filter_agreement" -> ((filterAgreement _, filterAgreementOracle)),
     "doc_winnow" -> ((docWinnow _, docWinnowOracle)),
     "winnow_neardup" -> ((winnowNeardup _, winnowNeardupOracle)),
     "dsir_weights" -> ((dsirWeights _, dsirWeightsOracle)),

@@ -217,6 +217,15 @@ class ScaleProbeSpec extends SparkSpec {
       graft.queries.ExtQueries.captionMediaJoin)
   }
 
+  test("filter_agreement stays <= linear: map-only gates into an 8-cell grid") {
+    // both gate signals are map-only projections, the dup flag is one
+    // doc_id equi-join to the (re-built after clearCache) component
+    // artifact, and the grid aggregation partial-combines to <= 8 cells
+    // before the shuffle — nothing in the plan can outgrow the corpus
+    ratioCheck("filter_agreement", LinearBound)(
+      graft.queries.ExtQueries.filterAgreement)
+  }
+
   test("quantile_sketch_grouped cost is |groups|-linear, not corpus-sorted") {
     // amplified events multiply USERS (offset ids), not days/types: the
     // group count is unchanged while rows grow 30x — the windowed
