@@ -18,9 +18,15 @@ import org.apache.spark.sql.types._
   * (custom Expression with doGenCode > UDF).
   *
   * Semantics are identical to the fold: sum over min(len) of a(i)*b(i),
-  * so DuckDB oracles are unaffected. Inputs are expected null-free
-  * (quantized vectors); a null array yields null via BinaryExpression's
-  * default null handling.
+  * so DuckDB oracles are unaffected. A null ARRAY yields null via
+  * BinaryExpression's default null handling; a null ELEMENT fails with
+  * its position — before round 14 it read 0 from UnsafeArrayData but
+  * NPE'd from GenericArrayData (representation-dependent wrong
+  * distances from the SQL surface, the KCenterAgg defect class). The
+  * declared type must stay lenient (`containsNull = true`): quantized
+  * vectors come out of `transform`, which propagates the parquet
+  * element nullability. When BOTH inputs are provably null-free the
+  * generated loop carries no per-element checks.
   */
 case class DotProductQ(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -39,13 +45,28 @@ case class DotProductQ(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_dotq"
 
+  @transient private lazy val mayHaveNullElements: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var s = 0L
     var i = 0
-    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    if (mayHaveNullElements) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i))
+          throw DotProductQ.nullElement(i)
+        s += x.getLong(i) * y.getLong(i); i += 1
+      }
+    } else {
+      while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    }
     s
   }
 
@@ -54,11 +75,17 @@ case class DotProductQ(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val check = if (mayHaveNullElements)
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+           |    throw graft.functions.DotProductQ.nullElement($i);
+           |  }
+           |  """.stripMargin
+      else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getLong($i) * $b.getLong($i);
+         |  $check$s += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -71,6 +98,13 @@ case class DotProductQ(left: Expression, right: Expression)
 
 object DotProductQ {
   val info = new ExpressionInfo(classOf[DotProductQ].getName, "graft_dotq")
+
+  /** Called from generated code — must be public and return (never
+    * declare) the throwable so the codegen template stays one statement.
+    */
+  def nullElement(i: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"graft_dotq: null element at position $i (quantized vectors must be null-free)")
 
   val builder: Seq[Expression] => Expression = {
     case Seq(a, b) => DotProductQ(a, b)

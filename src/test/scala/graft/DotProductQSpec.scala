@@ -43,6 +43,33 @@ class DotProductQSpec extends SparkSpec {
     assert(df.select(Similarity.dotQ(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("null ELEMENT fails with its position, on both eval paths") {
+    // before round 14 a null element read 0 from UnsafeArrayData but
+    // NPE'd from GenericArrayData — representation-dependent wrong
+    // distances with no error (the KCenterAgg defect class, ADVICE r13)
+    val df = Seq((Seq(Some(1L), None, Some(3L)), Seq(Some(10L), Some(20L), Some(30L))))
+      .toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(Similarity.dotQ(col("a"), col("b"))).collect()
+    }
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else root(t.getCause)
+    assert(root(e).getMessage.contains("null element at position 1"),
+      root(e).toString)
+  }
+
+  test("provably null-free inputs keep the uncheck fast path") {
+    // containsNull=false on both sides selects the no-per-element-branch
+    // template (the planning-time flag the codegen switches on)
+    import org.apache.spark.sql.catalyst.expressions.{CreateArray, Literal}
+    val arr = CreateArray(Seq(Literal(1L), Literal(2L)))
+    assert(!arr.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .containsNull)
+    val out = DotProductQ(arr, arr)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    assert(out == 5L)
+  }
+
   test("registered function is usable from SQL text") {
     ColumnBridge.registerFunction(spark, "graft_dotq",
       DotProductQ.info, DotProductQ.builder)
