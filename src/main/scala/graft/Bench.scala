@@ -35,23 +35,30 @@ object Bench {
     * when the file is absent or unreadable — budgets then fall back to
     * the flat constants and no ratio is emitted.
     */
-  private def readLedger(): (Map[String, Double], Option[Double]) =
+  private def readLedger(): (Map[String, Double], Map[String, Double], Option[Double]) =
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BASELINE_PERQUERY.json")),
         java.nio.charset.StandardCharsets.UTF_8)
-      val open = txt.indexOf('{', txt.indexOf("\"queries\""))
-      val body = txt.substring(open + 1, txt.indexOf('}', open))
-      val entry = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r
-      val qs = entry.findAllMatchIn(body)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // anchor on the KEY-colon-brace shape, not a bare indexOf of the
+      // key text: the ledger's "note" field is free prose and a future
+      // note mentioning queries must not mis-scope the body
+      def flatObj(key: String): Map[String, Double] =
+        ("\"" + key + "\"\\s*:\\s*\\{").r.findFirstMatchIn(txt) match {
+          case Some(m) =>
+            val body = txt.substring(m.end, txt.indexOf('}', m.end))
+            """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r
+              .findAllMatchIn(body)
+              .map(g => g.group(1) -> g.group(2).toDouble).toMap
+          case None => Map.empty
+        }
       val tm = """"total_median"\s*:\s*([0-9.eE+-]+)""".r
         .findFirstMatchIn(txt).map(_.group(1).toDouble)
-      (qs, tm)
+      (flatObj("queries"), flatObj("budget_base"), tm)
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"BENCH LEDGER unreadable: ${e.getMessage}")
-        (Map.empty[String, Double], None)
+        (Map.empty[String, Double], Map.empty[String, Double], None)
     }
 
   def main(args: Array[String]): Unit = {
@@ -175,10 +182,15 @@ object Bench {
     // ledger — a budget every healthy run trips is a wrong budget.
     // The stream gates' measured 1.8 s addBatch floor (round-12 tmpfs
     // A/B) is inside their ledger entries, so no special case remains.
-    val (ledger, ledgerTotal) = readLedger()
+    // budget_base (ledger-bounce guard, round 15): when a regen
+    // re-centered a noisy query's median at the bottom of its band with
+    // no deliberate plan change, the ledger carries the historical max
+    // as budget_base — the budget anchors on max(median, budget_base) so
+    // a healthy reading on the other side of the band stops warning.
+    val (ledger, budgetBase, ledgerTotal) = readLedger()
     results.sortBy(-_._2).foreach { case (n, v) =>
       val budget = ledger.get(n) match {
-        case Some(base) => math.max(0.25, 1.5 * base)
+        case Some(base) => math.max(0.25, 1.5 * math.max(base, budgetBase.getOrElse(n, 0.0)))
         case None => if (n.endsWith("_stream")) 1.8 else 1.5
       }
       if (v > budget)

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Rebuild BASELINE_PERQUERY.json from N standalone BENCH_FULL.json runs.
 
-Usage: make_ledger.py <bench_full_1.json> [<bench_full_2.json> ...]
+Usage: make_ledger.py [--reset=q1,q2] <bench_full_1.json> [...]
 
 Takes the per-query MEDIAN across the given runs (median of 3 is the
 protocol — robust to one contended sample without needing more packs),
@@ -9,6 +9,17 @@ writes the ledger consumed by tools/perquery_check.py and graft.Bench's
 per-query budget check, and prints a diff summary against the previous
 ledger so a regeneration is reviewable: queries added, removed, and
 those whose median moved by more than 25% (the box-noise band).
+
+Ledger-bounce guard: a regen can re-center a noisy query's median at
+the bottom of its own band (tfidf_topk 0.612→0.432 in one regen), after
+which a healthy reading on the other side of the band warns at >1.5x
+with no code change. For any query whose historical median exceeds the
+fresh one by more than the 25% band, the ledger records a
+"budget_base" entry = the historical max; budget consumers
+(perquery_check.py, graft.Bench) anchor that query's budget on
+max(median, budget_base). When a query's plan DELIBERATELY got faster,
+pass --reset=<name,...> so its budget re-bases on the new median and a
+regression back to the old cost still warns.
 
 Failed queries (negative seconds in a run) disqualify that run — a
 ledger must only ever be cut from green trees.
@@ -31,7 +42,14 @@ def load(path):
 
 
 def main():
-    runs = [load(p) for p in sys.argv[1:]]
+    reset = set()
+    paths = []
+    for a in sys.argv[1:]:
+        if a.startswith("--reset="):
+            reset.update(x for x in a.split("=", 1)[1].split(",") if x)
+        else:
+            paths.append(a)
+    runs = [load(p) for p in paths]
     if len(runs) < 2:
         sys.exit("make_ledger: need at least 2 bench runs (protocol: 3)")
     keysets = [set(r["queries"]) for r in runs]
@@ -43,9 +61,11 @@ def main():
                for name in sorted(keysets[0])}
     totals = sorted(round(r["value"], 1) for r in runs)
     try:
-        old = json.load(open(LEDGER))["queries"]
+        old_doc = json.load(open(LEDGER))
+        old = old_doc["queries"]
+        old_base = old_doc.get("budget_base", {})
     except (FileNotFoundError, KeyError):
-        old = {}
+        old, old_base = {}, {}
     added = sorted(set(queries) - set(old))
     removed = sorted(set(old) - set(queries))
     moved = sorted((name, old[name], queries[name])
@@ -53,6 +73,16 @@ def main():
                    if old[name] > 0 and
                    not 0.75 <= queries[name] / old[name] <= 1.25
                    and max(queries[name], old[name]) > 0.25)
+    # bounce guard: anchor the budget on the historical max median when
+    # it exceeds the fresh one by more than the noise band, unless the
+    # regen was invoked with --reset=<name> (deliberate plan change).
+    budget_base = {}
+    for name, med in queries.items():
+        if name in reset:
+            continue
+        hist = max(old.get(name, 0.0), old_base.get(name, 0.0))
+        if hist > med * 1.25 and hist > 0.25:
+            budget_base[name] = round(hist, 3)
     ledger = {
         "note": ("Per-query baseline ledger: median of %d standalone "
                  "full-pack Bench runs at sf0.1 (totals %s). Consumed by "
@@ -64,6 +94,7 @@ def main():
                  "query set drifts from this file's key set."
                  % (len(runs), " / ".join(f"{t:.1f}" for t in totals))),
         "queries": queries,
+        "budget_base": dict(sorted(budget_base.items())),
         "samples": len(runs),
         "total_median": round(statistics.median(r["value"] for r in runs), 1),
     }
@@ -79,6 +110,15 @@ def main():
         print(f"ledger: -{len(removed)} removed: {', '.join(removed)}")
     for name, o, n in moved:
         print(f"ledger: moved {name}: {o:.3f} -> {n:.3f} s ({n / o:.2f}x)")
+    if budget_base:
+        print(f"ledger: {len(budget_base)} budget_base anchors (historical "
+              "max held for budget purposes; --reset=<name> after a "
+              "deliberate speedup): "
+              + ", ".join(f"{k}={v:.3f}" for k, v in
+                          sorted(budget_base.items())))
+    if reset - set(queries):
+        print("ledger: WARNING --reset names not in this pack: "
+              + ", ".join(sorted(reset - set(queries))))
     if not (added or removed or moved):
         print("ledger: no query added/removed/moved beyond the 25% band")
 

@@ -35,20 +35,36 @@ def load(path):
 def main():
     args = [a for a in sys.argv[1:] if a != "--strict-keys"]
     strict = "--strict-keys" in sys.argv[1:]
+    if not args:
+        sys.exit("usage: perquery_check.py [--strict-keys] <BENCH_FULL.json>"
+                 " [BASELINE_PERQUERY.json]")
     bench = load(args[0])
     ledger_path = args[1] if len(args) > 1 else "BASELINE_PERQUERY.json"
     try:
-        ledger = json.loads(open(ledger_path).read())["queries"]
+        doc = json.loads(open(ledger_path).read())
     except FileNotFoundError:
+        if strict:
+            # a missing ledger is the most extreme form of the drift
+            # --strict-keys exists to catch: every query un-guarded
+            print(f"perquery: STALE LEDGER — no ledger at {ledger_path}; "
+                  "run tools/make_ledger.sh and commit the result")
+            sys.exit(4)
         print(f"perquery: no ledger at {ledger_path} — skipping")
         return
+    ledger = doc["queries"]
+    # budget_base: for entries whose regen moved with no deliberate plan
+    # change (make_ledger.py's bounce guard), the budget anchors on the
+    # historical max median instead of a bottom-of-band regen sample —
+    # otherwise a healthy reading on the other side of the noise band
+    # warns with no code change (the tfidf_topk 0.432→0.839 false alarm).
+    bbase = doc.get("budget_base", {})
     qs = {k: abs(v) for k, v in bench["queries"].items()}
     flagged, new = [], []
     for name, sec in sorted(qs.items(), key=lambda kv: -kv[1]):
         base = ledger.get(name)
         if base is None:
             new.append(name)
-        elif sec > ABS_FLOOR and sec > THRESH * base:
+        elif sec > ABS_FLOOR and sec > THRESH * max(base, bbase.get(name, 0)):
             flagged.append((name, base, sec))
     if flagged:
         print(f"perquery: {len(flagged)} queries above {THRESH}x ledger:")
