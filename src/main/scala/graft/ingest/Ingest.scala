@@ -192,16 +192,27 @@ object EventsIngest {
     * buffer-pool analogue: every registered query reads this hot fact
     * frame, so materialize the scan+ingest projection once per session
     * instead of once per query (memoization + persistence semantics in
-    * [[graft.sources.TableCache]]). Widened to the parallelism floor at
-    * build: a one-file fixture scan plans (and caches) as ONE partition,
-    * so every consumer's first stage would otherwise run single-threaded
-    * — see [[graft.ext.Parallelism]].
+    * [[graft.sources.TableCache]]).
+    *
+    * Layout: the frame materializes the canonical series key (`skey`)
+    * and is HASH-PARTITIONED BY IT at build — the series-sharded
+    * storage layout every production TSDB uses. Per-series operators
+    * (the staleness window, the grid rate family, `*_over_time`) then
+    * read a frame already clustered by their window key and elide
+    * their per-query exchange entirely (HashPartitioning(skey)
+    * satisfies ClusteredDistribution(skey, …) by the subset rule);
+    * only post-eval regroupings over derived label subsets still
+    * shuffle, and those run on eval-sized data. The repartition also
+    * subsumes the old parallelism-floor widen: a one-file fixture scan
+    * would otherwise cache as ONE partition and serialize every
+    * consumer's first stage (see [[graft.ext.Parallelism]]).
     */
   def cachedMetrics(spark: SparkSession, sfDir: String): DataFrame =
     graft.sources.TableCache.getOrBuild(spark, s"metrics#$sfDir")(
-      graft.ext.Parallelism.widen(
-        eventsAsMetrics(spark, sfDir)
-          .withColumn("e", unix_timestamp(col("timestamp")))))
+      eventsAsMetrics(spark, sfDir)
+        .withColumn("e", unix_timestamp(col("timestamp")))
+        .withColumn("skey", graft.promql.PromOps.seriesKey(col("labels")))
+        .repartition(16, col("skey")))
 
   /** Partitioned-parquet writer for the fact table: partition by
     * `collect_date` (+ query_id) so repair/retention are partition ops

@@ -27,10 +27,22 @@ import org.apache.spark.sql.types.{MapType, StringType}
   *    `lookback/step + 1` points (6 for the 5m/1m flagship). So we
   *    explode each sample to just those grid points and take the
   *    lexicographic max of (ts, value) per (series, grid point). That is
-  *    linear in sample count, shuffles once on (series, g), and the
-  *    groupBy aggregation is map-side combinable — no window, no cross
-  *    join, no skew amplification. This survives a 100× scale-up where
-  *    the cross-join formulation does not.
+  *    linear in sample count and the groupBy aggregation is map-side
+  *    combinable — no window, no cross join, no skew amplification.
+  *    This survives a 100× scale-up where the cross-join formulation
+  *    does not.
+  *
+  *  - **Series-sharded fact layout.** The cached fact frame materializes
+  *    `skey` and is hash-partitioned by it
+  *    ([[graft.ingest.EventsIngest.cachedMetrics]]) — the storage layout
+  *    production TSDBs use. Every per-series selector/window below reads
+  *    data already clustered by its key, so the per-query exchange is
+  *    elided outright; the grouped aggregations run in place and only
+  *    post-eval regroupings (derived label subsets, eval-sized data)
+  *    shuffle. Tradeoff, stated: a pathologically hot series now lands
+  *    in one partition rather than being spread by the (skey, g) shuffle
+  *    — at that point AQE skew handling or an explicit repartition on
+  *    (skey, g) restores the old behavior per query.
   */
 object PromOps {
 
@@ -54,6 +66,28 @@ object PromOps {
   def labelsOf(key: Column): Column =
     from_json(key, MapType(StringType, StringType))
 
+  /** Attach the canonical series key: REUSE a precomputed `skey` column
+    * when the frame carries one, else derive it from `labels`. The
+    * cached fact frame materializes `skey` and is hash-partitioned by
+    * it ([[graft.ingest.EventsIngest.cachedMetrics]]); reusing the
+    * stored attribute — rather than re-deriving an equal-but-distinct
+    * expression — is what lets the planner see the scan's
+    * HashPartitioning(skey) and elide the per-series window/aggregate
+    * exchange in every selector below.
+    */
+  private def withSeriesKey(df: DataFrame): DataFrame =
+    if (df.columns.contains("skey")) df
+    else df.withColumn("skey", seriesKey(col("labels")))
+
+  /** Same reuse rule for the epoch second: the cached fact frame
+    * materializes `e = unix_timestamp(timestamp)`; reading the stored
+    * long keeps the staleness-window filters plain integer comparisons
+    * on a cached column instead of re-deriving the epoch per row.
+    */
+  private def withEpoch(df: DataFrame): DataFrame =
+    if (df.columns.contains("e")) df
+    else df.withColumn("e", epochSec(col("timestamp")))
+
   private def epochSec(ts: Column): Column = unix_timestamp(ts)
 
   /** P1 at a single evaluation time: the most recent sample per series
@@ -67,12 +101,9 @@ object PromOps {
       metricName: String,
       atEpochSec: Long,
       lookbackSec: Long = DefaultLookbackSec): DataFrame = {
-    val e = epochSec(col("timestamp"))
-    metrics
+    withEpoch(withSeriesKey(metrics))
       .filter(col("metric_name") === metricName)
-      .withColumn("e", e)
       .filter(col("e") >= atEpochSec - lookbackSec && col("e") <= atEpochSec)
-      .withColumn("skey", seriesKey(col("labels")))
       .groupBy(col("metric_name"), col("skey"))
       // lexicographic max picks the latest sample; value breaks exact-ts
       // ties deterministically (second-truncated timestamps can collide)
@@ -96,14 +127,12 @@ object PromOps {
       lookbackSec: Long = DefaultLookbackSec): DataFrame = {
     require(g0 % stepSec == 0 && g1 % stepSec == 0 && g1 >= g0,
       s"grid must be step-aligned: [$g0, $g1] step $stepSec")
-    metrics
+    withEpoch(withSeriesKey(metrics))
       .filter(col("metric_name") === metricName)
-      .withColumn("e", epochSec(col("timestamp")))
       .filter(col("e") >= g0 - lookbackSec && col("e") <= g1)
-      // canonical key BEFORE the explode: the JSON construction is the one
-      // non-codegen expression here, so pay it once per sample, not once
-      // per covered grid point
-      .withColumn("skey", seriesKey(col("labels")))
+      // canonical key BEFORE the explode (the fact frame precomputes it;
+      // the fallback derives it here): the JSON construction is the one
+      // non-codegen expression, paid once per sample, not per grid point
       // first grid point this sample is visible at (ceil-align), clamped;
       // integer `div` keeps the whole expression in codegen'd long math
       .withColumn("gs", greatest(lit(g0),
@@ -137,11 +166,9 @@ object PromOps {
       windowSec: Long): DataFrame = {
     require(g0 % stepSec == 0 && g1 % stepSec == 0 && g1 >= g0,
       s"grid must be step-aligned: [$g0, $g1] step $stepSec")
-    metrics
+    withEpoch(withSeriesKey(metrics))
       .filter(col("metric_name") === metricName)
-      .withColumn("e", epochSec(col("timestamp")))
       .filter(col("e") > g0 - windowSec && col("e") <= g1)
-      .withColumn("skey", seriesKey(col("labels")))
       // first aligned g ≥ e, clamped to the grid
       .withColumn("gs", greatest(lit(g0),
         expr(s"((e + ${stepSec - 1}) div $stepSec) * $stepSec")))
@@ -157,9 +184,9 @@ object PromOps {
     * `delta`/`irate`/`idelta`/`resets`/`changes`: the [[windowGrid]]
     * expansion keyed by (skey, g), then the same formulas as the
     * instant path ([[rateOverRange]]/[[resetsOverRange]]). One window
-    * pass partitioned by (skey, g) — the g in the shuffle key spreads
-    * each series' grid across reducers, so a hot series cannot pin one
-    * partition.
+    * pass partitioned by (skey, g), satisfied in place by the fact
+    * frame's skey-sharded layout (no exchange; see the class note on
+    * the hot-series tradeoff).
     */
   def rateOverGrid(metrics: DataFrame, metricName: String, g0: Long,
       g1: Long, stepSec: Long, windowSec: Long, kind: String): DataFrame = {
@@ -235,11 +262,9 @@ object PromOps {
       metricName: String,
       atEpochSec: Long,
       windowSec: Long): DataFrame =
-    metrics
+    withEpoch(withSeriesKey(metrics))
       .filter(col("metric_name") === metricName)
-      .withColumn("e", epochSec(col("timestamp")))
       .filter(col("e") > atEpochSec - windowSec && col("e") <= atEpochSec)
-      .withColumn("skey", seriesKey(col("labels")))
 
   /** `rate()` / `increase()` over a range selector, counter-reset aware:
     * per series, each consecutive delta contributes `v - prev` while the

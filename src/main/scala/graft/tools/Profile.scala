@@ -6,20 +6,31 @@ import org.apache.spark.sql.SparkSession
   * sf and splits each run into Catalyst phase time (parsing/analysis/
   * optimization/planning, driver-side and single-threaded) vs execution,
   * so per-query steady-state cost can be attributed before optimizing.
-  * Usage: SPARK_GRAFT_SF_DIR=… runMain graft.tools.Profile <query> [runs]
+  * Usage: SPARK_GRAFT_SF_DIR=… runMain graft.tools.Profile <query>[,<query>…] [runs]
+  * (comma-separated names share one JVM/session, so profiling the top-10
+  * costs one ~50 s sbt startup instead of ten)
   */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val name = args.headOption.getOrElse(sys.error("usage: Profile <query> [runs]"))
+    val names = args.headOption.getOrElse(sys.error("usage: Profile <query>[,<query>…] [runs]"))
+      .split(",").map(_.trim).filter(_.nonEmpty)
     val runs = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark: SparkSession = graft.GraftSession.local(cpus)
+    names.foreach { name => profileOne(spark, name, runs, sfDir) }
+    spark.stop()
+  }
+
+  private def profileOne(spark: SparkSession, name: String, runs: Int, sfDir: String): Unit = {
+    System.err.println(s"== PROFILE $name")
     val fn = graft.SparkEntry.queries(name)
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
     val tasks = new java.util.concurrent.atomic.AtomicInteger
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    // removed at the end of this query's profile so a multi-query
+    // invocation never stacks listeners (each would re-print every stage)
+    val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
       override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -28,7 +39,8 @@ object Profile {
         val dur = for { a <- si.submissionTime; b <- si.completionTime } yield b - a
         System.err.println(s"  stage ${si.stageId} tasks=${si.numTasks} wall=${dur.getOrElse(-1L)}ms ${si.name.take(60)}")
       }
-    })
+    }
+    spark.sparkContext.addSparkListener(listener)
     // warm codegen + session caches once, like Bench
     fn(spark, sfDir).count()
     graft.ext.CacheScope.drain()
@@ -54,6 +66,6 @@ object Profile {
           f"exec=${(tEnd - tPlan) / 1e6}%.0fms total=${(tEnd - t0) / 1e9}%.3fs rows=$n phases: $phases")
       graft.ext.CacheScope.drain()
     }
-    spark.stop()
+    spark.sparkContext.removeSparkListener(listener)
   }
 }
