@@ -48,8 +48,25 @@ object TableCache {
     }
   }
 
+  /** [[Holder]] for non-frame session artifacts (a collected bloom
+    * filter's bytes, a codebook) — same at-most-once semantics.
+    */
+  private final class ValueHolder {
+    private var v: AnyRef = null
+    def value(build: => AnyRef): AnyRef = synchronized {
+      if (v == null) {
+        val built = build
+        require(built != null, "TableCache value builder returned null")
+        v = built
+      }
+      v
+    }
+  }
+
   private val sessions =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Holder]]()
+  private val values =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, ValueHolder]]()
   private val plans =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[
       String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]()
@@ -69,6 +86,28 @@ object TableCache {
       perSession.getOrElseUpdate(key, new Holder)
     }
     holder.value(build)
+  }
+
+  /** A memoized non-frame session artifact (collected driver-side
+    * values: a bloom filter's bytes, a codebook) — the value analogue
+    * of [[memo]], same per-key locking and cleanup lifecycle. Unlike a
+    * persisted frame, the value cannot be evicted by a cache clear; it
+    * lives until application end.
+    */
+  def memoValue[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
+    registerCleanup(spark)
+    val perSession = values.synchronized {
+      var m = values.get(spark)
+      if (m == null) {
+        m = scala.collection.mutable.Map.empty[String, ValueHolder]
+        values.put(spark, m)
+      }
+      m
+    }
+    val holder = perSession.synchronized {
+      perSession.getOrElseUpdate(key, new ValueHolder)
+    }
+    holder.value(build).asInstanceOf[T]
   }
 
   /** The memoized frame for `key`, building (and persisting) on first
@@ -122,6 +161,7 @@ object TableCache {
             override def onApplicationEnd(
                 end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
               sessions.synchronized { sessions.clear() }
+              values.synchronized { values.clear() }
               plans.synchronized { plans.clear() }
             }
           })
