@@ -308,6 +308,10 @@ object ExtQueries {
           n = 8, lit("all"))
         sh.join(docs(spark, sfDir).select(col("doc_id"), col("source")),
           "doc_id")
+          // stored clustered by the lookup key (the posShingles8
+          // treatment): the contamination family's df aggregate, cap
+          // join and eval⋈corpus join all key on h
+          .repartition(16, col("h"))
       })
     // re-persist if evicted (Bench's warmup clearCache, a manual clear)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
@@ -1117,7 +1121,12 @@ object ExtQueries {
       case "lang|source" => concat(col("lang"), lit("|"), col("source"))
     }
     val df = graft.sources.TableCache.memo(spark, s"shingle#$sfDir#$bucketKey")(
-        shingleFrame(spark, sfDir, bucket))
+        // clustered by h (the posShingles8 treatment): HashPartitioning(h)
+        // satisfies every (bucket, h)-keyed distribution downstream — the
+        // jaccard df cap, the cap join and the inverted-index self-join —
+        // by the subset rule, so the pair-frame build and the per-call
+        // band-verify joins carry no exchange on the shingle side
+        shingleFrame(spark, sfDir, bucket).repartition(16, col("h")))
     // re-persist if evicted (Bench's warmup clearCache, a manual clear)
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.persist()
@@ -5897,7 +5906,13 @@ object ExtQueries {
         .select(col("doc_id"),
           posexplode(TextOps.shingles("toks", 8)).as(Seq("pos", "sh")))
         .select(col("doc_id"), col("pos"),
-          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h")))
+          conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+        // stored CLUSTERED BY the lookup key, like any postings index:
+        // the df-cap aggregate, the cap join and the postings self-join
+        // below all key on h, so the persisted layout satisfies their
+        // distributions and the per-call plan carries no exchange until
+        // the per-pair island window
+        .repartition(16, col("h")))
     val keep = shP.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") <= DfCap).select(col("h"))
