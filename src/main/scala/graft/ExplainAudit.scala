@@ -83,6 +83,7 @@ object ExplainAudit {
     // and canonical-representative selection over the session-scoped
     // component frame
     "ann_ivfpq_trained", "ann_ivfpq_trained_mp", "emb_recall_ivfpq",
+    "ann_ivfpq_residual", "emb_recall_residual",
     "caption_media_join", "dedup_keep_best",
     // round 14 tail: the filter-overlap Venn (quality × language ×
     // near-dup) — the stage-ordering diagnostic

@@ -51,6 +51,12 @@ class PartitionInvarianceSpec extends SparkSpec {
                                // from scratch in the second session,
                                // then ADC ranked (integer ties →
                                // vec_id tie-break)
+    "ann_ivfpq_residual",      // round 15: the residual twin — adds
+                               // the centroid join + residual encode
+                               // to the rebuilt artifact chain
+    "emb_recall_residual",     // and its recall audit (brute-force
+                               // join + left-join fill both reorder
+                               // freely with partitioning)
     "dedup_keep_best")         // min(struct) argmax over the CC
                                // component memo (iteration order and
                                // partial-combine order both vary with

@@ -243,6 +243,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("InMemoryTableScan"), plan.take(1200))
   }
 
+  test("ann_ivfpq_residual: residual-LUT side broadcast, ADC probe equi-join on cell") {
+    // same serving contract as ann_ivfpq_trained, over the residual
+    // code table: queries broadcast, candidates one trained cell's
+    // slice via the cell equi-join, everything served from session
+    // state — a cartesian would ADC-score the whole corpus
+    val plan = finalPlan(SparkEntry.queries("ann_ivfpq_residual")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(plan.contains("InMemoryTableScan"), plan.take(1200))
+  }
+
   test("caption_media_join: two map-side feature scans meet in one equi-join") {
     val plan = finalPlan(SparkEntry.queries("caption_media_join")(spark, sf))
     // both feature sides are map-only over their (cached) scans; the

@@ -198,6 +198,16 @@ class ScaleProbeSpec extends SparkSpec {
       graft.queries.ExtQueries.annIvfPqTrainedMp)
   }
 
+  test("ann_ivfpq_residual stays <= linear: cell-pruned ADC over residual codes") {
+    // identical serving shape to ann_ivfpq_trained (one trained cell's
+    // code slice per query, M=8 integer lookups per candidate); the
+    // residual arc's extra build steps re-materialized after clearCache
+    // — the centroid join and residual encode — are both map-only over
+    // the corpus, so the decade stays linear
+    ratioCheck("ann_ivfpq_residual", LinearBound)(
+      graft.queries.ExtQueries.annIvfPqResidual)
+  }
+
   test("dedup_keep_best cost is |components|-linear over session state") {
     // the component frame is a session artifact (built once, here
     // honestly re-built after clearCache); the per-call plan is one
