@@ -983,7 +983,8 @@ object ExtQueries {
     * SortAggregate's sort is per-partition), where a window argmax
     * would shuffle and fully sort the corpus.
     * At 100 TB components and quality features are both doc_id-keyed
-    * (bucket both and the join is shuffle-free) and the output is
+    * (bucket both and the join is shuffle-free — pinned by LayoutSpec's
+    * doc_id-bucketed twin proof) and the output is
     * |components| rows.
     */
   def dedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
@@ -2710,7 +2711,8 @@ object ExtQueries {
     * is mapPartitions, one decoder per partition), and they meet in
     * exactly ONE equi-join on doc_id — at 100 TB text and media live in
     * different tables, so the join is the honest cost; co-partition or
-    * bucket both by doc_id and it is shuffle-free. No other exchange in
+    * bucket both by doc_id and it is shuffle-free (pinned by
+    * LayoutSpec's doc_id-bucketed twin proof). No other exchange in
     * the plan.
     */
   def captionMediaJoin(spark: SparkSession, sfDir: String): DataFrame = {

@@ -52,4 +52,22 @@ object FactLayout {
       .mode("overwrite")
       .saveAsTable(table)
   }
+
+  /** The documents corpus and a doc_id-keyed derived frame (components,
+    * features, captions — any of the dedup/curation side tables) written
+    * bucketed on doc_id: the layout behind the "bucket both by doc_id
+    * and the join is shuffle-free" claim the dedup scaladocs make
+    * (caption_media_join, dedup_keep_best, filter_agreement). The one
+    * shuffle happens at write time; every doc_id equi-join over the pair
+    * then plans with zero exchanges — at 100 TB that is the difference
+    * between re-shuffling the corpus on every curation pass and a
+    * scan-side merge.
+    */
+  def writeDocBucketed(spark: SparkSession, df: DataFrame, table: String,
+      numBuckets: Int): Unit =
+    df.write
+      .bucketBy(numBuckets, "doc_id")
+      .sortBy("doc_id")
+      .mode("overwrite")
+      .saveAsTable(table)
 }

@@ -53,6 +53,51 @@ class LayoutSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS metrics_bucketed")
   }
 
+  test("doc_id-bucketed corpus twins join with zero exchanges (the dedup scaladoc claim)") {
+    // pins the "bucket both by doc_id and the join is shuffle-free"
+    // claim made by caption_media_join / dedup_keep_best /
+    // filter_agreement: documents and a doc_id-keyed derived frame
+    // (features on one side, components on the other) written through
+    // FactLayout.writeDocBucketed, then both query shapes planned over
+    // the bucketed pair
+    val sfDir = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    FactLayout.writeDocBucketed(spark,
+      d.select(col("doc_id"), col("n_chars"), col("lang")), "docs_b", 8)
+    FactLayout.writeDocBucketed(spark,
+      d.select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("q"),
+        (col("doc_id") % 97).as("component")), "feats_b", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // caption_media_join shape: two map-only feature sides, one
+      // doc_id equi-join — ZERO exchanges over the bucketed pair
+      val caption = spark.table("docs_b")
+        .join(spark.table("feats_b"), "doc_id")
+        .select(col("doc_id"), (col("n_chars") * 100 / col("q")).as("ratio"))
+      caption.count()
+      val cPlan = caption.queryExecution.executedPlan.toString
+      assert(cPlan.contains("SortMergeJoin"), cPlan.take(1200))
+      assert(!cPlan.contains("Exchange"), s"expected shuffle-free join:\n${cPlan.take(1500)}")
+      // dedup_keep_best shape: the doc_id join is exchange-free; the
+      // only shuffle left is the component aggregation itself
+      val best = spark.table("docs_b")
+        .join(spark.table("feats_b"), "doc_id")
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(struct((-col("q")).as("negq"), col("doc_id").as("doc_id"))).as("best"))
+      best.count()
+      val bPlan = best.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(bPlan).length == 1,
+        s"expected exactly the component-agg exchange:\n${bPlan.take(1500)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS docs_b")
+      spark.sql("DROP TABLE IF EXISTS feats_b")
+    }
+  }
+
   test("zorder_layout: every file's box narrows in BOTH dimensions") {
     // the property a single-column sort cannot give: sorting by time
     // leaves EVERY file's user-span at the full domain. Z-order bounds
