@@ -131,5 +131,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BpeTrainAgg.info, BpeTrainAgg.builder))
     ext.injectFunction((FunctionIdentifier("graft_kcenter"),
       KCenterAgg.info, KCenterAgg.builder))
+    ext.injectFunction((FunctionIdentifier("graft_kmv_bottomk"),
+      KmvBottomKAgg.info, KmvBottomKAgg.builder))
   }
 }
