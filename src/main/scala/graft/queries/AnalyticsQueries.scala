@@ -957,6 +957,71 @@ object AnalyticsQueries {
       .select(col("series"), col("day"), col("p"), col("est_value"))
   }
 
+  /** Canonical-representative survivorship as a streaming materialized
+    * view — the TWELFTH stream≡batch gate, closing the one round-14
+    * operator family without a streaming twin: scored members of each
+    * transitive near-dup component arrive across two micro-batches
+    * (split by doc_id parity) and the component representative is
+    * RE-ELECTED in flatMapGroupsWithState
+    * ([[graft.streaming.KeepBestStream]]), flushed once by event-time
+    * timeout, under the EXACT batch oracle
+    * (ExtQueries.dedupKeepBestOracle). Component ids ride the rows from
+    * the session grouping artifact (cachedDedupComponents — in
+    * production the component key arrives from the grouping store
+    * exactly like this); quality is the batch twin's distinct-token
+    * count. State is ONE fixed-width row per component — never a member
+    * list — so arrival volume cannot grow a state row: the property
+    * that makes survivorship maintainable as a live view at 100 TB.
+    */
+  def dedupKeepBestStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.streaming.{KbEvent, KeepBestStream}
+    val work = java.nio.file.Files.createTempDirectory("keepbest_e2e").toString
+    val t0 = 1000000L
+    val tFlush = t0 + 7200L
+    val inDir = cachedStreamInput(spark, s"keepbest#$sfDir") { path =>
+      val scored = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"),
+          size(array_distinct(graft.ext.TextOps.tokens(col("text"))))
+            .cast("long").as("q"),
+          col("n_chars").as("nc"))
+        .join(ExtQueries.cachedDedupComponents(spark, sfDir), "doc_id")
+        .select(col("component"), col("doc_id"), col("q"), col("nc"))
+      appendBatchFile(path, scored.filter(col("doc_id") % 2 === 0)
+        .withColumn("e", lit(t0)), 0L)
+      // the flush sentinel rides the second data file (the watermark
+      // advances at batch end, so the second half folds first); its own
+      // component (-1) flushes a row that is filtered client-side
+      appendBatchFile(path, scored.filter(col("doc_id") % 2 =!= 0)
+        .withColumn("e", lit(t0))
+        .unionByName(spark.range(1).select(lit(-1L).as("component"),
+          lit(-1L).as("doc_id"), lit(0L).as("q"), lit(0L).as("nc"),
+          lit(t0 + 172800L).as("e"))), 60000L)
+    }
+    withStreamSession(spark) { ss =>
+      val ev = ss.readStream
+        .schema("component LONG, doc_id LONG, q LONG, nc LONG, e LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .select(col("component"), col("doc_id"), col("q"), col("nc"),
+          timestamp_seconds(col("e")).cast("timestamp").as("ts"))
+        .as[KbEvent](KeepBestStream.evEnc)
+      KeepBestStream.elected(ev, tFlush)
+        .toDF()
+        .writeStream
+        .format("parquet")
+        .option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/cp")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    }
+    spark.read.parquet(s"$work/out")
+      .filter(col("component") =!= -1L)
+      .select(col("component"), col("n_docs"), col("keep_doc"),
+        col("keep_q"), col("dropped_chars"))
+  }
+
   def cmsCountsStream(spark: SparkSession, sfDir: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("cms_e2e").toString
     val t0 = 1000000L
@@ -1919,7 +1984,8 @@ object AnalyticsQueries {
   private[graft] val statementCacheExempt: Set[String] = Set("zorder_layout", "zorder_prune") ++
     Set("sessionize", "hourly_avg", "dedup_exact", "cms_counts",
       "range_join", "conversion_pairs", "conv_outer", "dedup_wm",
-      "cdc_merge", "session_window", "quantile_sketch").map(_ + "_stream")
+      "cdc_merge", "session_window", "quantile_sketch",
+      "dedup_keep_best").map(_ + "_stream")
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] =
     graft.sources.TableCache.planCachedPack(rawAll, statementCacheExempt)
@@ -1949,6 +2015,8 @@ object AnalyticsQueries {
       ((sessionWindowStream _, sessionWindowStreamOracle)),
     "dedup_wm_stream" -> ((dedupWmStream _, dedupWmStreamOracle)),
     "cdc_merge_stream" -> ((cdcMergeStream _, cdcMergeStreamOracle)),
+    "dedup_keep_best_stream" ->
+      ((dedupKeepBestStream _, ExtQueries.dedupKeepBestOracle)),
     "m4_downsample" -> ((m4Downsample _, m4DownsampleOracle)),
     "value_histogram" -> ((valueHistogram _, valueHistogramOracle)),
     "gpu_daily_report" -> (((s: SparkSession, d: String) => gpuDailyReport(s, d), gpuDailyReportOracle)),

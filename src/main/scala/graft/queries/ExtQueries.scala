@@ -976,7 +976,7 @@ object ExtQueries {
     * consumers of THIS frame measure what serving from the persisted
     * artifact costs.
     */
-  private def cachedDedupComponents(spark: SparkSession,
+  private[graft] def cachedDedupComponents(spark: SparkSession,
       sfDir: String): DataFrame = {
     val df = graft.sources.TableCache.memo(spark, s"dedupComponents#$sfDir")(
       componentJoin(spark, sfDir)._1)

@@ -22,9 +22,15 @@ class PlansDocSpec extends AnyFunSuite {
   /** Registered queries that predate this tripwire and have no PLANS.md
     * section (frozen at round 12 — 127 names). Mostly thin PromQL
     * parser variants and stream gates whose plan evidence lives in
-    * their family's headline representative.
+    * their family's headline representative. One amendment class since
+    * the freeze: STREAM GATES added later also belong here rather than
+    * in Headline — a stream gate's builder RUNS its stream and returns
+    * a post-hoc parquet read, so "its plan" is a scan; the physical
+    * evidence lives in the batch twin's section (dedup_keep_best for
+    * dedup_keep_best_stream) and the state shape in the gate's spec.
     */
   private val preTripwire: Set[String] = Set(
+    "dedup_keep_best_stream", // round 15's survivorship gate (see above)
     "ann_brute_topk", "ann_ivf_multiprobe", "ann_ivfpq_topk",
     "ann_lsh_topk", "approx_distinct_users", "bm25_topk",
     "cdc_merge_stream", "char_diversity", "cms_counts_stream",
