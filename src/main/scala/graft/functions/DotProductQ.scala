@@ -133,5 +133,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       KCenterAgg.info, KCenterAgg.builder))
     ext.injectFunction((FunctionIdentifier("graft_kmv_bottomk"),
       KmvBottomKAgg.info, KmvBottomKAgg.builder))
+    ext.injectFunction((FunctionIdentifier("graft_qsample"),
+      QuantileSampleAgg.info, QuantileSampleAgg.builder))
   }
 }

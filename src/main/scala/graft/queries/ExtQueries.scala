@@ -6229,9 +6229,11 @@ object ExtQueries {
     * 1024 md5(event_id) ranks per GROUP = a fixed uniform sample per
     * group, so the oracle recomputes the identical sketch bit-exactly
     * and per-group/per-day sketches still merge: bottom-k of a union is
-    * the bottom-k of the parts' bottom-ks). One windowed rank selects
-    * each group's sample — a shuffle by group key plus an in-partition
-    * sort, |groups|-linear and spill-safe, never a global sort — and the
+    * the bottom-k of the parts' bottom-ks). The sample is built by ONE
+    * native aggregation ([[graft.functions.QuantileSampleAgg]], round
+    * 15: rank-capped buffers, map-side partial combine, bounded
+    * ordered-union merge — the merge law executed AS the plan), never a
+    * global sort or a per-row rank window — and the
     * quantile is pure rank selection per group (no interpolation, raw
     * values pass through untouched). DKW bounds per group are the same
     * ~4.3%@95% as the global sketch once a group saturates its 1024
@@ -6239,27 +6241,28 @@ object ExtQueries {
     * exact there. ScaleProbeSpec pins the |groups|-linear growth class.
     */
   def quantileSketchGrouped(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // ONE aggregation builds each group's bottom-1024-by-md5-rank sample
+    // (the native graft_qsample — rank-capped buffers, map-side
+    // combinable, the [[graft.functions.QuantileSampleAgg]] twin of the
+    // streaming gate's held state), replacing the two per-group rank
+    // windows that shuffled and sorted every event row to select a
+    // 1024-bounded sample. Selection is the identical rank rule over
+    // the returned ascending values: the (value, r) tiebreak the window
+    // form ranked by can only permute EQUAL values, so the selected
+    // value is unchanged and the oracle holds bit-for-bit.
     val ev = graft.ingest.EventsIngest.widenedEvents(spark, sfDir)
       .select(col("event_type").as("series"),
         to_date(col("ts")).as("day"),
         col("value"), md5(col("event_id").cast("string")).as("r"))
-    val grp = Seq(col("series"), col("day"))
-    val samp = ev
-      .withColumn("sk", row_number().over(
-        Window.partitionBy(grp: _*).orderBy(col("r"))))
-      .filter(col("sk") <= 1024).drop("sk")
-    val ranked = samp
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(grp: _*).orderBy(col("value"), col("r"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(grp: _*)))
-    val ps = spark.createDataFrame(
-      Seq(50, 95, 99).map(Tuple1(_))).toDF("p")
-    ranked.crossJoin(broadcast(ps))
-      .filter(col("rn") ===
-        greatest(lit(1L), ceil(col("p") * col("n") / lit(100)).cast("long")))
+    ev.groupBy(col("series"), col("day"))
+      .agg(call_function("graft_qsample", col("r"), col("value"),
+        lit(1024L)).as("s"))
+      .select(col("series"), col("day"),
+        explode(typedlit(Seq(50, 95, 99))).as("p"), col("s"))
       .select(col("series"), col("day"), col("p"),
-        col("value").as("est_value"))
+        element_at(col("s"), greatest(lit(1),
+          ceil(col("p") * size(col("s")) / lit(100)).cast("int")))
+          .as("est_value"))
   }
 
   val quantileSketchGroupedOracle: String =

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit contract for the native bottom-k quantile-sample aggregate
+  * (graft_qsample): rank-capped selection with value payload,
+  * ascending-value output, partitioning invariance (the bounded
+  * ordered-union merge law), sub-k behavior, null skipping, and —
+  * the strongest check — row-for-row equivalence of the full
+  * aggregate-then-select plan with the old rank-window formulation on
+  * pseudo-random data where the cap binds.
+  */
+class QuantileSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hex(i: Long): String = f"${i * 2654435761L & 0xffffffffL}%032x"
+
+  test("bottom-k by rank carries the value, output sorted by value") {
+    val df = Seq(("b" * 32, 5.0), ("a" * 32, 9.0), ("c" * 32, 1.0),
+      ("d" * 32, 7.0)).toDF("r", "v")
+    val out = df.agg(expr("graft_qsample(r, v, 3)")).collect()(0).getSeq[Double](0)
+    // bottom-3 ranks are a/b/c with values 9, 5, 1 -> ascending values
+    assert(out == Seq(1.0, 5.0, 9.0))
+  }
+
+  test("partitioning-invariant where the cap binds (bounded merge law)") {
+    val rows = (1L to 5000L).map(i => (hex(i), (i * 37 % 1000).toDouble))
+    def run(parts: Int): Seq[Double] =
+      rows.toDF("r", "v").repartition(parts)
+        .agg(expr("graft_qsample(r, v, 1024)")).collect()(0).getSeq[Double](0)
+    val expected = rows.sortBy(_._1).take(1024).map(_._2).sorted
+    assert(run(1) == expected)
+    assert(run(13) == expected)
+    assert(run(32) == expected)
+  }
+
+  test("fewer rows than k returns them all; nulls are skipped") {
+    val df = Seq[(String, java.lang.Double)](
+      ("a" * 32, 2.0), ("b" * 32, null), (null, 3.0), ("c" * 32, 1.0))
+      .toDF("r", "v")
+    val out = df.agg(expr("graft_qsample(r, v, 100)")).collect()(0).getSeq[Double](0)
+    assert(out == Seq(1.0, 2.0))
+  }
+
+  test("aggregate-then-select equals the rank-window formulation") {
+    // the exact production shape on data where the 64-cap binds for
+    // some groups and not others, including duplicate values
+    val rows = (1L to 900L).map(i =>
+      (s"g${i % 3}", hex(i), (i % 25).toDouble))
+    val df = rows.toDF("g", "r", "v")
+    val viaAgg = df.groupBy($"g")
+      .agg(expr("graft_qsample(r, v, 64)").as("s"))
+      .select($"g", explode(typedlit(Seq(50, 95, 99))).as("p"), $"s")
+      .select($"g", $"p", element_at($"s", greatest(lit(1),
+        ceil($"p" * size($"s") / lit(100)).cast("int"))).as("est"))
+    import org.apache.spark.sql.expressions.Window
+    val samp = df.withColumn("sk",
+        row_number().over(Window.partitionBy($"g").orderBy($"r")))
+      .filter($"sk" <= 64).drop("sk")
+    val viaWindow = samp
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"g").orderBy($"v", $"r")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"g")))
+      .crossJoin(broadcast(Seq(50, 95, 99).toDF("p")))
+      .filter($"rn" === greatest(lit(1L),
+        ceil($"p" * $"n" / lit(100)).cast("long")))
+      .select($"g", $"p", $"v".as("est"))
+    val a = viaAgg.collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).sorted.toSeq
+    val b = viaWindow.collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("k must be a positive integer literal") {
+    val df = Seq(("a" * 32, 1.0)).toDF("r", "v")
+    val e = intercept[Exception](df.agg(expr("graft_qsample(r, v, 0)")).collect())
+    assert(e.getMessage.contains("k >= 1") || e.getMessage.contains("0"))
+  }
+}
