@@ -26,12 +26,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * unique id — the same assumption the window formulation's
   * row_number tie order already relied on for cross-engine
   * determinism); a colliding rank would collapse rather than occupy
-  * two sample slots. Quantile selection downstream is pure rank
-  * selection over the returned ascending values (`element_at(s,
-  * greatest(1, ceil(p·n/100)))`), identical to the window twin's
-  * `rn = greatest(1, ceil(p·n/100))` over (value, rank) order: the
-  * rank tiebreak can only permute EQUAL values, so the selected value
-  * is unchanged.
+  * two sample slots. Rank ORDER is Spark's own string order — binary
+  * UTF-8 (≡ code-point ≡ DuckDB binary collation) — implemented by
+  * keying the buffer on the rank's UTF-8 BYTES under unsigned
+  * lexicographic comparison, never on java.lang.String's UTF-16
+  * code-unit order, which diverges above the BMP (the representation-
+  * dependence class the BPE tie-break fix pinned; for the md5-hex
+  * ranks the engine feeds it the orders coincide, but the function's
+  * contract must not depend on that). Quantile selection downstream is
+  * pure rank selection over the returned ascending values
+  * (`element_at(s, greatest(1, ceil(p·n/100)))`), identical to the
+  * window twin's `rn = greatest(1, ceil(p·n/100))` over (value, rank)
+  * order: the rank tiebreak can only permute EQUAL values, so the
+  * selected value is unchanged.
   */
 case class QuantileSampleAgg(
     rankChild: Expression,
@@ -39,7 +46,9 @@ case class QuantileSampleAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeMap[String, Double]] {
+  extends TypedImperativeAggregate[java.util.TreeMap[Array[Byte], Double]] {
+
+  import QuantileSampleAgg.ByteOrder
 
   require(k >= 1, s"graft_qsample needs k >= 1, got $k")
 
@@ -58,34 +67,35 @@ case class QuantileSampleAgg(
   override def prettyName: String = "graft_qsample"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
-  override def createAggregationBuffer(): java.util.TreeMap[String, Double] =
-    new java.util.TreeMap[String, Double]()
+  override def createAggregationBuffer(): java.util.TreeMap[Array[Byte], Double] =
+    new java.util.TreeMap[Array[Byte], Double](ByteOrder)
 
-  private def add(buf: java.util.TreeMap[String, Double], r: String, v: Double): Unit = {
+  private def add(buf: java.util.TreeMap[Array[Byte], Double],
+      r: Array[Byte], v: Double): Unit = {
     if (buf.size < k) { buf.put(r, v); () }
-    else if (r < buf.lastKey()) {
+    else if (ByteOrder.compare(r, buf.lastKey()) < 0) {
       buf.put(r, v)
       if (buf.size > k) { buf.pollLastEntry(); () }
     }
   }
 
-  override def update(buf: java.util.TreeMap[String, Double],
-      input: InternalRow): java.util.TreeMap[String, Double] = {
+  override def update(buf: java.util.TreeMap[Array[Byte], Double],
+      input: InternalRow): java.util.TreeMap[Array[Byte], Double] = {
     val r = rankChild.eval(input)
     val v = valueChild.eval(input)
     if (r != null && v != null)
-      add(buf, r.asInstanceOf[UTF8String].toString, v.asInstanceOf[Double])
+      add(buf, r.asInstanceOf[UTF8String].getBytes, v.asInstanceOf[Double])
     buf
   }
 
-  override def merge(b1: java.util.TreeMap[String, Double],
-      b2: java.util.TreeMap[String, Double]): java.util.TreeMap[String, Double] = {
+  override def merge(b1: java.util.TreeMap[Array[Byte], Double],
+      b2: java.util.TreeMap[Array[Byte], Double]): java.util.TreeMap[Array[Byte], Double] = {
     val it = b2.entrySet().iterator()
     while (it.hasNext) { val e = it.next(); add(b1, e.getKey, e.getValue) }
     b1
   }
 
-  override def eval(buf: java.util.TreeMap[String, Double]): Any = {
+  override def eval(buf: java.util.TreeMap[Array[Byte], Double]): Any = {
     val arr = new Array[Double](buf.size)
     val it = buf.values().iterator()
     var i = 0
@@ -94,25 +104,31 @@ case class QuantileSampleAgg(
     new GenericArrayData(arr)
   }
 
-  override def serialize(buf: java.util.TreeMap[String, Double]): Array[Byte] = {
+  override def serialize(buf: java.util.TreeMap[Array[Byte], Double]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.size)
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey); out.writeDouble(e.getValue)
+      out.writeInt(e.getKey.length); out.write(e.getKey)
+      out.writeDouble(e.getValue)
     }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[String, Double] = {
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[Array[Byte], Double] = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = new java.util.TreeMap[String, Double]()
+    val buf = new java.util.TreeMap[Array[Byte], Double](ByteOrder)
     var i = 0
-    while (i < n) { buf.put(in.readUTF(), in.readDouble()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val key = new Array[Byte](len)
+      in.readFully(key)
+      buf.put(key, in.readDouble()); i += 1
+    }
     buf
   }
 
@@ -128,6 +144,24 @@ case class QuantileSampleAgg(
 }
 
 object QuantileSampleAgg {
+  /** Unsigned lexicographic byte order over UTF-8 rank bytes — Spark's
+    * own string comparison (UTF8String.binaryCompare) and DuckDB's
+    * binary collation, independent of java.lang.String's UTF-16 order.
+    */
+  private[functions] val ByteOrder: java.util.Comparator[Array[Byte]] =
+    new java.util.Comparator[Array[Byte]] {
+      override def compare(a: Array[Byte], b: Array[Byte]): Int = {
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) {
+          val c = (a(i) & 0xff) - (b(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        a.length - b.length
+      }
+    }
+
   val info = new ExpressionInfo(classOf[QuantileSampleAgg].getName, "graft_qsample")
 
   /** `graft_qsample(rank, value, k)` — `k` must be a foldable integer

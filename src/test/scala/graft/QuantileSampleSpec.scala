@@ -71,6 +71,19 @@ class QuantileSampleSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("rank order is binary UTF-8, not UTF-16 code units (non-BMP divergence)") {
+    // U+FFFD is 3 UTF-8 bytes (ef bf bd), U+10000 is 4 (f0 90 80 80):
+    // byte order puts U+FFFD FIRST, while Java's UTF-16 code-unit order
+    // would put the surrogate pair first — the exact divergence the BPE
+    // tie-break fix pinned. Spark's own orderBy agrees with byte order,
+    // so bottom-1 must keep U+FFFD's value under either execution.
+    val df = Seq(("�", 1.0), ("𐀀", 2.0)).toDF("r", "v")
+    val out = df.agg(expr("graft_qsample(r, v, 1)")).collect()(0).getSeq[Double](0)
+    assert(out == Seq(1.0), s"expected U+FFFD (byte order) to win, got $out")
+    val viaSort = df.orderBy($"r").limit(1).collect()(0).getDouble(1)
+    assert(viaSort == 1.0) // Spark's binary string order, the contract
+  }
+
   test("k must be a positive integer literal") {
     val df = Seq(("a" * 32, 1.0)).toDF("r", "v")
     val e = intercept[Exception](df.agg(expr("graft_qsample(r, v, 0)")).collect())
