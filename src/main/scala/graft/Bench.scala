@@ -187,14 +187,28 @@ object Bench {
     // no deliberate plan change, the ledger carries the historical max
     // as budget_base — the budget anchors on max(median, budget_base) so
     // a healthy reading on the other side of the band stops warning.
+    // ledger_ratio scaling (round 16, verdict item 6): the official
+    // driver run lands 1.05–1.25× over the quiet standalone ledger
+    // (measured every round), and the 1.5× budgets are calibrated to
+    // standalone conditions — so a uniformly hot run used to spray
+    // flags that meant "the box was hot", not "this query regressed".
+    // Scale each budget by THIS run's own measured inflation (total over
+    // ledger total, floored at 1 so a cold run never shrinks budgets):
+    // a flag now means "above budget after accounting for this run's
+    // inflation". A genuinely regressed query still flags at any ratio
+    // because its own regression moves the total far less than itself.
     val (ledger, budgetBase, ledgerTotal) = readLedger()
+    val totalAbs = results.map(t => math.abs(t._2)).sum
+    val inflation = ledgerTotal.filter(t => t > 0 && only.isEmpty)
+      .map(t => math.max(1.0, totalAbs / t)).getOrElse(1.0)
     results.sortBy(-_._2).foreach { case (n, v) =>
-      val budget = ledger.get(n) match {
+      val budget = inflation * (ledger.get(n) match {
         case Some(base) => math.max(0.25, 1.5 * math.max(base, budgetBase.getOrElse(n, 0.0)))
         case None => if (n.endsWith("_stream")) 1.8 else 1.5
-      }
+      })
       if (v > budget)
         System.err.println(f"BENCH BUDGET $n%-28s ${v}%.3f s > $budget%.2f s" +
+          f" (x$inflation%.3f run inflation)" +
           ledger.get(n).map(b => f" (ledger ${b}%.3f s)").getOrElse(" (no ledger entry)"))
     }
     def ms(v: Double): String = // Locale.ROOT: a comma decimal point is not JSON
@@ -203,7 +217,7 @@ object Bench {
     // the failure sign) so a failing run can never look *faster*; failures
     // are surfaced explicitly and fail the process exit code.
     val failed = results.collect { case (k, v) if v < 0 => k }.sorted
-    val total = results.map(t => math.abs(t._2)).sum
+    val total = totalAbs
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The harness that records this run keeps only the LAST ~2000 chars of
     // stdout (plus sbt's trailing "[success] Total time" line). A single

@@ -26,7 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * unique id — the same assumption the window formulation's
   * row_number tie order already relied on for cross-engine
   * determinism); a colliding rank would collapse rather than occupy
-  * two sample slots. Rank ORDER is Spark's own string order — binary
+  * two sample slots — deterministically to the MIN value, so even then
+  * the result is a pure function of the input set (see [[add]]). Rank
+  * ORDER is Spark's own string order — binary
   * UTF-8 (≡ code-point ≡ DuckDB binary collation) — implemented by
   * keying the buffer on the rank's UTF-8 BYTES under unsigned
   * lexicographic comparison, never on java.lang.String's UTF-16
@@ -70,11 +72,33 @@ case class QuantileSampleAgg(
   override def createAggregationBuffer(): java.util.TreeMap[Array[Byte], Double] =
     new java.util.TreeMap[Array[Byte], Double](ByteOrder)
 
+  /** Insert (rank, value) into the bottom-k buffer.
+    *
+    * `copyKey`: `UTF8String.getBytes` returns the string's LIVE backing
+    * array (no copy) when the string exactly occupies it, and Spark
+    * reuses row buffers between `update` calls — so a key taken from an
+    * input row must be cloned before the TreeMap retains it, or a later
+    * row would silently rewrite buffered keys (the input-aliasing
+    * variant of the representation-dependence class; the clone is
+    * deferred to the actual insert, so rejected rows pay nothing).
+    * Merge keys come from a deserialized (or already-cloned) buffer this
+    * code owns, so they pass `copyKey = false`.
+    *
+    * Rank-key collision: keep the MIN value, so the surviving pair is a
+    * pure function of the input SET under any arrival/merge order (the
+    * previous put-overwrites behavior depended on partition order). For
+    * the md5-of-unique-id ranks the engine feeds, collisions never
+    * occur; the rule exists so the aggregate's determinism contract
+    * does not.
+    */
   private def add(buf: java.util.TreeMap[Array[Byte], Double],
-      r: Array[Byte], v: Double): Unit = {
-    if (buf.size < k) { buf.put(r, v); () }
-    else if (ByteOrder.compare(r, buf.lastKey()) < 0) {
-      buf.put(r, v)
+      r: Array[Byte], v: Double, copyKey: Boolean): Unit = {
+    if (buf.containsKey(r)) {
+      if (v < buf.get(r)) { buf.put(r, v); () }
+    } else if (buf.size < k) {
+      buf.put(if (copyKey) r.clone() else r, v); ()
+    } else if (ByteOrder.compare(r, buf.lastKey()) < 0) {
+      buf.put(if (copyKey) r.clone() else r, v)
       if (buf.size > k) { buf.pollLastEntry(); () }
     }
   }
@@ -84,14 +108,18 @@ case class QuantileSampleAgg(
     val r = rankChild.eval(input)
     val v = valueChild.eval(input)
     if (r != null && v != null)
-      add(buf, r.asInstanceOf[UTF8String].getBytes, v.asInstanceOf[Double])
+      add(buf, r.asInstanceOf[UTF8String].getBytes, v.asInstanceOf[Double],
+        copyKey = true)
     buf
   }
 
   override def merge(b1: java.util.TreeMap[Array[Byte], Double],
       b2: java.util.TreeMap[Array[Byte], Double]): java.util.TreeMap[Array[Byte], Double] = {
     val it = b2.entrySet().iterator()
-    while (it.hasNext) { val e = it.next(); add(b1, e.getKey, e.getValue) }
+    while (it.hasNext) {
+      val e = it.next()
+      add(b1, e.getKey, e.getValue, copyKey = false)
+    }
     b1
   }
 

@@ -212,7 +212,13 @@ object EventsIngest {
       eventsAsMetrics(spark, sfDir)
         .withColumn("e", unix_timestamp(col("timestamp")))
         .withColumn("skey", graft.promql.PromOps.seriesKey(col("labels")))
-        .repartition(16, col("skey")))
+        // partition count floors at 16 but never drops below the core
+        // count: a fixed 16 would NARROW any scan wider than 16
+        // partitions and cap every per-series first stage below the
+        // available parallelism on larger boxes/fixtures (ADVICE r15)
+        .repartition(
+          math.max(16, spark.sparkContext.defaultParallelism),
+          col("skey")))
 
   /** Partitioned-parquet writer for the fact table: partition by
     * `collect_date` (+ query_id) so repair/retention are partition ops

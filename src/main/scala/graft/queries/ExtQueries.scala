@@ -6254,6 +6254,13 @@ object ExtQueries {
       .select(col("event_type").as("series"),
         to_date(col("ts")).as("day"),
         col("value"), md5(col("event_id").cast("string")).as("r"))
+      // graft_qsample SKIPS null-value rows (they carry no quantile
+      // information), where the replaced rank-window form sampled them
+      // by rank and counted them in n. The fixture's value column is
+      // non-null, but the semantics are pinned EXPLICITLY here — and
+      // mirrored in the oracle's WHERE — so a future nullable feed
+      // cannot silently diverge the two formulations (ADVICE r15).
+      .filter(col("value").isNotNull)
     ev.groupBy(col("series"), col("day"))
       .agg(call_function("graft_qsample", col("r"), col("value"),
         lit(1024L)).as("s"))
@@ -6270,6 +6277,7 @@ object ExtQueries {
       |  SELECT event_type AS series, CAST(ts AS DATE) AS day, value,
       |         md5(CAST(event_id AS VARCHAR)) AS r
       |  FROM events
+      |  WHERE value IS NOT NULL
       |), samp AS (
       |  SELECT series, day, value, r FROM (
       |    SELECT *, row_number() OVER (PARTITION BY series, day

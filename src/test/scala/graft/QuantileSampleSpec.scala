@@ -84,6 +84,58 @@ class QuantileSampleSpec extends SparkSpec {
     assert(viaSort == 1.0) // Spark's binary string order, the contract
   }
 
+  test("update clones a rank backed by a caller-reused buffer (input aliasing)") {
+    // UTF8String.getBytes returns the LIVE backing array (no copy) when
+    // the string exactly occupies it. A caller that reuses its byte
+    // buffer between rows must not be able to rewrite keys the aggregate
+    // already buffered — the input-aliasing variant of the
+    // representation-dependence class (round-15 verdict item 4).
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{DoubleType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = graft.functions.QuantileSampleAgg(
+      BoundReference(0, StringType, nullable = true),
+      BoundReference(1, DoubleType, nullable = true), 10)
+    val buf = agg.createAggregationBuffer()
+    val backing = "aaaa".getBytes("UTF-8") // exact fit: getBytes aliases
+    agg.update(buf, InternalRow(UTF8String.fromBytes(backing), 1.0))
+    backing(0) = 'z'.toByte // the caller reuses its buffer for row 2
+    agg.update(buf, InternalRow(UTF8String.fromBytes(backing), 2.0))
+    val out = agg.eval(buf)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+      .toDoubleArray().toSeq
+    // both ranks retained: "aaaa" was cloned at insert, not aliased
+    assert(out == Seq(1.0, 2.0), s"aliased key corrupted the buffer: $out")
+  }
+
+  test("rank collision keeps the min value under any arrival/merge order") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{DoubleType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val agg = graft.functions.QuantileSampleAgg(
+      BoundReference(0, StringType, nullable = true),
+      BoundReference(1, DoubleType, nullable = true), 4)
+    def evalSeq(b: java.util.TreeMap[Array[Byte], Double]): Seq[Double] =
+      agg.eval(b).asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .toDoubleArray().toSeq
+    def upd(b: java.util.TreeMap[Array[Byte], Double], r: String, v: Double) =
+      agg.update(b, InternalRow(UTF8String.fromString(r), v))
+    val b1 = agg.createAggregationBuffer()
+    upd(b1, "cc", 9.0); upd(b1, "cc", 3.0)
+    val b2 = agg.createAggregationBuffer()
+    upd(b2, "cc", 3.0); upd(b2, "cc", 9.0)
+    assert(evalSeq(b1) == Seq(3.0) && evalSeq(b2) == Seq(3.0))
+    // and across partition merge, either direction
+    val m1 = agg.createAggregationBuffer(); upd(m1, "cc", 9.0)
+    val m2 = agg.createAggregationBuffer(); upd(m2, "cc", 3.0)
+    assert(evalSeq(agg.merge(m1, m2)) == Seq(3.0))
+    val m3 = agg.createAggregationBuffer(); upd(m3, "cc", 3.0)
+    val m4 = agg.createAggregationBuffer(); upd(m4, "cc", 9.0)
+    assert(evalSeq(agg.merge(m3, m4)) == Seq(3.0))
+  }
+
   test("k must be a positive integer literal") {
     val df = Seq(("a" * 32, 1.0)).toDF("r", "v")
     val e = intercept[Exception](df.agg(expr("graft_qsample(r, v, 0)")).collect())

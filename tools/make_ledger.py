@@ -65,7 +65,7 @@ def main():
         old = old_doc["queries"]
         old_base = old_doc.get("budget_base", {})
     except (FileNotFoundError, KeyError):
-        old, old_base = {}, {}
+        old_doc, old, old_base = {}, {}, {}
     added = sorted(set(queries) - set(old))
     removed = sorted(set(old) - set(queries))
     moved = sorted((name, old[name], queries[name])
@@ -76,13 +76,26 @@ def main():
     # bounce guard: anchor the budget on the historical max median when
     # it exceeds the fresh one by more than the noise band, unless the
     # regen was invoked with --reset=<name> (deliberate plan change).
-    budget_base = {}
+    # Anchor aging (ADVICE r15): an anchor that survives regen after
+    # regen means the query KEEPS reading below its historical max —
+    # either a legitimate un-reset speedup (the budget is then anchored
+    # on a cost the query will never pay again, and a regression back to
+    # it passes silently at 1.5x of the stale max) or genuine band
+    # bouncing. Track each anchor's age in regens and flag old (>= 3
+    # regens) or far-out (> 2x the fresh median) anchors loudly so the
+    # carry is an explicit --reset decision, never a silent perpetual one.
+    old_age = old_doc.get("budget_base_age", {})
+    budget_base, base_age, stale_anchors = {}, {}, []
     for name, med in queries.items():
         if name in reset:
             continue
         hist = max(old.get(name, 0.0), old_base.get(name, 0.0))
         if hist > med * 1.25 and hist > 0.25:
             budget_base[name] = round(hist, 3)
+            base_age[name] = (old_age.get(name, 0) + 1
+                              if name in old_base else 1)
+            if base_age[name] >= 3 or hist > med * 2:
+                stale_anchors.append((name, hist, med, base_age[name]))
     ledger = {
         "note": ("Per-query baseline ledger: median of %d standalone "
                  "full-pack Bench runs at sf0.1 (totals %s). Consumed by "
@@ -95,6 +108,7 @@ def main():
                  % (len(runs), " / ".join(f"{t:.1f}" for t in totals))),
         "queries": queries,
         "budget_base": dict(sorted(budget_base.items())),
+        "budget_base_age": dict(sorted(base_age.items())),
         "samples": len(runs),
         "total_median": round(statistics.median(r["value"] for r in runs), 1),
     }
@@ -116,6 +130,11 @@ def main():
               "deliberate speedup): "
               + ", ".join(f"{k}={v:.3f}" for k, v in
                           sorted(budget_base.items())))
+    for name, hist, med, age in stale_anchors:
+        print(f"ledger: STALE ANCHOR {name}: budget_base {hist:.3f} vs "
+              f"fresh median {med:.3f} ({hist / med:.2f}x), carried "
+              f"{age} regen(s) — decide: --reset={name} if the speedup "
+              "was deliberate, else investigate the band")
     if reset - set(queries):
         print("ledger: WARNING --reset names not in this pack: "
               + ", ".join(sorted(reset - set(queries))))
