@@ -23,8 +23,10 @@ import org.apache.spark.sql.types.{MapType, StringType}
   *    as-of lookup — materializes |grid|·|series| rows (1440× the series
   *    count for the flagship's [24h:1m] subquery) before filtering. We
   *    invert it: each *sample* can only be "the latest visible sample"
-  *    for grid points in `[ceil(ts/step)*step, ts+lookback]` — at most
-  *    `lookback/step + 1` points (6 for the 5m/1m flagship). So we
+  *    for grid points in `[ceil(ts/step)*step, ts+lookback)` (the
+  *    staleness window is Prometheus's half-open `(g-lookback, g]`) —
+  *    at most `ceil(lookback/step)` points (5 for the 5m/1m flagship).
+  *    So we
   *    explode each sample to just those grid points and take the
   *    lexicographic max of (ts, value) per (series, grid point). That is
   *    linear in sample count and the groupBy aggregation is map-side
@@ -46,12 +48,12 @@ import org.apache.spark.sql.types.{MapType, StringType}
   */
 object PromOps {
 
-  /** Prometheus default staleness lookback: 5 minutes. Deliberate
-    * deviation, stated: Prometheus treats the lookback window as
-    * half-open `(t-5m, t]`; this engine uses the closed `[t-5m, t]` so
-    * every window bound in the engine and its oracles is inclusive
-    * integer-second arithmetic. At second precision the difference is a
-    * sample landing exactly on the boundary instant.
+  /** Prometheus default staleness lookback: 5 minutes. The lookback
+    * window is Prometheus's half-open `(t-5m, t]` exactly (round 16;
+    * the engine previously used the closed `[t-5m, t]` as a stated
+    * deviation). Still pure integer-second arithmetic: `e > t - 5m`
+    * instead of `>=` — one strict comparison, and the grid form's
+    * last-visible-point bound shifts by one second.
     */
   val DefaultLookbackSec: Long = 300L
 
@@ -91,10 +93,11 @@ object PromOps {
   private def epochSec(ts: Column): Column = unix_timestamp(ts)
 
   /** P1 at a single evaluation time: the most recent sample per series
-    * within `[t - lookback, t]` (reference semantics: client.go:58-93 —
-    * evaluation is done by Prometheus; we implement the staleness rule
-    * natively). Output: (metric_name, skey, e, value) with `e` = the
-    * sample's epoch second.
+    * within the half-open staleness window `(t - lookback, t]`
+    * (reference semantics: client.go:58-93 — evaluation is done by
+    * Prometheus; we implement the staleness rule natively, including
+    * the exclusive lower bound). Output: (metric_name, skey, e, value)
+    * with `e` = the sample's epoch second.
     */
   def instantVector(
       metrics: DataFrame,
@@ -103,7 +106,7 @@ object PromOps {
       lookbackSec: Long = DefaultLookbackSec): DataFrame = {
     withEpoch(withSeriesKey(metrics))
       .filter(col("metric_name") === metricName)
-      .filter(col("e") >= atEpochSec - lookbackSec && col("e") <= atEpochSec)
+      .filter(col("e") > atEpochSec - lookbackSec && col("e") <= atEpochSec)
       .groupBy(col("metric_name"), col("skey"))
       // lexicographic max picks the latest sample; value breaks exact-ts
       // ties deterministically (second-truncated timestamps can collide)
@@ -129,7 +132,7 @@ object PromOps {
       s"grid must be step-aligned: [$g0, $g1] step $stepSec")
     withEpoch(withSeriesKey(metrics))
       .filter(col("metric_name") === metricName)
-      .filter(col("e") >= g0 - lookbackSec && col("e") <= g1)
+      .filter(col("e") > g0 - lookbackSec && col("e") <= g1)
       // canonical key BEFORE the explode (the fact frame precomputes it;
       // the fallback derives it here): the JSON construction is the one
       // non-codegen expression, paid once per sample, not per grid point
@@ -137,9 +140,10 @@ object PromOps {
       // integer `div` keeps the whole expression in codegen'd long math
       .withColumn("gs", greatest(lit(g0),
         expr(s"((e + ${stepSec - 1}) div $stepSec) * $stepSec")))
-      // last grid point still within the staleness window, clamped
+      // last grid point still inside the HALF-OPEN staleness window
+      // (g - lookback < e ⟺ g ≤ e + lookback - 1), clamped
       .withColumn("ge", least(lit(g1),
-        expr(s"((e + $lookbackSec) div $stepSec) * $stepSec")))
+        expr(s"((e + ${lookbackSec - 1}) div $stepSec) * $stepSec")))
       .filter(col("gs") <= col("ge"))
       .select(col("skey"), col("e"), col("value"),
         explode(sequence(col("gs"), col("ge"), lit(stepSec))).as("g"))

@@ -90,11 +90,11 @@ object PromQueries {
   }
 
   val flagshipOracle: String =
-    sampleCte("view", G0 - 300, G1) +
+    sampleCte("view", G0 - 300 + 1, G1) +
       s""", ex AS (
          |  SELECT u, k, e, v,
          |         unnest(generate_series(greatest($G0, ((e + 59) // 60) * 60),
-         |                                least($G1, ((e + 300) // 60) * 60), 60)) AS g
+         |                                least($G1, ((e + 299) // 60) * 60), 60)) AS g
          |  FROM s
          |), latest AS (
          |  SELECT u, k, g, (max(struct_pack(e := e, v := v))).v AS lv
@@ -129,11 +129,11 @@ object PromQueries {
   }
 
   val flagshipMultidayOracle: String =
-    sampleCte("view", G1 - 3 * 86400 + 60 - 300, G1) +
+    sampleCte("view", G1 - 3 * 86400 + 60 - 300 + 1, G1) +
       s""", ex AS (
          |  SELECT u, k, e, v,
          |         unnest(generate_series(greatest(${G1 - 3 * 86400 + 60}, ((e + 59) // 60) * 60),
-         |                                least($G1, ((e + 300) // 60) * 60), 60)) AS g
+         |                                least($G1, ((e + 299) // 60) * 60), 60)) AS g
          |  FROM s
          |), latest AS (
          |  SELECT u, k, g, (max(struct_pack(e := e, v := v))).v AS lv
@@ -157,7 +157,7 @@ object PromQueries {
       .select(user.as("user"), kLbl.as("k"), col("e"), col("value"))
 
   val instantVectorOracle: String =
-    sampleCte("click", Te - 3600, Te) +
+    sampleCte("click", Te - 3600 + 1, Te) +
       s"\nSELECT u AS user, k, (max(struct_pack(e := e, v := v))).e AS e, " +
       s"(max(struct_pack(e := e, v := v))).v AS value FROM s GROUP BY u, k"
 
@@ -175,11 +175,11 @@ object PromQueries {
       .select(user.as("user"), kLbl.as("k"), col("g"), col("value"))
 
   val rangeMatrixOracle: String =
-    sampleCte("purchase", Gm0 - 600, Gm1) +
+    sampleCte("purchase", Gm0 - 600 + 1, Gm1) +
       s""", ex AS (
          |  SELECT u, k, e, v,
          |         unnest(generate_series(greatest($Gm0, ((e + 299) // 300) * 300),
-         |                                least($Gm1, ((e + 600) // 300) * 300), 300)) AS g
+         |                                least($Gm1, ((e + 599) // 300) * 300), 300)) AS g
          |  FROM s
          |)
          |SELECT u AS user, k, g, (max(struct_pack(e := e, v := v))).v AS value
@@ -296,7 +296,7 @@ object PromQueries {
   }
 
   val parsedTimestampOracle: String =
-    sampleCte("click", Te - 86400, Te) +
+    sampleCte("click", Te - 86400 + 1, Te) +
       "\nSELECT u AS user, k, " +
       "CAST((max(struct_pack(e := e, v := v))).e AS DOUBLE) AS value " +
       "FROM s GROUP BY u, k"
@@ -313,7 +313,7 @@ object PromQueries {
   }
 
   val parsedTimeFnsOracle: String =
-    sampleCte("click", Te - 86400, Te) +
+    sampleCte("click", Te - 86400 + 1, Te) +
       "\nSELECT u AS user, k, " +
       "CAST((max(struct_pack(e := e, v := v))).e // 3600 % 24 AS DOUBLE) AS value " +
       "FROM s GROUP BY u, k"
@@ -332,7 +332,7 @@ object PromQueries {
   }
 
   val parsedCalFnsOracle: String =
-    sampleCte("click", Te - 86400, Te) +
+    sampleCte("click", Te - 86400 + 1, Te) +
       """
         |, L AS (SELECT u, k, (max(struct_pack(e := e, v := v))).e AS e
         |        FROM s GROUP BY u, k)
@@ -452,7 +452,7 @@ object PromQueries {
   }
 
   val aggWithoutOracle: String =
-    sampleCte("signup", Te - 3600, Te) +
+    sampleCte("signup", Te - 3600 + 1, Te) +
       s", latest AS ($latestPairSql)\n" +
       "SELECT u AS user, max(v) AS value FROM latest GROUP BY u"
 
@@ -467,7 +467,7 @@ object PromQueries {
   }
 
   val aggByOracle: String =
-    sampleCte("view", Te - 3600, Te) +
+    sampleCte("view", Te - 3600 + 1, Te) +
       s", latest AS ($latestPairSql)\n" +
       "SELECT cl AS cluster_name, CAST(sum(CAST(v AS DECIMAL(20,6))) AS DOUBLE) AS value " +
       "FROM latest GROUP BY cl"
@@ -481,7 +481,7 @@ object PromQueries {
   }
 
   val avgByOracle: String =
-    sampleCte("error", Te - 3600, Te) +
+    sampleCte("error", Te - 3600 + 1, Te) +
       s", latest AS ($latestPairSql)\n" +
       "SELECT cl AS cluster_name, CAST(sum(CAST(v AS DECIMAL(20,6))) AS DOUBLE) / count(*) AS value " +
       "FROM latest GROUP BY cl"
@@ -498,7 +498,7 @@ object PromQueries {
           .cast("double").as("flag_scaled"))
 
   val boolScalarOracle: String =
-    sampleCte("view", Te - 3600, Te) +
+    sampleCte("view", Te - 3600 + 1, Te) +
       s", latest AS ($latestPairSql)\n" +
       "SELECT u AS user, k, CAST((CASE WHEN v > 50 THEN 1.0 ELSE 0.0 END) * 60 / 3600 AS DOUBLE) AS flag_scaled " +
       "FROM latest"

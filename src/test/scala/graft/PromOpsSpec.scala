@@ -27,6 +27,26 @@ class PromOpsSpec extends SparkSpec {
     assert(bySeries("""{"k":"2","s":"a"}""") == ((800L, 7.0)))
   }
 
+  test("P1: staleness window is half-open (t-lookback, t] — boundary sample excluded") {
+    // sample at exactly t - lookback is OUTSIDE the window (Prometheus
+    // semantics, round 16); one second later it is inside
+    val iv700 = PromOps.instantVector(metrics, "m", 1100L, 300L)
+      .select(col("skey"), col("e")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // at t=1100: k=2's only sample (e=800) sits exactly on 1100-300 → stale
+    assert(!iv700.contains("""{"k":"2","s":"a"}"""))
+    assert(iv700("""{"k":"1","s":"a"}""") == 990L)
+    val iv699 = PromOps.instantVector(metrics, "m", 1099L, 300L)
+      .select(col("skey"), col("e")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(iv699("""{"k":"2","s":"a"}""") == 800L) // 800 > 1099-300: visible
+    // grid form agrees: the last grid point a sample serves is < e+lookback
+    val g = PromOps.rangeEval(
+      metrics.filter(col("labels")("k") === "2"), "m", 1020L, 1140L, 60L, 300L)
+      .select(col("g")).collect().map(_.getLong(0)).toSet
+    assert(g == Set(1020L, 1080L)) // 1100 aligned down: 800 serves g<1100
+  }
+
   test("P4/P8: grid evaluation with staleness carry-forward") {
     // grid [900, 1080] step 60: sample(es=900,v=4) covers 900,960,1020,(1080<=1200)
     // sample(es=990,v=5) covers 1020,1080 and supersedes at those points
