@@ -125,7 +125,8 @@ object PromEval {
         .select(col("skey"), col("g").as("e"), col("value"))
       if (kind == "resets" || kind == "changes")
         PromOps.resetsFromSamples(samples, kind)
-      else PromOps.rateFromSamples(samples, kind)
+      else PromOps.rateFromSamples(samples, kind,
+        lit(atEpochSec - w), lit(atEpochSec), w)
     case VecBin(op, l, r, on, ignoring, groupSide, _)
         if scalarish(l) != scalarish(r) =>
       // vector op scalar-expression: the scalar side is ONE row by
@@ -878,7 +879,8 @@ object PromEval {
         PromOps.resetsFromSamples(pts, kind, extraKeys = Seq("g"))
           .select(col("skey"), col("g"), col("value"))
       else
-        PromOps.rateFromSamples(pts, kind, extraKeys = Seq("g"))
+        PromOps.rateFromSamples(pts, kind, col("g") - w, col("g"), w,
+          extraKeys = Seq("g"))
           .select(col("skey"), col("g"), col("value"))
     case QuantileSubquery(q, inner, w, sstep) =>
       PromOps.quantileOverTime(

@@ -232,29 +232,13 @@ object PromOps {
         .agg(sum(when(col("prev").isNotNull && flag, 1).otherwise(0))
           .cast("double").as("value"))
     }
-    if (kind == "delta") {
-      return wg.groupBy(col("skey"), col("g"))
-        .agg(min(struct(col("e"), col("vd"))).as("first"),
-          max(struct(col("e"), col("vd"))).as("last"))
-        .filter(col("last.e") > col("first.e"))
-        .select(col("skey"), col("g"),
-          (col("last.vd") - col("first.vd")).cast("double").as("value"))
-    }
-    val w = Window.partitionBy(col("skey"), col("g"))
-      .orderBy(col("e"), col("vd"))
-    val agg = wg.withColumn("prev", lag(col("vd"), 1).over(w))
-      .withColumn("delta",
-        when(col("prev").isNull, lit(null))
-          .when(col("vd") >= col("prev"), col("vd") - col("prev"))
-          .otherwise(col("vd")))
-      .groupBy(col("skey"), col("g"))
-      .agg(sum(col("delta")).as("incd"),
-        (max(col("e")) - min(col("e"))).as("span"))
-      .filter(col("span") > 0)
-    val value =
-      if (kind == "increase") col("incd").cast("double")
-      else col("incd").cast("double") / col("span")
-    agg.select(col("skey"), col("g"), value.as("value"))
+    // rate/increase/delta at every grid point: the SAME extrapolated
+    // kernel as the instant form, with each point's window bounds
+    // (g − w, g] riding the group key — no duplicated formula
+    rateFromSamples(
+      wg.select(col("skey"), col("g"), col("e"), col("vd").as("value")),
+      kind, col("g") - windowSec, col("g"), windowSec,
+      extraKeys = Seq("g"))
   }
 
   /** PromQL range selector `x[window]` evaluated at `t`: all raw samples
@@ -270,26 +254,81 @@ object PromOps {
       .filter(col("metric_name") === metricName)
       .filter(col("e") > atEpochSec - windowSec && col("e") <= atEpochSec)
 
-  /** `rate()` / `increase()` over a range selector, counter-reset aware:
-    * per series, each consecutive delta contributes `v - prev` while the
-    * counter rises and `v` on a reset, summed in DECIMAL(20,6) (order-
-    * independent) and — for rate — divided by the observed span. Series
-    * with fewer than two distinct timestamps drop out, as in Prometheus.
-    * One window pass plus one aggregation, both on the series key the
-    * data is already shuffled by.
+  /** `rate()` / `increase()` over a range selector — Prometheus's REAL
+    * extrapolated semantics (round 16; previously observed-span, a
+    * stated deviation now closed). Per series, counter-reset-aware
+    * deltas sum in DECIMAL(20,6) (order-independent, exact); the sum is
+    * then extrapolated to the window bounds exactly as
+    * `promql.extrapolatedRate` does it:
+    *
+    *  - extend the sampled interval toward each window edge by the
+    *    actual gap, CLAMPED at half the average sample spacing when the
+    *    gap exceeds 1.1× that average (the published heuristic for "the
+    *    series probably started/stopped inside the window");
+    *  - for counters, never extrapolate the start past the point where
+    *    the counter would have been zero
+    *    (`durationToZero = span · firstV/result`);
+    *  - rate divides the extrapolated increase by the WINDOW length,
+    *    not the observed span.
+    *
+    * Cross-engine determinism: every aggregate feeding the factor is
+    * exact (integer timestamps, decimal sums), and the factor itself is
+    * a fixed-order chain of IEEE double ops that the DuckDB oracles
+    * replay literally — the repo's mirrored-double discipline (as
+    * deriv/stdvar). Series with fewer than two distinct timestamps drop
+    * out, as in Prometheus. One window pass plus one aggregation, both
+    * on the series key the data is already shuffled by.
     */
   def rateOverRange(metrics: DataFrame, metricName: String, atEpochSec: Long,
       windowSec: Long, kind: String): DataFrame =
     rateFromSamples(
-      rangeSelector(metrics, metricName, atEpochSec, windowSec), kind)
+      rangeSelector(metrics, metricName, atEpochSec, windowSec), kind,
+      lit(atEpochSec - windowSec), lit(atEpochSec), windowSec)
+
+  /** The shared extrapolation factor applied to an aggregated frame
+    * carrying (n, fe, le, fv, res) — sample count, first/last epoch,
+    * first value (decimal), reset-corrected result (decimal) — plus the
+    * group keys. `rangeStart`/`rangeEnd` are columns so the grid form
+    * can pass `g − w`/`g`. Everything after the exact aggregates is
+    * double arithmetic in an operation order the oracles mirror
+    * LITERALLY (Prometheus promql/functions.go extrapolatedRate, public
+    * algorithm).
+    */
+  private def extrapolatedValue(kind: String, rangeStart: Column,
+      rangeEnd: Column, windowSec: Long): Column = {
+    val spanD = (col("le") - col("fe")).cast("double")
+    val resD = col("res").cast("double")
+    val fvD = col("fv").cast("double")
+    val avg = spanD / (col("n") - lit(1)).cast("double")
+    val thr = avg * lit(1.1)
+    val ds0 = (col("fe") - rangeStart).cast("double")
+    val de0 = (rangeEnd - col("le")).cast("double")
+    val ds1 = when(ds0 >= thr, avg / lit(2)).otherwise(ds0)
+    val de1 = when(de0 >= thr, avg / lit(2)).otherwise(de0)
+    // counters never extrapolate past their own zero crossing; the
+    // division is guarded by the res > 0 branch (an Inf/NaN dz simply
+    // fails the comparison, both engines alike)
+    val dz = spanD * (fvD / resD)
+    val ds2 =
+      if (kind == "delta") ds1
+      else when(resD > lit(0.0) && fvD >= lit(0.0) && dz < ds1, dz)
+        .otherwise(ds1)
+    val factor = (spanD + ds2 + de1) / spanD
+    if (kind == "rate") resD * (factor / lit(windowSec.toDouble))
+    else resD * factor
+  }
 
   /** The rate family over an arbitrary (skey, e, value) sample frame —
-    * shared by plain range selectors and SUBQUERY ranges, where the
+    * shared by plain range selectors, SUBQUERY ranges (where the
     * "samples" are the inner expression's values at the aligned grid
-    * points (`rate(expr[w:s])`). Same shapes as documented on
-    * [[rateOverRange]].
+    * points, `rate(expr[w:s])`), and the grid form. `rangeStart`/
+    * `rangeEnd` are the window bounds the extrapolation extends to —
+    * literal columns for instant evaluation, `g − w`/`g` at range
+    * evaluation. irate/idelta ignore them (Prometheus does not
+    * extrapolate the instant family).
     */
   def rateFromSamples(samples: DataFrame, kind: String,
+      rangeStart: Column, rangeEnd: Column, windowSec: Long,
       extraKeys: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // `extraKeys` (the outer grid point at range evaluation of a
@@ -328,30 +367,40 @@ object PromOps {
     }
     if (kind == "delta") {
       // gauge semantics: last observed − first observed, no counter-reset
-      // logic, no span division (observed-boundary deviation stated on
-      // rate/increase applies here identically); one map-side-combinable
-      // aggregation, no window pass at all
-      return rs.groupBy(keys: _*)
-        .agg(min(struct(col("e"), col("vd"))).as("first"),
-          max(struct(col("e"), col("vd"))).as("last"))
-        .filter(col("last.e") > col("first.e"))
-        .select(keys :+
-          (col("last.vd") - col("first.vd")).cast("double").as("value"): _*)
+      // logic, extrapolated to the window bounds exactly like
+      // rate/increase but WITHOUT the counter zero-crossing cap; one
+      // map-side-combinable aggregation, no window pass at all
+      val agg = rs.groupBy(keys: _*)
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("e"), col("vd"))).as("firstS"),
+          max(struct(col("e"), col("vd"))).as("lastS"))
+        .filter(col("lastS.e") > col("firstS.e"))
+        .select(keys ++ Seq(col("n"), col("firstS.e").as("fe"),
+          col("lastS.e").as("le"), col("firstS.vd").as("fv"),
+          (col("lastS.vd") - col("firstS.vd")).as("res")): _*)
+      return agg.select(keys :+
+        extrapolatedValue(kind, rangeStart, rangeEnd, windowSec)
+          .as("value"): _*)
     }
     val w = Window.partitionBy(keys: _*).orderBy(col("e"), col("vd"))
+    // n counts SAMPLES as both engines see them — second-colliding rows
+    // (possible after the ingest's second floor) each count once, in
+    // engine and oracle alike, so the average-spacing heuristic is
+    // computed identically even on data Prometheus itself could not hold
     val agg = rs.withColumn("prev", lag(col("vd"), 1).over(w))
       .withColumn("delta",
         when(col("prev").isNull, lit(null))
           .when(col("vd") >= col("prev"), col("vd") - col("prev"))
           .otherwise(col("vd")))
       .groupBy(keys: _*)
-      .agg(sum(col("delta")).as("incd"),
-        (max(col("e")) - min(col("e"))).as("span"))
-      .filter(col("span") > 0)
-    val value =
-      if (kind == "increase") col("incd").cast("double")
-      else col("incd").cast("double") / col("span")
-    agg.select(keys :+ value.as("value"): _*)
+      .agg(count(lit(1)).as("n"),
+        min(col("e")).as("fe"), max(col("e")).as("le"),
+        min(struct(col("e"), col("vd"))).getField("vd").as("fv"),
+        sum(col("delta")).as("res"))
+      .filter(col("le") > col("fe"))
+    agg.select(keys :+
+      extrapolatedValue(kind, rangeStart, rangeEnd, windowSec)
+        .as("value"): _*)
   }
 
   /** `resets(x[w])` / `changes(x[w])`: per series, the number of counter

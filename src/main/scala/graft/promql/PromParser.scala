@@ -81,8 +81,10 @@ object PromParser {
       by: Seq[String] = Nil, without: Seq[String] = Nil) extends Expr
   /** fn_over_time over a plain range selector `sel[window]` */
   final case class OverTime(fn: String, sel: Selector, windowSec: Long) extends Expr
-  /** `rate(sel[w])` / `increase(sel[w])` — counter-reset-aware, observed-span
-    * semantics (a stated addition beyond the reference's shipped surface).
+  /** `rate(sel[w])` / `increase(sel[w])` — counter-reset-aware with
+    * Prometheus's boundary extrapolation, exactly (see
+    * [[graft.promql.PromOps.rateOverRange]]; a stated addition beyond
+    * the reference's shipped surface).
     */
   final case class Rate(kind: String, sel: Selector, windowSec: Long) extends Expr
   /** fn_over_time over a subquery `expr[window:step]` */
@@ -91,7 +93,7 @@ object PromParser {
   /** The rate family over a subquery `rate(expr[w:s])`: the inner
     * expression's values at the aligned grid points play the samples —
     * the "rate of a derived series" idiom recording rules otherwise
-    * cover. Same counter-reset/observed-span semantics as [[Rate]].
+    * cover. Same counter-reset/extrapolation semantics as [[Rate]].
     * Stated deviation: the shared rate kernel quantizes samples to
     * DECIMAL(20,6) for deterministic cross-engine sums — exact for raw
     * integer counters, but a subquery feeds DERIVED doubles through it,
@@ -414,43 +416,89 @@ object PromParser {
       e
     }
 
-    /** arithmetic chain: expr (*|/|%|^|+|-) (number | [on|ignoring (l..)] expr)
-      * Left-associative with uniform precedence across the six ops — a
-      * stated simplification of Prometheus's `^` > `*`/`/`/`%` > `+`/`-`
-      * (and right-assoc `^`); the reference never parses PromQL at all,
-      * and queries in its configs are parenthesized. `%` is float mod
-      * with the dividend's sign (Go math.Mod == Spark/Java remainder);
-      * `^` is libm pow, so it follows the repo's spec-only policy.
-      * Comparison is NOT accepted in operand position: `a / (b > 0.5)`
-      * requires explicit parentheses.
+    /** Arithmetic with Prometheus's REAL precedence tiers (round 16;
+      * previously one uniform left-assoc tier, a stated deviation now
+      * closed): `^` (right-associative, tightest) > unary `+`/`-` >
+      * `*`/`/`/`%`/`atan2` > `+`/`-`, every tier left-assoc except `^`.
+      * Comparison and set-operator tiers were already Prometheus-exact.
+      * Each operator may carry `[on|ignoring (l..)] [group_left|_right]`
+      * before its RHS, at any tier, per the grammar. A RHS that
+      * constant-folds to a literal collapses to [[Arith]] (the cheap
+      * column-math plan); anything else is a [[VecBin]]. `%` is float
+      * mod with the dividend's sign (Go math.Mod == Spark/Java
+      * remainder); `^` is libm pow, so it follows the repo's spec-only
+      * policy. Comparison is NOT accepted in operand position:
+      * `a / (b > 0.5)` requires explicit parentheses.
       */
-    private def parseArith(): Expr = {
-      var e = parsePrimary()
-      while (peek.exists { case TSym(s) => "*/+-%^".contains(s)
-          case TId("atan2") => true; case _ => false }) {
+    private def parseArith(): Expr = parseAddSub()
+
+    /** One left-assoc binop tier: operators in `ops` over `next()`. */
+    private def opTier(ops: Set[String], next: () => Expr): Expr = {
+      var e = next()
+      while (peek.exists { case TSym(s) => ops(s)
+          case TId(s) => ops(s); case _ => false }) {
         val op = (pop(): @unchecked) match {
           case TSym(s) => s
           case TId(s) => s // `atan2` — Prometheus's keyword binop
         }
-        peek match {
-          case Some(TNum(_)) =>
-            val TNum(v) = pop(): @unchecked
-            e = Arith(e, op, v)
-          case Some(TId("on")) =>
-            pop(); val ls = labelList()
-            val (gs, gl) = parseGroupSide() // binds between the clause and the rhs
-            e = VecBin(op, e, parsePrimary(), on = Some(ls), groupSide = gs,
-              groupLabels = gl)
-          case Some(TId("ignoring")) =>
-            pop(); val ls = labelList()
-            val (gs, gl) = parseGroupSide()
-            e = VecBin(op, e, parsePrimary(), ignoring = Some(ls),
-              groupSide = gs, groupLabels = gl)
-          case _ =>
-            e = VecBin(op, e, parsePrimary())
-        }
+        e = withMatchClause(op, e, next)
       }
       e
+    }
+
+    /** The optional matching clause + RHS of one binop application. */
+    private def withMatchClause(op: String, lhs: Expr, next: () => Expr): Expr =
+      peek match {
+        case Some(TId("on")) =>
+          pop(); val ls = labelList()
+          val (gs, gl) = parseGroupSide() // binds between the clause and the rhs
+          VecBin(op, lhs, next(), on = Some(ls), groupSide = gs,
+            groupLabels = gl)
+        case Some(TId("ignoring")) =>
+          pop(); val ls = labelList()
+          val (gs, gl) = parseGroupSide()
+          VecBin(op, lhs, next(), ignoring = Some(ls),
+            groupSide = gs, groupLabels = gl)
+        case _ => next() match {
+          case Folded(v) => Arith(lhs, op, v)
+          case rhs => VecBin(op, lhs, rhs)
+        }
+      }
+
+    private def parseAddSub(): Expr =
+      opTier(Set("+", "-"), () => parseMulDiv())
+
+    private def parseMulDiv(): Expr =
+      opTier(Set("*", "/", "%", "atan2"), () => parseUnary())
+
+    /** Unary `+`/`-`: between `*` and `^` in precedence (Prometheus:
+      * `-2^2` is `-(2^2)`). Negation is multiplication by −1 — IEEE
+      * sign-flip, bit-exact including ∓0 — with literals folded in
+      * place so `-3` stays a plain literal.
+      */
+    private def parseUnary(): Expr = peek match {
+      case Some(TSym("-")) =>
+        pop()
+        parseUnary() match {
+          case NumLit(v) => NumLit(-v)
+          case e => Arith(e, "*", -1.0)
+        }
+      case Some(TSym("+")) => pop(); parseUnary()
+      case _ => parsePow()
+    }
+
+    /** `^`: right-associative, tightest. The exponent parses at the
+      * UNARY level (`2^-1` is legal; `2^3^2` = `2^(3^2)` via the
+      * recursion through parseUnary → parsePow).
+      */
+    private def parsePow(): Expr = {
+      val base = parsePrimary()
+      peek match {
+        case Some(TSym("^")) =>
+          pop()
+          withMatchClause("^", base, () => parseUnary())
+        case _ => base
+      }
     }
 
     private def parsePrimary(): Expr = pop() match {

@@ -68,6 +68,57 @@ object PromQueries {
     "SELECT u, k, cl, (max(struct_pack(e := e, v := v))).e AS e, " +
       "(max(struct_pack(e := e, v := v))).v AS v FROM s GROUP BY u, k, cl"
 
+  /** Extrapolated-rate oracle tail — Prometheus `extrapolatedRate`
+    * mirrored double-op-for-double-op against
+    * [[graft.promql.PromOps]]'s kernel (same staged expressions, same
+    * IEEE operation order, so the hash gate holds bit-for-bit).
+    * Consumes a CTE `d` carrying (keys..., e, vd[, delta]) — `delta` is
+    * the counter-reset-aware step chain for rate/increase; the delta
+    * (gauge) kind reads last−first from `d` directly. `rs`/`re` are SQL
+    * expressions for the window bounds and may reference the keys
+    * (`g - 2592000` at range evaluation).
+    */
+  private def extrapTailSql(keys: Seq[String], rs: String, re: String,
+      windowSec: Long, kind: String, outSelect: String): String = {
+    val ks = keys.mkString(", ")
+    val res =
+      if (kind == "delta")
+        """CAST((max(struct_pack(e := e, vd := vd))).vd
+          |              - (min(struct_pack(e := e, vd := vd))).vd AS DOUBLE) AS res""".stripMargin
+      else "CAST(sum(delta) AS DOUBLE) AS res"
+    val rate = if (kind == "rate") s" / ${windowSec}.0" else ""
+    val zeroCap =
+      if (kind == "delta") "" // gauges have no zero crossing to respect
+      else s""", y AS (
+         |  SELECT $ks, res, span, de1,
+         |         CASE WHEN res > 0 AND fvd >= 0 AND span * (fvd / res) < ds1
+         |              THEN span * (fvd / res) ELSE ds1 END AS ds2
+         |  FROM x
+         |)""".stripMargin
+    val (lastCte, ds) = if (kind == "delta") ("x", "ds1") else ("y", "ds2")
+    s""", agg AS (
+       |  SELECT $ks, count(*) AS n, min(e) AS fe, max(e) AS le,
+       |         (min(struct_pack(e := e, vd := vd))).vd AS fv,
+       |         $res
+       |  FROM d GROUP BY $ks HAVING max(e) - min(e) > 0
+       |), f AS (
+       |  SELECT $ks, res, CAST(le - fe AS DOUBLE) AS span,
+       |         CAST(le - fe AS DOUBLE) / (n - 1) AS avgd,
+       |         CAST(fe - ($rs) AS DOUBLE) AS ds0,
+       |         CAST(($re) - le AS DOUBLE) AS de0,
+       |         CAST(fv AS DOUBLE) AS fvd
+       |  FROM agg
+       |), x AS (
+       |  SELECT $ks, res, span, fvd,
+       |         CASE WHEN ds0 >= avgd * 1.1 THEN avgd / 2 ELSE ds0 END AS ds1,
+       |         CASE WHEN de0 >= avgd * 1.1 THEN avgd / 2 ELSE de0 END AS de1
+       |  FROM f
+       |)$zeroCap
+       |SELECT $outSelect,
+       |       res * (((span + $ds + de1) / span)$rate) AS value
+       |FROM $lastCte""".stripMargin
+  }
+
   // ---------------------------------------------------------------- flagship
 
   /** The reference's flagship query (scripts/migrate.sql:105) re-expressed
@@ -214,8 +265,9 @@ object PromQueries {
     * canonical Grafana counter panel, through the parsed range path
     * (PromEval.evalGrid → PromOps.rateOverGrid). The full-fixture window
     * keeps every (series, point) non-vacuous; deltas sum in
-    * DECIMAL(20,6) (order-independent) and the single span division is
-    * IEEE-deterministic, mirrored literally in the oracle.
+    * DECIMAL(20,6) (order-independent) and the extrapolation factor —
+    * each point's window bounds are (g−w, g] — is the fixed-order
+    * double chain, mirrored literally in the oracle.
     */
   def rangeRate(spark: SparkSession, sfDir: String): DataFrame = {
     val expr = graft.promql.PromParser.parse("rate(purchase[720h])")
@@ -236,14 +288,13 @@ object PromQueries {
          |         lag(vd) OVER (PARTITION BY u, k, g ORDER BY e, vd) AS prev
          |  FROM ex
          |), d AS (
-         |  SELECT u, k, g, e, CASE WHEN prev IS NULL THEN NULL
-         |                          WHEN vd >= prev THEN vd - prev
-         |                          ELSE vd END AS delta
+         |  SELECT u, k, g, e, vd, CASE WHEN prev IS NULL THEN NULL
+         |                              WHEN vd >= prev THEN vd - prev
+         |                              ELSE vd END AS delta
          |  FROM o
-         |)
-         |SELECT u AS user, k, g,
-         |       CAST(sum(delta) AS DOUBLE) / (max(e) - min(e)) AS value
-         |FROM d GROUP BY u, k, g HAVING max(e) - min(e) > 0""".stripMargin
+         |)""".stripMargin +
+      extrapTailSql(Seq("u", "k", "g"), "g - 2592000", "g",
+        2592000L, "rate", "u AS user, k, g")
 
   /** Range-evaluated vector division with `on(user)` matching — the
     * ratio-of-rates dashboard panel: per grid point, each user's
@@ -391,16 +442,16 @@ object PromQueries {
         |       min(v) AS vmin, max(v) AS vmax
         |FROM s GROUP BY u""".stripMargin
 
-  /** `rate()`/`increase()` over a 24h range selector, counter-reset
-    * aware: per series, each consecutive delta contributes `v - prev` if
-    * the counter rose and `v` if it reset (restarted near zero), summed
-    * and divided by the observed span. Extends the P5 family with the
-    * most-used PromQL function beyond the reference's shipped surface
-    * (a stated addition, not reference behavior; Prometheus's window
-    * extrapolation is intentionally omitted — observed-span semantics
-    * are exactly reproducible cross-engine). Deltas are computed and
-    * summed in DECIMAL(20,6), so aggregation order cannot shift the
-    * result; the only float op is the final division.
+  /** Raw counter statistics over a 24h range selector — sample count,
+    * reset-corrected increase, and increase over the OBSERVED span.
+    * This is deliberately NOT PromQL `rate()` (which extrapolates to
+    * the window bounds — the parser path implements that exactly; see
+    * promql_parsed_rate / pq_range_rate): it is the diagnostic panel
+    * you consult when an extrapolated reading looks surprising — the
+    * untouched ingredients (n, raw increase, observed span) the
+    * extrapolation is computed FROM. Deltas are computed and summed in
+    * DECIMAL(20,6), so aggregation order cannot shift the result; the
+    * only float op is the final division.
     */
   def pqRate(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -583,18 +634,18 @@ object PromQueries {
         |             ORDER BY e, CAST(v AS DECIMAL(20,6))) AS prev
         |  FROM s
         |), d AS (
-        |  SELECT u, k, e, CASE WHEN prev IS NULL THEN NULL
-        |                       WHEN vd >= prev THEN vd - prev
-        |                       ELSE vd END AS delta
+        |  SELECT u, k, e, vd, CASE WHEN prev IS NULL THEN NULL
+        |                           WHEN vd >= prev THEN vd - prev
+        |                           ELSE vd END AS delta
         |  FROM o
-        |)
-        |SELECT u AS user, k,
-        |       CAST(sum(delta) AS DOUBLE) / (max(e) - min(e)) AS value
-        |FROM d GROUP BY u, k HAVING max(e) - min(e) > 0""".stripMargin
+        |)""".stripMargin +
+      extrapTailSql(Seq("u", "k"), s"${Te - 2592000}", s"$Te",
+        2592000L, "rate", "u AS user, k")
 
   /** Parsed `increase(error[720h])` — the other Rate kind end-to-end:
-    * counter-reset-aware total growth over the window, no span division.
-    * Full-fixture window for the same non-vacuity reason as [[parsedRate]].
+    * counter-reset-aware growth extrapolated to the window bounds (no
+    * rate division). Full-fixture window for the same non-vacuity
+    * reason as [[parsedRate]].
     */
   def parsedIncrease(spark: SparkSession, sfDir: String): DataFrame = {
     val expr = graft.promql.PromParser.parse("increase(error[720h])")
@@ -611,13 +662,13 @@ object PromQueries {
         |             ORDER BY e, CAST(v AS DECIMAL(20,6))) AS prev
         |  FROM s
         |), d AS (
-        |  SELECT u, k, e, CASE WHEN prev IS NULL THEN NULL
-        |                       WHEN vd >= prev THEN vd - prev
-        |                       ELSE vd END AS delta
+        |  SELECT u, k, e, vd, CASE WHEN prev IS NULL THEN NULL
+        |                           WHEN vd >= prev THEN vd - prev
+        |                           ELSE vd END AS delta
         |  FROM o
-        |)
-        |SELECT u AS user, k, CAST(sum(delta) AS DOUBLE) AS value
-        |FROM d GROUP BY u, k HAVING max(e) - min(e) > 0""".stripMargin
+        |)""".stripMargin +
+      extrapTailSql(Seq("u", "k"), s"${Te - 2592000}", s"$Te",
+        2592000L, "increase", "u AS user, k")
 
   /** Parsed `last_over_time(purchase[168h] offset 24h)` — the `offset`
     * modifier end-to-end: the week-long window ends 24h before the
@@ -1150,9 +1201,11 @@ object PromQueries {
         |FROM s GROUP BY u, k""".stripMargin
 
   /** Parsed `delta(view[720h])` — the gauge twin of increase: last
-    * observed − first observed per series, no counter-reset logic
-    * (observed-boundary deviation stated on rate/increase applies
-    * identically). Exact via the shared DECIMAL(20,6) routing.
+    * observed − first observed per series, no counter-reset logic and
+    * no zero-crossing cap, extrapolated to the window bounds exactly
+    * like rate/increase (Prometheus semantics, round 16). The exact
+    * ingredients ride the shared DECIMAL(20,6) routing; the factor is
+    * the mirrored double chain.
     */
   def parsedDelta(spark: SparkSession, sfDir: String): DataFrame = {
     val expr = graft.promql.PromParser.parse("delta(view[720h])")
@@ -1163,11 +1216,11 @@ object PromQueries {
   val parsedDeltaOracle: String =
     sampleCte("view", Te - 2592000 + 1, Te) +
       """
-        |SELECT u AS user, k,
-        |       CAST((max(struct_pack(e := e, vd := CAST(v AS DECIMAL(20,6)))).vd
-        |           - (min(struct_pack(e := e, vd := CAST(v AS DECIMAL(20,6)))).vd)
-        |            ) AS DOUBLE) AS value
-        |FROM s GROUP BY u, k HAVING max(e) - min(e) > 0""".stripMargin
+        |, d AS (
+        |  SELECT u, k, e, CAST(v AS DECIMAL(20,6)) AS vd FROM s
+        |)""".stripMargin +
+      extrapTailSql(Seq("u", "k"), s"${Te - 2592000}", s"$Te",
+        2592000L, "delta", "u AS user, k")
 
   /** Two-metric CTE for the set-op oracles: left = per-(u,k) max of
     * purchase, right = the (u,k) series that have error samples. The
@@ -1949,6 +2002,42 @@ object PromQueries {
       "\nSELECT u AS user, CAST(count(*) % 7 AS DOUBLE) AS value " +
       "FROM s GROUP BY u"
 
+  /** Parsed `a + b * 2 - c % 7` UNPARENTHESIZED — Prometheus operator
+    * precedence end-to-end (round 16: `*`/`%` bind tighter than `+`/`-`,
+    * left-assoc within a tier), over three per-user count vectors
+    * matched one-to-one on the series key. Under the old uniform tier
+    * this would have computed ((((a+b)·2)−c) % 7) — integer counts make
+    * every grouping produce visibly different exact values, so the hash
+    * gate pins the tree shape, not just "it parses". The `^`/unary
+    * tiers (right-assoc `2^3^2`, `-2^2 = -(2^2)`) are pinned by spec —
+    * `^` is libm pow, excluded from oracles by the repo-wide rule.
+    */
+  def parsedPrecedence(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "sum by (user) (count_over_time(view[720h]))" +
+        " + sum by (user) (count_over_time(purchase[720h])) * 2" +
+        " - sum by (user) (count_over_time(click[720h])) % 7")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), col("value"))
+  }
+
+  val parsedPrecedenceOracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(user_id AS VARCHAR) AS u
+       |  FROM events
+       |  WHERE CAST(floor(epoch(ts)) AS BIGINT)
+       |        BETWEEN ${Te - 2592000 + 1} AND $Te
+       |), cv AS (SELECT u, count(*) AS c FROM ev
+       |          WHERE event_type = 'view' GROUP BY u),
+       |   cp AS (SELECT u, count(*) AS c FROM ev
+       |          WHERE event_type = 'purchase' GROUP BY u),
+       |   ck AS (SELECT u, count(*) AS c FROM ev
+       |          WHERE event_type = 'click' GROUP BY u)
+       |SELECT cv.u AS user,
+       |       (CAST(cv.c AS DOUBLE) + CAST(cp.c AS DOUBLE) * 2)
+       |        - (CAST(ck.c AS DOUBLE) % 7) AS value
+       |FROM cv JOIN cp ON cv.u = cp.u JOIN ck ON cv.u = ck.u""".stripMargin
+
   /** Parsed SUBQUERY rate — `increase((sum by (user)
     * (count_over_time(purchase[24h])))[72h:6h])`: the rate family over a
     * derived series (the idiom recording rules otherwise cover). The
@@ -1984,13 +2073,13 @@ object PromQueries {
        |  SELECT u, g, c, lag(c) OVER (PARTITION BY u ORDER BY g) AS prev
        |  FROM c
        |), d AS (
-       |  SELECT u, g, CASE WHEN prev IS NULL THEN NULL
-       |                    WHEN c >= prev THEN c - prev
-       |                    ELSE c END AS delta
+       |  SELECT u, g AS e, c AS vd, CASE WHEN prev IS NULL THEN NULL
+       |                                  WHEN c >= prev THEN c - prev
+       |                                  ELSE c END AS delta
        |  FROM o
-       |)
-       |SELECT u AS user, CAST(sum(delta) AS DOUBLE) AS value
-       |FROM d GROUP BY u HAVING max(g) - min(g) > 0""".stripMargin
+       |)""".stripMargin +
+      extrapTailSql(Seq("u"), s"${Te - 259200L}", s"$Te",
+        259200L, "increase", "u AS user")
   }
 
   /** The SLO idiom — `quantile_over_time(q, (expr)[w:s])`: the φ-quantile
@@ -2198,6 +2287,7 @@ object PromQueries {
       ((parsedGroupLeftLabel _, parsedGroupLeftLabelOracle)),
     "promql_parsed_sort" -> ((parsedSort _, parsedSortOracle)),
     "promql_parsed_mod" -> ((parsedMod _, parsedModOracle)),
+    "promql_parsed_precedence" -> ((parsedPrecedence _, parsedPrecedenceOracle)),
     "promql_parsed_subquery_rate" ->
       ((parsedSubqueryRate _, parsedSubqueryRateOracle)),
     "promql_parsed_subquery_step" ->

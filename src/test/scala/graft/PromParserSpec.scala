@@ -61,12 +61,42 @@ class PromParserSpec extends AnyFunSuite {
       PromParser.parse("increase((sum by (u) (m))[1h:5m])"): @unchecked
     // a bare [w] suffix on a non-selector is still rejected
     intercept[IllegalArgumentException](PromParser.parse("rate((x + 1)[5m])"))
-    // % and ^ parse in the uniform arithmetic tier
+    // % and ^ parse in their Prometheus tiers
     val Arith(Selector("m", _, _, _, _, _, _, _), "%", 7.0) =
       PromParser.parse("m % 7"): @unchecked
     val Arith(_, "^", 2.0) = PromParser.parse("m ^ 2"): @unchecked
     val VecBin("%", _, _, None, None, None, _) =
       PromParser.parse("a % b"): @unchecked
+  }
+
+  test("arithmetic precedence: ^ (right-assoc) > unary > * / % atan2 > + -") {
+    // a + b * c: * binds tighter — NOT the old uniform (a+b)*c
+    val VecBin("+", Selector("a", _, _, _, _, _, _, _),
+      VecBin("*", Selector("b", _, _, _, _, _, _, _),
+        Selector("c", _, _, _, _, _, _, _), None, None, None, _),
+      None, None, None, _) = PromParser.parse("a + b * c"): @unchecked
+    // a * b + c: left operand keeps the tighter pair
+    val VecBin("+", VecBin("*", _, _, _, _, _, _), Selector("c", _, _, _, _, _, _, _),
+      None, None, None, _) = PromParser.parse("a * b + c"): @unchecked
+    // b * c ^ d: ^ tighter than *
+    val VecBin("*", Selector("b", _, _, _, _, _, _, _),
+      VecBin("^", _, _, _, _, _, _), None, None, None, _) =
+      PromParser.parse("b * c ^ d"): @unchecked
+    // ^ is right-associative: 2^3^2 = 2^(3^2) = 512, not (2^3)^2 = 64
+    assert(PromParser.constFold(PromParser.parse("2 ^ 3 ^ 2")).contains(512.0))
+    // unary minus binds looser than ^: -2^2 = -(2^2) = -4
+    assert(PromParser.constFold(PromParser.parse("-2 ^ 2")).contains(-4.0))
+    // ... and tighter than *: -2 * 3 = -6; 2 ^ -1 parses (unary exponent)
+    assert(PromParser.constFold(PromParser.parse("-2 * 3")).contains(-6.0))
+    assert(PromParser.constFold(PromParser.parse("2 ^ -1")).contains(0.5))
+    // atan2 sits in the * tier: a + b atan2 c groups the right pair
+    val VecBin("+", _, VecBin("atan2", _, _, _, _, _, _), None, None, None, _) =
+      PromParser.parse("a + b atan2 c"): @unchecked
+    // unary minus on a vector multiplies by -1 (bit-exact negation)
+    val Arith(Selector("v", _, _, _, _, _, _, _), "*", -1.0) =
+      PromParser.parse("-v"): @unchecked
+    // mixed-literal folding respects the tiers: 2 + 3 * 4 = 14
+    assert(PromParser.constFold(PromParser.parse("2 + 3 * 4")).contains(14.0))
   }
 
   test("offset modifier on plain and range selectors") {
@@ -407,6 +437,41 @@ class PromEvalSpec extends SparkSpec {
     // Prometheus derives absent()'s labels from the equality matchers
     assert(one.length == 1 && one(0).getAs[Double]("value") == 1.0
       && one(0).getAs[String]("skey") == """{"i":"zzz"}""")
+  }
+
+  test("rate/increase/delta extrapolate to the window bounds (Prometheus semantics)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def eval(rows: Seq[(Long, Double)], q: String, at: Long = 60L): Double = {
+      val m = rows.map { case (e, v) => ("c", Map("i" -> "a"), v, e) }
+        .toDF("metric_name", "labels", "value", "es")
+        .withColumn("timestamp", timestamp_seconds(col("es")))
+      graft.promql.PromEval.evalInstant(m, graft.promql.PromParser.parse(q), at)
+        .collect().map(_.getAs[Double]("value")).head
+    }
+    // dense counter, edges within 1.1x the 10s average spacing: the
+    // REAL 10s gaps extend the sampled interval on both sides —
+    // increase = 40 * ((40+10+10)/40) = 60, the full-window estimate
+    val dense = Seq(10L -> 100.0, 20L -> 110.0, 30L -> 120.0,
+      40L -> 130.0, 50L -> 140.0)
+    assert(eval(dense, "increase(c[60s])") == 60.0)
+    assert(math.abs(eval(dense, "rate(c[60s])") - 1.0) < 1e-12)
+    // counter that starts at 0 inside the window: the zero-crossing cap
+    // durationToZero = span * (firstV/result) = 0 stops the start-side
+    // extrapolation — increase = 40 * ((40+0+10)/40) = 50
+    val fromZero = Seq(10L -> 0.0, 20L -> 10.0, 30L -> 20.0,
+      40L -> 30.0, 50L -> 40.0)
+    assert(eval(fromZero, "increase(c[60s])") == 50.0)
+    // sparse pair far from both edges: both gaps exceed 1.1x the 2s
+    // average spacing, so each side extends by avg/2 = 1 —
+    // increase = 2 * ((2+1+1)/2) = 4, NOT 2*58/2 = 58
+    val sparse = Seq(28L -> 3.0, 30L -> 5.0)
+    assert(eval(sparse, "increase(c[60s])") == 4.0)
+    // gauge delta extrapolates identically but has no zero cap: a
+    // decreasing gauge scales last-first by the same factor
+    val falling = Seq(10L -> 140.0, 20L -> 130.0, 30L -> 120.0,
+      40L -> 110.0, 50L -> 100.0)
+    assert(eval(falling, "delta(c[60s])") == -60.0)
   }
 
   test("irate/idelta use only the last two samples, reset-aware") {
@@ -840,8 +905,8 @@ class PromEvalSpec extends SparkSpec {
     assert(eval("tanh(m)") == math.tanh(0.5))
     assert(eval("deg(m)") == math.toDegrees(0.5))
     assert(eval("rad(deg(m))") == 0.5)
-    // parenthesized: the repo's arithmetic chain is uniform-precedence
-    assert(eval("(cosh(m) * cosh(m)) - (sinh(m) * sinh(m))") > 0.999)
+    // the hyperbolic identity, exercising * above - in the real tiers
+    assert(eval("cosh(m) * cosh(m) - sinh(m) * sinh(m)") > 0.999)
     // atan2: keyword binop, scalar and vector-vector forms (libm rule)
     assert(eval("m atan2 2") == math.atan2(0.5, 2.0))
     assert(eval("m atan2 m") == math.atan2(0.5, 0.5))
