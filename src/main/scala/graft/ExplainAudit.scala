@@ -20,7 +20,8 @@ object ExplainAudit {
     "prom_range_scan", "ngram_jaccard", "promql_parsed_topk",
     "promql_parsed_binop", "promql_parsed_histq", "promql_parsed_groupleft",
     "contamination_check", "stratified_sample",
-    "promql_parsed_ratio", "promql_parsed_scalar", "promql_parsed_aggquantile",
+    "promql_parsed_ratio", "promql_parsed_precedence",
+    "promql_parsed_scalar", "promql_parsed_aggquantile",
     "pii_scrub", "url_domain_stats", "vocab_oov", "quality_weighted_sample",
     "packing_stats", "pq_range_rate", "pq_range_binop", "shipping_priority",
     // round 7: comparison matching, label copy, grid smoothing, subquery

@@ -393,9 +393,15 @@ object PromOps {
           .when(col("vd") >= col("prev"), col("vd") - col("prev"))
           .otherwise(col("vd")))
       .groupBy(keys: _*)
+      // first-sample value: the window order is (e, vd), so the one row
+      // with prev IS NULL *is* min(struct(e, vd)) — expressed as a
+      // primitive-typed conditional min because a struct-typed min would
+      // demote this whole aggregation from HashAggregate (whole-stage
+      // codegen) to SortAggregate, an extra sort per group on the
+      // hottest PromQL path
       .agg(count(lit(1)).as("n"),
         min(col("e")).as("fe"), max(col("e")).as("le"),
-        min(struct(col("e"), col("vd"))).getField("vd").as("fv"),
+        min(when(col("prev").isNull, col("vd"))).as("fv"),
         sum(col("delta")).as("res"))
       .filter(col("le") > col("fe"))
     agg.select(keys :+
