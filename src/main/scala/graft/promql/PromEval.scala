@@ -427,11 +427,38 @@ object PromEval {
     case _ => col("skey")
   }
 
+  /** Prometheus one-to-one matching ERRORS on duplicate series per match
+    * group on either side ("found duplicate series for the match group"
+    * — promql resultMetric matching). Enforced in-plan with the same
+    * idiom as the group_left one-side check: group the side by its match
+    * key, pin the group cardinality with assert_true (NULL when the
+    * guard holds, so the filter keeps every row), and carry
+    * min(struct(payload)) — with exactly one row per group that struct
+    * IS the row, so no value is perturbed. Cost shape: the aggregate
+    * shuffles on the same key the equi-join hashes on, so the join reads
+    * pre-aggregated sides instead of raw sides — one HashAggregate per
+    * side on eval-sized frames, no extra exchange beyond what matching
+    * already requires.
+    */
+  private def oneRowPerMatchKey(df: DataFrame, keyCols: Seq[String],
+      payload: Seq[String], side: String): DataFrame = {
+    val st = struct(payload.map(col): _*)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(st).as("_row"), count(lit(1)).as("_nm"))
+      .filter(assert_true(col("_nm") === 1,
+        concat(lit("one-to-one matching: duplicate series on the " +
+          s"$side hand-side for match key "), col(keyCols.head))).isNull)
+      .select(keyCols.map(col) ++
+        payload.map(p => col(s"_row.$p").as(p)): _*)
+  }
+
   /** Vector-vector arithmetic, one-to-one. With a matching modifier the
     * output series carries the match key as its label set, as Prometheus
     * does for one-to-one matches. The join is a plain equi-join on the
     * key — broadcastable when one side is small, shuffle-hash otherwise;
-    * no label explosion, no cross join. `groupLabels` is the
+    * no label explosion, no cross join. Duplicate match keys on either
+    * side raise at execution via [[oneRowPerMatchKey]], Prometheus's
+    * one-to-one rule. `groupLabels` is the
     * `group_left(version)` label-copy list: the listed labels are copied
     * from the ONE side onto each output series (missing labels remove
     * the label, Prometheus's overwrite rule).
@@ -447,8 +474,22 @@ object PromEval {
     val extras = extraKeys.map(col)
     groupSide match {
       case None =>
-        val lf = left.select(mkey.as("skey") +: extras :+ col("value").as("lv"): _*)
-        val rf = right.select(mkey.as("skey") +: extras :+ col("value").as("rv"): _*)
+        // duplicate match keys are only POSSIBLE under on/ignoring (the
+        // key projects to a label subset); the bare form matches on the
+        // full series key, unique per instant vector by construction —
+        // Prometheus's binop never sees duplicate full labelsets either
+        // (it errors at the producing function), so skipping the guard
+        // there is exact, and the guarded plan is paid only where the
+        // semantics demand it
+        val guard = on.nonEmpty || ignoring.nonEmpty
+        def side(df: DataFrame, v: String, which: String): DataFrame = {
+          val sel = df.select(
+            mkey.as("skey") +: extras :+ col("value").as(v): _*)
+          if (guard) oneRowPerMatchKey(sel, "skey" +: extraKeys, Seq(v), which)
+          else sel
+        }
+        val lf = side(left, "lv", "left")
+        val rf = side(right, "rv", "right")
         lf.join(rf, "skey" +: extraKeys)
           .select(col("skey") +: extras :+
             arith2(col("lv"), op, col("rv")).as("value"): _*)
@@ -500,18 +541,31 @@ object PromEval {
     * when the predicate holds (the filtering form); with `bool` every
     * matched pair scores 1/0, and under a matching modifier the output
     * carries the match key as its label set (the one-to-one output-label
-    * rule). Broadcastable when one side is small. Stated deviation, same
-    * as [[vecBin]]'s bare form: duplicate match keys are not
-    * detected-and-errored — the join pairs every match.
+    * rule). Broadcastable when one side is small. Duplicate match keys
+    * on either side raise at execution via [[oneRowPerMatchKey]] —
+    * comparisons use the same one-to-one matching machinery as
+    * arithmetic in Prometheus, so the same duplicate-series rule
+    * applies (the left side's full skey rides the payload struct, so
+    * the filtering form still emits the left series unchanged).
     */
   private def vecCmp(left: DataFrame, right: DataFrame, op: String,
       isBool: Boolean, on: Option[Seq[String]],
       ignoring: Option[Seq[String]], extraKeys: Seq[String] = Nil): DataFrame = {
     val mkey = matchKey(on, ignoring)
     val extras = extraKeys.map(col)
-    val lf = left.select(Seq(col("skey"), mkey.as("mkey")) ++ extras :+
-      col("value").as("lv"): _*)
-    val rf = right.select(mkey.as("mkey") +: extras :+ col("value").as("rv"): _*)
+    // same scoping rule as [[vecBin]]: the guard is paid only under
+    // on/ignoring, the only forms where duplicate match keys can exist
+    val guard = on.nonEmpty || ignoring.nonEmpty
+    val lfSel = left.select(Seq(mkey.as("mkey")) ++ extras ++
+      Seq(col("skey"), col("value").as("lv")): _*)
+    val rfSel = right.select(
+      mkey.as("mkey") +: extras :+ col("value").as("rv"): _*)
+    val lf = if (guard)
+      oneRowPerMatchKey(lfSel, "mkey" +: extraKeys, Seq("skey", "lv"), "left")
+    else lfSel
+    val rf = if (guard)
+      oneRowPerMatchKey(rfSel, "mkey" +: extraKeys, Seq("rv"), "right")
+    else rfSel
     val joined = lf.join(rf, "mkey" +: extraKeys)
     val pred = PromOps.cmpCol(col("lv"), op, col("rv"))
     if (isBool) {

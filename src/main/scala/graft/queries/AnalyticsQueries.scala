@@ -1283,6 +1283,26 @@ object AnalyticsQueries {
     * pipeline gives its control rows.
     */
   def convOuterStream(spark: SparkSession, sfDir: String): DataFrame = {
+    // the GATE re-pays its stream per call (its timing is the evidence);
+    // the first run also donates its output as the session artifact that
+    // multiplexed consumers ([[conversionRateStream]]) read — the
+    // round-16 stream-floor protocol: new stream≡batch consumers ride an
+    // existing gate's stream instead of adding another ~1.3 s of
+    // micro-batch machinery to the pack
+    val out = runConvOuterStream(spark, sfDir)
+    graft.sources.TableCache.memo(spark, s"convouter_out#$sfDir")(out)
+  }
+
+  /** The streamed attribution output as a session artifact: built by the
+    * first toucher (the [[convOuterStream]] gate in pack order, or this
+    * builder standalone), then served to every multiplexed consumer
+    * without re-running the stream.
+    */
+  def convOuterArtifact(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.TableCache.memo(spark, s"convouter_out#$sfDir")(
+      runConvOuterStream(spark, sfDir))
+
+  private def runConvOuterStream(spark: SparkSession, sfDir: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("convo_e2e").toString
     val inDir = cachedStreamInput(spark, s"convouter#$sfDir") { path =>
       // same deterministic user-quarter trim as [[conversionPairsStream]]
@@ -1358,6 +1378,55 @@ object AnalyticsQueries {
       |FROM v LEFT JOIN p
       |  ON v.user_id = p.user_id
       | AND p.e >= v.e AND p.e < v.e + 1800""".stripMargin
+
+  /** Per-user conversion rates SERVED FROM the streamed attribution
+    * artifact — the first multiplexed stream≡batch consumer under the
+    * round-16 stream-floor protocol: it reads [[convOuterArtifact]]
+    * (the [[convOuterStream]] gate's own output, built once per
+    * session) instead of running a fourteenth stream, so its oracle
+    * check extends the streaming evidence — the DuckDB batch LEFT JOIN
+    * must agree with an AGGREGATE of what the watermarked outer join
+    * actually emitted, NULL-released rows included — at ~0.1 s of
+    * aggregation instead of ~1.3 s of micro-batch floor. Distinct view
+    * timestamps count each view once however many purchases matched it;
+    * the value sum routes through DECIMAL(20,6) on both sides; the cvr
+    * division is two exact integer counts in IEEE double, so the hash
+    * match is exact. At 100 TB this is the serving pattern too: the
+    * attribution stream lands ONE table, and rate/value/funnel readers
+    * aggregate it rather than each re-buffering both event streams.
+    */
+  def conversionRateStream(spark: SparkSession, sfDir: String): DataFrame =
+    convOuterArtifact(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(
+        countDistinct(col("e_v")).as("n_views"),
+        countDistinct(when(col("e_p").isNotNull, col("e_v"))).as("n_conv"),
+        decSum(col("v_p")).cast("double").as("conv_value"))
+      .select(col("user_id"), col("n_views"), col("n_conv"),
+        (col("n_conv").cast("double") / col("n_views")).as("cvr"),
+        col("conv_value"))
+
+  val conversionRateStreamOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS e,
+      |         value
+      |  FROM events
+      |  WHERE user_id % 4 = 0
+      |), v AS (SELECT user_id, e FROM ev WHERE event_type = 'view'
+      |), p AS (SELECT user_id, e, value FROM ev WHERE event_type = 'purchase'
+      |), j AS (
+      |  SELECT v.user_id AS user_id, v.e AS e_v, p.e AS e_p, p.value AS v_p
+      |  FROM v LEFT JOIN p
+      |    ON v.user_id = p.user_id
+      |   AND p.e >= v.e AND p.e < v.e + 1800
+      |)
+      |SELECT user_id,
+      |       count(DISTINCT e_v) AS n_views,
+      |       count(DISTINCT CASE WHEN e_p IS NOT NULL THEN e_v END) AS n_conv,
+      |       CAST(count(DISTINCT CASE WHEN e_p IS NOT NULL THEN e_v END) AS DOUBLE)
+      |         / count(DISTINCT e_v) AS cvr,
+      |       CAST(sum(CAST(v_p AS DECIMAL(20,6))) AS DOUBLE) AS conv_value
+      |FROM j GROUP BY user_id""".stripMargin
 
   /** NATIVE session-window streaming aggregation — the eighth
     * stream≡batch gate, and deliberately the same problem as
@@ -2011,6 +2080,8 @@ object AnalyticsQueries {
     "range_join_stream" -> ((rangeJoinStream _, rangeJoinStreamOracle)),
     "conversion_pairs_stream" -> ((conversionPairsStream _, conversionPairsStreamOracle)),
     "conv_outer_stream" -> ((convOuterStream _, convOuterStreamOracle)),
+    "conversion_rate_stream" ->
+      ((conversionRateStream _, conversionRateStreamOracle)),
     "session_window_stream" ->
       ((sessionWindowStream _, sessionWindowStreamOracle)),
     "dedup_wm_stream" -> ((dedupWmStream _, dedupWmStreamOracle)),

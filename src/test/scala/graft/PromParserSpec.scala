@@ -620,6 +620,42 @@ class PromEvalSpec extends SparkSpec {
     assert(ok == Seq(10.0 / 6.0, 20.0 / 6.0))
   }
 
+  test("bare one-to-one matching raises on duplicate match keys (either side)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two 'a' series and two 'b' series collapse to the same on(u) key:
+    // Prometheus one-to-one matching errors ("found duplicate series for
+    // the match group") instead of pairing every match — deviation 6 is
+    // closed, arithmetic AND comparison forms
+    val m = Seq(
+      ("a", Map("u" -> "1", "k" -> "p"), 10.0, 995L),
+      ("a", Map("u" -> "1", "k" -> "q"), 20.0, 995L),
+      ("b", Map("u" -> "1", "k" -> "x"), 2.0, 995L),
+      ("b", Map("u" -> "1", "k" -> "y"), 4.0, 995L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def run(q: String) = graft.promql.PromEval
+      .evalInstant(m, graft.promql.PromParser.parse(q), 1000L).collect()
+    val eAdd = intercept[Exception](run("a + on(u) b"))
+    assert(eAdd.getMessage != null)
+    val eCmp = intercept[Exception](run("a > on(u) b"))
+    assert(eCmp.getMessage != null)
+    // right-side duplicates alone also raise (left side unique)
+    val eRight = intercept[Exception](run("""a{k="p"} + on(u) b"""))
+    assert(eRight.getMessage != null)
+    // healthy path: unique keys on both sides flow through unchanged,
+    // filter-form comparison keeps the LEFT series' full label set
+    val ok = graft.promql.PromEval.evalInstant(m,
+      graft.promql.PromParser.parse("""a{k="p"} + on(u) b{k="x"}"""), 1000L)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(ok == Seq(12.0))
+    val okCmp = graft.promql.PromEval.evalInstant(m,
+      graft.promql.PromParser.parse("""a{k="q"} > on(u) b{k="y"}"""), 1000L)
+      .collect().map(r => (r.getAs[String]("skey"), r.getAs[Double]("value")))
+    assert(okCmp.length == 1 && okCmp(0)._2 == 20.0 &&
+      okCmp(0)._1.contains("\"k\":\"q\""))
+  }
+
   test("round/sgn/group/quantile-agg/count_values evaluate correctly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -226,4 +226,25 @@ class StreamingSpec extends SparkSpec {
     q2.awaitTermination(60000)
     assert(spark.read.parquet(path).count() == 3) // unchanged, not 6
   }
+
+  test("multiplexed stream consumer aggregates the gate's own artifact") {
+    // the round-16 stream-floor protocol: conversion_rate_stream rides
+    // conv_outer_stream's session artifact instead of running its own
+    // stream. Pin (1) the consumer's aggregate equals a direct batch
+    // aggregate of the artifact rows, and (2) gate output and artifact
+    // are the same relation (the gate's first run donates it).
+    val sf = "/root/testdata/sf0.001"
+    val gate = graft.queries.AnalyticsQueries.convOuterStream(spark, sf)
+    val art = graft.queries.AnalyticsQueries.convOuterArtifact(spark, sf)
+    assert(gate.count() == art.count())
+    val rate = graft.queries.AnalyticsQueries
+      .conversionRateStream(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val direct = art.groupBy(col("user_id"))
+      .agg(countDistinct(col("e_v")).as("nv"),
+        countDistinct(when(col("e_p").isNotNull, col("e_v"))).as("nc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rate.nonEmpty && rate.toSeq == direct.toSeq)
+  }
 }
