@@ -64,22 +64,20 @@ object Similarity {
       .withColumn(normAs, normSqQ(col(vecAs)))
 
   /** Brute-force top-k: broadcast the (small) query set against all
-    * candidates; rank by (cosine desc, vec_id) inside each query
-    * partition. The candidate scan parallelizes perfectly; only k rows
-    * per query survive the final shuffle — at 100 TB the broadcast side
-    * is the whole trick, and Spark plans exactly that.
+    * candidates; keep k per query by (cosine desc, vec_id) via the
+    * native bounded top-k aggregate ([[Ranking.explodeTopK]]) — the
+    * candidate scan parallelizes perfectly, the per-partition heaps ship
+    * k rows per query each, and NOTHING is ever sorted. At 100 TB the
+    * broadcast side plus the k-bounded combine is the whole trick.
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = broadcast(prepared(queries, "qid", "qv", "qn"))
     val c = prepared(candidates, "vec_id", "cv", "cn")
     val scored = q.join(c, col("qid") =!= col("vec_id"))
       .withColumn("cosine", cosineQN(col("qv"), col("cv"), col("qn"), col("cn")))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    Ranking.explodeTopK(scored, Seq("qid"),
+      struct((-col("cosine")).as("nc"), col("vec_id")),
+      struct(col("vec_id"), col("cosine")), k)
       .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
   }
 
@@ -133,14 +131,15 @@ object Similarity {
     */
   def routeCells(vectors: DataFrame, cents: DataFrame,
       nProbe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = prepared(vectors, "vec_id", "qv", "qn")
-    v.join(broadcast(cents.withColumn("cn", normSqQ(col("centroid")))))
-      .withColumn("sim", cosineQN(col("qv"), col("centroid"), col("qn"), col("cn")))
-      .withColumn("rr", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("cell").asc)))
-      .filter(col("rr") <= nProbe)
-      .select(col("vec_id"), col("cell"), col("rr").cast("long").as("probe"))
+    Ranking.explodeTopK(
+      v.join(broadcast(cents.withColumn("cn", normSqQ(col("centroid")))))
+        .withColumn("sim",
+          cosineQN(col("qv"), col("centroid"), col("qn"), col("cn"))),
+      Seq("vec_id"),
+      struct((-col("sim")).as("ns"), col("cell")),
+      struct(col("cell")), nProbe)
+      .select(col("vec_id"), col("cell"), col("rk").cast("long").as("probe"))
   }
 
   /** Assign each vector to its nearest centroid by cosine (tie → lowest

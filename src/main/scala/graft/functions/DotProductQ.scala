@@ -135,5 +135,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       KmvBottomKAgg.info, KmvBottomKAgg.builder))
     ext.injectFunction((FunctionIdentifier("graft_qsample"),
       QuantileSampleAgg.info, QuantileSampleAgg.builder))
+    ext.injectFunction((FunctionIdentifier("graft_topk"),
+      TopKRowsAgg.info, TopKRowsAgg.builder))
   }
 }

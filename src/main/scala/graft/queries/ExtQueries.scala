@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Dedup, Multimodal, Ranking, Similarity, TextOps}
 
 /** Training-data-pipeline extensions (the builder brief's M6 block):
   * dedup (exact / n-gram Jaccard / MinHash+LSH / SimHash), similarity
@@ -577,21 +577,20 @@ object ExtQueries {
     * a window over small groups, never a global sort.
     */
   def distinctiveTerms(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = docs(spark, sfDir)
       .select(col("doc_id"), col("source"),
         explode(TextOps.tokens(col("text"))).as("term"))
     val tf = toks.groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = cachedDocFreq(spark, sfDir) // session df table
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("score_ppm").desc, col("term"))
-    tf.join(df, "term")
-      .withColumn("score_ppm", expr("tf * 1000000 div df"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+    Ranking.explodeTopK(
+      tf.join(df, "term")
+        .withColumn("score_ppm", expr("tf * 1000000 div df")),
+      Seq("source"),
+      struct((-col("score_ppm")).as("ns"), col("term")),
+      struct(col("term"), col("tf"), col("df"), col("score_ppm")), 5)
       .select(col("source"), col("term"), col("tf"), col("df"),
-        col("score_ppm"), col("rn").cast("long").as("rank"))
+        col("score_ppm"), col("rk").cast("long").as("rank"))
   }
 
   val distinctiveTermsOracle: String =
@@ -1675,18 +1674,15 @@ object ExtQueries {
   }
 
   def pqAdcTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val emb = embeddings(spark, sfDir)
-      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
     val cand = cachedPqCodes(spark, sfDir).select(col("vec_id"), col("codes"))
     val queries = cachedPqLuts(spark, sfDir)
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("adc_dist").asc, col("vec_id").asc)
-    cand.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("qid"))
-      .withColumn("adc_dist", pqAdcDist)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 10)
+    Ranking.explodeTopK(
+      cand.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("adc_dist", pqAdcDist),
+      Seq("qid"),
+      struct(col("adc_dist"), col("vec_id")),
+      struct(col("vec_id"), col("adc_dist")), 10)
       .select(col("qid"), col("vec_id"), col("adc_dist"), col("rk"))
   }
 
@@ -1751,7 +1747,6 @@ object ExtQueries {
     * query vector to its nearest centroid, search only that cell.
     */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = embeddings(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 5)
     val assigned = cachedCellAssign(spark, sfDir)
@@ -1761,14 +1756,14 @@ object ExtQueries {
     val cand = emb.select(col("vec_id"), col("label"),
       Similarity.quantize(col("embedding")).as("cv"))
       .withColumn("cn", Similarity.normSqQ(col("cv")))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    broadcast(q.join(assigned, "qid"))
-      .join(cand, col("label") === col("cell") && col("vec_id") =!= col("qid"))
-      .withColumn("cosine",
-        Similarity.cosineQN(col("qv"), col("cv"), col("qn"), col("cn")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+    Ranking.explodeTopK(
+      broadcast(q.join(assigned, "qid"))
+        .join(cand, col("label") === col("cell") && col("vec_id") =!= col("qid"))
+        .withColumn("cosine",
+          Similarity.cosineQN(col("qv"), col("cv"), col("qn"), col("cn"))),
+      Seq("qid"),
+      struct((-col("cosine")).as("nc"), col("vec_id")),
+      struct(col("cell"), col("vec_id"), col("cosine")), 5)
       .select(col("qid"), col("cell"), col("vec_id"), col("cosine"), col("rk"))
   }
 
@@ -1810,7 +1805,6 @@ object ExtQueries {
     * rides the same broadcast as the query vectors.
     */
   def annIvfMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = embeddings(spark, sfDir)
     val cents = cachedCentroids(spark, sfDir)
     val queries = emb.filter(col("vec_id") < 5)
@@ -1820,14 +1814,14 @@ object ExtQueries {
     val cand = emb.select(col("vec_id"), col("label"),
       Similarity.quantize(col("embedding")).as("cv"))
       .withColumn("cn", Similarity.normSqQ(col("cv")))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    broadcast(q.join(routed, "qid"))
-      .join(cand, col("label") === col("cell") && col("vec_id") =!= col("qid"))
-      .withColumn("cosine",
-        Similarity.cosineQN(col("qv"), col("cv"), col("qn"), col("cn")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+    Ranking.explodeTopK(
+      broadcast(q.join(routed, "qid"))
+        .join(cand, col("label") === col("cell") && col("vec_id") =!= col("qid"))
+        .withColumn("cosine",
+          Similarity.cosineQN(col("qv"), col("cv"), col("qn"), col("cn"))),
+      Seq("qid"),
+      struct((-col("cosine")).as("nc"), col("vec_id")),
+      struct(col("vec_id"), col("cosine")), 5)
       .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
   }
 
@@ -1887,13 +1881,13 @@ object ExtQueries {
       .filter(col("vec_id") < 5)
       .withColumnRenamed("vec_id", "qid").select(col("qid"), col("cell"))
     val queries = cachedPqLuts(spark, sfDir)
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("adc_dist").asc, col("vec_id").asc)
-    broadcast(queries.join(assigned, "qid"))
-      .join(cand, col("label") === col("cell") && col("vec_id") =!= col("qid"))
-      .withColumn("adc_dist", pqAdcDist)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+    Ranking.explodeTopK(
+      broadcast(queries.join(assigned, "qid"))
+        .join(cand, col("label") === col("cell") && col("vec_id") =!= col("qid"))
+        .withColumn("adc_dist", pqAdcDist),
+      Seq("qid"),
+      struct(col("adc_dist"), col("vec_id")),
+      struct(col("cell"), col("vec_id"), col("adc_dist")), 5)
       .select(col("qid"), col("cell"), col("vec_id"), col("adc_dist"),
         col("rk"))
   }
@@ -1961,13 +1955,13 @@ object ExtQueries {
     val q = broadcast(v.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("qv").as("qq"),
         col("nn").as("qn"), col("bucket")))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    q.join(v, Seq("bucket")).filter(col("vec_id") =!= col("qid"))
-      .withColumn("cosine",
-        Similarity.cosineQN(col("qq"), col("qv"), col("qn"), col("nn")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+    Ranking.explodeTopK(
+      q.join(v, Seq("bucket")).filter(col("vec_id") =!= col("qid"))
+        .withColumn("cosine",
+          Similarity.cosineQN(col("qq"), col("qv"), col("qn"), col("nn"))),
+      Seq("qid"),
+      struct((-col("cosine")).as("nc"), col("vec_id")),
+      struct(col("bucket"), col("vec_id"), col("cosine")), 5)
       .select(col("qid"), col("bucket"), col("vec_id"), col("cosine"), col("rk"))
   }
 
@@ -3193,7 +3187,11 @@ object ExtQueries {
     * SQL — the equivalence is hash-checked, not claimed.
     */
   def domainCap(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // ONE K-bounded aggregate replaces the former two-phase salted cap:
+    // the salt pre-capped each (domain, shard) so no single hot domain
+    // ever sorted unsharded — exactly what graft_topk's map-side partial
+    // aggregation does for free (each input partition keeps ≤ capN rows
+    // per domain before the shuffle), with no sort anywhere
     val capN = 20
     val d = docs(spark, sfDir).select(
       col("doc_id"),
@@ -3201,18 +3199,11 @@ object ExtQueries {
         lit(".example.org")).as("domain"),
       size(array_distinct(TextOps.tokens(col("text")))).cast("long")
         .as("n_uniq"))
-    val sharded = d
-      .withColumn("shard", pmod(col("doc_id"), lit(8)))
-      .withColumn("lr", row_number().over(
-        Window.partitionBy(col("domain"), col("shard"))
-          .orderBy(col("n_uniq").desc, col("doc_id"))))
-      .filter(col("lr") <= capN)
-    sharded
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("domain"))
-          .orderBy(col("n_uniq").desc, col("doc_id"))).cast("long"))
-      .filter(col("rank") <= capN)
-      .select(col("domain"), col("rank"), col("doc_id"), col("n_uniq"))
+    Ranking.explodeTopK(d, Seq("domain"),
+      struct((-col("n_uniq")).as("nu"), col("doc_id")),
+      struct(col("doc_id"), col("n_uniq")), capN)
+      .select(col("domain"), col("rk").cast("long").as("rank"),
+        col("doc_id"), col("n_uniq"))
   }
 
   val domainCapOracle: String =
@@ -3245,7 +3236,6 @@ object ExtQueries {
     * heaps.
     */
   def embInt8Recall(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val emb = embeddings(spark, sfDir)
     val scale = aggregate(col("embedding"), lit(0d),
       (acc, x) => greatest(acc, abs(x.cast("double"))))
@@ -3266,15 +3256,20 @@ object ExtQueries {
         Similarity.cosineQN(col("q_qv"), col("qv"), col("q_qn"), col("qn")))
       .withColumn("cos_int8",
         Similarity.cosineQN(col("q_v8"), col("v8"), col("q_n8"), col("n8")))
-      .withColumn("rk_exact", row_number().over(Window.partitionBy(col("qid"))
-        .orderBy(col("cos_exact").desc, col("vec_id").asc)))
-      .withColumn("rk_int8", row_number().over(Window.partitionBy(col("qid"))
-        .orderBy(col("cos_int8").desc, col("vec_id").asc)))
-    val overlap = scored.filter(col("rk_exact") <= 10)
-      .select(col("qid"), col("vec_id"))
-      .join(scored.filter(col("rk_int8") <= 10)
-        .select(col("qid"), col("vec_id")), Seq("qid", "vec_id"), "left_semi")
-      .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+    // both top-10 lists fall out of ONE aggregation pass — two bounded
+    // heaps per query instead of two windows over the scored frame plus
+    // a self-semi-join; the overlap is then a k-row array intersect
+    val overlap = scored.groupBy(col("qid"))
+      .agg(
+        call_function("graft_topk",
+          struct((-col("cos_exact")).as("nc"), col("vec_id")),
+          col("vec_id"), lit(10)).as("top_exact"),
+        call_function("graft_topk",
+          struct((-col("cos_int8")).as("nc"), col("vec_id")),
+          col("vec_id"), lit(10)).as("top_int8"))
+      .select(col("qid"),
+        size(array_intersect(col("top_exact"), col("top_int8")))
+          .cast("long").as("n_overlap"))
     q.select(col("qid")).join(overlap, Seq("qid"), "left")
       .select(col("qid"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
@@ -3548,13 +3543,13 @@ object ExtQueries {
         .select(col("vec_id").as("qid"), col("cv").as("qv"),
           col("cn").as("qn"), col("cell").as("qcell")))
     val cand = prep.join(cells, "vec_id")
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    q.join(cand, col("qcell") === col("cell") && col("vec_id") =!= col("qid"))
-      .withColumn("cosine",
-        Similarity.cosineQN(col("qv"), col("cv"), col("qn"), col("cn")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+    Ranking.explodeTopK(
+      q.join(cand, col("qcell") === col("cell") && col("vec_id") =!= col("qid"))
+        .withColumn("cosine",
+          Similarity.cosineQN(col("qv"), col("cv"), col("qn"), col("cn"))),
+      Seq("qid"),
+      struct((-col("cosine")).as("nc"), col("vec_id")),
+      struct(col("cell"), col("vec_id"), col("cosine")), 5)
       .select(col("qid"), col("cell"), col("vec_id"), col("cosine"),
         col("rk").cast("long").as("rk"))
   }
@@ -3624,7 +3619,6 @@ object ExtQueries {
     */
   private def annIvfTrainedMpN(spark: SparkSession, sfDir: String,
       nq: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cells = cachedKmeansCells(spark, sfDir)
       .select(col("vec_id"), col("cell"))
     val cents = broadcast(
@@ -3632,25 +3626,26 @@ object ExtQueries {
         .select(col("cell"), col("cv").as("centv"))
         .withColumn("centn", Similarity.normSqQ(col("centv"))))
     val prep = Similarity.prepared(embeddings(spark, sfDir), "vec_id", "cv", "cn")
-    val rw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d").asc, col("cell").asc)
-    val routed = prep.filter(col("vec_id") < nq)
-      .crossJoin(cents)
-      .withColumn("d",
-        col("cn") - lit(2L) * Similarity.dotQ(col("cv"), col("centv")) + col("centn"))
-      .withColumn("rr", row_number().over(rw))
-      .filter(col("rr") <= 2)
+    val routed = Ranking.explodeTopK(
+      prep.filter(col("vec_id") < nq)
+        .crossJoin(cents)
+        .withColumn("d",
+          col("cn") - lit(2L) * Similarity.dotQ(col("cv"), col("centv")) +
+            col("centn")),
+      Seq("vec_id"),
+      struct(col("d"), col("cell")),
+      struct(col("cv"), col("cn"), col("cell")), 2)
       .select(col("vec_id").as("qid"), col("cv").as("qv"),
         col("cn").as("qn"), col("cell").as("qcell"))
     val cand = prep.join(cells, "vec_id")
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
-    broadcast(routed)
-      .join(cand, col("qcell") === col("cell") && col("vec_id") =!= col("qid"))
-      .withColumn("cosine",
-        Similarity.cosineQN(col("qv"), col("cv"), col("qn"), col("cn")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+    Ranking.explodeTopK(
+      broadcast(routed)
+        .join(cand, col("qcell") === col("cell") && col("vec_id") =!= col("qid"))
+        .withColumn("cosine",
+          Similarity.cosineQN(col("qv"), col("cv"), col("qn"), col("cn"))),
+      Seq("qid"),
+      struct((-col("cosine")).as("nc"), col("vec_id")),
+      struct(col("vec_id"), col("cosine")), 5)
       .select(col("qid"), col("vec_id"), col("cosine"),
         col("rk").cast("long").as("rk"))
   }
@@ -3813,13 +3808,13 @@ object ExtQueries {
       .filter(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("cell").as("qcell"))
     val queries = cachedPqLutsN(spark, sfDir, nq)
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("adc_dist").asc, col("vec_id").asc)
-    broadcast(queries.join(assigned, "qid"))
-      .join(cand, col("qcell") === col("cell") && col("vec_id") =!= col("qid"))
-      .withColumn("adc_dist", pqAdcDist)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+    Ranking.explodeTopK(
+      broadcast(queries.join(assigned, "qid"))
+        .join(cand, col("qcell") === col("cell") && col("vec_id") =!= col("qid"))
+        .withColumn("adc_dist", pqAdcDist),
+      Seq("qid"),
+      struct(col("adc_dist"), col("vec_id")),
+      struct(col("cell"), col("vec_id"), col("adc_dist")), 5)
       .select(col("qid"), col("cell"), col("vec_id"), col("adc_dist"),
         col("rk"))
   }
@@ -3943,7 +3938,6 @@ object ExtQueries {
     * broadcast; cells are disjoint so no candidate dedup.
     */
   def annIvfPqTrainedMp(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nq = 5
     val cand = cachedIvfPqCodes(spark, sfDir)
     val cents = broadcast(
@@ -3951,22 +3945,23 @@ object ExtQueries {
         .select(col("cell"), col("cv").as("centv"))
         .withColumn("centn", Similarity.normSqQ(col("centv"))))
     val prep = Similarity.prepared(embeddings(spark, sfDir), "vec_id", "cv", "cn")
-    val rw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d").asc, col("cell").asc)
-    val routed = prep.filter(col("vec_id") < nq)
-      .crossJoin(cents)
-      .withColumn("d",
-        col("cn") - lit(2L) * Similarity.dotQ(col("cv"), col("centv")) + col("centn"))
-      .withColumn("rr", row_number().over(rw))
-      .filter(col("rr") <= 2)
+    val routed = Ranking.explodeTopK(
+      prep.filter(col("vec_id") < nq)
+        .crossJoin(cents)
+        .withColumn("d",
+          col("cn") - lit(2L) * Similarity.dotQ(col("cv"), col("centv")) +
+            col("centn")),
+      Seq("vec_id"),
+      struct(col("d"), col("cell")),
+      struct(col("cell")), 2)
       .select(col("vec_id").as("qid"), col("cell").as("qcell"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("adc_dist").asc, col("vec_id").asc)
-    broadcast(cachedPqLuts(spark, sfDir).join(routed, "qid"))
-      .join(cand, col("qcell") === col("cell") && col("vec_id") =!= col("qid"))
-      .withColumn("adc_dist", pqAdcDist)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+    Ranking.explodeTopK(
+      broadcast(cachedPqLuts(spark, sfDir).join(routed, "qid"))
+        .join(cand, col("qcell") === col("cell") && col("vec_id") =!= col("qid"))
+        .withColumn("adc_dist", pqAdcDist),
+      Seq("qid"),
+      struct(col("adc_dist"), col("vec_id")),
+      struct(col("cell"), col("vec_id"), col("adc_dist")), 5)
       .select(col("qid"), col("cell"), col("vec_id"), col("adc_dist"),
         col("rk"))
   }
@@ -4089,13 +4084,13 @@ object ExtQueries {
       .filter(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("cell").as("qcell"))
     val queries = cachedResLutsN(spark, sfDir, nq)
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("adc_dist").asc, col("vec_id").asc)
-    broadcast(queries.join(assigned, "qid"))
-      .join(cand, col("qcell") === col("cell") && col("vec_id") =!= col("qid"))
-      .withColumn("adc_dist", pqAdcDist)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+    Ranking.explodeTopK(
+      broadcast(queries.join(assigned, "qid"))
+        .join(cand, col("qcell") === col("cell") && col("vec_id") =!= col("qid"))
+        .withColumn("adc_dist", pqAdcDist),
+      Seq("qid"),
+      struct(col("adc_dist"), col("vec_id")),
+      struct(col("cell"), col("vec_id"), col("adc_dist")), 5)
       .select(col("qid"), col("cell"), col("vec_id"), col("adc_dist"),
         col("rk"))
   }
@@ -4290,7 +4285,6 @@ object ExtQueries {
     * gate), ranked per doc with (score desc, term) tie-break.
     */
   def tfidfTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = docs(spark, sfDir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
     // corpus size as a broadcast one-row frame, not a driver-side action
@@ -4298,14 +4292,15 @@ object ExtQueries {
     val tf = toks.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = cachedDocFreq(spark, sfDir) // session df table
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("term"))
-    tf.join(df, "term").crossJoin(broadcast(n))
-      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
+    Ranking.explodeTopK(
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          (col("tf") * col("n_docs")).cast("double") / col("df")),
+      Seq("doc_id"),
+      struct((-col("score")).as("ns"), col("term")),
+      struct(col("term"), col("tf"), col("df"), col("score")), 3)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
-        col("score"), col("rn").cast("long").as("rank"))
+        col("score"), col("rk").cast("long").as("rank"))
   }
 
   val tfidfTopkOracle: String =

@@ -115,6 +115,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(1200))
   }
 
+  test("ANN top-k is the K-bounded native aggregate, never a window sort") {
+    // graft_topk replaced the row_number window: the plan must carry an
+    // ObjectHashAggregate (the TypedImperativeAggregate host) and NO
+    // Window node — a Window means the per-query candidate lists are
+    // being fully sorted again
+    for (q <- Seq("ann_brute_topk", "pq_adc_topk", "tfidf_topk")) {
+      val plan = finalPlan(SparkEntry.queries(q)(spark, sf))
+      assert(plan.contains("ObjectHashAggregate"), s"$q\n" + plan.take(1200))
+      assert(!plan.contains("Window"), s"$q plans a Window\n" + plan.take(1200))
+    }
+  }
+
   test("kmeans step broadcasts its centroids, corpus never shuffles to score") {
     val plan = finalPlan(
       SparkEntry.queries("emb_kmeans_step")(spark, sf))
