@@ -591,7 +591,13 @@ object PromEval {
     (by, without) match {
       case (Nil, Nil) => df.orderBy(ord: _*).limit(k).select(col("skey"), col("value"))
       case _ =>
-        import org.apache.spark.sql.expressions.Window
+        // grouped form: the K-bounded native aggregate, never a per-group
+        // window sort (series per group can be corpus-sized). Descending
+        // value rides as its exact IEEE negation; a NaN value then sorts
+        // LAST under the aggregate's total order, i.e. NaN never beats a
+        // number — which is Prometheus's own topk rule (the former
+        // window's `desc` put NaN first). bottomk's ascending order
+        // already sorts NaN last both ways.
         val gkeyCol: Column = (by, without) match {
           case (b, Nil) =>
             val keep = array(b.map(lit): _*)
@@ -603,10 +609,12 @@ object PromEval {
               (key, _) => !array_contains(drop, key)))
           case _ => throw new IllegalArgumentException("both by and without given")
         }
-        df.withColumn("gkey", gkeyCol)
-          .withColumn("rn",
-            row_number().over(Window.partitionBy(col("gkey")).orderBy(ord: _*)))
-          .filter(col("rn") <= k)
+        val vOrd = if (fn == "topk") (-col("value")).as("v") else col("value").as("v")
+        graft.ext.Ranking.explodeTopK(
+          df.withColumn("gkey", gkeyCol),
+          Seq("gkey"),
+          struct(vOrd, col("skey")),
+          struct(col("skey"), col("value")), k)
           .select(col("skey"), col("value"))
     }
   }
@@ -622,16 +630,18 @@ object PromEval {
   private def limitAgg(df: DataFrame, fn: String, p: Double,
       by: Seq[String], without: Seq[String]): DataFrame = fn match {
     case "limitk" =>
-      import org.apache.spark.sql.expressions.Window
       (by, without) match {
         case (Nil, Nil) =>
           df.orderBy(col("skey").asc).limit(p.toInt)
             .select(col("skey"), col("value"))
         case _ =>
-          df.withColumn("gkey", seriesKeyOf(groupLabels(by, without)))
-            .withColumn("rn", row_number().over(
-              Window.partitionBy(col("gkey")).orderBy(col("skey").asc)))
-            .filter(col("rn") <= p.toInt)
+          // K-bounded native aggregate (k lexicographically-smallest
+          // series keys per group), same shape as grouped topk
+          graft.ext.Ranking.explodeTopK(
+            df.withColumn("gkey", seriesKeyOf(groupLabels(by, without))),
+            Seq("gkey"),
+            struct(col("skey")),
+            struct(col("skey"), col("value")), p.toInt)
             .select(col("skey"), col("value"))
       }
     case "limit_ratio" =>

@@ -385,13 +385,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
   }
 
-  test("domain_cap is two-phase top-N: shard window then domain window, no join") {
+  test("domain_cap is ONE K-bounded aggregate: no window, no join") {
+    // round 16: the former two-phase salted cap (shard window + domain
+    // window) collapsed into a single graft_topk — the map-side partial
+    // aggregation IS the salt (each input partition ships ≤ capN rows
+    // per domain), so the plan must carry an ObjectHashAggregate and
+    // neither a Window nor a join
     val plan = finalPlan(SparkEntry.queries("domain_cap")(spark, sf))
-    // phase 1 ranks within (domain, shard), phase 2 within domain over
-    // the ≤ 8·N survivors — exactly two Window operators, and the salted
-    // shape must not smuggle in a join or cartesian
-    val windows = "\\bWindow\\b".r.findAllIn(plan).length
-    assert(windows == 2, s"want exactly 2 Window ops: $windows\n" + plan.take(1200))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1200))
+    assert(!plan.contains("Window"), plan.take(1200))
     assert(!plan.contains("Join"), plan.take(1200))
   }
 

@@ -208,6 +208,26 @@ class ScaleProbeSpec extends SparkSpec {
       graft.queries.ExtQueries.annIvfPqResidual)
   }
 
+  test("ann_brute_topk stays <= linear: K-bounded heaps over the scored scan") {
+    // round 16: the per-query top-k is graft_topk, not a window — the
+    // broadcast-scored candidate stream grows 30x and each partition's
+    // heaps keep <= k rows per query, so time must track the scan
+    // (a regression back to a window sort would still be ~linear here
+    // but the aggregate's map-side bound is what PlanShapeSpec pins;
+    // this probe gates the end-to-end growth class)
+    ratioCheck("ann_brute_topk", LinearBound)(
+      graft.queries.ExtQueries.annBrute)
+  }
+
+  test("domain_cap stays <= linear: the partial-agg heap IS the salt at 30x") {
+    // round 16: the former two-phase salted cap is ONE graft_topk — at
+    // 30x each domain's candidate list grows 30x but every input
+    // partition ships <= capN rows per domain, so no hot domain ever
+    // sorts unsharded and the decade stays scan-linear
+    ratioCheck("domain_cap", LinearBound)(
+      graft.queries.ExtQueries.domainCap)
+  }
+
   test("dedup_keep_best cost is |components|-linear over session state") {
     // the component frame is a session artifact (built once, here
     // honestly re-built after clearCache); the per-call plan is one
