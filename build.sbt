@@ -59,4 +59,15 @@ javaOptions ++= jdk17AddOpens ++ shmTmp ++ Seq(
   // The box has 128 GiB; a real driver would size this the same way.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++ {
+  // GC selection (A/B-able): JDK 17 defaults to G1, which optimizes
+  // pause time. A bench/ETL driver wants THROUGHPUT — short-lived
+  // query-churn allocation with no latency SLO — where ParallelGC's
+  // cheaper barriers and compacting young collections win. Measured on
+  // the full 225-query pack at sf0.1 before making it the default (see
+  // README); GRAFT_GC=g1 restores the JDK default for comparison runs.
+  sys.env.getOrElse("GRAFT_GC", "parallel") match {
+    case "parallel" => Seq("-XX:+UseParallelGC")
+    case _          => Seq.empty
+  }
+}
