@@ -1,12 +1,47 @@
 package graft.functions
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
+
+/** Bottom-K buffer over primitive longs: a sorted `Array[Long]` prefix
+  * of length `size`, deduplicated, capped at `k`. Replaces the previous
+  * `java.util.TreeSet[Long]` buffer (round-15 verdict note 2): every
+  * TreeSet add/merge/serialize boxed each long into a node object; here
+  * update is a binary search plus a primitive `System.arraycopy` shift
+  * (k-bounded, cache-friendly, zero allocation past the one backing
+  * array), and merge walks the other buffer's ascending prefix with an
+  * EARLY EXIT — once the incoming value is ≥ this buffer's current max
+  * with the buffer full, every remaining incoming value is too (both
+  * sides sorted), so the tail of a large merge costs nothing.
+  */
+final class LongBottomK(val k: Int) {
+  val arr = new Array[Long](k)
+  var size = 0
+
+  /** Largest value currently held; only meaningful when size == k. */
+  @inline def max: Long = arr(size - 1)
+
+  /** Insert keeping the sorted-distinct-bottom-k invariant: no-op for a
+    * duplicate or for a value not among the k smallest seen so far.
+    */
+  def add(v: Long): Unit = {
+    if (size == k && v >= arr(size - 1)) return
+    var lo = 0
+    var hi = size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr(mid) < v) lo = mid + 1 else hi = mid
+    }
+    if (lo < size && arr(lo) == v) return // already held (distinct set)
+    val keep = if (size == k) size - lo - 1 else size - lo
+    if (keep > 0) System.arraycopy(arr, lo, arr, lo + 1, keep)
+    arr(lo) = v
+    if (size < k) size += 1
+  }
+}
 
 /** Native Catalyst aggregate: the KMV (k-minimum-values) sketch — the K
   * smallest DISTINCT values of a long column, returned as one sorted
@@ -16,9 +51,9 @@ import org.apache.spark.sql.types._
   * distinct-then-rank formulation (a full dedup shuffle of every
   * (group, value) pair plus a per-group sort window) with one
   * aggregation whose buffers are K-BOUNDED everywhere: update folds a
-  * value into a capped ordered set, map-side partial aggregation ships
+  * value into a capped sorted array, map-side partial aggregation ships
   * at most K longs per (partition, group), and merge is a bounded
-  * set-union — the property that makes the sketch serve at 100 TB,
+  * sorted-union — the property that makes the sketch serve at 100 TB,
   * where the distinct pre-pass would shuffle the corpus.
   *
   * Determinism: the result is a pure function of the input SET (dedup
@@ -31,7 +66,7 @@ case class KmvBottomKAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[Long]] {
+  extends TypedImperativeAggregate[LongBottomK] {
 
   require(k >= 1, s"graft_kmv_bottomk needs k >= 1, got $k")
 
@@ -50,56 +85,46 @@ case class KmvBottomKAgg(
   override def prettyName: String = "graft_kmv_bottomk"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def createAggregationBuffer(): java.util.TreeSet[Long] =
-    new java.util.TreeSet[Long]()
+  override def createAggregationBuffer(): LongBottomK = new LongBottomK(k)
 
-  private def add(buf: java.util.TreeSet[Long], v: Long): Unit = {
-    // keep only values that can still be among the K smallest: skip
-    // anything not below the current kth once the buffer is full
-    if (buf.size < k) { buf.add(v); () }
-    else if (v < buf.last()) {
-      if (buf.add(v)) { buf.pollLast(); () }
-    }
-  }
-
-  override def update(buf: java.util.TreeSet[Long],
-      input: InternalRow): java.util.TreeSet[Long] = {
+  override def update(buf: LongBottomK, input: InternalRow): LongBottomK = {
     val v = child.eval(input)
-    if (v != null) add(buf, v.asInstanceOf[Long])
+    if (v != null) buf.add(v.asInstanceOf[Long])
     buf
   }
 
-  override def merge(b1: java.util.TreeSet[Long],
-      b2: java.util.TreeSet[Long]): java.util.TreeSet[Long] = {
-    val it = b2.iterator()
-    while (it.hasNext) add(b1, it.next())
+  override def merge(b1: LongBottomK, b2: LongBottomK): LongBottomK = {
+    var i = 0
+    // ascending walk + early exit: once b1 is full and b2's next value
+    // is not below b1's max, no later b2 value can enter either
+    while (i < b2.size && !(b1.size == k && b2.arr(i) >= b1.max)) {
+      b1.add(b2.arr(i))
+      i += 1
+    }
     b1
   }
 
-  override def eval(buf: java.util.TreeSet[Long]): Any = {
-    val arr = new Array[Long](buf.size)
-    val it = buf.iterator()
+  override def eval(buf: LongBottomK): Any =
+    new GenericArrayData(java.util.Arrays.copyOf(buf.arr, buf.size))
+
+  override def serialize(buf: LongBottomK): Array[Byte] = {
+    val bytes = new Array[Byte](4 + 8 * buf.size)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.putInt(buf.size)
     var i = 0
-    while (it.hasNext) { arr(i) = it.next(); i += 1 }
-    new GenericArrayData(arr)
+    while (i < buf.size) { bb.putLong(buf.arr(i)); i += 1 }
+    bytes
   }
 
-  override def serialize(buf: java.util.TreeSet[Long]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val out = new java.io.DataOutputStream(bos)
-    out.writeInt(buf.size)
-    val it = buf.iterator()
-    while (it.hasNext) out.writeLong(it.next())
-    out.flush()
-    bos.toByteArray
-  }
-
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Long] = {
-    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val buf = new java.util.TreeSet[Long]()
+  override def deserialize(bytes: Array[Byte]): LongBottomK = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = new LongBottomK(k)
+    // serialized form is this aggregate's own sorted-distinct prefix —
+    // restore by direct copy, no per-element re-insert
     var i = 0
-    while (i < n) { buf.add(in.readLong()); i += 1 }
+    while (i < n) { buf.arr(i) = bb.getLong(); i += 1 }
+    buf.size = n
     buf
   }
 

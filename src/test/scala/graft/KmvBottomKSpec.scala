@@ -40,6 +40,54 @@ class KmvBottomKSpec extends SparkSpec {
     assert(out == Seq(2L, 4L))
   }
 
+  test("primitive buffer: eviction, duplicate-of-max, early-exit merge, negatives") {
+    import graft.functions.LongBottomK
+    def ref(vals: Seq[Long], k: Int): Seq[Long] = vals.distinct.sorted.take(k)
+
+    // full-buffer eviction keeps the k smallest, duplicates (incl. of
+    // the current max) are no-ops
+    val b = new LongBottomK(3)
+    Seq(5L, 9L, 7L, 9L, 7L, 4L, 8L, 4L).foreach(b.add)
+    assert(b.arr.take(b.size).toSeq == Seq(4L, 5L, 7L))
+
+    // merge early-exit: every incoming value ≥ max of a full buffer —
+    // the walk must stop without perturbing the result
+    val lo = new LongBottomK(3); Seq(1L, 2L, 3L).foreach(lo.add)
+    val hi = new LongBottomK(3); Seq(3L, 50L, 60L).foreach(hi.add)
+    val merged = {
+      val agg = graft.functions.KmvBottomKAgg(org.apache.spark.sql.catalyst.expressions.Literal(1L), 3)
+      agg.merge(lo, hi)
+    }
+    assert(merged.arr.take(merged.size).toSeq == Seq(1L, 2L, 3L))
+
+    // negatives order before positives (signed comparison)
+    val n = new LongBottomK(4)
+    Seq(10L, -5L, 0L, -20L, 3L).foreach(n.add)
+    assert(n.arr.take(n.size).toSeq == Seq(-20L, -5L, 0L, 3L))
+
+    // randomized agreement with the reference construction, split
+    // across two buffers merged in both orders
+    val rnd = new scala.util.Random(42)
+    (0 until 50).foreach { _ =>
+      val vals = Seq.fill(rnd.nextInt(200))(rnd.nextLong() % 1000)
+      val k = 1 + rnd.nextInt(16)
+      val (l, r) = vals.splitAt(rnd.nextInt(vals.length + 1))
+      val agg = graft.functions.KmvBottomKAgg(org.apache.spark.sql.catalyst.expressions.Literal(1L), k)
+      val b1 = new LongBottomK(k); l.foreach(b1.add)
+      val b2 = new LongBottomK(k); r.foreach(b2.add)
+      val m12 = agg.merge(b1, b2)
+      assert(m12.arr.take(m12.size).toSeq == ref(vals, k),
+        s"k=$k vals=$vals")
+      val c1 = new LongBottomK(k); l.foreach(c1.add)
+      val c2 = new LongBottomK(k); r.foreach(c2.add)
+      val m21 = agg.merge(c2, c1)
+      assert(m21.arr.take(m21.size).toSeq == ref(vals, k))
+      // serialize/deserialize roundtrip preserves the prefix
+      val back = agg.deserialize(agg.serialize(m12))
+      assert(back.arr.take(back.size).toSeq == m12.arr.take(m12.size).toSeq)
+    }
+  }
+
   test("k must be a positive integer literal") {
     val df = Seq(1L).toDF("h")
     val e1 = intercept[Exception](
