@@ -993,7 +993,49 @@ object AnalyticsQueries {
     * list — so arrival volume cannot grow a state row: the property
     * that makes survivorship maintainable as a live view at 100 TB.
     */
+  /** The GATE re-pays its stream per call (its timing is the evidence);
+    * the first run also donates its output as the session artifact that
+    * multiplexed consumers ([[dedupSavingsStream]]) read — the round-16
+    * stream-floor protocol, second instance.
+    */
   def dedupKeepBestStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = runKeepBestStream(spark, sfDir)
+    graft.sources.TableCache.memo(spark, s"keepbest_out#$sfDir")(out)
+  }
+
+  /** The streamed survivorship view as a session artifact: built by the
+    * first toucher (the [[dedupKeepBestStream]] gate in pack order, or
+    * this builder standalone), then served to every multiplexed
+    * consumer without re-running the stream.
+    */
+  def keepBestArtifact(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.TableCache.memo(spark, s"keepbest_out#$sfDir")(
+      runKeepBestStream(spark, sfDir))
+
+  /** Corpus dedup savings SERVED FROM the streamed survivorship
+    * artifact — the second multiplexed stream≡batch consumer under the
+    * round-16 stream-floor protocol: per component-size bucket, how
+    * many near-dup components exist, how many docs survivorship
+    * removes, and the character mass dropped. Its oracle extends the
+    * streaming evidence — the DuckDB batch survivorship pipeline must
+    * agree with an AGGREGATE of what the watermarked
+    * flatMapGroupsWithState election actually flushed — at ~0.1 s of
+    * integer aggregation instead of another ~1.3 s micro-batch floor.
+    * At 100 TB this is the serving pattern: the election stream lands
+    * ONE component-keyed table and savings/audit readers aggregate it,
+    * rather than each re-folding the scored-member stream.
+    */
+  def dedupSavingsStream(spark: SparkSession, sfDir: String): DataFrame =
+    keepBestArtifact(spark, sfDir)
+      .groupBy(col("n_docs"))
+      .agg(count(lit(1)).as("n_components"),
+        sum(col("dropped_chars")).as("chars_dropped"),
+        max(col("keep_q")).as("max_keep_q"))
+      .select(col("n_docs"), col("n_components"),
+        ((col("n_docs") - 1) * col("n_components")).as("docs_removed"),
+        col("chars_dropped"), col("max_keep_q"))
+
+  private def runKeepBestStream(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.streaming.{KbEvent, KeepBestStream}
     val work = java.nio.file.Files.createTempDirectory("keepbest_e2e").toString
     val t0 = 1000000L
@@ -2012,10 +2054,10 @@ object AnalyticsQueries {
       "range_join", "conversion_pairs", "conv_outer", "dedup_wm",
       "cdc_merge", "session_window", "quantile_sketch",
       "dedup_keep_best",
-      // the multiplexed consumer: pure memo read after first touch, but
-      // its first touch can run the conv_outer stream (session artifact
-      // build) — same exemption class as the gates themselves
-      "conversion_rate").map(_ + "_stream")
+      // the multiplexed consumers: pure memo reads after first touch,
+      // but their first touch can run the donor gate's stream (session
+      // artifact build) — same exemption class as the gates themselves
+      "conversion_rate", "dedup_savings").map(_ + "_stream")
 
   val all: Map[String, ((SparkSession, String) => DataFrame, String)] =
     graft.sources.TableCache.planCachedPack(rawAll, statementCacheExempt)
@@ -2049,6 +2091,8 @@ object AnalyticsQueries {
     "cdc_merge_stream" -> ((cdcMergeStream _, cdcMergeStreamOracle)),
     "dedup_keep_best_stream" ->
       ((dedupKeepBestStream _, ExtQueries.dedupKeepBestOracle)),
+    "dedup_savings_stream" ->
+      ((dedupSavingsStream _, ExtQueries.dedupSavingsStreamOracle)),
     "m4_downsample" -> ((m4Downsample _, m4DownsampleOracle)),
     "value_histogram" -> ((valueHistogram _, valueHistogramOracle)),
     "gpu_daily_report" -> (((s: SparkSession, d: String) => gpuDailyReport(s, d), gpuDailyReportOracle)),

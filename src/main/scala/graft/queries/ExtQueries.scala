@@ -1019,7 +1019,13 @@ object ExtQueries {
         (col("tot_chars") - col("best.nc")).as("dropped_chars"))
   }
 
-  val dedupKeepBestOracle: String =
+  /** Shared CTE chain for the survivorship oracles: components (exact ∪
+    * simhash edges, recursive reachability), per-doc quality scoring,
+    * and the per-component best pick. [[dedupKeepBestOracle]] selects
+    * the per-component rows; [[dedupSavingsStreamOracle]] aggregates
+    * them by component size for the multiplexed stream consumer.
+    */
+  private def keepBestCtes: String =
     simhashCte(32).replaceFirst("^WITH ", "WITH RECURSIVE ") +
       """
         |, exact_edges AS (
@@ -1054,14 +1060,35 @@ object ExtQueries {
         |  FROM (SELECT *, row_number() OVER (PARTITION BY component
         |                  ORDER BY q DESC, doc_id ASC) AS rk FROM scored)
         |  WHERE rk = 1
-        |)
-        |SELECT s.component, count(*) AS n_docs,
-        |       any_value(b.keep_doc) AS keep_doc,
-        |       any_value(b.keep_q) AS keep_q,
-        |       CAST(sum(s.n_chars) - any_value(b.keep_chars) AS BIGINT)
-        |         AS dropped_chars
-        |FROM scored s JOIN best b USING (component)
-        |GROUP BY s.component""".stripMargin
+        |), per_comp AS (
+        |  SELECT s.component, count(*) AS n_docs,
+        |         any_value(b.keep_doc) AS keep_doc,
+        |         any_value(b.keep_q) AS keep_q,
+        |         CAST(sum(s.n_chars) - any_value(b.keep_chars) AS BIGINT)
+        |           AS dropped_chars
+        |  FROM scored s JOIN best b USING (component)
+        |  GROUP BY s.component
+        |)""".stripMargin
+
+  val dedupKeepBestOracle: String = keepBestCtes +
+    """
+      |SELECT component, n_docs, keep_doc, keep_q, dropped_chars
+      |FROM per_comp""".stripMargin
+
+  /** Oracle for the corpus-savings summary served from the streamed
+    * survivorship artifact: per component-size bucket, how many
+    * components, docs removed, and character mass dropped. All-integer
+    * aggregation over the same per-component rows as
+    * [[dedupKeepBestOracle]], so the hash check is exact.
+    */
+  val dedupSavingsStreamOracle: String = keepBestCtes +
+    """
+      |SELECT n_docs,
+      |       count(*) AS n_components,
+      |       CAST((n_docs - 1) * count(*) AS BIGINT) AS docs_removed,
+      |       CAST(sum(dropped_chars) AS BIGINT) AS chars_dropped,
+      |       max(keep_q) AS max_keep_q
+      |FROM per_comp GROUP BY n_docs""".stripMargin
 
   val dedupGroupsOracle: String =
     simhashCte(32).replaceFirst("^WITH ", "WITH RECURSIVE ") +

@@ -31,11 +31,12 @@ class PlansDocSpec extends AnyFunSuite {
     */
   private val preTripwire: Set[String] = Set(
     "dedup_keep_best_stream", // round 15's survivorship gate (see above)
-    // round 16's multiplexed stream consumer: its builder touches the
-    // conv_outer_stream session artifact (running the stream on first
+    // round 16's multiplexed stream consumers: each builder touches its
+    // donor gate's session artifact (running the stream on first
     // touch), so "its plan" is an aggregate over a parquet read; the
-    // join-state evidence lives in the gate + its spec
+    // state evidence lives in the gate + its spec
     "conversion_rate_stream",
+    "dedup_savings_stream",
     "ann_brute_topk", "ann_ivf_multiprobe", "ann_ivfpq_topk",
     "ann_lsh_topk", "approx_distinct_users", "bm25_topk",
     "cdc_merge_stream", "char_diversity", "cms_counts_stream",
