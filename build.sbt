@@ -68,6 +68,8 @@ javaOptions ++= jdk17AddOpens ++ shmTmp ++ Seq(
   // README); GRAFT_GC=g1 restores the JDK default for comparison runs.
   sys.env.getOrElse("GRAFT_GC", "parallel") match {
     case "parallel" => Seq("-XX:+UseParallelGC")
-    case _          => Seq.empty
+    case "g1"       => Seq("-XX:+UseG1GC") // the JDK-17 default, explicit
+    case other      => // a typo'd A/B run must not silently measure G1
+      sys.error(s"GRAFT_GC must be 'parallel' or 'g1', got '$other'")
   }
 }

@@ -88,7 +88,13 @@ object ExplainAudit {
     "caption_media_join", "dedup_keep_best",
     // round 14 tail: the filter-overlap Venn (quality × language ×
     // near-dup) — the stage-ordering diagnostic
-    "filter_agreement")
+    "filter_agreement",
+    // round 17: the set-tier precedence pins (or below and/unless) and
+    // the third/fourth multiplexed stream consumers (session-length
+    // histogram off the session_window gate, churn panel off the CDC
+    // merge snapshot)
+    "promql_parsed_setop_precedence", "promql_parsed_setop_unless",
+    "sessions_length_stream", "cdc_snapshot_churn_stream")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -119,6 +119,8 @@ case class KmvBottomKAgg(
   override def deserialize(bytes: Array[Byte]): LongBottomK = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt()
+    require(n >= 0 && n <= k && bytes.length == 4 + 8 * n,
+      s"malformed kmv buffer: n=$n, k=$k, ${bytes.length} bytes")
     val buf = new LongBottomK(k)
     // serialized form is this aggregate's own sorted-distinct prefix —
     // restore by direct copy, no per-element re-insert

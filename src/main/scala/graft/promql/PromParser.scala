@@ -364,13 +364,30 @@ object PromParser {
       e
     }
 
-    /** lowest precedence, left-assoc: expr (and|or|unless) expr ... —
-      * matching Prometheus, where set ops bind looser than arithmetic.
+    /** Set-operator tiers, per Prometheus's published ladder: `or` is the
+      * LOWEST tier, binding looser than `and`/`unless`, which in turn bind
+      * looser than comparison — so `a or b and c` is `a or (b and c)` and
+      * `a unless b or c` is `(a unless b) or c`. Both tiers left-assoc.
+      * (Through round 16 all three folded into ONE left-assoc tier, which
+      * mis-associated `a or b and c` as `(a or b) and c` — split in
+      * round 17; oracle-pinned by promql_parsed_setop_precedence.)
       */
     private def parseSetOp(): Expr = {
+      var e = parseAndUnless()
+      while (peek.contains(TId("or"))) {
+        pop()
+        e = SetOp("or", e, parseAndUnless())
+      }
+      e
+    }
+
+    /** `and`/`unless` — one left-assoc tier ABOVE `or` (they share a tier
+      * in Prometheus: `a and b unless c` = `(a and b) unless c`).
+      */
+    private def parseAndUnless(): Expr = {
       var e = parseComparison()
       while (peek.exists {
-        case TId(s) => s == "and" || s == "or" || s == "unless"
+        case TId(s) => s == "and" || s == "unless"
         case _ => false
       }) {
         val TId(op) = pop(): @unchecked

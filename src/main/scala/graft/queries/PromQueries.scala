@@ -2038,6 +2038,83 @@ object PromQueries {
        |        - (CAST(ck.c AS DOUBLE) % 7) AS value
        |FROM cv JOIN cp ON cv.u = cp.u JOIN ck ON cv.u = ck.u""".stripMargin
 
+  /** Parsed `A and A % 2 == 1 or P and C % 3 == 0` UNPARENTHESIZED —
+    * the set-operator tiers end-to-end (round 17: `or` binds LOOSER than
+    * `and`/`unless`, per Prometheus's ladder; one tier through round 16,
+    * which mis-associated this as `((A and A%2==1) or P) and (C%3==0)`).
+    * Operands are per-user integer count vectors whose key sets are made
+    * partially disjoint by exact mod filters (odd view-counts; click-
+    * counts ≡ 0 mod 3), so the correct grouping `(A and odd) or (P and
+    * divisible)` and the wrong one produce visibly different key sets
+    * AND values — the hash gate pins the tree shape. This is the
+    * `up == 0 or up == 1 and maintenance` alerting idiom's shape.
+    */
+  def parsedSetopPrecedence(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "sum by (user) (count_over_time(view[720h]))" +
+        " and sum by (user) (count_over_time(view[720h])) % 2 == 1" +
+        " or sum by (user) (count_over_time(purchase[720h]))" +
+        " and sum by (user) (count_over_time(click[720h])) % 3 == 0")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), col("value"))
+  }
+
+  val parsedSetopPrecedenceOracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(user_id AS VARCHAR) AS u
+       |  FROM events
+       |  WHERE CAST(floor(epoch(ts)) AS BIGINT)
+       |        BETWEEN ${Te - 2592000 + 1} AND $Te
+       |), cv AS (SELECT u, count(*) AS c FROM ev
+       |          WHERE event_type = 'view' GROUP BY u),
+       |   cp AS (SELECT u, count(*) AS c FROM ev
+       |          WHERE event_type = 'purchase' GROUP BY u),
+       |   ck AS (SELECT u, count(*) AS c FROM ev
+       |          WHERE event_type = 'click' GROUP BY u),
+       |   a AS (SELECT u, CAST(c AS DOUBLE) AS value FROM cv
+       |         WHERE c % 2 = 1),
+       |   bc AS (SELECT cp.u, CAST(cp.c AS DOUBLE) AS value
+       |          FROM cp JOIN ck ON cp.u = ck.u WHERE ck.c % 3 = 0)
+       |SELECT u AS user, value FROM a
+       |UNION ALL
+       |SELECT u AS user, value FROM bc
+       |WHERE u NOT IN (SELECT u FROM a)""".stripMargin
+
+  /** Parsed `V or P unless C % 3 == 0` — the tier boundary from the other
+    * side: `unless` binds tighter, so this is `V or (P unless divisible)`
+    * — purchase-only users WITHOUT a click-count divisible by 3 join the
+    * view vector. The one-tier parse computed `(V or P) unless (...)`,
+    * which also drops view users — different key set, different hash.
+    */
+  def parsedSetopUnless(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "sum by (user) (count_over_time(view[720h]))" +
+        " or sum by (user) (count_over_time(purchase[720h]))" +
+        " unless sum by (user) (count_over_time(click[720h])) % 3 == 0")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), col("value"))
+  }
+
+  val parsedSetopUnlessOracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(user_id AS VARCHAR) AS u
+       |  FROM events
+       |  WHERE CAST(floor(epoch(ts)) AS BIGINT)
+       |        BETWEEN ${Te - 2592000 + 1} AND $Te
+       |), cv AS (SELECT u, count(*) AS c FROM ev
+       |          WHERE event_type = 'view' GROUP BY u),
+       |   cp AS (SELECT u, count(*) AS c FROM ev
+       |          WHERE event_type = 'purchase' GROUP BY u),
+       |   ck AS (SELECT u, count(*) AS c FROM ev
+       |          WHERE event_type = 'click' GROUP BY u),
+       |   a AS (SELECT u, CAST(c AS DOUBLE) AS value FROM cv),
+       |   bu AS (SELECT u, CAST(c AS DOUBLE) AS value FROM cp
+       |          WHERE u NOT IN (SELECT u FROM ck WHERE c % 3 = 0))
+       |SELECT u AS user, value FROM a
+       |UNION ALL
+       |SELECT u AS user, value FROM bu
+       |WHERE u NOT IN (SELECT u FROM a)""".stripMargin
+
   /** Parsed SUBQUERY rate — `increase((sum by (user)
     * (count_over_time(purchase[24h])))[72h:6h])`: the rate family over a
     * derived series (the idiom recording rules otherwise cover). The
@@ -2288,6 +2365,10 @@ object PromQueries {
     "promql_parsed_sort" -> ((parsedSort _, parsedSortOracle)),
     "promql_parsed_mod" -> ((parsedMod _, parsedModOracle)),
     "promql_parsed_precedence" -> ((parsedPrecedence _, parsedPrecedenceOracle)),
+    "promql_parsed_setop_precedence" ->
+      ((parsedSetopPrecedence _, parsedSetopPrecedenceOracle)),
+    "promql_parsed_setop_unless" ->
+      ((parsedSetopUnless _, parsedSetopUnlessOracle)),
     "promql_parsed_subquery_rate" ->
       ((parsedSubqueryRate _, parsedSubqueryRateOracle)),
     "promql_parsed_subquery_step" ->

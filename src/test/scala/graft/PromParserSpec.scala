@@ -207,6 +207,46 @@ class PromParserSpec extends AnyFunSuite {
     val Agg("stdvar", _, Nil, Nil) = PromParser.parse("stdvar(m)"): @unchecked
   }
 
+  test("or binds looser than and/unless (two set tiers, round 17)") {
+    // the Prometheus ladder's set tiers: a or (b and c), NOT (a or b) and c
+    val SetOp("or", Selector("a", _, _, _, _, _, _, _),
+      SetOp("and", Selector("b", _, _, _, _, _, _, _),
+        Selector("c", _, _, _, _, _, _, _))) =
+      PromParser.parse("a or b and c"): @unchecked
+    // left operand keeps the tighter pair: (a and b) or c
+    val SetOp("or", SetOp("and", _, _), Selector("c", _, _, _, _, _, _, _)) =
+      PromParser.parse("a and b or c"): @unchecked
+    // unless shares the tighter tier: a or (b unless c)
+    val SetOp("or", Selector("a", _, _, _, _, _, _, _),
+      SetOp("unless", _, _)) =
+      PromParser.parse("a or b unless c"): @unchecked
+    // ... and left-assoc across the tier boundary: (a unless b) or c
+    val SetOp("or", SetOp("unless", Selector("a", _, _, _, _, _, _, _), _),
+      Selector("c", _, _, _, _, _, _, _)) =
+      PromParser.parse("a unless b or c"): @unchecked
+    // or itself chains left-assoc: (a or b) or c
+    val SetOp("or", SetOp("or", _, _), Selector("c", _, _, _, _, _, _, _)) =
+      PromParser.parse("a or b or c"): @unchecked
+    // the alerting idiom from the Prometheus docs' precedence discussion:
+    // comparison binds tighter than both set tiers, so this is
+    // (a==0) or ((b==1) and c) — each filter-comparison an operand
+    val SetOp("or", FilterCmp(Selector("up", _, _, _, _, _, _, _), "==", 0.0),
+      SetOp("and", FilterCmp(Selector("up", _, _, _, _, _, _, _), "==", 1.0),
+        Selector("maintenance", _, _, _, _, _, _, _))) =
+      PromParser.parse("up == 0 or up == 1 and maintenance"): @unchecked
+    // cross-tier with comparison on both sides of the and:
+    // (a>1) or ((b<2) and c)
+    val SetOp("or", FilterCmp(Selector("a", _, _, _, _, _, _, _), ">", 1.0),
+      SetOp("and", FilterCmp(Selector("b", _, _, _, _, _, _, _), "<", 2.0),
+        Selector("c", _, _, _, _, _, _, _))) =
+      PromParser.parse("a > 1 or b < 2 and c"): @unchecked
+    // comparison over arithmetic under bool, inside a set operand:
+    // ((a+b) >bool 1) and c — arithmetic > comparison > and > or
+    val SetOp("and", BoolCmp(VecBin("+", _, _, _, _, _, _), ">", 1.0),
+      Selector("c", _, _, _, _, _, _, _)) =
+      PromParser.parse("a + b > bool 1 and c"): @unchecked
+  }
+
   test("filtering comparisons keep series, bool returns 0/1") {
     val FilterCmp(Selector("x", _, _, _, _, _, _, _), ">", 5.0) =
       PromParser.parse("x > 5"): @unchecked
