@@ -234,11 +234,29 @@ object Bench {
     // full-pack median is not a ratio of anything).
     val ratioJson = ledgerTotal.filter(t => t > 0 && only.isEmpty)
       .map(t => s""","ledger_ratio":${ms(total / t)}""").getOrElse("")
+    // Round calibration evidence (round-16 verdict item 5): each round
+    // records its box-factor measurement (the previous round's UNCHANGED
+    // tree re-benched on this VM, vs that round's quiet band) plus the
+    // final tree's standalone quiet median in CALIBRATION.json; embedding
+    // that here means BENCH_rN.json carries the numbers the README's
+    // calibration paragraph cites — the margin analysis reads ONE file.
+    // Single-line JSON object, size-capped so the printed line survives
+    // the harness's stdout tail.
+    val calibJson = {
+      val p = java.nio.file.Paths.get("CALIBRATION.json")
+      if (java.nio.file.Files.exists(p)) {
+        val s = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        if (s.startsWith("{") && s.endsWith("}") && s.length <= 400 &&
+          !s.contains('\n')) s""","calibration":$s"""
+        else ""
+      } else ""
+    }
     val slowestFirst = results.toSeq.sortBy { case (_, v) => -math.abs(v) }
     val fullQs = slowestFirst.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size}$ratioJson,"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size}$ratioJson$calibJson,"queries":$fullQs,"failed":$failedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -257,7 +275,7 @@ object Bench {
       if (!full && inline.length + entry.length <= budget) inline.append(entry)
       else { full = true; omitted += 1 }
     }
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size}$ratioJson,"queries":{${inline.result()}},"queries_omitted":$omitted,"full":"BENCH_FULL.json","failed":$failedJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size}$ratioJson$calibJson,"queries":{${inline.result()}},"queries_omitted":$omitted,"full":"BENCH_FULL.json","failed":$failedJson,"sf":"$sfDir"}"""
     spark.stop()
     System.out.println(line)
     System.out.flush()

@@ -94,7 +94,10 @@ object ExplainAudit {
     // histogram off the session_window gate, churn panel off the CDC
     // merge snapshot)
     "promql_parsed_setop_precedence", "promql_parsed_setop_unless",
-    "sessions_length_stream", "cdc_snapshot_churn_stream")
+    "sessions_length_stream", "cdc_snapshot_churn_stream",
+    // round 17 second batch: set-operator matching modifiers
+    "promql_parsed_setop_on", "promql_parsed_setop_ignoring",
+    "promql_parsed_setop_or_on")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

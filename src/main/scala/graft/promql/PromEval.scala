@@ -259,7 +259,7 @@ object PromEval {
           seriesKeyOf(map_concat(kept, map(lit(lbl), vstr))))
         .groupBy(col("skey"))
         .agg(count(lit(1)).cast("double").as("value"))
-    case SetOp(op, l, r) =>
+    case SetOp(op, l, r, None, None) =>
       // set semantics on the full series key: semi/anti joins — the
       // match key is tiny (distinct series), so these broadcast
       val lf = evalInstant(metrics, l, atEpochSec, lookbackSec)
@@ -269,6 +269,31 @@ object PromEval {
         case "unless" => lf.join(rf.select(col("skey")).distinct(), Seq("skey"), "left_anti")
         case "or" => lf.unionByName(
           rf.join(lf.select(col("skey")).distinct(), Seq("skey"), "left_anti"))
+      }
+    case SetOp(op, l, r, on, ignoring) =>
+      // on/ignoring (round 17): the same semi/anti/union joins, keyed on
+      // the PROJECTED match key (kept labels under `on`, complement
+      // under `ignoring`) instead of the full series key — the
+      // `up == 1 and on(job) maintenance` idiom. Output rows keep the
+      // owning side's full labels untouched (set ops never rewrite
+      // labels); only the join key is projected. Distinct projected
+      // keys are at most |series| — broadcastable like the bare form.
+      val lf = evalInstant(metrics, l, atEpochSec, lookbackSec)
+      val rf = evalInstant(metrics, r, atEpochSec, lookbackSec)
+      val mk = matchKey(on, ignoring)
+      val rk = rf.select(mk.as("mkey")).distinct()
+      op match {
+        case "and" =>
+          lf.withColumn("mkey", mk).join(rk, Seq("mkey"), "left_semi")
+            .drop("mkey")
+        case "unless" =>
+          lf.withColumn("mkey", mk).join(rk, Seq("mkey"), "left_anti")
+            .drop("mkey")
+        case "or" => lf.unionByName(
+          rf.withColumn("mkey", mk)
+            .join(lf.select(mk.as("mkey")).distinct(), Seq("mkey"),
+              "left_anti")
+            .drop("mkey"))
       }
     case LabelJoin(inner, dst, sep, srcs) =>
       val labels = PromOps.labelsOf(col("skey"))
@@ -808,7 +833,7 @@ object PromEval {
       vecCmp(evalGrid(metrics, l, g0, g1, stepSec, lookbackSec),
         evalGrid(metrics, r, g0, g1, stepSec, lookbackSec), op, isBool, on,
         ignoring, extraKeys = Seq("g"))
-    case SetOp(op, l, r) =>
+    case SetOp(op, l, r, None, None) =>
       // per-point set semantics on the series key
       val lf = evalGrid(metrics, l, g0, g1, stepSec, lookbackSec)
       val rf = evalGrid(metrics, r, g0, g1, stepSec, lookbackSec)
@@ -819,6 +844,26 @@ object PromEval {
         case "or" => lf.unionByName(
           rf.join(lf.select(col("skey"), col("g")).distinct(),
             Seq("skey", "g"), "left_anti"))
+      }
+    case SetOp(op, l, r, on, ignoring) =>
+      // projected-key matching per grid point (the instant-eval round-17
+      // on/ignoring semantics, with the grid column joining the key)
+      val lf = evalGrid(metrics, l, g0, g1, stepSec, lookbackSec)
+      val rf = evalGrid(metrics, r, g0, g1, stepSec, lookbackSec)
+      val mk = matchKey(on, ignoring)
+      val rk = rf.select(mk.as("mkey"), col("g")).distinct()
+      op match {
+        case "and" =>
+          lf.withColumn("mkey", mk).join(rk, Seq("mkey", "g"), "left_semi")
+            .drop("mkey")
+        case "unless" =>
+          lf.withColumn("mkey", mk).join(rk, Seq("mkey", "g"), "left_anti")
+            .drop("mkey")
+        case "or" => lf.unionByName(
+          rf.withColumn("mkey", mk)
+            .join(lf.select(mk.as("mkey"), col("g")).distinct(),
+              Seq("mkey", "g"), "left_anti")
+            .drop("mkey"))
       }
     case Deriv(sel, _, _) if sel.atSec.nonEmpty =>
       pinnedGrid(metrics, expr, g0, g1, stepSec, lookbackSec)

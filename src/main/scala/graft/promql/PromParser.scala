@@ -261,9 +261,15 @@ object PromParser {
     * right), `or` (left plus right series not matched on the left).
     * Values and labels come from the left side except for `or`'s
     * right-only series, per Prometheus. Matching is on the full label
-    * set (`on`/`ignoring` modifiers are not supported here — stated).
+    * set by default; `on(l..)`/`ignoring(l..)` (round 17) project the
+    * match key to the kept / complement labels — the
+    * `up == 1 and on(job) maintenance` alerting idiom. Group modifiers
+    * (`group_left`/`group_right`) are rejected on set ops, as in
+    * Prometheus (many-to-many matching only).
     */
-  final case class SetOp(op: String, left: Expr, right: Expr) extends Expr
+  final case class SetOp(op: String, left: Expr, right: Expr,
+      on: Option[Seq[String]] = None,
+      ignoring: Option[Seq[String]] = None) extends Expr
   /** `label_join(v, dst, sep, src...)`: dst := src values joined by sep
     * (missing labels contribute the empty string, as in Prometheus).
     */
@@ -376,7 +382,8 @@ object PromParser {
       var e = parseAndUnless()
       while (peek.contains(TId("or"))) {
         pop()
-        e = SetOp("or", e, parseAndUnless())
+        val (on, ignoring) = setMatchClause()
+        e = SetOp("or", e, parseAndUnless(), on, ignoring)
       }
       e
     }
@@ -391,9 +398,27 @@ object PromParser {
         case _ => false
       }) {
         val TId(op) = pop(): @unchecked
-        e = SetOp(op, e, parseComparison())
+        val (on, ignoring) = setMatchClause()
+        e = SetOp(op, e, parseComparison(), on, ignoring)
       }
       e
+    }
+
+    /** Optional `on(l..)`/`ignoring(l..)` after a set operator. Group
+      * modifiers are a parse error here — Prometheus only allows them on
+      * one-to-many arithmetic/comparison matching, never on set ops.
+      */
+    private def setMatchClause(): (Option[Seq[String]], Option[Seq[String]]) = {
+      val clause = peek match {
+        case Some(TId("on")) => pop(); (Some(labelList()), None)
+        case Some(TId("ignoring")) => pop(); (None, Some(labelList()))
+        case _ => (None, None)
+      }
+      peek match {
+        case Some(TId(g @ ("group_left" | "group_right"))) =>
+          fail(s"$g is not allowed on set operators (many-to-many only)")
+        case _ => clause
+      }
     }
 
     /** comparison, LOOSER than arithmetic (Prometheus precedence:
@@ -1167,7 +1192,8 @@ object PromParser {
     case ScalarFn(i) => containsPlaceholder(i)
     case AggQuantile(_, i, _, _) => containsPlaceholder(i)
     case CountValues(_, i, _, _) => containsPlaceholder(i)
-    case SetOp(_, l, r) => containsPlaceholder(l) || containsPlaceholder(r)
+    case SetOp(_, l, r, _, _) =>
+      containsPlaceholder(l) || containsPlaceholder(r)
     case LabelJoin(i, _, _, _) => containsPlaceholder(i)
     case LabelReplace(i, _, _, _, _) => containsPlaceholder(i)
     case _ => false

@@ -2115,6 +2115,88 @@ object PromQueries {
        |SELECT u AS user, value FROM bu
        |WHERE u NOT IN (SELECT u FROM a)""".stripMargin
 
+  /** Parsed `and on(user)` — set-operator MATCHING MODIFIERS (round 17):
+    * the LHS keys on {user, k}, the RHS on {user}, so only a projected
+    * match key can pair them — the `up == 1 and on(job) maintenance`
+    * idiom's shape. Keeps per-(user, k) purchase counts for users whose
+    * click count is divisible by 3; all integer-exact.
+    */
+  def parsedSetopOn(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "sum by (user, k) (count_over_time(purchase[720h]))" +
+        " and on(user)" +
+        " sum by (user) (count_over_time(click[720h])) % 3 == 0")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  /** Parsed `unless ignoring(k)` — the complement modifier: drop the
+    * {user, k} rows whose user-projected key (ignoring k) matches the
+    * divisible-click vector. Exactly the complement of [[parsedSetopOn]].
+    */
+  def parsedSetopIgnoring(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "sum by (user, k) (count_over_time(purchase[720h]))" +
+        " unless ignoring(k)" +
+        " sum by (user) (count_over_time(click[720h])) % 3 == 0")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  private def setopOnOracle(cond: String): String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(user_id AS VARCHAR) AS u,
+       |         json_extract_string(props, '$$.k') AS k
+       |  FROM events
+       |  WHERE CAST(floor(epoch(ts)) AS BIGINT)
+       |        BETWEEN ${Te - 2592000 + 1} AND $Te
+       |), pk AS (SELECT u, k, count(*) AS c FROM ev
+       |          WHERE event_type = 'purchase' GROUP BY u, k),
+       |   ck3 AS (SELECT u FROM (SELECT u, count(*) AS c FROM ev
+       |                          WHERE event_type = 'click' GROUP BY u)
+       |           WHERE c % 3 = 0)
+       |SELECT u AS user, k, CAST(c AS DOUBLE) AS value FROM pk
+       |WHERE u $cond (SELECT u FROM ck3)""".stripMargin
+
+  val parsedSetopOnOracle: String = setopOnOracle("IN")
+  val parsedSetopIgnoringOracle: String = setopOnOracle("NOT IN")
+
+  /** Parsed `or on(user)` — union under a projected key: every
+    * per-(user, k) purchase row, plus the {user}-keyed view vector for
+    * users with NO purchase key at all (their k is NULL in the output —
+    * `or`'s right-only rows keep the RIGHT side's labels untouched).
+    */
+  def parsedSetopOrOn(spark: SparkSession, sfDir: String): DataFrame = {
+    // the purchase side uses a TIGHTER window (24h vs the views' 30d) so
+    // viewers with no recent purchase exist and the right-only union
+    // branch genuinely emits rows (at sf0.01: every 30-day viewer also
+    // purchased within 30 days, which would leave `or` untested)
+    val expr = graft.promql.PromParser.parse(
+      "sum by (user, k) (count_over_time(purchase[24h]))" +
+        " or on(user)" +
+        " sum by (user) (count_over_time(view[720h]))")
+    graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
+      .select(user.as("user"), kLbl.as("k"), col("value"))
+  }
+
+  val parsedSetopOrOnOracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(user_id AS VARCHAR) AS u,
+       |         json_extract_string(props, '$$.k') AS k,
+       |         CAST(floor(epoch(ts)) AS BIGINT) AS e
+       |  FROM events
+       |  WHERE CAST(floor(epoch(ts)) AS BIGINT)
+       |        BETWEEN ${Te - 2592000 + 1} AND $Te
+       |), pk AS (SELECT u, k, count(*) AS c FROM ev
+       |          WHERE event_type = 'purchase'
+       |            AND e BETWEEN ${Te - 86400 + 1} AND $Te GROUP BY u, k),
+       |   cv AS (SELECT u, count(*) AS c FROM ev
+       |          WHERE event_type = 'view' GROUP BY u)
+       |SELECT u AS user, k, CAST(c AS DOUBLE) AS value FROM pk
+       |UNION ALL
+       |SELECT u AS user, NULL AS k, CAST(c AS DOUBLE) AS value FROM cv
+       |WHERE u NOT IN (SELECT DISTINCT u FROM pk)""".stripMargin
+
   /** Parsed SUBQUERY rate — `increase((sum by (user)
     * (count_over_time(purchase[24h])))[72h:6h])`: the rate family over a
     * derived series (the idiom recording rules otherwise cover). The
@@ -2369,6 +2451,11 @@ object PromQueries {
       ((parsedSetopPrecedence _, parsedSetopPrecedenceOracle)),
     "promql_parsed_setop_unless" ->
       ((parsedSetopUnless _, parsedSetopUnlessOracle)),
+    "promql_parsed_setop_on" -> ((parsedSetopOn _, parsedSetopOnOracle)),
+    "promql_parsed_setop_ignoring" ->
+      ((parsedSetopIgnoring _, parsedSetopIgnoringOracle)),
+    "promql_parsed_setop_or_on" ->
+      ((parsedSetopOrOn _, parsedSetopOrOnOracle)),
     "promql_parsed_subquery_rate" ->
       ((parsedSubqueryRate _, parsedSubqueryRateOracle)),
     "promql_parsed_subquery_step" ->

@@ -57,7 +57,11 @@ class PromParserPropertySpec extends AnyFunSuite {
       // paren as its label list — the same grammar quirk Prometheus has
       val g = gs.map(s => s"group_$s(${gl.mkString(", ")}) ").getOrElse("")
       s"(${render(l)}) $op $m$g(${render(r)})"
-    case SetOp(op, l, r) => s"(${render(l)}) $op (${render(r)})"
+    case SetOp(op, l, r, on, ig) =>
+      val m = on.map(ls => s"on(${ls.mkString(", ")}) ")
+        .orElse(ig.map(ls => s"ignoring(${ls.mkString(", ")}) "))
+        .getOrElse("")
+      s"(${render(l)}) $op $m(${render(r)})"
     case Agg(fn, i, by, wo) => s"$fn${clause(by, wo)}(${render(i)})"
     case TopK(fn, k, i, by, wo) => s"$fn${clause(by, wo)}($k, ${render(i)})"
     case OverTime(fn, sel, w) =>
@@ -179,8 +183,14 @@ class PromParserPropertySpec extends AnyFunSuite {
           labelNames.drop(2).take(1 + r.int(2)) else Nil
         VecBin(r.oneOf(Seq("*", "/", "+", "-", "%", "^", "atan2")),
           gen(r, depth - 1), gen(r, depth - 1), on, ig, gs, gl)
-      case 6 => SetOp(r.oneOf(Seq("and", "or", "unless")),
-        gen(r, depth - 1), gen(r, depth - 1))
+      case 6 =>
+        val (on, ig) = r.int(3) match {
+          case 0 => (None, None)
+          case 1 => (Some(labelNames.take(1 + r.int(2))), None)
+          case _ => (None, Some(labelNames.take(1 + r.int(2))))
+        }
+        SetOp(r.oneOf(Seq("and", "or", "unless")),
+          gen(r, depth - 1), gen(r, depth - 1), on, ig)
       case 7 =>
         val (by, wo) = genLabels(r)
         Agg(r.oneOf(aggFns), gen(r, depth - 1), by, wo)

@@ -182,15 +182,15 @@ class PromParserSpec extends AnyFunSuite {
   }
 
   test("set operators bind loosest, left-assoc; irate/idelta parse") {
-    val SetOp("and", Selector("a", _, _, _, _, _, _, _), Selector("b", _, _, _, _, _, _, _)) =
+    val SetOp("and", Selector("a", _, _, _, _, _, _, _), Selector("b", _, _, _, _, _, _, _), _, _) =
       PromParser.parse("a and b"): @unchecked
     // arithmetic binds tighter than set ops
-    val SetOp("or", Arith(_, "*", 2.0), _) =
+    val SetOp("or", Arith(_, "*", 2.0), _, _, _) =
       PromParser.parse("a * 2 or b"): @unchecked
-    val SetOp("unless", SetOp("and", _, _), _) =
+    val SetOp("unless", SetOp("and", _, _, _, _), _, _, _) =
       PromParser.parse("a and b unless c"): @unchecked
     // parenthesized set op under an aggregation
-    val Agg("sum", SetOp("or", _, _), Seq("user"), Nil) =
+    val Agg("sum", SetOp("or", _, _, _, _), Seq("user"), Nil) =
       PromParser.parse("sum by (user) (a or b)"): @unchecked
     val Rate("irate", Selector("c", _, _, _, _, _, _, _), 300L) =
       PromParser.parse("irate(c[5m])"): @unchecked
@@ -211,40 +211,61 @@ class PromParserSpec extends AnyFunSuite {
     // the Prometheus ladder's set tiers: a or (b and c), NOT (a or b) and c
     val SetOp("or", Selector("a", _, _, _, _, _, _, _),
       SetOp("and", Selector("b", _, _, _, _, _, _, _),
-        Selector("c", _, _, _, _, _, _, _))) =
+        Selector("c", _, _, _, _, _, _, _), _, _), _, _) =
       PromParser.parse("a or b and c"): @unchecked
     // left operand keeps the tighter pair: (a and b) or c
-    val SetOp("or", SetOp("and", _, _), Selector("c", _, _, _, _, _, _, _)) =
+    val SetOp("or", SetOp("and", _, _, _, _), Selector("c", _, _, _, _, _, _, _), _, _) =
       PromParser.parse("a and b or c"): @unchecked
     // unless shares the tighter tier: a or (b unless c)
     val SetOp("or", Selector("a", _, _, _, _, _, _, _),
-      SetOp("unless", _, _)) =
+      SetOp("unless", _, _, _, _), _, _) =
       PromParser.parse("a or b unless c"): @unchecked
     // ... and left-assoc across the tier boundary: (a unless b) or c
-    val SetOp("or", SetOp("unless", Selector("a", _, _, _, _, _, _, _), _),
-      Selector("c", _, _, _, _, _, _, _)) =
+    val SetOp("or", SetOp("unless", Selector("a", _, _, _, _, _, _, _), _, _, _),
+      Selector("c", _, _, _, _, _, _, _), _, _) =
       PromParser.parse("a unless b or c"): @unchecked
     // or itself chains left-assoc: (a or b) or c
-    val SetOp("or", SetOp("or", _, _), Selector("c", _, _, _, _, _, _, _)) =
+    val SetOp("or", SetOp("or", _, _, _, _), Selector("c", _, _, _, _, _, _, _), _, _) =
       PromParser.parse("a or b or c"): @unchecked
     // the alerting idiom from the Prometheus docs' precedence discussion:
     // comparison binds tighter than both set tiers, so this is
     // (a==0) or ((b==1) and c) — each filter-comparison an operand
     val SetOp("or", FilterCmp(Selector("up", _, _, _, _, _, _, _), "==", 0.0),
       SetOp("and", FilterCmp(Selector("up", _, _, _, _, _, _, _), "==", 1.0),
-        Selector("maintenance", _, _, _, _, _, _, _))) =
+        Selector("maintenance", _, _, _, _, _, _, _), _, _), _, _) =
       PromParser.parse("up == 0 or up == 1 and maintenance"): @unchecked
     // cross-tier with comparison on both sides of the and:
     // (a>1) or ((b<2) and c)
     val SetOp("or", FilterCmp(Selector("a", _, _, _, _, _, _, _), ">", 1.0),
       SetOp("and", FilterCmp(Selector("b", _, _, _, _, _, _, _), "<", 2.0),
-        Selector("c", _, _, _, _, _, _, _))) =
+        Selector("c", _, _, _, _, _, _, _), _, _), _, _) =
       PromParser.parse("a > 1 or b < 2 and c"): @unchecked
     // comparison over arithmetic under bool, inside a set operand:
     // ((a+b) >bool 1) and c — arithmetic > comparison > and > or
     val SetOp("and", BoolCmp(VecBin("+", _, _, _, _, _, _), ">", 1.0),
-      Selector("c", _, _, _, _, _, _, _)) =
+      Selector("c", _, _, _, _, _, _, _), _, _) =
       PromParser.parse("a + b > bool 1 and c"): @unchecked
+  }
+
+  test("set operators accept on/ignoring, reject group modifiers") {
+    // the maintenance idiom: up == 1 and on(job) maintenance
+    val SetOp("and", FilterCmp(Selector("up", _, _, _, _, _, _, _), "==", 1.0),
+      Selector("maintenance", _, _, _, _, _, _, _), Some(Seq("job")), None) =
+      PromParser.parse("up == 1 and on(job) maintenance"): @unchecked
+    val SetOp("unless", _, _, None, Some(Seq("instance", "pod"))) =
+      PromParser.parse("a unless ignoring(instance, pod) b"): @unchecked
+    val SetOp("or", _, _, Some(Seq("job")), None) =
+      PromParser.parse("a or on(job) b"): @unchecked
+    // modifier binds to ITS operator in a chain, and tiers still hold:
+    // a or on(x) (b and on(y) c)
+    val SetOp("or", Selector("a", _, _, _, _, _, _, _),
+      SetOp("and", _, _, Some(Seq("y")), None), Some(Seq("x")), None) =
+      PromParser.parse("a or on(x) b and on(y) c"): @unchecked
+    // Prometheus rejects group modifiers on set ops (many-to-many only)
+    intercept[IllegalArgumentException](
+      PromParser.parse("a and on(job) group_left b"))
+    intercept[IllegalArgumentException](
+      PromParser.parse("a or ignoring(x) group_right b"))
   }
 
   test("filtering comparisons keep series, bool returns 0/1") {
@@ -265,7 +286,7 @@ class PromParserSpec extends AnyFunSuite {
       PromParser.parse("a / on(u) b >= bool 0.9"): @unchecked
     // but comparison stays looser than set ops' operands:
     // `a > 5 and b` is (a > 5) and b
-    val SetOp("and", FilterCmp(_, ">", 5.0), Selector("b", _, _, _, _, _, _, _)) =
+    val SetOp("and", FilterCmp(_, ">", 5.0), Selector("b", _, _, _, _, _, _, _), _, _) =
       PromParser.parse("a > 5 and b"): @unchecked
   }
 
