@@ -97,7 +97,9 @@ object ExplainAudit {
     "sessions_length_stream", "cdc_snapshot_churn_stream",
     // round 17 second batch: set-operator matching modifiers
     "promql_parsed_setop_on", "promql_parsed_setop_ignoring",
-    "promql_parsed_setop_or_on")
+    "promql_parsed_setop_or_on",
+    // round 17 third batch: the matryoshka serving-dimension audit
+    "emb_matryoshka_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -5096,6 +5096,76 @@ object ExtQueries {
        |FROM (SELECT vec_id FROM v WHERE vec_id < 5) q
        |LEFT JOIN hits ON hits.qid = q.vec_id""".stripMargin
 
+  /** Recall@5 of PREFIX-TRUNCATED embeddings against the full-dim
+    * ground truth — the matryoshka audit (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning": models trained so any prefix
+    * of the embedding is itself a usable representation). Serving at a
+    * truncated dimension cuts ANN memory + bandwidth proportionally
+    * (16 of 64 dims = 4× fewer bytes scanned per candidate); this
+    * measures what that buys back in recall on the fixture corpus, per
+    * query and per prefix length — the panel a 100 TB deployment reads
+    * before it picks its serving dimension. Scale shape: the truncation
+    * is a map-only `slice` over the corpus scan (no reshuffle — the
+    * sliced frame inherits the scan's partitioning), each per-dim
+    * ranking is the same broadcast-query + K-bounded `graft_topk`
+    * combine as [[annBrute]], and the ground truth is computed once and
+    * joined to every dim's list. All ranking is exact integer dot
+    * products over the 1e-6-quantized grid; ties break (cosine DESC,
+    * vec_id ASC) in both engines, so hits and recall are integer-exact.
+    */
+  def embMatryoshkaRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    val dims = Seq(16L, 32L)
+    val truth = annBrute(spark, sfDir).filter(col("rk") <= 5)
+      .select(col("qid"), col("vec_id"))
+    val truncated = dims.map { d =>
+      val t = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, d.toInt).as("embedding"))
+      Similarity.bruteForceTopK(t.filter(col("vec_id") < 5), t, k = 5)
+        .select(lit(d).as("dim"), col("qid"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    val hits = truncated.join(truth, Seq("qid", "vec_id"))
+      .groupBy(col("dim"), col("qid")).agg(count(lit(1)).as("n_hits"))
+    val qids = emb.filter(col("vec_id") < 5).select(col("vec_id").as("qid"))
+    dims.map(d => qids.select(lit(d).as("dim"), col("qid")))
+      .reduce(_ unionByName _)
+      .join(hits, Seq("dim", "qid"), "left")
+      .select(col("dim"), col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall_bp", expr("n_hits * 10000 div 5"))
+  }
+
+  val embMatryoshkaRecallOracle: String =
+    s"""WITH v AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+       |brute AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${cosSql("q.qv", "c.qv")} DESC, c.vec_id ASC) AS rk
+       |    FROM v q JOIN v c ON q.vec_id < 5 AND c.vec_id <> q.vec_id
+       |  ) WHERE rk <= 5
+       |), dims AS (SELECT CAST(unnest([16, 32]) AS BIGINT) AS dim),
+       |vt AS (
+       |  SELECT dim, vec_id, list_slice(qv, 1, CAST(dim AS INTEGER)) AS tv
+       |  FROM v, dims
+       |), tr AS (
+       |  SELECT dim, qid, vec_id FROM (
+       |    SELECT q.dim, q.vec_id AS qid, c.vec_id,
+       |           row_number() OVER (PARTITION BY q.dim, q.vec_id
+       |             ORDER BY ${cosSql("q.tv", "c.tv")} DESC, c.vec_id ASC) AS rk
+       |    FROM vt q JOIN vt c
+       |      ON q.dim = c.dim AND q.vec_id < 5 AND c.vec_id <> q.vec_id
+       |  ) WHERE rk <= 5
+       |), hits AS (
+       |  SELECT dim, qid, count(*) AS n_hits
+       |  FROM tr JOIN brute USING (qid, vec_id) GROUP BY 1, 2
+       |)
+       |SELECT g.dim, g.qid,
+       |       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       |       CAST(coalesce(n_hits, 0) * 10000 // 5 AS BIGINT) AS recall_bp
+       |FROM (SELECT dim, vec_id AS qid FROM v, dims WHERE vec_id < 5) g
+       |LEFT JOIN hits ON hits.dim = g.dim AND hits.qid = g.qid""".stripMargin
+
   /** Epoch cap for [[unimaxAlloc]]: 1 = never upsample any language
     * past one full pass over its data (the UniMax paper sweeps this).
     */
@@ -6430,6 +6500,8 @@ object ExtQueries {
     "bm25_topk" -> ((bm25Topk _, bm25TopkOracle)),
     "rrf_fusion" -> ((rrfFusion _, rrfFusionOracle)),
     "emb_recall_at_k" -> ((embRecallAtK _, embRecallAtKOracle)),
+    "emb_matryoshka_recall" ->
+      ((embMatryoshkaRecall _, embMatryoshkaRecallOracle)),
     "unimax_alloc" -> ((unimaxAlloc _, unimaxAllocOracle)),
     "gopher_rules" -> ((gopherRules _, gopherRulesOracle)),
     "filter_agreement" -> ((filterAgreement _, filterAgreementOracle)),
