@@ -98,8 +98,9 @@ object ExplainAudit {
     // round 17 second batch: set-operator matching modifiers
     "promql_parsed_setop_on", "promql_parsed_setop_ignoring",
     "promql_parsed_setop_or_on",
-    // round 17 third batch: the matryoshka serving-dimension audit
-    "emb_matryoshka_recall")
+    // round 17 third batch: the matryoshka serving-dimension audit,
+    // and set-op matching under grid evaluation
+    "emb_matryoshka_recall", "pq_range_setop_on")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -336,6 +336,47 @@ object PromQueries {
        |       CAST(sv.c AS DOUBLE) / CAST(sp.c AS DOUBLE) AS value
        |FROM sv JOIN sp ON sv.u = sp.u AND sv.g = sp.g""".stripMargin
 
+  /** RANGE-evaluated `and on(user)` — the set-op matching modifiers
+    * (round 17) under grid evaluation, where the projected-key join
+    * carries the grid point: per step, keep each (user, k) purchase
+    * count only where that user's trailing click count is odd AT THE
+    * SAME grid point. Exercises the evalGrid modifier path the instant
+    * entries can't reach; integer counts keep it hash-exact.
+    */
+  def rangeSetopOn(spark: SparkSession, sfDir: String): DataFrame = {
+    val expr = graft.promql.PromParser.parse(
+      "sum by (user, k) (count_over_time(purchase[24h])) and on(user) " +
+        "sum by (user) (count_over_time(click[24h])) % 2 == 1")
+    graft.promql.PromEval.evalGrid(metrics(spark, sfDir), expr, Gm0, Gm1,
+      stepSec = 300, lookbackSec = PromOps.DefaultLookbackSec)
+      .select(user.as("user"), kLbl.as("k"), col("g"), col("value"))
+  }
+
+  val rangeSetopOnOracle: String =
+    s"""WITH ev AS (
+       |  SELECT event_type, CAST(user_id AS VARCHAR) AS u,
+       |         json_extract_string(props, '$$.k') AS k,
+       |         CAST(floor(epoch(ts)) AS BIGINT) AS e
+       |  FROM events
+       |  WHERE CAST(floor(epoch(ts)) AS BIGINT)
+       |        BETWEEN ${Gm0 - 86400 + 1} AND $Gm1
+       |), grid AS (
+       |  SELECT unnest(generate_series($Gm0, $Gm1, 300)) AS g
+       |), ex AS (
+       |  SELECT ev.event_type, ev.u, ev.k, grid.g
+       |  FROM ev, grid WHERE ev.e > grid.g - 86400 AND ev.e <= grid.g
+       |), pk AS (
+       |  SELECT u, k, g, count(*) AS c FROM ex
+       |  WHERE event_type = 'purchase' GROUP BY u, k, g
+       |), codd AS (
+       |  SELECT u, g FROM (
+       |    SELECT u, g, count(*) AS c FROM ex
+       |    WHERE event_type = 'click' GROUP BY u, g
+       |  ) WHERE c % 2 = 1
+       |)
+       |SELECT pk.u AS user, pk.k, pk.g, CAST(pk.c AS DOUBLE) AS value
+       |FROM pk JOIN codd ON pk.u = codd.u AND pk.g = codd.g""".stripMargin
+
   /** Parsed `timestamp(click)` — each surviving series' sample epoch as
     * its value (staleness debugging). Integer seconds: exact in doubles.
     */
@@ -2529,6 +2570,7 @@ object PromQueries {
       ((parsedPredictSubquery _, parsedPredictSubqueryOracle)),
     "pq_range_rate" -> ((rangeRate _, rangeRateOracle)),
     "pq_range_binop" -> ((rangeBinop _, rangeBinopOracle)),
+    "pq_range_setop_on" -> ((rangeSetopOn _, rangeSetopOnOracle)),
     "promql_parsed_timestamp" -> ((parsedTimestamp _, parsedTimestampOracle)),
     "promql_parsed_timefns" -> ((parsedTimeFns _, parsedTimeFnsOracle)),
     "promql_parsed_calfns" -> ((parsedCalFns _, parsedCalFnsOracle)),
