@@ -2092,10 +2092,10 @@ object PromQueries {
     */
   def parsedSetopPrecedence(spark: SparkSession, sfDir: String): DataFrame = {
     val expr = graft.promql.PromParser.parse(
-      "sum by (user) (count_over_time(view[720h]))" +
-        " and sum by (user) (count_over_time(view[720h])) % 2 == 1" +
-        " or sum by (user) (count_over_time(purchase[720h]))" +
-        " and sum by (user) (count_over_time(click[720h])) % 3 == 0")
+      "sum by (user) (count_over_time(view[168h]))" +
+        " and sum by (user) (count_over_time(view[168h])) % 2 == 1" +
+        " or sum by (user) (count_over_time(purchase[168h]))" +
+        " and sum by (user) (count_over_time(click[168h])) % 3 == 0")
     graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
       .select(user.as("user"), col("value"))
   }
@@ -2105,7 +2105,7 @@ object PromQueries {
        |  SELECT event_type, CAST(user_id AS VARCHAR) AS u
        |  FROM events
        |  WHERE CAST(floor(epoch(ts)) AS BIGINT)
-       |        BETWEEN ${Te - 2592000 + 1} AND $Te
+       |        BETWEEN ${Te - 604800 + 1} AND $Te
        |), cv AS (SELECT u, count(*) AS c FROM ev
        |          WHERE event_type = 'view' GROUP BY u),
        |   cp AS (SELECT u, count(*) AS c FROM ev
@@ -2129,9 +2129,9 @@ object PromQueries {
     */
   def parsedSetopUnless(spark: SparkSession, sfDir: String): DataFrame = {
     val expr = graft.promql.PromParser.parse(
-      "sum by (user) (count_over_time(view[720h]))" +
-        " or sum by (user) (count_over_time(purchase[720h]))" +
-        " unless sum by (user) (count_over_time(click[720h])) % 3 == 0")
+      "sum by (user) (count_over_time(view[168h]))" +
+        " or sum by (user) (count_over_time(purchase[168h]))" +
+        " unless sum by (user) (count_over_time(click[168h])) % 3 == 0")
     graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
       .select(user.as("user"), col("value"))
   }
@@ -2141,7 +2141,7 @@ object PromQueries {
        |  SELECT event_type, CAST(user_id AS VARCHAR) AS u
        |  FROM events
        |  WHERE CAST(floor(epoch(ts)) AS BIGINT)
-       |        BETWEEN ${Te - 2592000 + 1} AND $Te
+       |        BETWEEN ${Te - 604800 + 1} AND $Te
        |), cv AS (SELECT u, count(*) AS c FROM ev
        |          WHERE event_type = 'view' GROUP BY u),
        |   cp AS (SELECT u, count(*) AS c FROM ev
@@ -2164,9 +2164,9 @@ object PromQueries {
     */
   def parsedSetopOn(spark: SparkSession, sfDir: String): DataFrame = {
     val expr = graft.promql.PromParser.parse(
-      "sum by (user, k) (count_over_time(purchase[720h]))" +
+      "sum by (user, k) (count_over_time(purchase[168h]))" +
         " and on(user)" +
-        " sum by (user) (count_over_time(click[720h])) % 3 == 0")
+        " sum by (user) (count_over_time(click[168h])) % 3 == 0")
     graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
       .select(user.as("user"), kLbl.as("k"), col("value"))
   }
@@ -2177,9 +2177,9 @@ object PromQueries {
     */
   def parsedSetopIgnoring(spark: SparkSession, sfDir: String): DataFrame = {
     val expr = graft.promql.PromParser.parse(
-      "sum by (user, k) (count_over_time(purchase[720h]))" +
+      "sum by (user, k) (count_over_time(purchase[168h]))" +
         " unless ignoring(k)" +
-        " sum by (user) (count_over_time(click[720h])) % 3 == 0")
+        " sum by (user) (count_over_time(click[168h])) % 3 == 0")
     graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
       .select(user.as("user"), kLbl.as("k"), col("value"))
   }
@@ -2190,7 +2190,7 @@ object PromQueries {
        |         json_extract_string(props, '$$.k') AS k
        |  FROM events
        |  WHERE CAST(floor(epoch(ts)) AS BIGINT)
-       |        BETWEEN ${Te - 2592000 + 1} AND $Te
+       |        BETWEEN ${Te - 604800 + 1} AND $Te
        |), pk AS (SELECT u, k, count(*) AS c FROM ev
        |          WHERE event_type = 'purchase' GROUP BY u, k),
        |   ck3 AS (SELECT u FROM (SELECT u, count(*) AS c FROM ev
