@@ -59,15 +59,22 @@ sys.exit(1 if total > ceiling else 0)
 EOF
 }
 
+# Round-17 ceiling recalibration: the pack grew 226 -> 235 queries
+# (~+2.5-3 s quiet) and the round-17 box reads quiet full-pack samples
+# at 65.6/67.4 s (ledger total_median 67.4) with intermittent EXTERNAL
+# bursts of uniform ~1.2x inflation (streams included - the documented
+# burst signature; four such samples measured 78.7-83.4 s on unchanged
+# trees within the hour). Ceiling 71 sits above the quiet band of THIS
+# pack on THIS box; the retry allowance scales the same way.
 echo "== bench sf0.1"
 run_bench
 echo "== bench ceiling"
-rc=0; check_ceiling 68.0 || rc=$?
+rc=0; check_ceiling 71.0 || rc=$?
 if [ "$rc" -eq 1 ]; then
   echo "== bench ceiling breached — re-running once (contention check)"
   sleep 10
   run_bench
-  check_ceiling 75.0
+  check_ceiling 78.0
 elif [ "$rc" -ne 0 ]; then
   exit "$rc"
 fi
