@@ -801,10 +801,14 @@ object AnalyticsQueries {
     * of rows, so the sink's driver-side table is node-sized by design).
     * `GRAFT_STREAM_SINK=parquet` flips every gate back to the
     * production file sink in one env var (the stream≡batch hashes are
-    * sink-independent — same rows either way); the cdc_merge gate keeps
-    * its foreachBatch partition-overwrite sink unconditionally because
-    * its sink IS its evidence, and StreamingSpec's idempotent-ingest
-    * test keeps the file-sink path exercised in CI either way.
+    * sink-independent — same rows either way). The one stream whose
+    * sink IS its evidence — [[graft.streaming.StreamingIngest]]'s
+    * foreachBatch idempotent partition-overwrite — is not a gate and
+    * does not route through here; StreamingSpec's idempotent-ingest
+    * test keeps that file-sink path exercised in CI either way.
+    * (An earlier revision of this note wrongly attributed the
+    * foreachBatch sink to the cdc_merge GATE; that gate sinks like
+    * every other.)
     */
   private val gateSeq = new java.util.concurrent.atomic.AtomicInteger
   /** Postfix form so each gate's stream chain ends `.gateSink(ss, work)`
