@@ -476,6 +476,46 @@ class PromEvalSpec extends SparkSpec {
       """{"inst":"b","job":"x","version":"v2"}""" -> 1.0))
   }
 
+  test("set operators with on/ignoring evaluate on the projected key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = Seq(
+      ("up", Map("inst" -> "a", "job" -> "x"), 1.0, 995L),
+      ("up", Map("inst" -> "b", "job" -> "y"), 0.0, 995L),
+      ("maint", Map("job" -> "x"), 7.0, 996L),
+      ("extra", Map("job" -> "z", "note" -> "n"), 5.0, 997L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def rows(q: String) = graft.promql.PromEval
+      .evalInstant(m, graft.promql.PromParser.parse(q), 1000L)
+      .collect()
+      .map(r => r.getAs[String]("skey") -> r.getAs[Double]("value")).toMap
+    // and on(job): LHS keeps its FULL labels; only the key projects
+    assert(rows("up and on(job) maint") ==
+      Map("""{"inst":"a","job":"x"}""" -> 1.0))
+    // unless on(job): the complement
+    assert(rows("up unless on(job) maint") ==
+      Map("""{"inst":"b","job":"y"}""" -> 0.0))
+    // ignoring(inst) projects LHS to {job}: same matches as on(job)
+    assert(rows("up and ignoring(inst) maint") ==
+      Map("""{"inst":"a","job":"x"}""" -> 1.0))
+    // or on(job): all LHS, plus RHS series whose projected key has no
+    // LHS match — kept with the RIGHT side's own labels and value
+    assert(rows("up or on(job) extra") == Map(
+      """{"inst":"a","job":"x"}""" -> 1.0,
+      """{"inst":"b","job":"y"}""" -> 0.0,
+      """{"job":"z","note":"n"}""" -> 5.0))
+    // or on(job) where the RHS key IS matched: right side drops
+    assert(rows("up or on(job) maint") == Map(
+      """{"inst":"a","job":"x"}""" -> 1.0,
+      """{"inst":"b","job":"y"}""" -> 0.0))
+    // on() — the empty projection: every series shares the key {}, so
+    // `and on()` keeps all LHS iff the RHS is non-empty
+    assert(rows("up and on() maint").keySet ==
+      Set("""{"inst":"a","job":"x"}""", """{"inst":"b","job":"y"}"""))
+    assert(rows("""up and on() maint{job="zzz"}""").isEmpty)
+  }
+
   test("math fns evaluate pointwise; absent flags empty vectors only") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
