@@ -247,9 +247,20 @@ object Bench {
       if (java.nio.file.Files.exists(p)) {
         val s = new String(java.nio.file.Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8).trim
-        if (s.startsWith("{") && s.endsWith("}") && s.length <= 400 &&
-          !s.contains('\n')) s""","calibration":$s"""
-        else ""
+        // real JSON-object parse (json4s rides Spark's classpath), not
+        // just a shape check: a syntactically invalid file inside the
+        // size bounds would otherwise corrupt every BENCH output line
+        // (ADVICE r17). Skipped with a stderr warning on failure.
+        val valid = s.length <= 400 && !s.contains('\n') &&
+          (try org.json4s.jackson.JsonMethods.parse(s)
+            .isInstanceOf[org.json4s.JObject]
+          catch { case _: Exception => false })
+        if (valid) s""","calibration":$s"""
+        else {
+          System.err.println(
+            "[bench] CALIBRATION.json is not a single-line JSON object <=400 chars - skipping embed")
+          ""
+        }
       } else ""
     }
     val slowestFirst = results.toSeq.sortBy { case (_, v) => -math.abs(v) }

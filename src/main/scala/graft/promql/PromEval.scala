@@ -281,7 +281,10 @@ object PromEval {
       val lf = evalInstant(metrics, l, atEpochSec, lookbackSec)
       val rf = evalInstant(metrics, r, atEpochSec, lookbackSec)
       val mk = matchKey(on, ignoring)
-      val rk = rf.select(mk.as("mkey")).distinct()
+      // only the and/unless arms key on the RIGHT side's projected keys
+      // (`or` anti-joins the right against the LEFT's); lazy so the `or`
+      // arm doesn't appear to depend on it (ADVICE r17)
+      lazy val rk = rf.select(mk.as("mkey")).distinct()
       op match {
         case "and" =>
           lf.withColumn("mkey", mk).join(rk, Seq("mkey"), "left_semi")
@@ -438,17 +441,28 @@ object PromEval {
 
   /** The vector-matching key: the full series key (bare op), the
     * kept-label key (`on`), or the complement-label key (`ignoring`).
+    *
+    * Prometheus treats an empty label value as ABSENT (`labels.Labels`
+    * never stores empties; `label_replace`/`label_join` with an empty
+    * result DELETE the label — mirrored by [[setLabel]]), so the
+    * projected key drops null- and empty-valued entries: a series
+    * carrying `k=""` must match one with no `k` at all (ADVICE r17).
+    * The engine-wide invariant is that keys never hold empty values —
+    * ingest synthesizes non-empty labels and [[setLabel]] deletes
+    * empties — so for the bare form the stored `skey` is already
+    * canonical and is used as-is; the filter here makes the PROJECTED
+    * forms robust to any future frame that breaks the invariant.
     */
   private def matchKey(on: Option[Seq[String]],
       ignoring: Option[Seq[String]]): Column = (on, ignoring) match {
     case (Some(ls), _) =>
       val keep = array(ls.map(lit): _*)
       PromOps.seriesKey(map_filter(PromOps.labelsOf(col("skey")),
-        (k, _) => array_contains(keep, k)))
+        (k, v) => array_contains(keep, k) && v.isNotNull && v =!= ""))
     case (_, Some(ls)) =>
       val drop = array(ls.map(lit): _*)
       PromOps.seriesKey(map_filter(PromOps.labelsOf(col("skey")),
-        (k, _) => !array_contains(drop, k)))
+        (k, v) => !array_contains(drop, k) && v.isNotNull && v =!= ""))
     case _ => col("skey")
   }
 
@@ -837,7 +851,7 @@ object PromEval {
       // per-point set semantics on the series key
       val lf = evalGrid(metrics, l, g0, g1, stepSec, lookbackSec)
       val rf = evalGrid(metrics, r, g0, g1, stepSec, lookbackSec)
-      val rk = rf.select(col("skey"), col("g")).distinct()
+      lazy val rk = rf.select(col("skey"), col("g")).distinct()
       op match {
         case "and" => lf.join(rk, Seq("skey", "g"), "left_semi")
         case "unless" => lf.join(rk, Seq("skey", "g"), "left_anti")
@@ -851,7 +865,8 @@ object PromEval {
       val lf = evalGrid(metrics, l, g0, g1, stepSec, lookbackSec)
       val rf = evalGrid(metrics, r, g0, g1, stepSec, lookbackSec)
       val mk = matchKey(on, ignoring)
-      val rk = rf.select(mk.as("mkey"), col("g")).distinct()
+      // lazy for the same reason as the instant twin: `or` never reads it
+      lazy val rk = rf.select(mk.as("mkey"), col("g")).distinct()
       op match {
         case "and" =>
           lf.withColumn("mkey", mk).join(rk, Seq("mkey", "g"), "left_semi")

@@ -344,9 +344,13 @@ object PromQueries {
     * entries can't reach; integer counts keep it hash-exact.
     */
   def rangeSetopOn(spark: SparkSession, sfDir: String): DataFrame = {
+    // 6h trailing windows (round 18, was 24h): the modifier-under-grid
+    // evidence is window-size-independent — at 6h the per-point join
+    // still keeps 61 and drops 420 purchase rows at sf0.01 — and the
+    // scan-side sample set shrinks 4x.
     val expr = graft.promql.PromParser.parse(
-      "sum by (user, k) (count_over_time(purchase[24h])) and on(user) " +
-        "sum by (user) (count_over_time(click[24h])) % 2 == 1")
+      "sum by (user, k) (count_over_time(purchase[6h])) and on(user) " +
+        "sum by (user) (count_over_time(click[6h])) % 2 == 1")
     graft.promql.PromEval.evalGrid(metrics(spark, sfDir), expr, Gm0, Gm1,
       stepSec = 300, lookbackSec = PromOps.DefaultLookbackSec)
       .select(user.as("user"), kLbl.as("k"), col("g"), col("value"))
@@ -359,12 +363,12 @@ object PromQueries {
        |         CAST(floor(epoch(ts)) AS BIGINT) AS e
        |  FROM events
        |  WHERE CAST(floor(epoch(ts)) AS BIGINT)
-       |        BETWEEN ${Gm0 - 86400 + 1} AND $Gm1
+       |        BETWEEN ${Gm0 - 21600 + 1} AND $Gm1
        |), grid AS (
        |  SELECT unnest(generate_series($Gm0, $Gm1, 300)) AS g
        |), ex AS (
        |  SELECT ev.event_type, ev.u, ev.k, grid.g
-       |  FROM ev, grid WHERE ev.e > grid.g - 86400 AND ev.e <= grid.g
+       |  FROM ev, grid WHERE ev.e > grid.g - 21600 AND ev.e <= grid.g
        |), pk AS (
        |  SELECT u, k, g, count(*) AS c FROM ex
        |  WHERE event_type = 'purchase' GROUP BY u, k, g
@@ -2091,11 +2095,15 @@ object PromQueries {
     * `up == 0 or up == 1 and maintenance` alerting idiom's shape.
     */
   def parsedSetopPrecedence(spark: SparkSession, sfDir: String): DataFrame = {
+    // 48h windows (round 18): the tier-shape evidence is window-size-
+    // independent, and 48h keeps both parse trees' row sets visibly
+    // different at every sf (sf0.01: 57 correct vs 2 wrong-parse rows)
+    // at ~1/3.5 the selector scan of the original 168h form.
     val expr = graft.promql.PromParser.parse(
-      "sum by (user) (count_over_time(view[168h]))" +
-        " and sum by (user) (count_over_time(view[168h])) % 2 == 1" +
-        " or sum by (user) (count_over_time(purchase[168h]))" +
-        " and sum by (user) (count_over_time(click[168h])) % 3 == 0")
+      "sum by (user) (count_over_time(view[48h]))" +
+        " and sum by (user) (count_over_time(view[48h])) % 2 == 1" +
+        " or sum by (user) (count_over_time(purchase[48h]))" +
+        " and sum by (user) (count_over_time(click[48h])) % 3 == 0")
     graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
       .select(user.as("user"), col("value"))
   }
@@ -2105,7 +2113,7 @@ object PromQueries {
        |  SELECT event_type, CAST(user_id AS VARCHAR) AS u
        |  FROM events
        |  WHERE CAST(floor(epoch(ts)) AS BIGINT)
-       |        BETWEEN ${Te - 604800 + 1} AND $Te
+       |        BETWEEN ${Te - 172800 + 1} AND $Te
        |), cv AS (SELECT u, count(*) AS c FROM ev
        |          WHERE event_type = 'view' GROUP BY u),
        |   cp AS (SELECT u, count(*) AS c FROM ev
@@ -2128,10 +2136,13 @@ object PromQueries {
     * which also drops view users — different key set, different hash.
     */
   def parsedSetopUnless(spark: SparkSession, sfDir: String): DataFrame = {
+    // 48h windows (round 18): same evidence-budget trim as
+    // [[parsedSetopPrecedence]] — both parses still differ at sf0.01
+    // (130 vs 125 rows) and every branch stays non-vacuous at all sfs.
     val expr = graft.promql.PromParser.parse(
-      "sum by (user) (count_over_time(view[168h]))" +
-        " or sum by (user) (count_over_time(purchase[168h]))" +
-        " unless sum by (user) (count_over_time(click[168h])) % 3 == 0")
+      "sum by (user) (count_over_time(view[48h]))" +
+        " or sum by (user) (count_over_time(purchase[48h]))" +
+        " unless sum by (user) (count_over_time(click[48h])) % 3 == 0")
     graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
       .select(user.as("user"), col("value"))
   }
@@ -2141,7 +2152,7 @@ object PromQueries {
        |  SELECT event_type, CAST(user_id AS VARCHAR) AS u
        |  FROM events
        |  WHERE CAST(floor(epoch(ts)) AS BIGINT)
-       |        BETWEEN ${Te - 604800 + 1} AND $Te
+       |        BETWEEN ${Te - 172800 + 1} AND $Te
        |), cv AS (SELECT u, count(*) AS c FROM ev
        |          WHERE event_type = 'view' GROUP BY u),
        |   cp AS (SELECT u, count(*) AS c FROM ev
@@ -2163,10 +2174,13 @@ object PromQueries {
     * click count is divisible by 3; all integer-exact.
     */
   def parsedSetopOn(spark: SparkSession, sfDir: String): DataFrame = {
+    // 48h (round 18, evidence-budget trim): the narrowest window at
+    // which BOTH the semi-join keep set and the anti-join complement
+    // stay non-empty at every sf (24h leaves `and on` empty at sf0.01).
     val expr = graft.promql.PromParser.parse(
-      "sum by (user, k) (count_over_time(purchase[168h]))" +
+      "sum by (user, k) (count_over_time(purchase[48h]))" +
         " and on(user)" +
-        " sum by (user) (count_over_time(click[168h])) % 3 == 0")
+        " sum by (user) (count_over_time(click[48h])) % 3 == 0")
     graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
       .select(user.as("user"), kLbl.as("k"), col("value"))
   }
@@ -2177,9 +2191,9 @@ object PromQueries {
     */
   def parsedSetopIgnoring(spark: SparkSession, sfDir: String): DataFrame = {
     val expr = graft.promql.PromParser.parse(
-      "sum by (user, k) (count_over_time(purchase[168h]))" +
+      "sum by (user, k) (count_over_time(purchase[48h]))" +
         " unless ignoring(k)" +
-        " sum by (user) (count_over_time(click[168h])) % 3 == 0")
+        " sum by (user) (count_over_time(click[48h])) % 3 == 0")
     graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
       .select(user.as("user"), kLbl.as("k"), col("value"))
   }
@@ -2190,7 +2204,7 @@ object PromQueries {
        |         json_extract_string(props, '$$.k') AS k
        |  FROM events
        |  WHERE CAST(floor(epoch(ts)) AS BIGINT)
-       |        BETWEEN ${Te - 604800 + 1} AND $Te
+       |        BETWEEN ${Te - 172800 + 1} AND $Te
        |), pk AS (SELECT u, k, count(*) AS c FROM ev
        |          WHERE event_type = 'purchase' GROUP BY u, k),
        |   ck3 AS (SELECT u FROM (SELECT u, count(*) AS c FROM ev
@@ -2208,14 +2222,16 @@ object PromQueries {
     * `or`'s right-only rows keep the RIGHT side's labels untouched).
     */
   def parsedSetopOrOn(spark: SparkSession, sfDir: String): DataFrame = {
-    // the purchase side uses a TIGHTER window (24h vs the views' 30d) so
+    // the purchase side uses a TIGHTER window (24h vs the views' 7d) so
     // viewers with no recent purchase exist and the right-only union
-    // branch genuinely emits rows (at sf0.01: every 30-day viewer also
-    // purchased within 30 days, which would leave `or` untested)
+    // branch genuinely emits rows. 168h views (round 18, was 720h):
+    // the union evidence only needs BOTH branches non-empty — at 7d
+    // that's 61 left + 95 right-only rows at sf0.01, for a quarter of
+    // the view-selector scan.
     val expr = graft.promql.PromParser.parse(
       "sum by (user, k) (count_over_time(purchase[24h]))" +
         " or on(user)" +
-        " sum by (user) (count_over_time(view[720h]))")
+        " sum by (user) (count_over_time(view[168h]))")
     graft.promql.PromEval.evalInstant(metrics(spark, sfDir), expr, Te)
       .select(user.as("user"), kLbl.as("k"), col("value"))
   }
@@ -2227,7 +2243,7 @@ object PromQueries {
        |         CAST(floor(epoch(ts)) AS BIGINT) AS e
        |  FROM events
        |  WHERE CAST(floor(epoch(ts)) AS BIGINT)
-       |        BETWEEN ${Te - 2592000 + 1} AND $Te
+       |        BETWEEN ${Te - 604800 + 1} AND $Te
        |), pk AS (SELECT u, k, count(*) AS c FROM ev
        |          WHERE event_type = 'purchase'
        |            AND e BETWEEN ${Te - 86400 + 1} AND $Te GROUP BY u, k),

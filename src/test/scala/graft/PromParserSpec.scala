@@ -516,6 +516,57 @@ class PromEvalSpec extends SparkSpec {
     assert(rows("""up and on() maint{job="zzz"}""").isEmpty)
   }
 
+  test("or on(): ALL right rows sharing an unmatched key survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Prometheus raises "multiple matches" only for one-to-one VECTOR
+    // MATCHING (arithmetic/comparison), never for set operators — so
+    // when TWO right series project to the same on(job) key and that
+    // key has no left match, `or` must keep BOTH (round-17 verdict
+    // item 8). A dedup-by-key union would silently drop one.
+    val m = Seq(
+      ("up", Map("inst" -> "a", "job" -> "x"), 1.0, 995L),
+      ("spare", Map("inst" -> "s1", "job" -> "z"), 5.0, 996L),
+      ("spare", Map("inst" -> "s2", "job" -> "z"), 6.0, 997L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    val got = graft.promql.PromEval
+      .evalInstant(m, graft.promql.PromParser.parse("up or on(job) spare"),
+        1000L)
+      .collect()
+      .map(r => r.getAs[String]("skey") -> r.getAs[Double]("value")).toMap
+    assert(got == Map(
+      """{"inst":"a","job":"x"}""" -> 1.0,
+      """{"inst":"s1","job":"z"}""" -> 5.0,
+      """{"inst":"s2","job":"z"}""" -> 6.0))
+  }
+
+  test("empty label values are absent for projected match keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Prometheus label sets never store empty values, so a series
+    // carrying an explicitly-empty `note` must match one with no `note`
+    // at all when the key projects over it (ADVICE r17: matchKey drops
+    // null- and empty-valued entries).
+    val m = Seq(
+      ("up", Map("job" -> "x", "note" -> ""), 1.0, 995L),
+      ("maint", Map("job" -> "x"), 7.0, 996L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def rows(q: String) = graft.promql.PromEval
+      .evalInstant(m, graft.promql.PromParser.parse(q), 1000L)
+      .collect()
+      .map(r => r.getAs[String]("skey") -> r.getAs[Double]("value")).toMap
+    // on(job, note): up's key is {job:"x"} (empty note dropped), which
+    // equals maint's — the semi-join keeps the row, full labels intact
+    assert(rows("up and on(job, note) maint") ==
+      Map("""{"job":"x","note":""}""" -> 1.0))
+    // ignoring(job) projects up to {note:""} -> {} and maint to {}:
+    // the keys still match
+    assert(rows("up and ignoring(job) maint") ==
+      Map("""{"job":"x","note":""}""" -> 1.0))
+  }
+
   test("math fns evaluate pointwise; absent flags empty vectors only") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

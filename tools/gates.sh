@@ -25,13 +25,26 @@ cd "$(dirname "$0")/.."
 # against BASELINE_PERQUERY.json (median of 3 standalone runs on the
 # round-13 tree), so a breach is attributed to named queries instead
 # of excavated from the total.
+# Load evidence per bench reading (round 18, verdict item 5): every
+# round-17 in-gate first read drew a burst and the retry decided all
+# three runs — so attribute each reading's box state by DATA (loadavg +
+# cumulative steal jiffies around the run), and let the round close
+# state the burst rate from these lines instead of classifying samples
+# by eye.
+load_evidence() {
+  echo "[load] $1 loadavg=$(cut -d' ' -f1-3 /proc/loadavg)" \
+    "steal_jiffies=$(awk '/^cpu /{print $9}' /proc/stat)"
+}
 run_bench() {
+  load_evidence "bench-pre"
   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
     sbt -batch "runMain graft.Bench" | grep -F '"metric"' | tee /tmp/graft_gate_bench.json
+  load_evidence "bench-post"
   # --strict-keys: fail (exit 4) when the registered query set differs
   # from the ledger's key set — a pack change with a forgotten
-  # tools/make_ledger.sh regen would silently un-guard the new queries
-  python3 tools/perquery_check.py --strict-keys BENCH_FULL.json
+  # tools/make_ledger.sh regen would silently un-guard the new queries.
+  # Extra args (the retry passes --fail-on-flags) ride through.
+  python3 tools/perquery_check.py --strict-keys "$@" BENCH_FULL.json
 }
 # Exit codes: 0 ok, 1 ceiling breach (retryable), 2 failed queries
 # (a bug — fail immediately), 3 unparseable bench output (a harness
@@ -73,8 +86,11 @@ rc=0; check_ceiling 71.0 || rc=$?
 if [ "$rc" -eq 1 ]; then
   echo "== bench ceiling breached — re-running once (contention check)"
   sleep 10
-  run_bench
-  check_ceiling 78.0
+  # the retry's 1.1x allowance absorbs hot-box noise; --fail-on-flags
+  # (ADVICE r17) keeps a genuine per-query regression from riding it —
+  # budgets are inflation-scaled, so a uniform burst still passes
+  run_bench --fail-on-flags
+  check_ceiling 70.0
 elif [ "$rc" -ne 0 ]; then
   exit "$rc"
 fi
@@ -99,3 +115,19 @@ for sf in sf0.001 sf0.01 sf0.1; do
   sbt -batch "runMain graft.Verify /root/testdata/$sf $out"
   python3 tools/check.py "/root/testdata/$sf" "$out"
 done
+
+# Scratch teardown assert (round 18, verdict item 7): the stream gates
+# create per-call work dirs (createTempDirectory prefixes below) and the
+# round-17 checkpoint-deletion change claims each run removes its own —
+# hold that claim to a find over the JVM tmpdir at the end of a full
+# gates pass. Orphans fail the gate so a cleanup regression is caught
+# the round it lands, not when the disk fills.
+echo "== scratch teardown check"
+orphans=$(find "${TMPDIR:-/tmp}" /tmp -maxdepth 1 \
+  \( -name 'stream_in*' -o -name '*_e2e*' \) 2>/dev/null | sort -u)
+if [ -n "$orphans" ]; then
+  echo "ORPHAN stream scratch dirs left behind:"
+  echo "$orphans"
+  exit 5
+fi
+echo "scratch clean"

@@ -18,6 +18,14 @@ change with a forgotten ledger regen would otherwise silently un-guard
 the new queries — the PLANS.md-staleness treatment, applied to the
 ledger. Fix by running tools/make_ledger.sh and committing the result.
 Without --strict-keys, new queries are listed informationally.
+
+--fail-on-flags (round 18, ADVICE r17): exit 5 when any query exceeds
+its inflation-scaled budget. gates.sh passes it on the RETRY reading
+only — the retry ceiling carries a documented 1.1x hot-box allowance,
+and without this check a genuine ~10% single-query regression could
+ride that allowance. Because budgets are scaled by the run's own
+uniform inflation, a pure external burst still passes (zero flags)
+while a real per-query regression fails mechanically.
 """
 import json
 import re
@@ -33,8 +41,10 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--strict-keys"]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--strict-keys", "--fail-on-flags")]
     strict = "--strict-keys" in sys.argv[1:]
+    fail_on_flags = "--fail-on-flags" in sys.argv[1:]
     if not args:
         sys.exit("usage: perquery_check.py [--strict-keys] <BENCH_FULL.json>"
                  " [BASELINE_PERQUERY.json]")
@@ -101,6 +111,11 @@ def main():
               "from the ledger's key set; run tools/make_ledger.sh and "
               "commit BASELINE_PERQUERY.json")
         sys.exit(4)
+    if fail_on_flags and flagged:
+        print("perquery: FAIL — flags above inflation-scaled budgets on a "
+              "deciding reading (a uniform burst would have scaled away; "
+              "this is per-query)")
+        sys.exit(5)
 
 
 if __name__ == "__main__":
