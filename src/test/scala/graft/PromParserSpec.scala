@@ -808,6 +808,40 @@ class PromEvalSpec extends SparkSpec {
       okCmp(0)._1.contains("\"k\":\"q\""))
   }
 
+  test("structurally-unique operands skip the duplicate guard; others keep it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val m = Seq(
+      ("a", Map("u" -> "1", "k" -> "p"), 10.0, 995L),
+      ("a", Map("u" -> "1", "k" -> "q"), 20.0, 995L),
+      ("b", Map("u" -> "1", "k" -> "x"), 2.0, 995L),
+      ("b", Map("u" -> "1", "k" -> "y"), 4.0, 995L))
+      .toDF("metric_name", "labels", "value", "es")
+      .withColumn("timestamp", timestamp_seconds(col("es")))
+    def plan(q: String) = graft.promql.PromEval
+      .evalInstant(m, graft.promql.PromParser.parse(q), 1000L)
+      .queryExecution.executedPlan.toString
+    // both sides by-aggregated to the match labels: uniqueness is
+    // structural, so neither side pays the duplicate guard — whose
+    // plan signature is a min(struct(...)) SortAggregate pipeline
+    // (the selector's latest-sample max(struct) is also a
+    // SortAggregate, so the guard is identified by its MIN; round 18)
+    assert(!plan("sum by (u) (a) + on(u) sum by (u) (b)")
+      .contains("min(struct"))
+    // an unproven side (raw selector) keeps the guard in-plan…
+    assert(plan("sum by (u) (a) + on(u) b").contains("min(struct"))
+    // …and it still fires at execution on real duplicates
+    val e = intercept[Exception](graft.promql.PromEval.evalInstant(m,
+      graft.promql.PromParser.parse("sum by (u) (a) + on(u) b"), 1000L)
+      .collect())
+    assert(e.getMessage != null)
+    // and the proven form computes the right value: sum(a)=30, sum(b)=6
+    val ok = graft.promql.PromEval.evalInstant(m,
+      graft.promql.PromParser.parse("sum by (u) (a) + on(u) sum by (u) (b)"),
+      1000L).collect().map(_.getAs[Double]("value")).toSeq
+    assert(ok == Seq(36.0))
+  }
+
   test("round/sgn/group/quantile-agg/count_values evaluate correctly") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
