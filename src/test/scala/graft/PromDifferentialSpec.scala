@@ -134,15 +134,22 @@ class PromDifferentialSpec extends SparkSpec {
     case _ => lbls
   }).filter(_._2.nonEmpty)
 
-  private def naive(e: Expr): Vec = e match {
+  private def naive(e: Expr): Vec = naiveAt(e, T)
+
+  /** Instant evaluation at `at` — the grid differential below runs this
+    * per point, which IS the range-query semantics (a range query is an
+    * instant query per step; the engine's sample→grid-point expansion
+    * must be undetectable against it).
+    */
+  private def naiveAt(e: Expr, at: Long): Vec = e match {
     case s: Selector =>
-      naiveSelector(s.name, s.eq, T - Lookback, T)
+      naiveSelector(s.name, s.eq, at - Lookback, at)
         .groupBy(_._1)
         .map { case (lbls, ss) =>
           (lbls, lastSample(ss.map(t => (t._2, t._3)))._2)
         }.toSeq
     case OverTime(fn, s, w) =>
-      val inWin = naiveSelector(s.name, s.eq, T - w, T).groupBy(_._1)
+      val inWin = naiveSelector(s.name, s.eq, at - w, at).groupBy(_._1)
       inWin.map { case (lbls, ss) =>
         val vs = ss.map(_._3)
         val v = fn match {
@@ -156,20 +163,20 @@ class PromDifferentialSpec extends SparkSpec {
         if (by.nonEmpty) _.filter { case (k, _) => by.contains(k) }
         else if (without.nonEmpty) _.filterNot { case (k, _) => without.contains(k) }
         else _ => Map.empty
-      naive(inner).groupBy { case (lbls, _) => keep(lbls) }
+      naiveAt(inner, at).groupBy { case (lbls, _) => keep(lbls) }
         .map { case (lbls, rows) => (lbls, naiveAggFn(fn, rows.map(_._2))) }
         .toSeq
     case Arith(inner, op, v) =>
-      naive(inner).map { case (l, x) => (l, naiveArith(x, op, v)) }
+      naiveAt(inner, at).map { case (l, x) => (l, naiveArith(x, op, v)) }
     case BoolCmp(inner, op, v) =>
-      naive(inner).map { case (l, x) => (l, if (naiveCmp(x, op, v)) 1.0 else 0.0) }
+      naiveAt(inner, at).map { case (l, x) => (l, if (naiveCmp(x, op, v)) 1.0 else 0.0) }
     case FilterCmp(inner, op, v) =>
-      naive(inner).filter { case (_, x) => naiveCmp(x, op, v) }
+      naiveAt(inner, at).filter { case (_, x) => naiveCmp(x, op, v) }
     case UnaryFn("abs", inner) =>
-      naive(inner).map { case (l, x) => (l, math.abs(x)) }
+      naiveAt(inner, at).map { case (l, x) => (l, math.abs(x)) }
     case VecBin(op, l, r, on, ig, None, _) =>
-      val lv = naive(l)
-      val rv = naive(r).map { case (lbls, x) => proj(lbls, on, ig) -> x }.toMap
+      val lv = naiveAt(l, at)
+      val rv = naiveAt(r, at).map { case (lbls, x) => proj(lbls, on, ig) -> x }.toMap
       lv.flatMap { case (lbls, x) =>
         rv.get(proj(lbls, on, ig)).map { y =>
           // one-to-one output: the match key when a modifier is present,
@@ -179,8 +186,8 @@ class PromDifferentialSpec extends SparkSpec {
         }
       }
     case VecCmp(op, l, r, isBool, on, ig) =>
-      val lv = naive(l)
-      val rv = naive(r).map { case (lbls, x) => proj(lbls, on, ig) -> x }.toMap
+      val lv = naiveAt(l, at)
+      val rv = naiveAt(r, at).map { case (lbls, x) => proj(lbls, on, ig) -> x }.toMap
       lv.flatMap { case (lbls, x) =>
         rv.get(proj(lbls, on, ig)).flatMap { y =>
           val hit = naiveCmp(x, op, y)
@@ -192,8 +199,8 @@ class PromDifferentialSpec extends SparkSpec {
         }
       }
     case SetOp(op, l, r, on, ig) =>
-      val lv = naive(l)
-      val rv = naive(r)
+      val lv = naiveAt(l, at)
+      val rv = naiveAt(r, at)
       val lk = lv.map { case (lbls, _) => proj(lbls, on, ig) }.toSet
       val rk = rv.map { case (lbls, _) => proj(lbls, on, ig) }.toSet
       op match {
@@ -433,5 +440,41 @@ class PromDifferentialSpec extends SparkSpec {
     // a generator drifting into all-empty vectors would pass vacuously
     assert(nonEmpty > n / 2,
       s"only $nonEmpty/$n cases produced non-empty results - fixture or generator drifted")
+  }
+
+  test("250 generated expressions on the grid: engine == per-point naive") {
+    // A range query is an instant query per step — so the grid twin of
+    // every operator (the sample→grid-point expansion, per-point joins
+    // with `g` riding the key, per-point set semantics) must be
+    // undetectable against the instant model applied at each point.
+    // Fresh seed: different trees from the instant pass.
+    val n = sys.env.get("GRAFT_DIFF_GRID_N").map(_.toInt).getOrElse(250)
+    val g1 = (T / 60) * 60
+    val g0 = g1 - 240 // five 60s-aligned points
+    val points = g0.to(g1, 60L)
+    val rnd = new scala.util.Random(18262026L)
+    var checked = 0
+    var nonEmpty = 0
+    while (checked < n) {
+      val (ast, _) = genVec(rnd, rnd.nextInt(4))
+      val q = render(ast, 0)
+      val parsed = PromParser.parse(q)
+      assert(parsed == ast,
+        s"grid case $checked: render did not round-trip\n  $q")
+      val got = PromEval.evalGrid(metricsDf, parsed, g0, g1, 60, Lookback)
+        .collect()
+        .map(r => (r.getAs[String]("skey"), r.getAs[Long]("g"),
+          r.getAs[Double]("value")))
+        .sorted.toSeq
+      val want = points.flatMap { g =>
+        naiveAt(ast, g).map { case (l, v) => (toSkey(l), g, v) }
+      }.sorted
+      assert(got == want,
+        s"grid case $checked DIVERGED: $q\n  engine: $got\n  naive:  $want")
+      checked += 1
+      if (want.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty > n / 2,
+      s"only $nonEmpty/$n grid cases produced non-empty results - fixture or generator drifted")
   }
 }
