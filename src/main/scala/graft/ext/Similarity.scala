@@ -151,7 +151,11 @@ object Similarity {
     v.join(broadcast(cents.withColumn("cn", normSqQ(col("centroid")))))
       .withColumn("sim", cosineQN(col("qv"), col("centroid"), col("qn"), col("cn")))
       .groupBy(col("vec_id"))
-      .agg(max(struct(col("sim"), (-col("cell")).as("negcell"))).as("best"))
+      // flat-buffer lexicographic max (round 18): a struct-max here
+      // planned as SortAggregate per round; LexPair keeps the argmax a
+      // codegen'd HashAggregate with map-side combine
+      .agg(graft.functions.LexPair.max2(
+        col("sim"), -col("cell"), "sim", "negcell").as("best"))
       .select(col("vec_id"), (-col("best.negcell")).cast("int").as("cell"),
         col("best.sim").as("cell_cos")) // winning cosine, for inertia stats
   }

@@ -1249,7 +1249,9 @@ object PromEval {
   }
 
   private def overTimeAgg(fn: String, timeCol: Column): Column = fn match {
-    case "last" => max(struct(timeCol, col("value"))).getField("value")
+    case "last" => // flat-buffer latest: hash aggregate, no sort (r18)
+      graft.functions.LatestSample.latest(timeCol, col("value"))
+        .getField("value")
     case "present" => max(lit(1.0)) // 1 for any series with samples
     case other => aggColumn(other)
   }

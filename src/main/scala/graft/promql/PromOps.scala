@@ -109,8 +109,13 @@ object PromOps {
       .filter(col("e") > atEpochSec - lookbackSec && col("e") <= atEpochSec)
       .groupBy(col("metric_name"), col("skey"))
       // lexicographic max picks the latest sample; value breaks exact-ts
-      // ties deterministically (second-truncated timestamps can collide)
-      .agg(max(struct(col("e"), col("value"))).as("last"))
+      // ties deterministically (second-truncated timestamps can collide).
+      // graft_latest = max(struct(e, value)) on a FLAT primitive buffer,
+      // so this stays a codegen'd HashAggregate instead of the
+      // SortAggregate + Sort a struct-max plans as (round 18,
+      // functions/LatestSample.scala)
+      .agg(graft.functions.LatestSample.latest(col("e"), col("value"))
+        .as("last"))
       .select(col("metric_name"), col("skey"),
         col("last.e").as("e"), col("last.value").as("value"))
   }
@@ -148,7 +153,9 @@ object PromOps {
       .select(col("skey"), col("e"), col("value"),
         explode(sequence(col("gs"), col("ge"), lit(stepSec))).as("g"))
       .groupBy(col("skey"), col("g"))
-      .agg(max(struct(col("e"), col("value"))).as("last"))
+      // flat-buffer latest (see instantVector): hash aggregate, no sort
+      .agg(graft.functions.LatestSample.latest(col("e"), col("value"))
+        .as("last"))
       .select(col("skey"), col("g"), col("last.value").as("value"))
   }
 
@@ -370,14 +377,18 @@ object PromOps {
       // logic, extrapolated to the window bounds exactly like
       // rate/increase but WITHOUT the counter zero-crossing cap; one
       // map-side-combinable aggregation, no window pass at all
+      // flat-buffer first/last pairs (decimal value child): hash
+      // aggregate, no sort (round 18, functions/LatestSample.scala)
       val agg = rs.groupBy(keys: _*)
         .agg(count(lit(1)).as("n"),
-          min(struct(col("e"), col("vd"))).as("firstS"),
-          max(struct(col("e"), col("vd"))).as("lastS"))
+          graft.functions.LatestSample.earliest(col("e"), col("vd"))
+            .as("firstS"),
+          graft.functions.LatestSample.latest(col("e"), col("vd"))
+            .as("lastS"))
         .filter(col("lastS.e") > col("firstS.e"))
         .select(keys ++ Seq(col("n"), col("firstS.e").as("fe"),
-          col("lastS.e").as("le"), col("firstS.vd").as("fv"),
-          (col("lastS.vd") - col("firstS.vd")).as("res")): _*)
+          col("lastS.e").as("le"), col("firstS.value").as("fv"),
+          (col("lastS.value") - col("firstS.value")).as("res")): _*)
       return agg.select(keys :+
         extrapolatedValue(kind, rangeStart, rangeEnd, windowSec)
           .as("value"): _*)

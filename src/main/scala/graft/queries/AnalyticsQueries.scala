@@ -1659,15 +1659,19 @@ object AnalyticsQueries {
     // filter-on-boundary-then-min/max semantics. One corpus shuffle
     // total, map-side combinable, no boundary self-joins — at 100 TB
     // this is 1 wide stage instead of 3 aggregations + 2 joins.
+    // graft_earliest/latest: the same lexicographic pairs on FLAT
+    // primitive buffers, keeping this single wide stage a codegen'd
+    // HashAggregate (struct min/max would force SortAggregate + Sort;
+    // round 18, functions/LatestSample.scala)
     bucketed.groupBy(col("metric"), col("bucket"))
       .agg(count(lit(1)).as("n"),
-        min(struct(col("e"), col("v"))).as("fs"),
-        max(struct(col("e"), col("v"))).as("ls"),
+        graft.functions.LatestSample.earliest(col("e"), col("v")).as("fs"),
+        graft.functions.LatestSample.latest(col("e"), col("v")).as("ls"),
         min(col("v")).as("v_min"), max(col("v")).as("v_max"))
       .select(col("metric"), col("bucket"), col("n"),
         col("fs.e").as("t_first"), col("ls.e").as("t_last"),
         col("v_min"), col("v_max"),
-        col("fs.v").as("first_v"), col("ls.v").as("last_v"))
+        col("fs.value").as("first_v"), col("ls.value").as("last_v"))
   }
 
   val m4DownsampleOracle: String =

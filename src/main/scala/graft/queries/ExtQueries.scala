@@ -3447,20 +3447,26 @@ object ExtQueries {
     */
   private def kmeansAssign(v: DataFrame, cent: DataFrame): DataFrame = {
     val c = broadcast(cent.withColumn("cn", Similarity.normSqQ(col("cv"))))
-    // argmin as an AGGREGATE, not a window: min of the (d, cell)
-    // struct is the lexicographic minimum — identical to ranking by
-    // (d asc, cell asc) — but plans as a hash aggregation with
-    // map-side partial combine instead of a sort exchange per round;
-    // `first(qv)` is well-defined because qv is constant per vec_id
-    // across the broadcast fan-out
-    v.crossJoin(c)
+    // argmin as an AGGREGATE, not a window: the lexicographic minimum
+    // of the (d, cell) pair — identical to ranking by (d asc, cell
+    // asc) — with map-side partial combine instead of a sort exchange
+    // per round. LexPair (round 18) keeps the pair in flat primitive
+    // buffer slots so this really IS a codegen'd HashAggregate; the
+    // earlier min(struct) + first(qv) form planned as SortAggregate
+    // over the K-times-fanned-out cross join (struct AND array buffers
+    // aren't UnsafeRow-mutable), so qv now rides a |V|-sized equi-join
+    // AFTER the argmin instead of an array buffer through it — at
+    // scale that swaps "sort |V|·K rows per round" for "join |V| rows
+    // on the key the aggregate already partitioned by".
+    val won = v.crossJoin(c)
       .withColumn("d",
         col("vn") - lit(2L) * Similarity.dotQ(col("qv"), col("cv")) + col("cn"))
       .groupBy(col("vec_id"))
-      .agg(min(struct(col("d"), col("cell"))).as("m"),
-        first(col("qv")).as("qv"))
-      .select(col("vec_id"), col("qv"),
-        col("m.cell").as("cell"), col("m.d").as("d"))
+      .agg(graft.functions.LexPair.min2(
+        col("d"), col("cell"), "d", "cell").as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"), col("m.d").as("d"))
+    won.join(v.select(col("vec_id"), col("qv")), "vec_id")
+      .select(col("vec_id"), col("qv"), col("cell"), col("d"))
   }
 
   private[graft] def kmeansRounds(spark: SparkSession, sfDir: String,

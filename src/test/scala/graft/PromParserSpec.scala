@@ -840,6 +840,12 @@ class PromEvalSpec extends SparkSpec {
       graft.promql.PromParser.parse("sum by (u) (a) + on(u) sum by (u) (b)"),
       1000L).collect().map(_.getAs[Double]("value")).toSeq
     assert(ok == Seq(36.0))
+    // with the guard skipped AND the latest-sample pair on a flat
+    // buffer (graft_latest), the whole pipeline is hash-aggregated:
+    // no SortAggregate node anywhere in the proven plan (round 18)
+    val proven = plan("sum by (u) (a) + on(u) sum by (u) (b)")
+    assert(!proven.contains("SortAggregate") &&
+      proven.contains("graft_latest"))
   }
 
   test("round/sgn/group/quantile-agg/count_values evaluate correctly") {
