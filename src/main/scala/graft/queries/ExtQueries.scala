@@ -3451,22 +3451,21 @@ object ExtQueries {
     // of the (d, cell) pair — identical to ranking by (d asc, cell
     // asc) — with map-side partial combine instead of a sort exchange
     // per round. LexPair (round 18) keeps the pair in flat primitive
-    // buffer slots so this really IS a codegen'd HashAggregate; the
+    // buffer slots so this really IS a codegen'd HashAggregate (the
     // earlier min(struct) + first(qv) form planned as SortAggregate
-    // over the K-times-fanned-out cross join (struct AND array buffers
-    // aren't UnsafeRow-mutable), so qv now rides a |V|-sized equi-join
-    // AFTER the argmin instead of an array buffer through it — at
-    // scale that swaps "sort |V|·K rows per round" for "join |V| rows
-    // on the key the aggregate already partitioned by".
-    val won = v.crossJoin(c)
+    // over the K-times-fanned-out cross join: struct AND array
+    // AGGREGATION buffers aren't UnsafeRow-mutable). qv rides the
+    // GROUP KEY instead of a first() buffer — grouping keys are plain
+    // UnsafeRow fields with no mutability requirement, and qv is
+    // functionally dependent on vec_id, so the groups are identical.
+    v.crossJoin(c)
       .withColumn("d",
         col("vn") - lit(2L) * Similarity.dotQ(col("qv"), col("cv")) + col("cn"))
-      .groupBy(col("vec_id"))
+      .groupBy(col("vec_id"), col("qv"))
       .agg(graft.functions.LexPair.min2(
         col("d"), col("cell"), "d", "cell").as("m"))
-      .select(col("vec_id"), col("m.cell").as("cell"), col("m.d").as("d"))
-    won.join(v.select(col("vec_id"), col("qv")), "vec_id")
-      .select(col("vec_id"), col("qv"), col("cell"), col("d"))
+      .select(col("vec_id"), col("qv"),
+        col("m.cell").as("cell"), col("m.d").as("d"))
   }
 
   private[graft] def kmeansRounds(spark: SparkSession, sfDir: String,
