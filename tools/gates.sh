@@ -72,25 +72,27 @@ sys.exit(1 if total > ceiling else 0)
 EOF
 }
 
-# Round-17 ceiling recalibration: the pack grew 226 -> 235 queries
-# (~+2.5-3 s quiet) and the round-17 box reads quiet full-pack samples
-# at 65.6/67.4 s (ledger total_median 67.4) with intermittent EXTERNAL
-# bursts of uniform ~1.2x inflation (streams included - the documented
-# burst signature; four such samples measured 78.7-83.4 s on unchanged
-# trees within the hour). Ceiling 71 sits above the quiet band of THIS
-# pack on THIS box; the retry allowance scales the same way.
+# Round-18 ceiling recalibration: same 235-query pack, but the round's
+# perf work (set-op window trims, duplicate-guard skip, flat-buffer
+# LexPair) cut the ledger total_median 67.4 -> 59.6 s, and the
+# round-18 box reads quiet samples at 51.5-62.7 s with SUSTAINED
+# external burst phases (uniform inflation up to ~1.30x quiet —
+# 75-88 s on green trees, streams included). Ceiling 66 sits above
+# the quiet band of THIS tree on THIS box. The retry ceiling is tuned
+# to the burst AMPLITUDE (1.30 x 59.6 ~ 78) because on this box the
+# retry often lands inside the same burst phase; the per-query
+# --fail-on-flags check is what actually catches a code regression
+# there (budgets scale by the run's own uniform inflation, so a
+# burst passes with zero flags while a real regression is named).
 echo "== bench sf0.1"
 run_bench
 echo "== bench ceiling"
-rc=0; check_ceiling 71.0 || rc=$?
+rc=0; check_ceiling 66.0 || rc=$?
 if [ "$rc" -eq 1 ]; then
   echo "== bench ceiling breached — re-running once (contention check)"
   sleep 10
-  # the retry's 1.1x allowance absorbs hot-box noise; --fail-on-flags
-  # (ADVICE r17) keeps a genuine per-query regression from riding it —
-  # budgets are inflation-scaled, so a uniform burst still passes
   run_bench --fail-on-flags
-  check_ceiling 70.0
+  check_ceiling 78.0
 elif [ "$rc" -ne 0 ]; then
   exit "$rc"
 fi
