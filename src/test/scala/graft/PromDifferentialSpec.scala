@@ -143,13 +143,24 @@ class PromDifferentialSpec extends SparkSpec {
     */
   private def naiveAt(e: Expr, at: Long): Vec = e match {
     case s: Selector =>
-      naiveSelector(s.name, s.eq, at - Lookback, at)
+      // offset/@ mirror Selector.evalAt: @ replaces the eval time,
+      // offset then shifts it
+      val ea = s.atSec.getOrElse(at) - s.offsetSec
+      naiveSelector(s.name, s.eq, ea - Lookback, ea)
         .groupBy(_._1)
         .map { case (lbls, ss) =>
           (lbls, lastSample(ss.map(t => (t._2, t._3)))._2)
         }.toSeq
+    case TopK(fn, k, inner, Nil, Nil) =>
+      // bare topk/bottomk: (value desc/asc, skey asc), k rows
+      val rows = naiveAt(inner, at)
+      val ordered =
+        if (fn == "topk") rows.sortBy { case (l, v) => (-v, toSkey(l)) }
+        else rows.sortBy { case (l, v) => (v, toSkey(l)) }
+      ordered.take(k)
     case OverTime(fn, s, w) =>
-      val inWin = naiveSelector(s.name, s.eq, at - w, at).groupBy(_._1)
+      val ea = s.atSec.getOrElse(at) - s.offsetSec
+      val inWin = naiveSelector(s.name, s.eq, ea - w, ea).groupBy(_._1)
       inWin.map { case (lbls, ss) =>
         val vs = ss.map(_._3)
         val v = fn match {
@@ -243,13 +254,21 @@ class PromDifferentialSpec extends SparkSpec {
     */
   private def render(e: Expr, ctx: Int): String = {
     val p = prec(e)
+    def selBase(s: Selector): String =
+      if (s.eq.isEmpty) s.name
+      else s.name + s.eq.map { case (l, v) => s"""$l="$v"""" }.mkString("{", ", ", "}")
+    def selMods(s: Selector): String = {
+      val off = if (s.offsetSec != 0) s" offset ${s.offsetSec}s" else ""
+      val at = s.atSec.map(t => s" @ $t").getOrElse("")
+      off + at
+    }
     val raw = e match {
-      case s: Selector =>
-        if (s.eq.isEmpty) s.name
-        else s.name + s.eq.map { case (l, v) => s"""$l="$v"""" }.mkString("{", ", ", "}")
+      case s: Selector => selBase(s) + selMods(s)
       case OverTime(fn, s, w) =>
-        val sel = render(s, 0)
-        s"${fn}_over_time($sel[${w}s])"
+        // range-selector modifiers render AFTER the window brackets
+        s"${fn}_over_time(${selBase(s)}[${w}s]${selMods(s)})"
+      case TopK(fn, k, inner, Nil, Nil) =>
+        s"$fn($k, ${render(inner, 0)})"
       case Agg(fn, inner, by, without) =>
         val cl =
           if (by.nonEmpty) s" by (${by.mkString(", ")}) "
@@ -277,7 +296,11 @@ class PromDifferentialSpec extends SparkSpec {
 
   private def genVec(rnd: scala.util.Random, depth: Int): (Expr, Set[String]) =
     if (depth <= 0) genLeaf(rnd)
-    else rnd.nextInt(10) match {
+    else rnd.nextInt(11) match {
+      case 10 => // bare topk/bottomk: row subset, keyset preserved
+        val (inner, ks0) = genVec(rnd, depth - 1)
+        (TopK(pick(rnd, Seq("topk", "bottomk")),
+          pick(rnd, Seq(1, 2, 3, 5)), inner, Nil, Nil), ks0)
       case 0 | 1 => // aggregation over anything
         val (inner, ks0) = genVec(rnd, depth - 1)
         val fn = pick(rnd, Seq("sum", "min", "max", "avg", "count"))
@@ -389,7 +412,12 @@ class PromDifferentialSpec extends SparkSpec {
     val name = pick(rnd, Seq("m0", "m1", "m2"))
     val eq = if (rnd.nextInt(10) < 3)
       Seq("user" -> pick(rnd, users)) else Nil
-    val sel = Selector(name, eq = eq)
+    // offset multiples of the grid step (the engine requires step
+    // alignment on the grid path); `@` pins to a fixed instant, which
+    // the grid pass must render CONSTANT across points
+    val off = if (rnd.nextInt(4) == 0) pick(rnd, Seq(120L, 300L)) else 0L
+    val atS = if (rnd.nextInt(7) == 0) Some(T - 300L) else None
+    val sel = Selector(name, eq = eq, offsetSec = off, atSec = atS)
     if (rnd.nextBoolean()) (sel, Full)
     else {
       val fn = pick(rnd, Seq("count", "sum", "min", "max", "avg", "last"))
