@@ -66,13 +66,14 @@ object PromParser {
     * value, value unchanged. With `bool` it returns 1/0 per matched
     * pair; under a matching modifier the output series carries the match
     * key as its label set (the one-to-one output-label rule). Unmatched
-    * series drop, as in Prometheus. Stated deviation (same as
-    * [[VecBin]]'s): duplicate match keys are not detected-and-errored —
-    * the join simply pairs every match. A consequence worth naming:
-    * `group_left`/`group_right` are NOT supported on comparisons, and a
-    * many-to-one match that upstream Prometheus would reject with
-    * "many-to-one matching must be explicit" passes unvalidated here —
-    * every pairing is filtered/valued as if one-to-one.
+    * series drop, as in Prometheus. Duplicate match keys
+    * detect-and-error at execution exactly as on [[VecBin]] (deviation 6
+    * closed in round 16: the in-plan `oneRowPerMatchKey` guard under
+    * `on`/`ignoring`, where duplicates are possible; the bare form
+    * matches the full series key, unique by construction). One named
+    * gap remains: `group_left`/`group_right` are rejected at parse on
+    * comparisons (deviation 11's loud-rejection rule), so many-to-one
+    * comparison matching is out of the implemented surface.
     */
   final case class VecCmp(op: String, left: Expr, right: Expr,
       bool: Boolean, on: Option[Seq[String]] = None,
@@ -108,10 +109,14 @@ object PromParser {
     * match), `on(l..)` (match and keep only l..), `ignoring(l..)` (match
     * on the complement), and many-to-one via bare `group_left` /
     * `group_right` (the named side is the MANY side and keeps its full
-    * label set). Stated deviation from Prometheus: without a group
-    * modifier, many-to-one matches are not detected-and-errored — the
-    * join simply pairs every match, as the reference effectively allows
-    * by shipping query text to a real server unparsed.
+    * label set). Duplicate-series detection follows Prometheus since
+    * round 16 (deviation 6 closed): one-to-one forms error at execution
+    * on duplicate match keys via the in-plan `oneRowPerMatchKey` guard
+    * under `on`/`ignoring` (the bare form's full-series-key match is
+    * unique by construction and pays nothing); group forms guard the
+    * ONE side the same way. Sides whose per-key uniqueness is
+    * STRUCTURAL (e.g. `sum by (user) (x)` matched `on(user)`) skip the
+    * guard entirely (round 18, `PromEval.uniqueUnder`).
     */
   final case class VecBin(op: String, left: Expr, right: Expr,
       on: Option[Seq[String]] = None,
