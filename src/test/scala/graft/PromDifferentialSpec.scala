@@ -6,10 +6,14 @@ import graft.promql.PromParser._
 
 /** Differential fuzz harness for the PromQL surface (round 18, verdict
   * item 6): seeded-random WELL-TYPED expression trees over the
-  * compositional core — selectors, `*_over_time` windows, `by`/`without`
-  * aggregation, scalar arithmetic/comparisons, one-to-one vector
-  * arithmetic and comparisons, and the two-tier set operators, all with
-  * and without `on`/`ignoring` — are rendered MINIMALLY parenthesized
+  * compositional core — selectors, `*_over_time` windows (plain range
+  * and `(expr)[w:s]` subquery forms), `by`/`without` aggregation,
+  * `topk`/`bottomk` bare and grouped, scalar arithmetic/comparisons
+  * (literal on either side), one-to-one vector arithmetic and
+  * comparisons, many-to-one `group_left`/`group_right` arithmetic, and
+  * the two-tier set operators (including heterogeneous-keyset bare
+  * `or`), all with and without `on`/`ignoring` — are rendered MINIMALLY
+  * parenthesized
   * (so the text round-trips through the real precedence table, the
   * exact surface the round-16 set-tier bug lived in), parsed, evaluated
   * by [[PromEval]] on a tiny in-memory fixture, and compared row-exactly
@@ -151,13 +155,38 @@ class PromDifferentialSpec extends SparkSpec {
         .map { case (lbls, ss) =>
           (lbls, lastSample(ss.map(t => (t._2, t._3)))._2)
         }.toSeq
-    case TopK(fn, k, inner, Nil, Nil) =>
-      // bare topk/bottomk: (value desc/asc, skey asc), k rows
-      val rows = naiveAt(inner, at)
-      val ordered =
-        if (fn == "topk") rows.sortBy { case (l, v) => (-v, toSkey(l)) }
-        else rows.sortBy { case (l, v) => (v, toSkey(l)) }
-      ordered.take(k)
+    case TopK(fn, k, inner, by, without) =>
+      // topk/bottomk: (value desc/asc, skey asc), k rows — per group
+      // under by/without, globally when bare (one empty group key)
+      val keep: Map[String, String] => Map[String, String] =
+        if (by.nonEmpty) _.filter { case (kk, _) => by.contains(kk) }
+        else if (without.nonEmpty) _.filterNot { case (kk, _) => without.contains(kk) }
+        else _ => Map.empty
+      naiveAt(inner, at).groupBy { case (l, _) => keep(l) }.values.flatMap { grp =>
+        val ordered =
+          if (fn == "topk") grp.sortBy { case (l, v) => (-v, toSkey(l)) }
+          else grp.sortBy { case (l, v) => (v, toSkey(l)) }
+        ordered.take(k)
+      }.toSeq
+    case OverTimeSubquery(fn, inner, w, s) =>
+      // subquery points: absolute multiples of the subquery step inside
+      // the half-open window (at-w, at] — mirroring the engine's
+      // g0 = ((t-w)/step + 1)*step, g1 = (t/step)*step alignment; the
+      // inner expression evaluates INSTANT at each point (the recursion
+      // is the whole subquery contract), then the _over_time fold runs
+      // per series over its present points
+      val g0 = ((at - w) / s + 1) * s
+      val g1 = (at / s) * s
+      val pts = g0.to(g1, s)
+      pts.flatMap(p => naiveAt(inner, p).map { case (l, v) => (l, p, v) })
+        .groupBy(_._1)
+        .map { case (l, rows) =>
+          val v = fn match {
+            case "last" => rows.maxBy(_._2)._3
+            case other => naiveAggFn(other, rows.map(_._3))
+          }
+          (l, v)
+        }.toSeq
     case OverTime(fn, s, w) =>
       val ea = s.atSec.getOrElse(at) - s.offsetSec
       val inWin = naiveSelector(s.name, s.eq, ea - w, ea).groupBy(_._1)
@@ -185,6 +214,26 @@ class PromDifferentialSpec extends SparkSpec {
       naiveAt(inner, at).filter { case (_, x) => naiveCmp(x, op, v) }
     case UnaryFn("abs", inner) =>
       naiveAt(inner, at).map { case (l, x) => (l, math.abs(x)) }
+    case VecBin(op, NumLit(c), r, None, None, None, Nil) =>
+      // scalar-on-the-left arithmetic: every series of the vector side
+      // keeps its labels; the literal is the LEFT operand (order matters
+      // for - and %)
+      naiveAt(r, at).map { case (l, x) => (l, naiveArith(c, op, x)) }
+    case VecBin(op, l, r, on, ig, Some(side), Nil) =>
+      // many-to-one: the group_left/group_right side is the MANY side
+      // and keeps its full label set; the other side must be unique per
+      // match key (the generator aggregates it to exactly the on-labels)
+      val (manyE, oneE) = if (side == "left") (l, r) else (r, l)
+      val oneM = naiveAt(oneE, at)
+        .map { case (lbls, x) => proj(lbls, on, ig) -> x }.toMap
+      naiveAt(manyE, at).flatMap { case (lbls, m) =>
+        oneM.get(proj(lbls, on, ig)).map { o =>
+          // value is always left-op-right regardless of which side is many
+          val v = if (side == "left") naiveArith(m, op, o)
+                  else naiveArith(o, op, m)
+          (lbls, v)
+        }
+      }
     case VecBin(op, l, r, on, ig, None, _) =>
       val lv = naiveAt(l, at)
       val rv = naiveAt(r, at).map { case (lbls, x) => proj(lbls, on, ig) -> x }.toMap
@@ -267,8 +316,14 @@ class PromDifferentialSpec extends SparkSpec {
       case OverTime(fn, s, w) =>
         // range-selector modifiers render AFTER the window brackets
         s"${fn}_over_time(${selBase(s)}[${w}s]${selMods(s)})"
-      case TopK(fn, k, inner, Nil, Nil) =>
-        s"$fn($k, ${render(inner, 0)})"
+      case OverTimeSubquery(fn, inner, w, s) =>
+        s"${fn}_over_time((${render(inner, 0)})[${w}s:${s}s])"
+      case TopK(fn, k, inner, by, without) =>
+        val cl =
+          if (by.nonEmpty) s" by (${by.mkString(", ")}) "
+          else if (without.nonEmpty) s" without (${without.mkString(", ")}) "
+          else ""
+        s"$fn$cl($k, ${render(inner, 0)})"
       case Agg(fn, inner, by, without) =>
         val cl =
           if (by.nonEmpty) s" by (${by.mkString(", ")}) "
@@ -279,8 +334,14 @@ class PromDifferentialSpec extends SparkSpec {
       case Arith(inner, op, v) => s"${render(inner, p)} $op ${num(v)}"
       case BoolCmp(inner, op, v) => s"${render(inner, p)} $op bool ${num(v)}"
       case FilterCmp(inner, op, v) => s"${render(inner, p)} $op ${num(v)}"
-      case VecBin(op, l, r, on, ig, _, _) =>
-        s"${render(l, p)} $op ${modTxt(on, ig)}${render(r, p + 1)}"
+      case NumLit(v) => num(v)
+      case VecBin(op, l, r, on, ig, gs, _) =>
+        // group modifier renders after the matching clause; the token
+        // after a BARE group_left/right must not be "(" (the parser,
+        // like Prometheus, would greedily read it as the label-copy
+        // list) — the generator keeps that side prec-9 (unparenthesized)
+        val g = gs.map(s => s"group_$s ").getOrElse("")
+        s"${render(l, p)} $op ${modTxt(on, ig)}$g${render(r, p + 1)}"
       case VecCmp(op, l, r, isBool, on, ig) =>
         val b = if (isBool) "bool " else ""
         s"${render(l, p)} $op $b${modTxt(on, ig)}${render(r, p + 1)}"
@@ -296,11 +357,45 @@ class PromDifferentialSpec extends SparkSpec {
 
   private def genVec(rnd: scala.util.Random, depth: Int): (Expr, Set[String]) =
     if (depth <= 0) genLeaf(rnd)
-    else rnd.nextInt(11) match {
-      case 10 => // bare topk/bottomk: row subset, keyset preserved
+    else rnd.nextInt(14) match {
+      case 10 => // topk/bottomk: row subset, keyset preserved — bare
+        // (global ranking) or per-group under by/without
         val (inner, ks0) = genVec(rnd, depth - 1)
-        (TopK(pick(rnd, Seq("topk", "bottomk")),
-          pick(rnd, Seq(1, 2, 3, 5)), inner, Nil, Nil), ks0)
+        val fn = pick(rnd, Seq("topk", "bottomk"))
+        val k = pick(rnd, Seq(1, 2, 3, 5))
+        rnd.nextInt(3) match {
+          case 0 => (TopK(fn, k, inner, Nil, Nil), ks0)
+          case 1 => (TopK(fn, k, inner,
+            pick(rnd, Seq(Seq("user"), Seq("k"), Seq("user", "cl"))), Nil), ks0)
+          case _ => (TopK(fn, k, inner, Nil,
+            pick(rnd, Seq(Seq("k"), Seq("cl")))), ks0)
+        }
+      case 11 => // fn_over_time over a subquery: the inner expression
+        // instant-evaluated at each aligned 60s step inside the window
+        val (inner, ks0) = genVec(rnd, depth - 1)
+        (OverTimeSubquery(pick(rnd, Seq("count", "sum", "min", "max", "avg", "last")),
+          inner, pick(rnd, Seq(180L, 400L, 900L)), 60L), ks0)
+      case 12 => // literal-headed arithmetic: the scalar is the LEFT
+        // operand (order matters for -), VecBin with a NumLit head
+        val (inner, ks0) = genVec(rnd, depth - 1)
+        (VecBin(pick(rnd, Seq("+", "-", "*")),
+          NumLit((rnd.nextInt(6) + 2).toDouble), inner,
+          None, None, None, Nil), ks0)
+      case 13 => // many-to-one arithmetic: group_left/group_right; the
+        // ONE side is aggregated to exactly the on-labels (unique by
+        // construction, so the engine's one-side guard stays quiet);
+        // the token after the bare group modifier must not be "(" (the
+        // parser would read a label-copy list), so the rendered-after
+        // side stays prec-9: aggTo for group_left, a leaf for
+        // group_right
+        val L = pick(rnd, Seq(Seq("user"), Seq("user", "k")))
+        val op = pick(rnd, Seq("+", "-", "*"))
+        if (rnd.nextBoolean())
+          (VecBin(op, genVecKeys(rnd, depth - 1, Full)._1,
+            aggTo(rnd, depth - 1, L), Some(L), None, Some("left"), Nil), Full)
+        else
+          (VecBin(op, aggTo(rnd, depth - 1, L), genLeaf(rnd)._1,
+            Some(L), None, Some("right"), Nil), Full)
       case 0 | 1 => // aggregation over anything
         val (inner, ks0) = genVec(rnd, depth - 1)
         val fn = pick(rnd, Seq("sum", "min", "max", "avg", "count"))
@@ -429,6 +524,19 @@ class PromDifferentialSpec extends SparkSpec {
   private def pick[A](rnd: scala.util.Random, xs: Seq[A]): A =
     xs(rnd.nextInt(xs.size))
 
+  /** Top-level tree: usually a plain genVec; 1-in-6, a HETEROGENEOUS
+    * bare `or` — sides with independently-generated (usually different)
+    * keysets, so the union path must carry each side's own label sets
+    * (bare set-op matching is on the full labelset; Prometheus allows
+    * the mix, and nested generation keeps keysets homogeneous for the
+    * parents' sake, so the top is where the mix gets exercised).
+    */
+  private def genTop(rnd: scala.util.Random): Expr =
+    if (rnd.nextInt(6) == 0)
+      SetOp("or", genVec(rnd, rnd.nextInt(3))._1,
+        genVec(rnd, rnd.nextInt(3))._1, None, None)
+    else genVec(rnd, rnd.nextInt(4))._1
+
   // ---- the differential loop ------------------------------------------
   private def toSkey(lbls: Map[String, String]): String =
     lbls.toSeq.sortBy(_._1)
@@ -441,7 +549,7 @@ class PromDifferentialSpec extends SparkSpec {
     var checked = 0
     var nonEmpty = 0
     while (checked < n) {
-      val (ast, _) = genVec(rnd, rnd.nextInt(4))
+      val ast = genTop(rnd)
       val q = render(ast, 0)
       val parsed =
         try PromParser.parse(q)
@@ -484,7 +592,7 @@ class PromDifferentialSpec extends SparkSpec {
     var checked = 0
     var nonEmpty = 0
     while (checked < n) {
-      val (ast, _) = genVec(rnd, rnd.nextInt(4))
+      val ast = genTop(rnd)
       val q = render(ast, 0)
       val parsed = PromParser.parse(q)
       assert(parsed == ast,
