@@ -95,11 +95,18 @@ class PromDifferentialSpec extends SparkSpec {
 
   private def lastSample(ss: Seq[(Long, Double)]): (Long, Double) = ss.max
 
-  private def naiveSelector(name: String, eq: Seq[(String, String)],
+  private def naiveSelector(s: Selector,
       windowLo: Long, windowHi: Long): Seq[(Map[String, String], Long, Double)] =
     samples
-      .filter(_._1 == name)
-      .filter { case (_, lbls, _, _) => eq.forall { case (l, v) => lbls.get(l).contains(v) } }
+      .filter(_._1 == s.name)
+      .filter { case (_, lbls, _, _) =>
+        // Prometheus matcher semantics: a missing label is the empty
+        // string; regex matchers are fully anchored
+        s.eq.forall { case (l, v) => lbls.get(l).contains(v) } &&
+          s.ne.forall { case (l, v) => lbls.getOrElse(l, "") != v } &&
+          s.re.forall { case (l, p) => lbls.getOrElse(l, "").matches(s"(?:$p)") } &&
+          s.nre.forall { case (l, p) => !lbls.getOrElse(l, "").matches(s"(?:$p)") }
+      }
       .filter { case (_, _, e, _) => e > windowLo && e <= windowHi }
       .map { case (_, lbls, e, v) => (lbls, e, v) }
 
@@ -150,7 +157,7 @@ class PromDifferentialSpec extends SparkSpec {
       // offset/@ mirror Selector.evalAt: @ replaces the eval time,
       // offset then shifts it
       val ea = s.atSec.getOrElse(at) - s.offsetSec
-      naiveSelector(s.name, s.eq, ea - Lookback, ea)
+      naiveSelector(s, ea - Lookback, ea)
         .groupBy(_._1)
         .map { case (lbls, ss) =>
           (lbls, lastSample(ss.map(t => (t._2, t._3)))._2)
@@ -168,6 +175,10 @@ class PromDifferentialSpec extends SparkSpec {
           else grp.sortBy { case (l, v) => (v, toSkey(l)) }
         ordered.take(k)
       }.toSeq
+    case TimeShift(inner, off, atP, None) =>
+      // subquery offset/@: rebase the subtree's evaluation instant —
+      // `@` replaces it, offset then applies relative to it
+      naiveAt(inner, atP.getOrElse(at) - off)
     case OverTimeSubquery(fn, inner, w, s) =>
       // subquery points: absolute multiples of the subquery step inside
       // the half-open window (at-w, at] — mirroring the engine's
@@ -189,7 +200,7 @@ class PromDifferentialSpec extends SparkSpec {
         }.toSeq
     case OverTime(fn, s, w) =>
       val ea = s.atSec.getOrElse(at) - s.offsetSec
-      val inWin = naiveSelector(s.name, s.eq, ea - w, ea).groupBy(_._1)
+      val inWin = naiveSelector(s, ea - w, ea).groupBy(_._1)
       inWin.map { case (lbls, ss) =>
         val vs = ss.map(_._3)
         val v = fn match {
@@ -303,9 +314,16 @@ class PromDifferentialSpec extends SparkSpec {
     */
   private def render(e: Expr, ctx: Int): String = {
     val p = prec(e)
-    def selBase(s: Selector): String =
-      if (s.eq.isEmpty) s.name
-      else s.name + s.eq.map { case (l, v) => s"""$l="$v"""" }.mkString("{", ", ", "}")
+    def selBase(s: Selector): String = {
+      // categories render in a fixed order (eq, ne, re, nre); the parser
+      // re-collects them per category left-to-right, so the AST
+      // round-trips exactly
+      val ms = s.eq.map { case (l, v) => s"""$l="$v"""" } ++
+        s.ne.map { case (l, v) => s"""$l!="$v"""" } ++
+        s.re.map { case (l, p) => s"""$l=~"$p"""" } ++
+        s.nre.map { case (l, p) => s"""$l!~"$p"""" }
+      if (ms.isEmpty) s.name else s.name + ms.mkString("{", ", ", "}")
+    }
     def selMods(s: Selector): String = {
       val off = if (s.offsetSec != 0) s" offset ${s.offsetSec}s" else ""
       val at = s.atSec.map(t => s" @ $t").getOrElse("")
@@ -318,6 +336,11 @@ class PromDifferentialSpec extends SparkSpec {
         s"${fn}_over_time(${selBase(s)}[${w}s]${selMods(s)})"
       case OverTimeSubquery(fn, inner, w, s) =>
         s"${fn}_over_time((${render(inner, 0)})[${w}s:${s}s])"
+      case TimeShift(OverTimeSubquery(fn, inner, w, s), off, atP, None) =>
+        // subquery modifiers render after the `]`, inside the call
+        val o = if (off != 0) s" offset ${off}s" else ""
+        val a = atP.map(t => s" @ $t").getOrElse("")
+        s"${fn}_over_time((${render(inner, 0)})[${w}s:${s}s]$o$a)"
       case TopK(fn, k, inner, by, without) =>
         val cl =
           if (by.nonEmpty) s" by (${by.mkString(", ")}) "
@@ -371,10 +394,17 @@ class PromDifferentialSpec extends SparkSpec {
             pick(rnd, Seq(Seq("k"), Seq("cl")))), ks0)
         }
       case 11 => // fn_over_time over a subquery: the inner expression
-        // instant-evaluated at each aligned 60s step inside the window
+        // instant-evaluated at each aligned 60s step inside the window;
+        // 1-in-3 carries subquery-level offset/@ (TimeShift — the
+        // whole-subquery evaluation-instant rebase)
         val (inner, ks0) = genVec(rnd, depth - 1)
-        (OverTimeSubquery(pick(rnd, Seq("count", "sum", "min", "max", "avg", "last")),
-          inner, pick(rnd, Seq(180L, 400L, 900L)), 60L), ks0)
+        val sq = OverTimeSubquery(
+          pick(rnd, Seq("count", "sum", "min", "max", "avg", "last")),
+          inner, pick(rnd, Seq(180L, 400L, 900L)), 60L)
+        if (rnd.nextInt(3) == 0)
+          (TimeShift(sq, pick(rnd, Seq(60L, 120L)),
+            if (rnd.nextBoolean()) Some(T - 300L) else None), ks0)
+        else (sq, ks0)
       case 12 => // literal-headed arithmetic: the scalar is the LEFT
         // operand (order matters for -), VecBin with a NumLit head
         val (inner, ks0) = genVec(rnd, depth - 1)
@@ -507,12 +537,21 @@ class PromDifferentialSpec extends SparkSpec {
     val name = pick(rnd, Seq("m0", "m1", "m2"))
     val eq = if (rnd.nextInt(10) < 3)
       Seq("user" -> pick(rnd, users)) else Nil
+    // negative / regex matchers (anchored, missing label = ""): the
+    // patterns stay in the Java/RE2-common dialect, the repo-wide rule
+    val ne = if (rnd.nextInt(8) == 0) Seq("user" -> pick(rnd, users)) else Nil
+    val re = if (rnd.nextInt(6) == 0)
+      Seq(pick(rnd, Seq("user" -> "u[01]", "user" -> "u.", "k" -> "k(a|b)",
+        "k" -> "ka|kb"))) else Nil
+    val nre = if (rnd.nextInt(8) == 0)
+      Seq(pick(rnd, Seq("cl" -> "c0", "user" -> "u[23]"))) else Nil
     // offset multiples of the grid step (the engine requires step
     // alignment on the grid path); `@` pins to a fixed instant, which
     // the grid pass must render CONSTANT across points
     val off = if (rnd.nextInt(4) == 0) pick(rnd, Seq(120L, 300L)) else 0L
     val atS = if (rnd.nextInt(7) == 0) Some(T - 300L) else None
-    val sel = Selector(name, eq = eq, offsetSec = off, atSec = atS)
+    val sel = Selector(name, eq = eq, ne = ne, offsetSec = off, atSec = atS,
+      re = re, nre = nre)
     if (rnd.nextBoolean()) (sel, Full)
     else {
       val fn = pick(rnd, Seq("count", "sum", "min", "max", "avg", "last"))
