@@ -308,7 +308,7 @@ object ExtQueries {
           n = 8, lit("all"))
         sh.join(docs(spark, sfDir).select(col("doc_id"), col("source")),
           "doc_id")
-          // stored clustered by the lookup key (the posShingles8
+          // stored clustered by the lookup key (the posShingles8df
           // treatment): the contamination family's df aggregate, cap
           // join and eval⋈corpus join all key on h
           .repartition(16, col("h"))
@@ -1165,7 +1165,7 @@ object ExtQueries {
       case "lang|source" => concat(col("lang"), lit("|"), col("source"))
     }
     val df = graft.sources.TableCache.memo(spark, s"shingle#$sfDir#$bucketKey")(
-        // clustered by h (the posShingles8 treatment): HashPartitioning(h)
+        // clustered by h (the posShingles8df treatment): HashPartitioning(h)
         // satisfies every (bucket, h)-keyed distribution downstream — the
         // jaccard df cap, the cap join and the inverted-index self-join —
         // by the subset rule, so the pair-frame build and the per-call
