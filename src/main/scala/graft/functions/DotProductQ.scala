@@ -137,5 +137,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       QuantileSampleAgg.info, QuantileSampleAgg.builder))
     ext.injectFunction((FunctionIdentifier("graft_topk"),
       TopKRowsAgg.info, TopKRowsAgg.builder))
+    // AQE exchange-reuse repair for cached-table scans (see
+    // AdaptiveCacheScan.scala): wrap InMemoryTableScanExec before stage
+    // creation so no canonicalization-breaking TableCacheQueryStage is
+    // ever created above a session artifact
+    ext.injectQueryStagePrepRule(_ =>
+      org.apache.spark.sql.execution.graft.GraftWrapCachedScans())
   }
 }

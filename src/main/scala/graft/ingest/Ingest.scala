@@ -208,6 +208,16 @@ object EventsIngest {
     * consumer's first stage (see [[graft.ext.Parallelism]]).
     */
   def cachedMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    // NOTE (round 18): with AQE on, a cached-table scan's
+    // TableCacheQueryStage wrapper used to defeat exchange reuse, so
+    // every PromQL query with a repeated selector sub-plan (setop
+    // tiers, scalar() comparisons, binops on the same metric) executed
+    // the duplicate in full. Fixed globally by the injected
+    // GraftWrapCachedScans query-stage-prep rule (AdaptiveCacheScan
+    // .scala) — the persisted columnar form here keeps its batch-stat
+    // pruning and column pruning, which an RDD-checkpoint
+    // representation measurably lost (~25-100% more scan CPU per
+    // selector, OPTIMIZATION_r18.md finding 1).
     graft.sources.TableCache.getOrBuild(spark, s"metrics#$sfDir")(
       eventsAsMetrics(spark, sfDir)
         .withColumn("e", unix_timestamp(col("timestamp")))

@@ -122,6 +122,12 @@ object TableCache {
     df
   }
 
+  // (A round-18 `getOrCheckpoint` RDD-leaf sibling lived here briefly —
+  // it restored AQE exchange reuse over session artifacts but lost the
+  // columnar cache's batch-stat and column pruning; superseded by the
+  // GraftWrapCachedScans query-stage-prep rule, which fixes the reuse
+  // on this persisted form directly. See OPTIMIZATION_r18.md finding 1.)
+
   private def sessionMap(spark: SparkSession): scala.collection.mutable.Map[String, Holder] = {
     registerCleanup(spark)
     sessions.synchronized {
