@@ -2173,18 +2173,43 @@ object AnalyticsQueries {
     * joined broadcast. No window functions, no per-user state.
     */
   def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = EventsIngest.widenedEvents(spark, sfDir)
-      .select(col("user_id"), col("ts").cast("long").as("e"))
-    val firstW = ev.groupBy(col("user_id"))
-      .agg(min(col("e")).as("e0"))
-      .select(col("user_id"), expr("e0 div 604800").as("cohort_week"))
-    val sizes = firstW.groupBy(col("cohort_week"))
-      .agg(countDistinct(col("user_id")).as("cohort_users"))
-    ev.join(firstW, "user_id")
+    // Pre-aggregate to (user, week) BEFORE anything distinct-counts
+    // (round 18; guide §2.3 "aggregate before you shuffle"): the cell
+    // counts only need which weeks a user was active in and how many
+    // events each (user, week) held — one map-side-combinable groupBy
+    // collapses the event stream to that frame, after which every
+    // downstream count is exact arithmetic on unique rows:
+    //  - cohort_week = min(e) div 604800 = min(e div 604800) (floor-div
+    //    is monotone), so first-touch derives from the same frame;
+    //  - n_users per cell = count(*) of (user, week) rows (unique by
+    //    construction — the old countDistinct Expand over raw events);
+    //  - n_events per cell = sum of the per-(user, week) counts.
+    // The old shape shuffled every event row twice (first-touch agg +
+    // the Expand-doubled distinct aggregate); this shuffles the event
+    // stream once into |user×week| partial counts.
+    // first-touch via a user-partitioned window over the SAME frame
+    // instead of a groupBy + self-join: the (user, week) aggregate's
+    // exchange is the one shuffle, the window's min-over-user rides its
+    // partitioning, and the cohort-size frame filters the same windowed
+    // rows (week == cohort_week keeps exactly each user's first-week
+    // row), so the heavy scan+partial+shuffle executes once and both
+    // consumers reuse it (verified: ReusedExchange in the final plan).
+    import org.apache.spark.sql.expressions.Window
+    val base = EventsIngest.widenedEvents(spark, sfDir)
+      .select(col("user_id"),
+        expr("cast(ts as long) div 604800").as("week"))
+      .groupBy(col("user_id"), col("week"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cohort_week",
+        min(col("week")).over(Window.partitionBy(col("user_id"))))
+    // one first-week row per user, so count(*) IS countDistinct(user)
+    val sizes = base.filter(col("week") === col("cohort_week"))
+      .groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_users"))
+    base
       .groupBy(col("cohort_week"),
-        (expr("e div 604800") - col("cohort_week")).as("week_offset"))
-      .agg(countDistinct(col("user_id")).as("n_users"),
-        count(lit(1)).as("n_events"))
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cnt")).as("n_events"))
       .join(broadcast(sizes), "cohort_week")
       .select(col("cohort_week"), col("week_offset"), col("n_users"),
         col("n_events"),
