@@ -239,9 +239,19 @@ object Dedup {
     * `edges` needs columns (doc_a, doc_b); direction is ignored.
     * Returns (doc_id, component) where component = min doc_id reachable.
     */
+  /** `distinctEdges = true` lets a caller that ALREADY guarantees
+    * unique undirected pairs (e.g. the banded pair frame, which is
+    * `.distinct()` at build) skip the symmetrization's dedup shuffle —
+    * duplicates never affect correctness here (union-find unions are
+    * idempotent, min-label aggregation is duplicate-blind); the dedup
+    * only trims wasted per-iteration work when candidate generation
+    * over-produces, so callers that cannot promise uniqueness keep the
+    * default.
+    */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIters: Int = 50,
-      smallGraphEdgeCutoff: Long = 4000000L): DataFrame = {
+      smallGraphEdgeCutoff: Long = 4000000L,
+      distinctEdges: Boolean = false): DataFrame = {
     // Size-adaptive strategy choice, the same philosophy AQE applies to
     // joins: the EDGE set after candidate generation is orders of
     // magnitude smaller than the corpus (it holds near-dup pairs, not
@@ -253,9 +263,13 @@ object Dedup {
     // and picks up its labels with one equi-join (isolated nodes keep
     // their own id via the left join). Above the cutoff the iterative
     // distributed loop below runs unchanged — that is the 100 TB path.
-    val sym0 = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val undirected = edges
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().localCheckpoint(true)
+    // unique (a < b) input pairs stay unique after both-direction
+    // symmetrization, so the dedup shuffle is skippable when promised
+    val sym0 = (if (distinctEdges) undirected else undirected.distinct())
+      .localCheckpoint(true)
     val nEdges = sym0.count()
     if (nEdges <= smallGraphEdgeCutoff) {
       val spark = nodes.sparkSession

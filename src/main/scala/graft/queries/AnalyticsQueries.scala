@@ -755,6 +755,17 @@ object AnalyticsQueries {
         // (partitions ≈ cores); results are partition-count-independent
         // either way (every gate hash-matches at all three SFs).
         s.conf.set("spark.sql.shuffle.partitions", "1")
+        // NIO atomic writes for the local checkpoints (round 18): the
+        // Hadoop local create path costs ~33 ms/file without the native
+        // library vs ~0.1 ms raw NIO on the same tmpfs (CkptIoProbe),
+        // and every micro-batch commits several files (offset WAL,
+        // commit log, state deltas) — the dominant share of the gates'
+        // addBatch floor. Local-only; a real HDFS/S3 deployment keeps
+        // the stock manager by not setting this.
+        // GRAFT_CKPT_FM=default restores the stock manager for A/B.
+        if (!sys.env.get("GRAFT_CKPT_FM").contains("default"))
+          s.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+            "org.apache.spark.sql.execution.streaming.graft.GraftLocalCheckpointFileManager")
         // State-store provider is switchable for measurement
         // (GRAFT_STATESTORE=rocksdb): Spark 4 ships RocksDBStateStoreProvider
         // to cut the HDFS-backed store's per-commit cost at LARGE state.

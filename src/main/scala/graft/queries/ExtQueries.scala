@@ -964,7 +964,10 @@ object ExtQueries {
     // per session, not once per query)
     val simEdges = cachedSimhashPairs(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
-    val repComp = Dedup.connectedComponents(repIds, simEdges)
+    // the shared pair frame is built `.distinct()` (one row per a<b
+    // pair), so CC skips its symmetrization dedup shuffle (round 18)
+    val repComp = Dedup.connectedComponents(repIds, simEdges,
+      distinctEdges = true)
     val out = roots
       .join(repComp.select(col("doc_id").as("root"), col("component")), "root")
       .select(col("doc_id"), col("component"))
