@@ -5503,11 +5503,8 @@ object ExtQueries {
   def dsirWeights(spark: SparkSession, sfDir: String): DataFrame = {
     val feats = docs(spark, sfDir)
       .withColumn("toks", TextOps.tokens(col("text")))
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"),
         explode(TextOps.shingles("toks", 2)).as("gram"))
-      .withColumn("b",
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
-          % DsirBuckets)
     // both histograms fold out of the session bigram LM (Σ cnt / Σ
     // cnt_en per hashed bucket) — vocabulary-sized aggregation; the
     // corpus feature stream is exploded only once, for the per-doc
@@ -5523,7 +5520,21 @@ object ExtQueries {
         sum(col("ct")).as("st"))))
       .select(col("b"),
         expr("((ct + 1) * ss * 10000) div ((cs + 1) * st)").as("ratio_bp"))
-    feats.join(broadcast(ratios), "b")
+    // per-gram ratio resolved ONCE on the vocabulary and broadcast
+    // (round 18): the occurrence stream used to md5+conv every bigram
+    // occurrence just to find its bucket — ~half the query's task time
+    // for values the vocabulary already determines. Hashing each
+    // DISTINCT gram once and broadcast-joining on the gram string is
+    // the same vocabulary-broadcast shape doc_rarity uses; bucket ids
+    // and ratios are unchanged (md5 of the same gram), so the result
+    // is bit-identical.
+    val ratioByGram = cachedBigramCounts(spark, sfDir)
+      .select(col("gram"),
+        (conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long")
+          % DsirBuckets).as("b"))
+      .join(ratios, "b")
+      .select(col("gram"), col("ratio_bp"))
+    feats.join(broadcast(ratioByGram), "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("ratio_bp")).as("rsum"))
       .select(col("doc_id"), col("n_feats"),
