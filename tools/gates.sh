@@ -72,27 +72,26 @@ sys.exit(1 if total > ceiling else 0)
 EOF
 }
 
-# Round-18 ceiling recalibration (second cut, post substr_dedup
-# df-capped-artifact change): same 235-query pack, ledger re-cut
-# 59.6 -> 54.3 s total_median on quiet samples 50.9/54.3/56.7 (the
-# substr_dedup plan change was deliberate; its anchor was --reset).
-# The box still shows SUSTAINED external burst phases (uniform
-# inflation up to ~1.30x quiet). Ceiling 62 sits above the quiet band
-# of THIS tree on THIS box. The retry ceiling is tuned to the burst
-# AMPLITUDE (1.30 x 56.7 ~ 74) because on this box the retry often
-# lands inside the same burst phase; the per-query --fail-on-flags
-# check is what actually catches a code regression there (budgets
-# scale by the run's own uniform inflation, so a burst passes with
-# zero flags while a real regression is named).
+# Optimization-round-18 ceiling recalibration: the AQE cached-scan
+# reuse repair + the NIO checkpoint manager + six query rewrites moved
+# the quiet band 50.9-56.7 -> 49.6/49.9/52.4 (ledger re-cut at 49.9,
+# this round's deliberate speedups --reset per the anchor protocol).
+# Ceiling 57 keeps the old 1.14x-over-median proportion above THIS
+# tree's quiet band. The box still shows SUSTAINED external burst
+# phases (uniform inflation up to ~1.30x quiet), so the retry ceiling
+# stays tuned to the burst AMPLITUDE (1.36 x 49.9 ~ 68); the per-query
+# --fail-on-flags check is what actually catches a code regression
+# there (budgets scale by the run's own uniform inflation, so a burst
+# passes with zero flags while a real regression is named).
 echo "== bench sf0.1"
 run_bench
 echo "== bench ceiling"
-rc=0; check_ceiling 62.0 || rc=$?
+rc=0; check_ceiling 57.0 || rc=$?
 if [ "$rc" -eq 1 ]; then
   echo "== bench ceiling breached — re-running once (contention check)"
   sleep 10
   run_bench --fail-on-flags
-  check_ceiling 74.0
+  check_ceiling 68.0
 elif [ "$rc" -ne 0 ]; then
   exit "$rc"
 fi
